@@ -1,0 +1,173 @@
+"""Image payload codecs, perceptual hash, and PSNR — numpy + zlib only.
+
+The graft input table carries images as opaque ``binary`` columns with
+``(w, h, fmt)`` metadata (BASELINE.json ``input_hint``). No PIL in the
+sandbox, so formats are:
+
+- ``raw``  — uint8 RGB ``pixels.tobytes()`` (lossless)
+- ``png``  — real PNG (8-bit RGB, filter 0, zlib) written/parsed by
+  hand; lossless, readable by any standard decoder
+- ``qnt6`` — 6-bit-per-channel quantized + zlib (deliberately lossy;
+  PSNR ~47 dB > the 40 dB invariant threshold)
+
+Per-row invariant vs the reference representation: decoded-pixel
+allclose (exact for lossless, PSNR>=40 dB for lossy) + caption equality.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+LOSSLESS_FMTS = {"raw", "png"}
+LOSSY_FMTS = {"qnt6"}
+ALL_FMTS = ("raw", "png", "qnt6")
+
+
+# ---------------------------------------------------------------------------
+# encode / decode
+# ---------------------------------------------------------------------------
+
+def encode_raw(pixels: np.ndarray) -> bytes:
+    return np.ascontiguousarray(pixels, dtype=np.uint8).tobytes()
+
+
+def decode_raw(data: bytes, w: int, h: int) -> np.ndarray:
+    return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+
+
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """8-bit RGB PNG, filter type 0 on every scanline."""
+    px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # bit depth 8, color type 2 (RGB)
+    scanlines = np.concatenate(
+        [np.zeros((h, 1), dtype=np.uint8), px.reshape(h, w * 3)], axis=1
+    )
+    idat = zlib.compress(scanlines.tobytes(), 6)
+    return _PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IDAT", idat) + _png_chunk(b"IEND", b"")
+
+
+def decode_png(data: bytes, w: int = 0, h: int = 0) -> np.ndarray:
+    """Parse an RGB8 PNG (filters 0/1/2 supported; we only write 0)."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG stream")
+    pos = 8
+    idat = b""
+    width = height = 0
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            width, height, depth, ctype = struct.unpack(">IIBB", payload[:10])
+            if depth != 8 or ctype != 2:
+                raise ValueError("only 8-bit RGB PNG supported")
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    raw = zlib.decompress(idat)
+    stride = width * 3
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    filters = rows[:, 0]
+    out = rows[:, 1:].astype(np.uint8).copy()
+    for y in range(height):
+        f = filters[y]
+        if f == 0:
+            continue
+        if f == 2 and y > 0:  # Up
+            out[y] = (out[y].astype(np.int32) + out[y - 1]).astype(np.uint8)
+        elif f == 1:  # Sub
+            line = out[y].astype(np.int32)
+            for x in range(3, stride):
+                line[x] = (line[x] + line[x - 3]) & 0xFF
+            out[y] = line.astype(np.uint8)
+        else:
+            raise ValueError(f"unsupported PNG filter {f}")
+    return out.reshape(height, width, 3)
+
+
+def encode_qnt6(pixels: np.ndarray) -> bytes:
+    """Lossy: keep the top 6 bits per channel, zlib-compress."""
+    px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    q = px >> 2
+    return zlib.compress(q.tobytes(), 6)
+
+
+def decode_qnt6(data: bytes, w: int, h: int) -> np.ndarray:
+    q = np.frombuffer(zlib.decompress(data), dtype=np.uint8).reshape(h, w, 3)
+    # re-expand to 8 bits, centering the reconstruction in the bin
+    return ((q.astype(np.uint16) << 2) | (q >> 4)).astype(np.uint8)
+
+
+_ENCODERS = {"raw": encode_raw, "png": encode_png, "qnt6": encode_qnt6}
+_DECODERS = {"raw": decode_raw, "png": decode_png, "qnt6": decode_qnt6}
+
+
+def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
+    try:
+        enc = _ENCODERS[fmt]
+    except KeyError:
+        raise ValueError(f"Unsupported image format '{fmt}'") from None
+    return enc(pixels) if fmt != "png" else enc(pixels)
+
+
+def decode_image(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
+    try:
+        dec = _DECODERS[fmt]
+    except KeyError:
+        raise ValueError(f"Unsupported image format '{fmt}'") from None
+    return dec(data, w, h)
+
+
+# ---------------------------------------------------------------------------
+# metrics
+# ---------------------------------------------------------------------------
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB (inf for identical images)."""
+    diff = a.astype(np.float64) - b.astype(np.float64)
+    mse = float(np.mean(diff * diff))
+    if mse == 0.0:
+        return float("inf")
+    return 20.0 * np.log10(255.0) - 10.0 * np.log10(mse)
+
+
+def phash64(pixels: np.ndarray, grid: int = 8) -> int:
+    """64-bit mean-hash: grayscale -> grid x grid block means -> bits vs median.
+
+    Deterministic, vectorized; used for the skewed hot-entity clusters
+    (rows sharing a phash) the north rule's salting targets.
+    """
+    gray = pixels.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    ys = (np.arange(grid + 1) * h) // grid
+    xs = (np.arange(grid + 1) * w) // grid
+    cells = np.empty((grid, grid))
+    for i in range(grid):
+        for j in range(grid):
+            cells[i, j] = gray[ys[i] : ys[i + 1], xs[j] : xs[j + 1]].mean()
+    bits = (cells > np.median(cells)).flatten()
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    # to signed int64 range
+    if val >= 1 << 63:
+        val -= 1 << 64
+    return val

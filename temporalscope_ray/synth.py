@@ -1,0 +1,294 @@
+"""Deterministic, parallelism-independent synthetic data generators.
+
+Two tables:
+
+1. ``generate_synthetic_time_series`` — the reference's test fixture
+   (`/root/reference/src/temporalscope/datasets/synthetic_data_generator.py:164-289`):
+   ``time`` (daily datetime or float64 index), ``target``,
+   ``feature_1..k`` uniform [0,1), optional null/NaN row injection.
+2. ``generate_image_caption_table`` — the graft input (BASELINE.json
+   ``input_hint``): ``(image_id, ts, bytes, w, h, fmt, caption, phash,
+   target, feature_*)`` with Zipf-skewed entities (hot phash clusters)
+   and per-entity strictly-increasing timestamps.
+
+Content is a pure function of ``(seed, row_index)`` via a vectorized
+splitmix64 counter hash — the same table materializes at ANY
+parallelism level (blocks own disjoint row ranges; no sequential RNG
+state). Generation itself is a Ray Dataset pipeline: one task per
+block spec, each emitting an Arrow table.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from . import codec
+from .core import MODE_SINGLE_TARGET
+
+RANDOM_SEED = 100  # reference synthetic_data_generator.py:43
+
+_MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over uint64."""
+    x = (x + np.uint64(0x9E3779B97F4A7C15)) & _MASK
+    z = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9) & _MASK
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB) & _MASK
+    return z ^ (z >> np.uint64(31))
+
+
+def hash_u64(seed: int, stream: int, idx: np.ndarray) -> np.ndarray:
+    """Counter-based hash: uniform uint64 per (seed, stream, index)."""
+    base = np.uint64((seed * 0x9E3779B97F4A7C15 + stream * 0xC2B2AE3D27D4EB4F) & 0xFFFFFFFFFFFFFFFF)
+    return _splitmix64(idx.astype(np.uint64) ^ base)
+
+
+def hash_uniform(seed: int, stream: int, idx: np.ndarray) -> np.ndarray:
+    """Uniform [0, 1) float64 per (seed, stream, index)."""
+    return hash_u64(seed, stream, idx).astype(np.float64) / 18446744073709551616.0
+
+
+def _block_specs(num_samples: int, num_blocks: int) -> list[dict]:
+    num_blocks = max(1, min(num_blocks, max(1, num_samples)))
+    edges = [(num_samples * i) // num_blocks for i in range(num_blocks + 1)]
+    return [
+        {"start": edges[i], "stop": edges[i + 1]}
+        for i in range(num_blocks)
+        if edges[i + 1] > edges[i]
+    ]
+
+
+def _validate_synthetic_params(
+    num_samples: int, num_features: int, mode: str, null_percentage: float, nan_percentage: float
+) -> None:
+    # verbatim messages: synthetic_data_generator.py:126-161
+    if num_samples < 0 or num_features < 0:
+        raise ValueError("`num_samples` and `num_features` must be non-negative.")
+    if mode != MODE_SINGLE_TARGET:
+        raise ValueError(f"Unsupported mode: {mode}. Only 'single_target' mode is supported.")
+    if not 0.0 <= null_percentage <= 1.0:
+        raise ValueError("null_percentage must be between 0.0 and 1.0")
+    if not 0.0 <= nan_percentage <= 1.0:
+        raise ValueError("nan_percentage must be between 0.0 and 1.0")
+
+
+def generate_synthetic_time_series(
+    *,
+    num_samples: int = 100,
+    num_features: int = 3,
+    with_nulls: bool = False,
+    with_nans: bool = False,
+    null_percentage: float = 0.05,
+    nan_percentage: float = 0.05,
+    mode: str = MODE_SINGLE_TARGET,
+    time_col_numeric: bool = False,
+    drop_time: bool = False,
+    random_seed: int = RANDOM_SEED,
+    num_blocks: int = 8,
+) -> ray.data.Dataset:
+    """Distributed re-expression of the reference generator (S3).
+
+    Null injection is hash-thresholded per row (row 0 forced when
+    enabled, mirroring the reference's "at least one row" guarantee,
+    synthetic_data_generator.py:107-112). Nulls take precedence over
+    NaNs on the same row (reference ``:64-66``).
+    """
+    _validate_synthetic_params(num_samples, num_features, mode, null_percentage, nan_percentage)
+
+    feature_cols = [f"feature_{i + 1}" for i in range(num_features)]
+    epoch_2023_us = 1672531200000000  # 2023-01-01 in µs
+
+    def gen(batch: pa.Table) -> pa.Table:
+        out_tables = []
+        for row in batch.to_pylist():
+            start, stop = row["start"], row["stop"]
+            idx = np.arange(start, stop, dtype=np.int64)
+            cols: dict[str, pa.Array] = {}
+            if not drop_time:
+                if time_col_numeric:
+                    cols["time"] = pa.array(idx.astype(np.float64), type=pa.float64())
+                else:
+                    us = epoch_2023_us + idx * 86_400_000_000  # daily
+                    cols["time"] = pa.array(us, type=pa.timestamp("us"))
+            cols["target"] = pa.array(hash_uniform(random_seed, 1, idx), type=pa.float64())
+            null_u = hash_uniform(random_seed, 2, idx)
+            is_null = with_nulls & ((null_u < null_percentage) | (idx == 0))
+            nan_u = hash_uniform(random_seed, 3, idx)
+            is_nan = with_nans & ((nan_u < nan_percentage) | (idx == 0)) & ~is_null
+            for j, name in enumerate(feature_cols):
+                vals = hash_uniform(random_seed, 10 + j, idx)
+                vals = np.where(is_nan, np.nan, vals)
+                cols[name] = pa.array(vals, type=pa.float64(), mask=np.asarray(is_null, dtype=bool))
+            out_tables.append(pa.table(cols))
+        return pa.concat_tables(out_tables) if out_tables else pa.table({})
+
+    specs = _block_specs(num_samples, num_blocks)
+    if not specs:
+        # zero-row table with the right schema
+        cols: dict[str, pa.Array] = {}
+        if not drop_time:
+            cols["time"] = pa.array([], type=pa.float64() if time_col_numeric else pa.timestamp("us"))
+        cols["target"] = pa.array([], type=pa.float64())
+        for name in feature_cols:
+            cols[name] = pa.array([], type=pa.float64())
+        return ray.data.from_arrow(pa.table(cols))
+    return ray.data.from_items(specs).map_batches(gen, batch_format="pyarrow", batch_size=1)
+
+
+# ---------------------------------------------------------------------------
+# image + caption event table (graft input_hint, FIXTURES.md F3)
+# ---------------------------------------------------------------------------
+
+def zipf_entity_offsets(num_rows: int, num_entities: int, alpha: float = 1.2) -> np.ndarray:
+    """Deterministic Zipf row counts per entity -> prefix offsets (len E+1).
+
+    Entity 0 is the hottest; counts ∝ 1/rank^alpha, normalized to
+    ``num_rows`` with largest-remainder rounding. Used both by the
+    generator (row -> entity via searchsorted) and by skew tests.
+    """
+    ranks = np.arange(1, num_entities + 1, dtype=np.float64)
+    w = 1.0 / np.power(ranks, alpha)
+    w /= w.sum()
+    counts = np.floor(w * num_rows).astype(np.int64)
+    remainder = num_rows - counts.sum()
+    frac = w * num_rows - counts
+    order = np.argsort(-frac, kind="stable")
+    counts[order[: int(remainder)]] += 1
+    offsets = np.zeros(num_entities + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    return offsets
+
+
+def render_pixels(seed: int, row_idx: int, entity: int, size: int) -> np.ndarray:
+    """Deterministic RGB image: entity-colored gradient + per-row noise.
+
+    Same-entity images are visually similar (shared phash cluster);
+    different rows differ by noise.
+    """
+    yy, xx = np.mgrid[0:size, 0:size]
+    base = hash_u64(seed, 100, np.array([entity], dtype=np.int64))[0]
+    r0 = int(base & np.uint64(0xFF))
+    g0 = int((base >> np.uint64(8)) & np.uint64(0xFF))
+    b0 = int((base >> np.uint64(16)) & np.uint64(0xFF))
+    grad = (xx + yy).astype(np.float64) / (2 * size - 2) * 96.0
+    pix = np.stack(
+        [np.clip(r0 * 0.6 + grad, 0, 255), np.clip(g0 * 0.6 + grad, 0, 255), np.clip(b0 * 0.6 + grad, 0, 255)],
+        axis=2,
+    )
+    n = size * size * 3
+    noise_idx = np.arange(n, dtype=np.int64) + row_idx * n
+    noise = (hash_u64(seed, 101, noise_idx) & np.uint64(0x7)).astype(np.float64).reshape(size, size, 3)
+    return np.clip(pix + noise - 3.5, 0, 255).astype(np.uint8)
+
+
+def caption_for(entity: int, occurrence: int, seed: int) -> str:
+    """Deterministic caption (no Python ``hash`` — that is process-salted)."""
+    mix = np.array([(entity << 20) ^ occurrence], dtype=np.int64)
+    tok = hash_u64(seed, 102, mix)[0]
+    return f"caption of img_{entity:08d} frame {occurrence} tag {int(tok) % 99991:05d}"
+
+
+IMAGE_SCHEMA = pa.schema(
+    [
+        ("image_id", pa.string()),
+        ("ts", pa.timestamp("us")),
+        ("bytes", pa.binary()),
+        ("w", pa.int32()),
+        ("h", pa.int32()),
+        ("fmt", pa.string()),
+        ("caption", pa.string()),
+        ("phash", pa.int64()),
+        ("target", pa.float64()),
+        ("feature_1", pa.float64()),
+        ("feature_2", pa.float64()),
+        ("feature_3", pa.float64()),
+    ]
+)
+
+
+def generate_image_caption_table(
+    num_rows: int,
+    num_entities: Optional[int] = None,
+    *,
+    seed: int = 42,
+    img_size: int = 32,
+    num_blocks: int = 8,
+    alpha: float = 1.2,
+    fmts: tuple[str, ...] = codec.ALL_FMTS,
+) -> ray.data.Dataset:
+    """The graft's input table, synthesized as a Ray Dataset.
+
+    Layout is entity-major: entity row counts follow a Zipf(alpha)
+    distribution (hot phash clusters for skew/salting tests); within an
+    entity, ``ts`` is strictly increasing at a per-entity cadence. Every
+    cell is a pure function of (seed, global row index), so any
+    parallelism level yields the identical table.
+    """
+    if num_entities is None:
+        num_entities = max(1, num_rows // 8)
+    offsets = zipf_entity_offsets(num_rows, num_entities, alpha)
+    epoch_us = 1672531200000000
+    fmts = tuple(fmts)
+
+    def gen(batch: pa.Table) -> pa.Table:
+        tables = []
+        for spec in batch.to_pylist():
+            start, stop = spec["start"], spec["stop"]
+            idx = np.arange(start, stop, dtype=np.int64)
+            ent = np.searchsorted(offsets, idx, side="right") - 1
+            occ = idx - offsets[ent]
+            # per-entity cadence: (1 + entity % 7) minutes
+            cadence_us = (1 + (ent % 7)) * 60_000_000
+            ts = epoch_us + occ * cadence_us + ent  # +ent keeps global ts near-unique
+            image_ids = [f"img_{e:08d}" for e in ent]
+            n = len(idx)
+            bufs, phashes, caps, fmt_col = [], [], [], []
+            for k in range(n):
+                pix = render_pixels(seed, int(idx[k]), int(ent[k]), img_size)
+                fmt = fmts[int(hash_u64(seed, 103, idx[k : k + 1])[0] % np.uint64(len(fmts)))]
+                bufs.append(codec.encode_image(pix, fmt))
+                fmt_col.append(fmt)
+                phashes.append(codec.phash64(pix))
+                caps.append(caption_for(int(ent[k]), int(occ[k]), seed))
+            cols = {
+                "image_id": pa.array(image_ids, type=pa.string()),
+                "ts": pa.array(ts, type=pa.timestamp("us")),
+                "bytes": pa.array(bufs, type=pa.binary()),
+                "w": pa.array(np.full(n, img_size, dtype=np.int32)),
+                "h": pa.array(np.full(n, img_size, dtype=np.int32)),
+                "fmt": pa.array(fmt_col, type=pa.string()),
+                "caption": pa.array(caps, type=pa.string()),
+                "phash": pa.array(phashes, type=pa.int64()),
+                "target": pa.array(hash_uniform(seed, 104, idx), type=pa.float64()),
+                "feature_1": pa.array(hash_uniform(seed, 105, idx), type=pa.float64()),
+                "feature_2": pa.array(hash_uniform(seed, 106, idx), type=pa.float64()),
+                "feature_3": pa.array(hash_uniform(seed, 107, idx), type=pa.float64()),
+            }
+            tables.append(pa.table(cols, schema=IMAGE_SCHEMA))
+        return pa.concat_tables(tables) if tables else IMAGE_SCHEMA.empty_table()
+
+    specs = _block_specs(num_rows, num_blocks)
+    if not specs:
+        return ray.data.from_arrow(IMAGE_SCHEMA.empty_table())
+    return ray.data.from_items(specs).map_batches(gen, batch_format="pyarrow", batch_size=1)
+
+
+def materialize_image_table(path: str, num_rows: int, **kwargs) -> str:
+    """Write the synthetic image table to parquet (cached fixture for
+    tests / bench / queries). Returns the path."""
+    import os
+
+    done = os.path.join(path, "_SUCCESS")
+    if os.path.exists(done):
+        return path
+    os.makedirs(path, exist_ok=True)
+    ds = generate_image_caption_table(num_rows, **kwargs)
+    ds.write_parquet(path)
+    with open(done, "w") as f:
+        f.write("ok")
+    return path

@@ -1,0 +1,107 @@
+"""Codec round-trips, PSNR/caption invariants, and parallelism-independent synthesis."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from temporalscope_ray import codec, synth
+
+
+def rand_pixels(seed=7, size=32):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(size, size, 3), dtype=np.uint8)
+
+
+def test_raw_roundtrip():
+    px = rand_pixels()
+    assert np.array_equal(codec.decode_raw(codec.encode_raw(px), 32, 32), px)
+
+
+def test_png_roundtrip_lossless():
+    px = rand_pixels()
+    out = codec.decode_png(codec.encode_png(px))
+    assert np.array_equal(out, px)
+    assert codec.psnr(px, out) == float("inf")
+
+
+def test_qnt6_lossy_psnr_over_40db():
+    px = rand_pixels()
+    out = codec.decode_qnt6(codec.encode_qnt6(px), 32, 32)
+    p = codec.psnr(px, out)
+    assert 40.0 <= p < float("inf")
+
+
+def test_phash_similar_images_close():
+    a = synth.render_pixels(42, 0, entity=5, size=32)
+    b = synth.render_pixels(42, 1, entity=5, size=32)
+    c = synth.render_pixels(42, 2, entity=99, size=32)
+    ha, hb, hc = codec.phash64(a), codec.phash64(b), codec.phash64(c)
+    dist = lambda x, y: bin((x ^ y) & ((1 << 64) - 1)).count("1")
+    assert dist(ha, hb) <= dist(ha, hc)
+
+
+def test_zipf_offsets():
+    off = synth.zipf_entity_offsets(1000, 50)
+    assert off[0] == 0 and off[-1] == 1000
+    counts = np.diff(off)
+    assert counts[0] == counts.max()  # entity 0 hottest
+
+
+def test_synthetic_time_series_shape_and_nulls():
+    ds = synth.generate_synthetic_time_series(num_samples=50, num_features=2, with_nulls=True, null_percentage=0.2)
+    df = ds.to_pandas()
+    assert len(df) == 50
+    assert set(df.columns) == {"time", "target", "feature_1", "feature_2"}
+    assert df["feature_1"].isna().sum() >= 1
+    assert df["target"].between(0, 1).all()
+
+
+def test_synthetic_time_series_param_errors():
+    with pytest.raises(ValueError, match="must be non-negative"):
+        synth.generate_synthetic_time_series(num_samples=-1)
+    with pytest.raises(ValueError, match="Only 'single_target' mode is supported"):
+        synth.generate_synthetic_time_series(mode="multi_target")
+    with pytest.raises(ValueError, match="null_percentage must be between"):
+        synth.generate_synthetic_time_series(null_percentage=1.5)
+
+
+def test_synthesis_parallelism_independent():
+    a = synth.generate_synthetic_time_series(num_samples=40, num_blocks=1).to_pandas()
+    b = synth.generate_synthetic_time_series(num_samples=40, num_blocks=7).to_pandas()
+    a = a.sort_values("time").reset_index(drop=True)
+    b = b.sort_values("time").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_image_table_schema_and_invariants():
+    ds = synth.generate_image_caption_table(60, num_entities=10, seed=42, num_blocks=3)
+    df = ds.to_pandas()
+    assert len(df) == 60
+    assert list(df.columns) == [f.name for f in synth.IMAGE_SCHEMA]
+    # per-entity ts strictly increasing
+    for _, g in df.groupby("image_id"):
+        ts = g.sort_values("ts")["ts"].to_numpy()
+        assert (np.diff(ts.astype("int64")) > 0).all()
+    # decode invariant per row: lossless exact, lossy PSNR>=40; caption regenerable
+    for _, row in df.head(20).iterrows():
+        ent = int(row["image_id"].split("_")[1])
+        # recompute occurrence from caption to avoid needing offsets
+        pix_ref_found = False
+        for occ in range(0, 60):
+            if synth.caption_for(ent, occ, 42) == row["caption"]:
+                pix_ref_found = True
+                break
+        assert pix_ref_found
+        decoded = codec.decode_image(row["bytes"], int(row["w"]), int(row["h"]), row["fmt"])
+        assert decoded.shape == (32, 32, 3)
+        if row["fmt"] in codec.LOSSLESS_FMTS:
+            assert codec.phash64(decoded) == int(row["phash"])
+
+
+def test_image_table_parallelism_independent():
+    a = synth.generate_image_caption_table(30, num_entities=6, num_blocks=1).to_pandas()
+    b = synth.generate_image_caption_table(30, num_entities=6, num_blocks=5).to_pandas()
+    key = ["image_id", "ts"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
