@@ -1,0 +1,223 @@
+"""Point-in-time (as-of) join — J1, the north rule's core operator.
+
+For each left row, take the latest right row with
+``right.ts <= left.ts`` (direction="backward"; optional tolerance)
+within the same entity — i.e. features as they were KNOWN at the event
+time, never the future: the distributed generalization of the
+reference's zero-leakage ordering contract
+(`/root/reference/src/temporalscope/target_shifters/single_step.py:290-295`
+drops future rows; an as-of join *looks up* only the past).
+
+Execution paths:
+
+- **broadcast** (right side fits in memory — dimension tables, model
+  state): the right table is sorted once per actor (``__init__``) from
+  a ``ray.put`` handle; each left batch runs a vectorized
+  ``pd.merge_asof`` against it. No shuffle at all; the 100 TB default
+  whenever the right side is < a few GiB.
+- **bucketed** (both sides large): both sides get the SAME
+  ``hash(entity) % B`` bucket column, are unioned with a side tag, and
+  one ``groupby(bucket).map_groups`` runs a per-bucket sort-merge
+  (``pd.merge_asof`` with ``by=entity``). One shuffle, reusing the
+  engine's canonical exchange key.
+
+Skew: a hot LEFT entity is harmless in the broadcast path (left rows
+are independent). In the bucketed path hot entities inflate one
+bucket; mitigate by raising ``num_buckets`` (entity placement is
+hash-uniform) or switching that entity's rows to the broadcast path.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from . import grouped
+
+
+def _merge_asof_frames(
+    left: pd.DataFrame,
+    right: pd.DataFrame,
+    *,
+    on: str,
+    by: Optional[str],
+    tolerance,
+    direction: str,
+    right_cols: Sequence[str],
+    suffix: str = "_right",
+) -> pd.DataFrame:
+    left_sorted = left.sort_values(on, kind="mergesort")
+    right_sorted = right.sort_values(on, kind="mergesort")
+    kwargs = dict(on=on, direction=direction, suffixes=("", suffix))
+    if by is not None:
+        kwargs["by"] = by
+    if tolerance is not None:
+        kwargs["tolerance"] = tolerance
+    out = pd.merge_asof(left_sorted, right_sorted[list(dict.fromkeys([on, *([by] if by else []), *right_cols]))], **kwargs)
+    return out
+
+
+class _BroadcastAsof:
+    """Actor-pool stage: right side fetched and sorted ONCE per actor."""
+
+    def __init__(self, right_ref, on: str, by: Optional[str], tolerance, direction: str, right_cols, suffix: str):
+        right: pd.DataFrame = ray.get(right_ref)
+        self.right = right.sort_values(on, kind="mergesort").reset_index(drop=True)
+        self.on, self.by, self.tolerance, self.direction = on, by, tolerance, direction
+        self.right_cols, self.suffix = right_cols, suffix
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        return _merge_asof_frames(
+            batch,
+            self.right,
+            on=self.on,
+            by=self.by,
+            tolerance=self.tolerance,
+            direction=self.direction,
+            right_cols=self.right_cols,
+            suffix=self.suffix,
+        )
+
+
+def asof_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    on: str,
+    by: Optional[str] = None,
+    tolerance=None,
+    direction: str = "backward",
+    right_cols: Optional[Sequence[str]] = None,
+    suffix: str = "_right",
+    broadcast: Optional[bool] = None,
+    broadcast_limit_rows: int = 5_000_000,
+    num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+    concurrency: int | tuple[int, int] = 4,
+) -> ray.data.Dataset:
+    """Distributed as-of join. ``right_cols`` defaults to all non-key
+    right columns; overlapping names get ``suffix``."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError("direction must be 'backward', 'forward' or 'nearest'")
+    right_names = right.schema().names
+    key_cols = {on} | ({by} if by else set())
+    if right_cols is None:
+        right_cols = [c for c in right_names if c not in key_cols]
+    missing = [c for c in [on, *([by] if by else [])] if c not in right_names]
+    if missing:
+        raise ValueError(f"Column '{missing[0]}' does not exist in right Dataset")
+
+    if broadcast is None:
+        cnt = right.count()
+        broadcast = cnt is not None and cnt <= broadcast_limit_rows
+
+    if broadcast:
+        right_df = right.select_columns(list(dict.fromkeys([on, *([by] if by else []), *right_cols]))).to_pandas()
+        right_ref = ray.put(right_df)
+        return left.map_batches(
+            _BroadcastAsof,
+            batch_format="pandas",
+            concurrency=concurrency,
+            fn_constructor_args=(right_ref, on, by, tolerance, direction, list(right_cols), suffix),
+        )
+
+    # ---- bucketed sort-merge path (both sides large) ----
+    if by is None:
+        raise ValueError("bucketed asof_join requires `by` (entity key); use broadcast=True for a global as-of")
+
+    side_col = "__side__"
+    keep_right = list(dict.fromkeys([on, by, *right_cols]))
+    left_tagged = left.map_batches(
+        lambda t: t.append_column(side_col, pa.array(np.zeros(t.num_rows, dtype=np.int8))),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    right_tagged = right.select_columns(keep_right).map_batches(
+        lambda t: t.append_column(side_col, pa.array(np.ones(t.num_rows, dtype=np.int8))),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    # union requires aligned schemas: pad each side with the other's
+    # columns as typed nulls (types from the source schemas)
+    from ..core import _schema
+
+    left_schema = _schema(left)
+    right_schema = _schema(right)
+    left_names = list(left_schema.names)
+    out_right_cols = [c if c not in left_names else f"{c}{suffix}" for c in right_cols]
+    right_type = {c: right_schema.field(c).type for c in right_cols}
+    out_right_type = dict(zip(out_right_cols, (right_type[c] for c in right_cols)))
+    left_type = {c: left_schema.field(c).type for c in left_names}
+
+    def pad_left(t: pa.Table) -> pa.Table:
+        for c in out_right_cols:
+            t = t.append_column(c, pa.nulls(t.num_rows, type=out_right_type[c]))
+        return t
+
+    def pad_right(t: pa.Table) -> pa.Table:
+        # rename right cols to output names, pad with left-only columns
+        rename = {c: (f"{c}{suffix}" if c in left_names else c) for c in right_cols}
+        cols = {}
+        for name in t.column_names:
+            if name in (on, by, side_col):
+                cols[name] = t.column(name)
+            elif name in rename:
+                cols[rename[name]] = t.column(name)
+        out = pa.table(cols)
+        for c in left_names:
+            if c not in out.column_names:
+                out = out.append_column(c, pa.nulls(out.num_rows, type=left_type[c]))
+        return out
+
+    lt = left_tagged.map_batches(pad_left, batch_format="pyarrow")
+    rt = right_tagged.map_batches(pad_right, batch_format="pyarrow")
+    # column order must match for union
+    ordered = [*left_names, *out_right_cols, side_col]
+    lt = lt.select_columns(ordered)
+    rt = rt.select_columns(ordered)
+    both = lt.union(rt)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lmask = g[side_col] == 0
+        l = g[lmask].drop(columns=[side_col, *out_right_cols])
+        r = g[~lmask][[on, by, *out_right_cols]]
+        if len(l) == 0:
+            return l
+        out = _merge_asof_frames(
+            l, r, on=on, by=by, tolerance=tolerance, direction=direction, right_cols=out_right_cols, suffix=suffix
+        )
+        return out
+
+    bucketed = grouped.with_bucket(both, by, num_buckets)
+    return bucketed.groupby(grouped.BUCKET_COL).map_groups(
+        lambda g: per_bucket(g.drop(columns=[grouped.BUCKET_COL])), batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2 — broadcast semi / anti lookup
+# ---------------------------------------------------------------------------
+
+def semi_join(
+    left: ray.data.Dataset, keys: ray.data.Dataset | Sequence, key_col: str, *, anti: bool = False
+) -> ray.data.Dataset:
+    """Keep left rows whose ``key_col`` is (semi) / is not (anti) in the
+    key set. The key set is broadcast via ``ray.put`` — no shuffle."""
+    if isinstance(keys, ray.data.Dataset):
+        value_set = pa.array(keys.unique(key_col))
+    else:
+        value_set = pa.array(sorted(set(keys)))
+    ref = ray.put(value_set)  # Arrow array: zero-copy reads in every task
+
+    def filt(batch: pa.Table) -> pa.Table:
+        vs = ray.get(ref)
+        mask = pa.compute.is_in(batch.column(key_col), value_set=vs)
+        if anti:
+            mask = pa.compute.invert(mask)
+        return batch.filter(mask)
+
+    return left.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,159 @@
+"""Entity-bucketed ordered execution — the engine's canonical shuffle.
+
+Every per-entity order-sensitive operator (target shift, lag/lead,
+rolling windows, sessionize, backfill, as-of join) rides ONE pattern:
+
+1. a vectorized ``map_batches`` projection adds
+   ``__bucket__ = hash64(entity) % num_buckets`` (deterministic,
+   process-independent hash);
+2. ``groupby("__bucket__").map_groups(fn)`` — Ray's hash shuffle
+   co-locates whole entities (a bucket holds only complete entities);
+3. ``fn`` sorts the bucket by ``(entity, ts, tiebreak)`` once and runs
+   vectorized numpy/pandas kernels over per-entity segments.
+
+This keeps the expensive all-to-all exchange down to exactly one per
+pipeline, reuses the same key across stages, and bounds per-task
+memory by ``num_buckets`` (at cluster scale set
+``num_buckets ≈ total_bytes / 1 GiB``). Entities are assumed to fit in
+a bucket — the documented partitioning assumption; pathological hot
+*keys* in unordered aggregations are handled by salting
+(``salted_counts``), and hot entities in as-of joins by right-side
+replication (see ``stages/asof.py``).
+
+Reference semantics being generalized: the `[id_col, time_col]`
+sort-then-positional-op pattern of
+`/root/reference/src/temporalscope/core/core_utils.py:1151-1153` and
+`.../target_shifters/single_step.py:265-301`.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+BUCKET_COL = "__bucket__"
+DEFAULT_NUM_BUCKETS = 32
+
+
+def hash_key_column(values, num_buckets: int) -> np.ndarray:
+    """Deterministic bucket assignment for an Arrow array / pandas Series.
+
+    Uses ``pd.util.hash_pandas_object`` (fixed hash key — stable across
+    processes, unlike Python's salted ``hash``).
+    """
+    s = values.to_pandas() if hasattr(values, "to_pandas") else pd.Series(values)
+    h = pd.util.hash_pandas_object(s, index=False).to_numpy()
+    return (h % np.uint64(num_buckets)).astype(np.int32)
+
+
+def with_bucket(
+    ds: ray.data.Dataset, key: str, num_buckets: int = DEFAULT_NUM_BUCKETS
+) -> ray.data.Dataset:
+    """Append the ``__bucket__`` column (vectorized, zero-copy in/out)."""
+
+    def add(batch: pa.Table) -> pa.Table:
+        b = hash_key_column(batch.column(key), num_buckets)
+        return batch.append_column(BUCKET_COL, pa.array(b, type=pa.int32()))
+
+    return ds.map_batches(add, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def entity_segments(keys: np.ndarray) -> np.ndarray:
+    """Start offsets of per-entity runs in a key-sorted array (incl. end).
+
+    Returns ``[0, s1, s2, ..., n]`` — consecutive pairs delimit one
+    entity's rows. Vectorized; the building block for per-entity kernels.
+    """
+    n = len(keys)
+    if n == 0:
+        return np.array([0], dtype=np.int64)
+    change = np.flatnonzero(keys[1:] != keys[:-1]) + 1
+    return np.concatenate(([0], change, [n])).astype(np.int64)
+
+
+def grouped_ordered_map(
+    ds: ray.data.Dataset,
+    key: str,
+    order_by: Sequence[str],
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    *,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+    drop_bucket: bool = True,
+    ray_remote_args: Optional[dict] = None,
+) -> ray.data.Dataset:
+    """Apply ``fn`` to each entity-complete, ``(key, *order_by)``-sorted
+    bucket. ``fn`` sees a pandas DataFrame (whole bucket) and returns one.
+    """
+    sort_cols = [key, *order_by]
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(sort_cols, kind="mergesort")
+        out = fn(g)
+        if drop_bucket and BUCKET_COL in out.columns:
+            out = out.drop(columns=[BUCKET_COL])
+        return out
+
+    bucketed = with_bucket(ds, key, num_buckets)
+    kwargs = dict(ray_remote_args or {})
+    return bucketed.groupby(BUCKET_COL).map_groups(per_bucket, batch_format="pandas", **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# skew tooling (north rule: salted keys for hot entities)
+# ---------------------------------------------------------------------------
+
+def detect_hot_keys(
+    ds: ray.data.Dataset, key: str, *, min_count: int = 100_000, top_k: int = 20
+) -> pd.DataFrame:
+    """Cheap hot-key pre-pass: per-batch partial counts -> small groupby
+    -> top-k keys above ``min_count``. Output is a tiny driver-side frame.
+    """
+    def partial(batch: pa.Table) -> pa.Table:
+        counts = batch.group_by(key).aggregate([(key, "count")])
+        return counts.rename_columns([key, "cnt"])
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.select_columns([key])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(key)
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    out = agg.sort("cnt", descending=True).limit(top_k).to_pandas()
+    return out[out["cnt"] >= min_count].reset_index(drop=True)
+
+
+def salted_group_aggregate(
+    ds: ray.data.Dataset,
+    key: str,
+    agg_col: str,
+    *,
+    num_salts: int = 16,
+) -> ray.data.Dataset:
+    """Two-phase skew-proof sum/count per key.
+
+    Phase 1 pre-aggregates per batch under ``(key, salt)`` (salt =
+    row-position hash), shrinking hot keys by ``num_salts``×; phase 2 is
+    a tiny final groupby on ``key``. Result columns: ``key, sum, cnt``.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([key, agg_col]).to_pandas()
+        df["__salt__"] = np.arange(len(df)) % num_salts
+        g = df.groupby([key, "__salt__"], sort=False)[agg_col].agg(["sum", "count"]).reset_index()
+        return pa.Table.from_pandas(
+            g.rename(columns={"sum": "sum", "count": "cnt"})[[key, "sum", "cnt"]], preserve_index=False
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key)
+        .aggregate(Sum("sum", alias_name="sum"), Sum("cnt", alias_name="cnt"))
+    )

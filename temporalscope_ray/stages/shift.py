@@ -1,0 +1,270 @@
+"""Zero-leakage target shifting (lag/lead) and multi-step expanded targets.
+
+Reference semantics
+(`/root/reference/src/temporalscope/target_shifters/single_step.py:265-301`):
+``{target}_shift_{n}`` = target value ``n`` rows AHEAD in the current
+sort order (a lead / future label); rows whose shifted value falls off
+the end are dropped (exactly ``n`` per ordered series), so no row ever
+trains on a label that does not exist — the zero-temporal-leakage
+contract. Output column naming and row-drop counts are preserved
+verbatim (reference tests ``test_single_step.py:122-148``).
+
+Two distributed execution paths:
+
+- **per-entity** (``id_col`` set): one bucket shuffle
+  (``grouped.grouped_ordered_map``), then a vectorized segment-wise
+  shift inside each entity-complete bucket. This is the 100 TB path —
+  entities never cross buckets, no global order is needed.
+- **global single-series** (no ``id_col``; the reference's exact
+  semantics): a range-partition ``sort(time_col)`` followed by a
+  block-boundary exchange — each sorted block's first ``n`` rows are
+  collected (tiny: ``n × num_blocks`` rows), broadcast via ``ray.put``,
+  and a second stateless pass appends its successor rows before
+  shifting, so blocks never see more than ``n`` foreign rows.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..core import MODE_SINGLE_TARGET
+from ..dataset import TemporalDataset
+from . import grouped
+
+
+def _shift_segment_values(values: np.ndarray, segments: np.ndarray, n: int) -> np.ndarray:
+    """Vectorized per-segment lead: out[i] = values[i+n] within segment,
+    NaN past the segment end (works on float64; callers cast)."""
+    out = np.full(len(values), np.nan)
+    if n == 0:
+        return values.astype(np.float64, copy=True)
+    for s, e in zip(segments[:-1], segments[1:]):
+        seg = values[s:e]
+        if n > 0:
+            if e - s > n:
+                out[s : e - n] = seg[n:]
+        else:
+            m = -n
+            if e - s > m:
+                out[s + m : e] = seg[:-m]
+    return out
+
+
+def shift_column_per_entity(
+    ds: ray.data.Dataset,
+    *,
+    value_col: str,
+    id_col: str,
+    time_col: str,
+    n: int,
+    out_col: str,
+    drop_null_shift: bool = True,
+    num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+    tiebreak: Optional[list[str]] = None,
+) -> ray.data.Dataset:
+    """Per-entity lead (n>0) / lag (n<0) of ``value_col`` into ``out_col``."""
+    order = [time_col, *(tiebreak or [])]
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        keys = g[id_col].to_numpy()
+        segs = grouped.entity_segments(keys)
+        vals = g[value_col].to_numpy(dtype=np.float64)
+        g = g.copy()
+        g[out_col] = _shift_segment_values(vals, segs, n)
+        if drop_null_shift:
+            g = g[~g[out_col].isna()]
+        return g
+
+    return grouped.grouped_ordered_map(ds, id_col, order, fn, num_buckets=num_buckets)
+
+
+def shift_column_global(
+    ds: ray.data.Dataset,
+    *,
+    value_col: str,
+    time_col: str,
+    n: int,
+    out_col: str,
+    drop_null_shift: bool = True,
+) -> ray.data.Dataset:
+    """Global-order lead via sort + block-boundary exchange.
+
+    Matches the reference's single-series ``shift(-n)`` over the total
+    time order without ever materializing the dataset: only the first
+    ``n`` rows of every sorted block travel to the driver.
+    """
+    if n <= 0:
+        raise ValueError("global shift currently supports n > 0 (lead)")
+    sorted_ds = ds.sort(time_col).materialize()  # pin so both passes see identical blocks
+
+    # pass 1: head rows + block start key (tiny)
+    def head_rows(batch: pa.Table) -> pa.Table:
+        k = min(n, batch.num_rows)
+        head = batch.select([time_col, value_col]).slice(0, k)
+        start = batch.column(time_col)[0].as_py() if batch.num_rows else None
+        return head.append_column("__blk_start__", pa.array([start] * k, type=batch.schema.field(time_col).type))
+
+    heads = sorted_ds.map_batches(head_rows, batch_size=None, batch_format="pyarrow").to_pandas()
+    heads = heads.sort_values([time_col]).reset_index(drop=True)
+    heads_ref = ray.put(heads)
+
+    # pass 2: shift inside each block with successor head rows appended
+    def shift_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column(out_col, pa.array([], type=pa.float64()))
+        h: pd.DataFrame = ray.get(heads_ref)
+        my_start = batch.column(time_col)[0].as_py()
+        last = batch.column(time_col)[batch.num_rows - 1].as_py()
+        # successor rows: head rows of blocks starting after mine, in
+        # time order, excluding my own block's heads
+        succ = h[(h["__blk_start__"] != my_start) & (h[time_col] >= last)].sort_values(time_col)
+        extra = succ[value_col].to_numpy(dtype=np.float64)[: n]
+        vals = np.concatenate([batch.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64), extra])
+        shifted = vals[n : n + batch.num_rows]
+        pad = batch.num_rows - len(shifted)
+        if pad > 0:
+            shifted = np.concatenate([shifted, np.full(pad, np.nan)])
+        out = batch.append_column(out_col, pa.array(shifted, type=pa.float64()))
+        if drop_null_shift:
+            out = out.filter(pa.array(~np.isnan(shifted)))
+        return out
+
+    return sorted_ds.map_batches(shift_block, batch_size=None, batch_format="pyarrow")
+
+
+class SingleStepTargetShifter:
+    """sklearn-style shifter over ``TemporalDataset`` / ``ray.data.Dataset``.
+
+    API parity with the reference (``single_step.py:33-544``): ``fit`` /
+    ``transform`` / ``fit_transform``; ``n_lags`` leads the target by
+    ``n`` steps, row count shrinks by exactly ``n_lags`` per ordered
+    series, output target renamed ``{target}_shift_{n}``; error
+    messages verbatim.
+    """
+
+    def __init__(
+        self,
+        target_col: Optional[str] = None,
+        n_lags: int = 1,
+        drop_target: bool = True,
+        verbose: bool = False,
+        mode: str = MODE_SINGLE_TARGET,
+        num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+    ):
+        if n_lags <= 0:
+            raise ValueError("`n_lags` must be greater than 0")
+        self.target_col = target_col
+        self.n_lags = n_lags
+        self.drop_target = drop_target
+        self.verbose = verbose
+        self.mode = mode
+        self.num_buckets = num_buckets
+
+    def fit(self, X: Union[TemporalDataset, ray.data.Dataset], y=None) -> "SingleStepTargetShifter":
+        if isinstance(X, TemporalDataset):
+            if self.target_col is None:
+                self.target_col = X.target_col
+        elif isinstance(X, ray.data.Dataset):
+            if self.target_col is not None and self.target_col not in X.schema().names:
+                raise ValueError(f"Column '{self.target_col}' does not exist in DataFrame")
+        if self.target_col is None:
+            raise ValueError("target_col must be set before transform (call fit first)")
+        return self
+
+    def transform(
+        self, X: Union[TemporalDataset, ray.data.Dataset], y=None
+    ) -> Union[TemporalDataset, ray.data.Dataset]:
+        if self.target_col is None:
+            raise ValueError("target_col must be set before transform (call fit first)")
+        is_td = isinstance(X, TemporalDataset)
+        ds = X.ds if is_td else X
+        time_col = X.time_col if is_td else None
+        id_col = X.id_col if is_td else None
+
+        rows_before = ds.count()
+        if rows_before == 0:
+            raise ValueError("Cannot transform empty DataFrame")
+
+        out_col = f"{self.target_col}_shift_{self.n_lags}"
+        if id_col is not None:
+            shifted = shift_column_per_entity(
+                ds,
+                value_col=self.target_col,
+                id_col=id_col,
+                time_col=time_col,
+                n=self.n_lags,
+                out_col=out_col,
+                num_buckets=self.num_buckets,
+            )
+        elif time_col is not None:
+            shifted = shift_column_global(
+                ds, value_col=self.target_col, time_col=time_col, n=self.n_lags, out_col=out_col
+            )
+        else:
+            raise ValueError("transform over a bare Dataset requires a TemporalDataset with time_col")
+        if self.drop_target:
+            shifted = shifted.drop_columns([self.target_col])
+
+        rows_after = shifted.count()
+        if rows_after == 0:
+            raise ValueError("All rows were dropped during transformation")
+        if self.verbose:
+            print(f"Rows before: {rows_before}; Rows after: {rows_after}; Dropped: {rows_before - rows_after}")
+
+        if is_td:
+            return TemporalDataset(
+                shifted,
+                time_col=X.time_col,
+                target_col=out_col,
+                id_col=X.id_col,
+                mode=self.mode,
+                ascending=X.ascending,
+                sort=False,
+                validate=False,
+            )
+        return shifted
+
+    def fit_transform(self, X, y=None):
+        return self.fit(X).transform(X)
+
+
+def expand_targets_multi_step(
+    ds: ray.data.Dataset,
+    *,
+    target_col: str,
+    horizon: int,
+    id_col: str,
+    time_col: str,
+    out_col: Optional[str] = None,
+    num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+) -> ray.data.Dataset:
+    """MODE_MULTI_TARGET expanded targets (T5): per row, the vector of the
+    next ``horizon`` target values within the entity (list<float64>
+    column); the last ``horizon`` rows per entity are dropped.
+
+    The reference documents but never implements this
+    (core_utils.py:61-72); semantics follow that documentation.
+    """
+    out_col = out_col or f"{target_col}_seq_{horizon}"
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        keys = g[id_col].to_numpy()
+        segs = grouped.entity_segments(keys)
+        vals = g[target_col].to_numpy(dtype=np.float64)
+        seqs: list[Optional[list[float]]] = [None] * len(g)
+        keep = np.zeros(len(g), dtype=bool)
+        for s, e in zip(segs[:-1], segs[1:]):
+            for i in range(s, e - horizon):
+                seqs[i] = vals[i + 1 : i + 1 + horizon].tolist()
+                keep[i] = True
+        g = g.copy()
+        g[out_col] = seqs
+        return g[keep]
+
+    return grouped.grouped_ordered_map(ds, id_col, [time_col], fn, num_buckets=num_buckets)

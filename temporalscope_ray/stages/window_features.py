@@ -1,0 +1,237 @@
+"""Windowed per-entity feature engineering: lag/lead, rolling windows,
+backfill, sessionization — the north rule's ST3 stage.
+
+All operators ride the canonical entity-bucket shuffle
+(``grouped.grouped_ordered_map``): one hash exchange co-locates whole
+entities, then vectorized pandas/numpy kernels run over the
+``(entity, ts)``-sorted bucket. Per-entity segment boundaries come from
+``grouped.entity_segments`` so no kernel ever crosses entities —
+the distributed generalization of the reference's
+sort-then-positional-expression pattern
+(`/root/reference/src/temporalscope/core/core_utils.py:1151-1207`,
+`.../target_shifters/single_step.py:290-295`) with the same
+zero-temporal-leakage guarantee: every derived feature at row *t* reads
+only rows with ``ts <= t`` within the same entity.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from . import grouped
+
+_ROLL_FNS = {"mean", "sum", "min", "max", "std", "count"}
+
+
+def add_lag_lead_features(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str,
+    time_col: str,
+    value_cols: Sequence[str],
+    lags: Sequence[int] = (),
+    leads: Sequence[int] = (),
+    num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+    tiebreak: Optional[Sequence[str]] = None,
+) -> ray.data.Dataset:
+    """Adds ``{col}_lag_{k}`` / ``{col}_lead_{k}`` per entity (nulls at
+    segment edges are KEPT — feature semantics, unlike the shifter's
+    label semantics which drops them)."""
+    order = [time_col, *(tiebreak or [])]
+    lags = list(lags)
+    leads = list(leads)
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        gb = g.groupby(id_col, sort=False)
+        out = g.copy()
+        for col in value_cols:
+            s = gb[col]
+            for k in lags:
+                out[f"{col}_lag_{k}"] = s.shift(k)
+            for k in leads:
+                out[f"{col}_lead_{k}"] = s.shift(-k)
+        return out
+
+    return grouped.grouped_ordered_map(ds, id_col, order, fn, num_buckets=num_buckets)
+
+
+def add_rolling_features(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str,
+    time_col: str,
+    value_cols: Sequence[str],
+    window: int,
+    fns: Sequence[str] = ("mean",),
+    min_periods: int = 1,
+    num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+    tiebreak: Optional[Sequence[str]] = None,
+) -> ray.data.Dataset:
+    """Trailing row-based rolling aggregates per entity:
+    ``{col}_roll_{fn}_{window}`` over ``ROWS BETWEEN window-1 PRECEDING
+    AND CURRENT ROW`` — the zero-leakage trailing window."""
+    bad = set(fns) - _ROLL_FNS
+    if bad:
+        raise ValueError(f"Unsupported rolling fns: {sorted(bad)}. Supported: {sorted(_ROLL_FNS)}")
+    order = [time_col, *(tiebreak or [])]
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.copy()
+        roll = g.groupby(id_col, sort=False)[list(value_cols)].rolling(window, min_periods=min_periods)
+        for f in fns:
+            res = getattr(roll, f)().reset_index(level=0, drop=True)
+            for col in value_cols:
+                out[f"{col}_roll_{f}_{window}"] = res[col]
+        return out
+
+    return grouped.grouped_ordered_map(ds, id_col, order, fn, num_buckets=num_buckets)
+
+
+def add_time_rolling_features(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str,
+    time_col: str,
+    value_cols: Sequence[str],
+    window: str | pd.Timedelta,
+    fns: Sequence[str] = ("mean",),
+    num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+) -> ray.data.Dataset:
+    """Trailing TIME-based rolling aggregates per entity:
+    ``{col}_troll_{fn}`` over ``RANGE BETWEEN window PRECEDING AND
+    CURRENT ROW`` (closed on both ends, pandas semantics)."""
+    bad = set(fns) - _ROLL_FNS
+    if bad:
+        raise ValueError(f"Unsupported rolling fns: {sorted(bad)}. Supported: {sorted(_ROLL_FNS)}")
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.copy()
+        idx = g.set_index(time_col)
+        roll = idx.groupby(id_col, sort=False)[list(value_cols)].rolling(window)
+        for f in fns:
+            res = getattr(roll, f)().reset_index(drop=True)
+            for col in value_cols:
+                out[f"{col}_troll_{f}"] = res[col].to_numpy()
+        return out
+
+    return grouped.grouped_ordered_map(ds, id_col, [time_col], fn, num_buckets=num_buckets)
+
+
+def backfill(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str,
+    time_col: str,
+    value_cols: Sequence[str],
+    method: str = "ffill",
+    num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+) -> ray.data.Dataset:
+    """Per-entity fill of missing values along the time order.
+
+    ``ffill`` propagates the last observed value forward (the
+    point-in-time-safe direction: only past values flow to the
+    present); ``bfill`` propagates backward (leaks future state — only
+    valid for label construction, flagged in the docstring on purpose).
+    """
+    if method not in ("ffill", "bfill"):
+        raise ValueError("method must be 'ffill' or 'bfill'")
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.copy()
+        gb = out.groupby(id_col, sort=False)[list(value_cols)]
+        out[list(value_cols)] = gb.ffill() if method == "ffill" else gb.bfill()
+        return out
+
+    return grouped.grouped_ordered_map(ds, id_col, [time_col], fn, num_buckets=num_buckets)
+
+
+def sessionize(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str,
+    time_col: str,
+    gap: pd.Timedelta | float | int,
+    session_col: str = "session_id",
+    num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+) -> ray.data.Dataset:
+    """Gap-based sessionization: within an entity, a new session starts
+    when ``ts - previous_ts > gap``. ``session_col`` is the 0-based
+    per-entity session index (int64).
+
+    Equivalent SQL (the DuckDB oracle):
+    ``SUM(CASE WHEN ts - LAG(ts) OVER w > gap THEN 1 ELSE 0 END) OVER w``.
+    """
+    gap_val = gap
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        keys = g[id_col].to_numpy()
+        segs = grouped.entity_segments(keys)
+        ts = g[time_col].to_numpy()
+        out_sessions = np.zeros(len(g), dtype=np.int64)
+        if len(g):
+            deltas = np.empty(len(g), dtype="object")
+            breaks = np.zeros(len(g), dtype=np.int64)
+            diff = ts[1:] - ts[:-1]
+            gv = gap_val
+            if isinstance(gv, pd.Timedelta):
+                gv = np.timedelta64(gv.to_timedelta64())
+            breaks[1:] = (diff > gv).astype(np.int64)
+            breaks[segs[:-1]] = 0  # entity starts reset the break flag
+            csum = np.cumsum(breaks)
+            # per-entity rebase: subtract cumsum at each segment start
+            base = np.zeros(len(g), dtype=np.int64)
+            for s, e in zip(segs[:-1], segs[1:]):
+                base[s:e] = csum[s]
+            out_sessions = csum - base
+            del deltas
+        out = g.copy()
+        out[session_col] = out_sessions
+        return out
+
+    return grouped.grouped_ordered_map(ds, id_col, [time_col], fn, num_buckets=num_buckets)
+
+
+def session_stats(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str,
+    time_col: str,
+    gap: pd.Timedelta | float | int,
+    value_col: Optional[str] = None,
+    num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+) -> ray.data.Dataset:
+    """Sessionize then aggregate one row per (entity, session):
+    ``n_events, session_start, session_end`` (+ ``value_sum`` when
+    ``value_col`` given). Composition stays inside the SAME bucket pass
+    — no second shuffle."""
+    gap_val = gap
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        keys = g[id_col].to_numpy()
+        segs = grouped.entity_segments(keys)
+        ts = g[time_col].to_numpy()
+        breaks = np.zeros(len(g), dtype=np.int64)
+        if len(g) > 1:
+            gv = gap_val
+            if isinstance(gv, pd.Timedelta):
+                gv = np.timedelta64(gv.to_timedelta64())
+            breaks[1:] = ((ts[1:] - ts[:-1]) > gv).astype(np.int64)
+        breaks[segs[:-1]] = 0
+        csum = np.cumsum(breaks)
+        base = np.zeros(len(g), dtype=np.int64)
+        for s, e in zip(segs[:-1], segs[1:]):
+            base[s:e] = csum[s]
+        sess = csum - base
+        tmp = pd.DataFrame({id_col: g[id_col].to_numpy(), "session_id": sess, time_col: ts})
+        aggs = {"n_events": (time_col, "size"), "session_start": (time_col, "min"), "session_end": (time_col, "max")}
+        if value_col is not None:
+            tmp[value_col] = g[value_col].to_numpy()
+            aggs["value_sum"] = (value_col, "sum")
+        out = tmp.groupby([id_col, "session_id"], sort=False).agg(**aggs).reset_index()
+        return out
+
+    return grouped.grouped_ordered_map(ds, id_col, [time_col], fn, num_buckets=num_buckets)

@@ -1,0 +1,108 @@
+"""As-of join tests: broadcast and bucketed paths vs pd.merge_asof oracle."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from temporalscope_ray.stages.asof import asof_join, semi_join
+
+
+def make_sides(seed=5, n_left=60, n_right=40, entities=(1, 2, 3, 4)):
+    rng = np.random.default_rng(seed)
+    base = pd.Timestamp("2023-01-01")
+    left = pd.DataFrame(
+        {
+            "user_id": rng.choice(entities, n_left),
+            "ts": [base + pd.Timedelta(minutes=int(m)) for m in rng.integers(0, 10_000, n_left)],
+            "lval": rng.normal(size=n_left),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "user_id": rng.choice(entities, n_right),
+            "ts": [base + pd.Timedelta(minutes=int(m)) for m in rng.integers(0, 10_000, n_right)],
+            "state": rng.normal(size=n_right),
+        }
+    )
+    # dedupe (user_id, ts) so the oracle is unambiguous
+    left = left.drop_duplicates(["user_id", "ts"]).reset_index(drop=True)
+    right = right.drop_duplicates(["user_id", "ts"]).reset_index(drop=True)
+    return left, right
+
+
+def oracle(left, right, tolerance=None):
+    return pd.merge_asof(
+        left.sort_values("ts"),
+        right.sort_values("ts"),
+        on="ts",
+        by="user_id",
+        direction="backward",
+        tolerance=tolerance,
+    )
+
+
+def normalize(df):
+    return df.sort_values(["user_id", "ts"]).reset_index(drop=True)
+
+
+def test_asof_broadcast_matches_oracle():
+    left, right = make_sides()
+    out = asof_join(
+        ray.data.from_pandas(left), ray.data.from_pandas(right), on="ts", by="user_id", broadcast=True
+    ).to_pandas()
+    pd.testing.assert_frame_equal(normalize(out), normalize(oracle(left, right)), check_like=True)
+
+
+def test_asof_bucketed_matches_oracle():
+    left, right = make_sides()
+    out = asof_join(
+        ray.data.from_pandas(left), ray.data.from_pandas(right), on="ts", by="user_id",
+        broadcast=False, num_buckets=4,
+    ).to_pandas()
+    pd.testing.assert_frame_equal(normalize(out)[["user_id", "ts", "lval", "state"]],
+                                  normalize(oracle(left, right))[["user_id", "ts", "lval", "state"]],
+                                  check_like=True)
+
+
+def test_asof_tolerance():
+    left, right = make_sides()
+    tol = pd.Timedelta("500min")
+    out = asof_join(
+        ray.data.from_pandas(left), ray.data.from_pandas(right), on="ts", by="user_id",
+        broadcast=True, tolerance=tol,
+    ).to_pandas()
+    pd.testing.assert_frame_equal(normalize(out), normalize(oracle(left, right, tolerance=tol)), check_like=True)
+
+
+def test_asof_zero_leakage():
+    """The joined state must come strictly from the past (right.ts <= left.ts)."""
+    left = pd.DataFrame({"user_id": [1, 1], "ts": [5.0, 10.0], "lval": [0.0, 0.0]})
+    right = pd.DataFrame({"user_id": [1, 1, 1], "ts": [4.0, 9.0, 11.0], "state": [40.0, 90.0, 110.0]})
+    out = asof_join(
+        ray.data.from_pandas(left), ray.data.from_pandas(right), on="ts", by="user_id", broadcast=True
+    ).to_pandas().sort_values("ts")
+    assert out["state"].tolist() == [40.0, 90.0]  # never 110.0 (future)
+
+
+def test_asof_suffix_on_overlap():
+    left = pd.DataFrame({"user_id": [1], "ts": [5.0], "state": [1.0]})
+    right = pd.DataFrame({"user_id": [1], "ts": [4.0], "state": [2.0]})
+    out = asof_join(ray.data.from_pandas(left), ray.data.from_pandas(right), on="ts", by="user_id",
+                    broadcast=True).to_pandas()
+    assert out["state"].tolist() == [1.0] and out["state_right"].tolist() == [2.0]
+
+
+def test_asof_invalid_direction():
+    left, right = make_sides()
+    with pytest.raises(ValueError, match="direction must be"):
+        asof_join(ray.data.from_pandas(left), ray.data.from_pandas(right), on="ts", direction="sideways")
+
+
+def test_semi_and_anti_join():
+    df = pd.DataFrame({"k": [1, 2, 3, 4, 5], "v": list("abcde")})
+    ds = ray.data.from_pandas(df)
+    kept = semi_join(ds, [2, 4], "k").to_pandas()
+    assert sorted(kept["k"]) == [2, 4]
+    dropped = semi_join(ds, [2, 4], "k", anti=True).to_pandas()
+    assert sorted(dropped["k"]) == [1, 3, 5]

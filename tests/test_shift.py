@@ -1,0 +1,103 @@
+"""Target shifter parity tests (reference test_single_step.py invariants)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from temporalscope_ray import TemporalDataset
+from temporalscope_ray.stages.shift import (
+    SingleStepTargetShifter,
+    expand_targets_multi_step,
+    shift_column_global,
+    shift_column_per_entity,
+)
+
+
+def multi_entity_df(n_per=10, entities=("A", "B", "C")):
+    rows = []
+    for e in entities:
+        for t in range(n_per):
+            rows.append({"id": e, "time": float(t), "target": float(t) + hash(e) % 7, "feature_1": float(t) * 2})
+    return pd.DataFrame(rows)
+
+
+def test_shift_per_entity_matches_pandas():
+    df = multi_entity_df()
+    ds = ray.data.from_pandas(df)
+    out = shift_column_per_entity(
+        ds, value_col="target", id_col="id", time_col="time", n=2, out_col="target_shift_2"
+    ).to_pandas().sort_values(["id", "time"]).reset_index(drop=True)
+
+    exp = df.sort_values(["id", "time"]).copy()
+    exp["target_shift_2"] = exp.groupby("id")["target"].shift(-2)
+    exp = exp.dropna(subset=["target_shift_2"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, exp, check_like=True)
+
+
+def test_shift_row_count_drops_exactly_n_per_entity():
+    df = multi_entity_df(n_per=8)
+    ds = ray.data.from_pandas(df)
+    out = shift_column_per_entity(ds, value_col="target", id_col="id", time_col="time", n=3, out_col="s")
+    assert out.count() == len(df) - 3 * 3  # 3 rows dropped per entity
+
+
+def test_shift_global_matches_pandas():
+    rng = np.random.default_rng(0)
+    df = pd.DataFrame({"time": np.arange(100, dtype=float), "target": rng.normal(size=100)})
+    # scramble row order and split into many blocks to exercise the boundary exchange
+    df_shuffled = df.sample(frac=1.0, random_state=1).reset_index(drop=True)
+    ds = ray.data.from_pandas([df_shuffled.iloc[i : i + 7] for i in range(0, 100, 7)])
+    out = shift_column_global(ds, value_col="target", time_col="time", n=2, out_col="target_shift_2")
+    out_df = out.to_pandas().sort_values("time").reset_index(drop=True)
+    exp = df.copy()
+    exp["target_shift_2"] = exp["target"].shift(-2)
+    exp = exp.dropna(subset=["target_shift_2"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out_df, exp, check_like=True)
+    assert len(out_df) == 98
+
+
+def test_shifter_end_to_end_with_temporal_dataset():
+    df = multi_entity_df()
+    td = TemporalDataset(ray.data.from_pandas(df), time_col="time", target_col="target", id_col="id")
+    out = SingleStepTargetShifter(n_lags=1).fit_transform(td)
+    assert isinstance(out, TemporalDataset)
+    assert out.target_col == "target_shift_1"
+    cols = out.ds.schema().names
+    assert "target_shift_1" in cols and "target" not in cols  # original dropped
+    assert out.ds.count() == len(df) - 3
+
+
+def test_shifter_keep_target():
+    df = multi_entity_df()
+    td = TemporalDataset(ray.data.from_pandas(df), time_col="time", target_col="target", id_col="id")
+    out = SingleStepTargetShifter(n_lags=1, drop_target=False).fit_transform(td)
+    assert "target" in out.ds.schema().names
+
+
+def test_shifter_errors():
+    with pytest.raises(ValueError, match="`n_lags` must be greater than 0"):
+        SingleStepTargetShifter(n_lags=0)
+    df = multi_entity_df(n_per=1)  # single row per entity, n_lags=1 → all dropped
+    td = TemporalDataset(ray.data.from_pandas(df), time_col="time", target_col="target", id_col="id")
+    with pytest.raises(ValueError, match="All rows were dropped during transformation"):
+        SingleStepTargetShifter(n_lags=1).fit_transform(td)
+
+
+def test_shifter_unfit_transform():
+    s = SingleStepTargetShifter()
+    with pytest.raises(ValueError, match="target_col must be set before transform"):
+        s.transform(ray.data.from_pandas(multi_entity_df()))
+
+
+def test_expand_targets_multi_step():
+    df = multi_entity_df(n_per=6, entities=("A", "B"))
+    ds = ray.data.from_pandas(df)
+    out = expand_targets_multi_step(
+        ds, target_col="target", horizon=2, id_col="id", time_col="time"
+    ).to_pandas().sort_values(["id", "time"]).reset_index(drop=True)
+    assert len(out) == (6 - 2) * 2
+    g = out[out["id"] == "A"].reset_index(drop=True)
+    src = df[df["id"] == "A"].sort_values("time")["target"].tolist()
+    assert g.loc[0, "target_seq_2"] == src[1:3]
+    assert all(len(s) == 2 for s in out["target_seq_2"])

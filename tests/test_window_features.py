@@ -1,0 +1,121 @@
+"""Windowed feature stage tests: lag/lead, rolling, backfill, sessionize
+vs pandas oracles (zero-leakage invariants)."""
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from temporalscope_ray.stages.window_features import (
+    add_lag_lead_features,
+    add_rolling_features,
+    add_time_rolling_features,
+    backfill,
+    session_stats,
+    sessionize,
+)
+
+
+def events_df(n_per=12, entities=(1, 2, 3), seed=3):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for e in entities:
+        ts = pd.Timestamp("2023-01-01")
+        for i in range(n_per):
+            ts = ts + pd.Timedelta(minutes=int(rng.integers(1, 60)))
+            rows.append({"user_id": e, "ts": ts, "value": float(rng.normal())})
+    return pd.DataFrame(rows)
+
+
+def sorted_out(ds):
+    return ds.to_pandas().sort_values(["user_id", "ts"]).reset_index(drop=True)
+
+
+def test_lag_lead_matches_pandas():
+    df = events_df()
+    out = sorted_out(
+        add_lag_lead_features(
+            ray.data.from_pandas(df), id_col="user_id", time_col="ts", value_cols=["value"], lags=[1, 2], leads=[1]
+        )
+    )
+    exp = df.sort_values(["user_id", "ts"]).reset_index(drop=True)
+    g = exp.groupby("user_id")["value"]
+    exp["value_lag_1"], exp["value_lag_2"], exp["value_lead_1"] = g.shift(1), g.shift(2), g.shift(-1)
+    pd.testing.assert_frame_equal(out, exp, check_like=True)
+
+
+def test_rolling_matches_pandas_and_no_leakage():
+    df = events_df()
+    out = sorted_out(
+        add_rolling_features(
+            ray.data.from_pandas(df), id_col="user_id", time_col="ts", value_cols=["value"], window=4,
+            fns=("mean", "sum"),
+        )
+    )
+    exp = df.sort_values(["user_id", "ts"]).reset_index(drop=True)
+    r = exp.groupby("user_id")["value"].rolling(4, min_periods=1)
+    exp["value_roll_mean_4"] = r.mean().reset_index(level=0, drop=True)
+    exp["value_roll_sum_4"] = r.sum().reset_index(level=0, drop=True)
+    pd.testing.assert_frame_equal(out, exp, check_like=True)
+    # leakage check: first row's rolling mean == its own value (trailing window)
+    first = out.groupby("user_id").head(1)
+    assert np.allclose(first["value_roll_mean_4"], first["value"])
+
+
+def test_time_rolling_matches_pandas():
+    df = events_df()
+    out = sorted_out(
+        add_time_rolling_features(
+            ray.data.from_pandas(df), id_col="user_id", time_col="ts", value_cols=["value"], window="30min"
+        )
+    )
+    exp = df.sort_values(["user_id", "ts"]).reset_index(drop=True)
+    r = exp.set_index("ts").groupby("user_id")["value"].rolling("30min").mean()
+    exp["value_troll_mean"] = r.reset_index(drop=True).to_numpy()
+    pd.testing.assert_frame_equal(out, exp, check_like=True)
+
+
+def test_backfill_ffill_per_entity():
+    df = events_df()
+    df.loc[df.index % 3 == 1, "value"] = np.nan
+    out = sorted_out(
+        backfill(ray.data.from_pandas(df), id_col="user_id", time_col="ts", value_cols=["value"], method="ffill")
+    )
+    exp = df.sort_values(["user_id", "ts"]).reset_index(drop=True)
+    exp["value"] = exp.groupby("user_id")["value"].ffill()
+    pd.testing.assert_frame_equal(out, exp, check_like=True)
+
+
+def test_sessionize_gap_breaks():
+    rows = []
+    base = pd.Timestamp("2023-01-01")
+    # user 1: two sessions split by a 2-hour gap; user 2: one session
+    for m in [0, 5, 10, 130, 135]:
+        rows.append({"user_id": 1, "ts": base + pd.Timedelta(minutes=m), "value": 1.0})
+    for m in [0, 20, 40]:
+        rows.append({"user_id": 2, "ts": base + pd.Timedelta(minutes=m), "value": 1.0})
+    df = pd.DataFrame(rows)
+    out = sorted_out(
+        sessionize(ray.data.from_pandas(df), id_col="user_id", time_col="ts", gap=pd.Timedelta("30min"))
+    )
+    assert out[out["user_id"] == 1]["session_id"].tolist() == [0, 0, 0, 1, 1]
+    assert out[out["user_id"] == 2]["session_id"].tolist() == [0, 0, 0]
+
+
+def test_session_stats():
+    rows = []
+    base = pd.Timestamp("2023-01-01")
+    for m in [0, 5, 100, 105, 110]:
+        rows.append({"user_id": 7, "ts": base + pd.Timedelta(minutes=m), "value": 2.0})
+    df = pd.DataFrame(rows)
+    out = session_stats(
+        ray.data.from_pandas(df), id_col="user_id", time_col="ts", gap=pd.Timedelta("30min"), value_col="value"
+    ).to_pandas().sort_values(["user_id", "session_id"]).reset_index(drop=True)
+    assert len(out) == 2
+    assert out.loc[0, "n_events"] == 2 and out.loc[1, "n_events"] == 3
+    assert out.loc[1, "value_sum"] == 6.0
+
+
+def test_numeric_time_sessionize():
+    df = pd.DataFrame({"user_id": [1] * 4, "ts": [0.0, 1.0, 10.0, 11.0], "value": [0.0] * 4})
+    out = sorted_out(sessionize(ray.data.from_pandas(df), id_col="user_id", time_col="ts", gap=5.0))
+    assert out["session_id"].tolist() == [0, 0, 1, 1]
