@@ -20,5 +20,8 @@ def ray_session():
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    # pre/post padding order and sorted consumption are part of the
+    # reference semantics under test
+    ctx.execution_options.preserve_order = True
     yield
     ray.shutdown()
