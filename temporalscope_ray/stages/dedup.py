@@ -1,0 +1,390 @@
+"""Deduplication family for web-scale corpora: exact, MinHash+LSH,
+SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Common canonical-representative semantics: within each duplicate
+cluster, the row with the SMALLEST ``id_col`` survives (deterministic,
+order-free). All variants follow the same scale shape:
+
+  vectorized signature ``map_batches``  →  explode to (bucket, id)
+  →  ``groupby(bucket)`` (the only shuffle)  →  per-bucket min-id
+  →  tiny survivor set  →  broadcast semi-join filter.
+
+A document is dropped iff some bucket links it to a smaller id — the
+"bucket-min" approximation of connected components (transitive
+closure within one hop; iterate ``rounds`` times for full closure).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from .asof import semi_join
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _token_hashes(text: str, token_re: re.Pattern) -> np.ndarray:
+    toks = token_re.findall(text.lower())
+    if not toks:
+        return np.array([], dtype=np.uint64)
+    return np.array([hash_str64(t) for t in toks], dtype=np.uint64)
+
+
+def hash_str64(s: str) -> int:
+    """Deterministic 64-bit string hash (FNV-1a; process-independent)."""
+    h = 0xCBF29CE484222325
+    for b in s.encode("utf-8"):
+        h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def shingle_hashes(text: str, k: int, token_re: re.Pattern) -> np.ndarray:
+    """k-token shingles -> uint64 hashes (vector per doc)."""
+    toks = token_re.findall(text.lower())
+    if len(toks) < k:
+        joined = [" ".join(toks)] if toks else []
+    else:
+        joined = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    return np.array([hash_str64(s) for s in joined], dtype=np.uint64)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str,
+    content_cols: Sequence[str],
+) -> ray.data.Dataset:
+    """Exact dedup on content: hash the content columns per batch
+    (vectorized), hash-partition on the digest, keep the min-id row per
+    digest group, then semi-join the survivors back. Survivor-id sets
+    are tiny relative to the payload, so the full rows never shuffle
+    twice."""
+
+    def add_digest(batch: pa.Table) -> pa.Table:
+        df = batch.select(list(content_cols)).to_pandas()
+        h = pd.util.hash_pandas_object(df, index=False).astype("int64")
+        return batch.append_column("__digest__", pa.array(h.to_numpy()))
+
+    digested = ds.map_batches(add_digest, batch_format="pyarrow", zero_copy_batch=True)
+    from ray.data.aggregate import Min
+
+    survivors = (
+        digested.select_columns(["__digest__", id_col])
+        .groupby("__digest__")
+        .aggregate(Min(id_col, alias_name=id_col))
+    )
+    keep_ids = survivors.select_columns([id_col])
+    return semi_join(ds, keep_ids, id_col)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# ---------------------------------------------------------------------------
+
+class MinHasher:
+    """Actor: permutation parameters generated ONCE per actor from a
+    fixed seed; per batch computes num_perm minhashes per doc and
+    explodes them into (band_id, band_hash, id) rows. With
+    ``carry_text=True`` each exploded row also carries the doc text
+    (bands× duplication) so downstream buckets can verify exactly
+    without any driver-side lookup table."""
+
+    def __init__(self, text_col: str, id_col: str, num_perm: int, bands: int, shingle_k: int, seed: int,
+                 carry_text: bool = False):
+        self.carry_text = carry_text
+        assert num_perm % bands == 0
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.rows_per_band = num_perm // bands
+        self.num_perm, self.bands = num_perm, bands
+        self.text_col, self.id_col, self.k = text_col, id_col, shingle_k
+        self.token_re = re.compile(r"\w+")
+
+    def signature(self, text: str) -> Optional[np.ndarray]:
+        sh = shingle_hashes(text, self.k, self.token_re)
+        if len(sh) == 0:
+            return None
+        # (a*x + b) mod p, min over shingles, vectorized (num_perm × n)
+        prod = (self.a[:, None] * (sh[None, :] % _MERSENNE)) % _MERSENNE
+        return ((prod + self.b[:, None]) % _MERSENNE).min(axis=1)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids, band_ids, band_hashes, texts = [], [], [], []
+        for doc_id, text in zip(batch[self.id_col], batch[self.text_col].fillna("")):
+            sig = self.signature(text)
+            if sig is None:
+                continue
+            for band in range(self.bands):
+                chunk = sig[band * self.rows_per_band : (band + 1) * self.rows_per_band]
+                bh = int(np.bitwise_xor.reduce((chunk * self.a[: self.rows_per_band]) % _MERSENNE) % _MERSENNE)
+                ids.append(doc_id)
+                band_ids.append(band)
+                band_hashes.append(bh)
+                if self.carry_text:
+                    texts.append(text)
+        out = {self.id_col: ids, "band_id": band_ids, "band_hash": band_hashes}
+        if self.carry_text:
+            out[self.text_col] = texts
+        return pd.DataFrame(out)
+
+
+def minhash_survivors(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    seed: int = 7,
+    concurrency=4,
+) -> ray.data.Dataset:
+    """(id, canonical_id) pairs: canonical = min id over all shared LSH
+    buckets (one hop)."""
+    exploded = ds.select_columns([id_col, text_col]).map_batches(
+        MinHasher,
+        batch_format="pandas",
+        concurrency=concurrency,
+        fn_constructor_args=(text_col, id_col, num_perm, bands, shingle_k, seed),
+    )
+
+    def bucket_min(g: pd.DataFrame) -> pd.DataFrame:
+        m = g[id_col].min()
+        return pd.DataFrame({id_col: g[id_col], "canonical": m})
+
+    linked = exploded.groupby(["band_id", "band_hash"]).map_groups(bucket_min, batch_format="pandas")
+    from ray.data.aggregate import Min
+
+    return linked.groupby(id_col).aggregate(Min("canonical", alias_name="canonical"))
+
+
+def minhash_dedup(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    seed: int = 7,
+    concurrency=4,
+) -> ray.data.Dataset:
+    """Keep rows whose id is its own cluster canonical (min over every
+    bucket it shares)."""
+    canon = minhash_survivors(
+        ds, text_col=text_col, id_col=id_col, num_perm=num_perm, bands=bands,
+        shingle_k=shingle_k, seed=seed, concurrency=concurrency,
+    )
+    keep = canon.map_batches(
+        lambda t: t.filter(pa.compute.equal(t.column(id_col), t.column("canonical"))).select([id_col]),
+        batch_format="pyarrow",
+    )
+    return semi_join(ds, keep, id_col)
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup
+# ---------------------------------------------------------------------------
+
+class SimHasher:
+    """64-bit SimHash per doc + 4×16-bit chunk bucketing (docs within
+    Hamming distance 3 share at least one exact chunk)."""
+
+    def __init__(self, text_col: str, id_col: str):
+        self.text_col, self.id_col = text_col, id_col
+        self.token_re = re.compile(r"\w+")
+
+    def simhash(self, text: str) -> int:
+        hashes = _token_hashes(text, self.token_re)
+        if len(hashes) == 0:
+            return 0
+        bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+        score = (2 * bits - 1).sum(axis=0)
+        out = 0
+        for i in range(64):
+            if score[i] > 0:
+                out |= 1 << i
+        return out
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids, chunk_ids, chunk_vals, sims = [], [], [], []
+        for doc_id, text in zip(batch[self.id_col], batch[self.text_col].fillna("")):
+            sh = self.simhash(text)
+            for c in range(4):
+                ids.append(doc_id)
+                chunk_ids.append(c)
+                chunk_vals.append((sh >> (16 * c)) & 0xFFFF)
+                sims.append(sh - (1 << 63) if sh >= (1 << 63) else sh)
+        return pd.DataFrame({self.id_col: ids, "chunk_id": chunk_ids, "chunk_val": chunk_vals, "simhash": sims})
+
+
+def simhash_dedup(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str,
+    id_col: str,
+    hamming_threshold: int = 3,
+    concurrency=4,
+) -> ray.data.Dataset:
+    """Candidates share a 16-bit chunk; verified by Hamming distance on
+    the full 64-bit simhash inside the bucket; min-id canonical."""
+    exploded = ds.select_columns([id_col, text_col]).map_batches(
+        SimHasher, batch_format="pandas", concurrency=concurrency,
+        fn_constructor_args=(text_col, id_col),
+    )
+
+    def bucket_verify(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col)
+        sims = g["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+        ids = g[id_col].to_numpy()
+        canon = ids.copy()
+        for i in range(1, len(g)):
+            x = sims[:i] ^ sims[i]
+            ham = np.array([bin(int(v)).count("1") for v in x])
+            close = np.flatnonzero(ham <= hamming_threshold)
+            if len(close):
+                canon[i] = min(canon[i], canon[close[0]])
+        return pd.DataFrame({id_col: ids, "canonical": canon})
+
+    linked = exploded.groupby(["chunk_id", "chunk_val"]).map_groups(bucket_verify, batch_format="pandas")
+    from ray.data.aggregate import Min
+
+    canon = linked.groupby(id_col).aggregate(Min("canonical", alias_name="canonical"))
+    keep = canon.map_batches(
+        lambda t: t.filter(pa.compute.equal(t.column(id_col), t.column("canonical"))).select([id_col]),
+        batch_format="pyarrow",
+    )
+    return semi_join(ds, keep, id_col)
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard verified dedup
+# ---------------------------------------------------------------------------
+
+def jaccard_dedup(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    shingle_k: int = 5,
+    num_perm: int = 64,
+    bands: int = 16,
+    seed: int = 7,
+    concurrency=4,
+) -> ray.data.Dataset:
+    """MinHash-LSH candidate generation + EXACT n-gram Jaccard
+    verification inside each bucket (pairs below ``threshold`` are not
+    linked). The scale shape matches ``minhash_dedup``; the verify adds
+    one shingle recomputation per bucket member."""
+    token_re_src = r"\w+"
+
+    exploded = ds.select_columns([id_col, text_col]).map_batches(
+        MinHasher, batch_format="pandas", concurrency=concurrency,
+        fn_constructor_args=(text_col, id_col, num_perm, bands, shingle_k, seed, True),
+    )
+
+    def bucket_verify(g: pd.DataFrame) -> pd.DataFrame:
+        token_re = re.compile(token_re_src)
+        g = g.sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        shingles = [set(shingle_hashes(t, shingle_k, token_re).tolist()) for t in g[text_col].fillna("")]
+        canon = ids.copy()
+        for i in range(1, len(ids)):
+            for j in range(i):
+                a, b = shingles[i], shingles[j]
+                if not a or not b:
+                    continue
+                jac = len(a & b) / len(a | b)
+                if jac >= threshold:
+                    canon[i] = min(canon[i], canon[j])
+                    break
+        return pd.DataFrame({id_col: ids, "canonical": canon})
+
+    linked = exploded.groupby(["band_id", "band_hash"]).map_groups(bucket_verify, batch_format="pandas")
+    from ray.data.aggregate import Min
+
+    canon = linked.groupby(id_col).aggregate(Min("canonical", alias_name="canonical"))
+    keep = canon.map_batches(
+        lambda t: t.filter(pa.compute.equal(t.column(id_col), t.column("canonical"))).select([id_col]),
+        batch_format="pyarrow",
+    )
+    return semi_join(ds, keep, id_col)
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+class HyperplaneBucketer:
+    """Random-hyperplane LSH for unit vectors: ``nbits`` sign bits from
+    a fixed-seed Gaussian projection -> bucket id."""
+
+    def __init__(self, emb_col: str, id_col: str, dim: int, nbits: int, seed: int):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((dim, nbits))
+        self.emb_col, self.id_col = emb_col, id_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(batch[self.emb_col].to_numpy())
+        signs = (mat @ self.planes) > 0
+        bucket = signs @ (1 << np.arange(signs.shape[1], dtype=np.int64))
+        out = pd.DataFrame({self.id_col: batch[self.id_col].to_numpy(), "bucket": bucket})
+        out["emb"] = list(mat)
+        return out
+
+
+def embedding_dedup(
+    ds: ray.data.Dataset,
+    *,
+    emb_col: str,
+    id_col: str,
+    threshold: float = 0.98,
+    nbits: int = 8,
+    seed: int = 11,
+    concurrency=4,
+) -> ray.data.Dataset:
+    """Cosine near-dup: hyperplane buckets (vectors with cosine ~1 agree
+    on all sign bits with high probability), exact pairwise cosine
+    verification per bucket, min-id canonical."""
+    dim = len(ds.take(1)[0][emb_col])
+    bucketed = ds.select_columns([id_col, emb_col]).map_batches(
+        HyperplaneBucketer, batch_format="pandas", concurrency=concurrency,
+        fn_constructor_args=(emb_col, id_col, dim, nbits, seed),
+    )
+
+    def bucket_verify(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        mat = np.stack(g["emb"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        unit = mat / norms[:, None]
+        cos = unit @ unit.T
+        canon = ids.copy()
+        for i in range(1, len(ids)):
+            close = np.flatnonzero(cos[i, :i] >= threshold)
+            if len(close):
+                canon[i] = min(canon[i], canon[close[0]])
+        return pd.DataFrame({id_col: ids, "canonical": canon})
+
+    linked = bucketed.groupby("bucket").map_groups(bucket_verify, batch_format="pandas")
+    from ray.data.aggregate import Min
+
+    canon = linked.groupby(id_col).aggregate(Min("canonical", alias_name="canonical"))
+    keep = canon.map_batches(
+        lambda t: t.filter(pa.compute.equal(t.column(id_col), t.column("canonical"))).select([id_col]),
+        batch_format="pyarrow",
+    )
+    return semi_join(ds, keep, id_col)

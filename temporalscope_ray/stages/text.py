@@ -1,0 +1,153 @@
+"""Text analysis stages for large-scale corpus curation: token/char
+stats, quality scoring, language ID, document fingerprinting.
+
+All stages are actor-pool ``map_batches`` classes — regexes and
+stopword tables compile ONCE per actor in ``__init__`` and every batch
+is processed with vectorized pandas string ops. Designed for the
+``documents`` table (``doc_id, text, lang, source, n_chars``).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+# tiny built-in stopword lists (public, common words) for the n-gram /
+# stopword language heuristic
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "was", "for", "on", "with", "as", "at"},
+    "de": {"der", "die", "das", "und", "ist", "von", "zu", "den", "nicht", "mit", "ein", "auf", "für"},
+    "fr": {"le", "la", "les", "de", "et", "un", "une", "est", "dans", "que", "pour", "sur", "avec"},
+    "es": {"el", "la", "los", "de", "y", "un", "una", "es", "en", "que", "por", "con", "para"},
+}
+
+TOKEN_RE = r"\S+"           # whitespace tokenization (oracle: regexp_extract_all(text,'\S+'))
+WORD_RE = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"  # BPE-ish: words + single punctuation marks
+
+
+class TextStats:
+    """Per-document statistics + quality score.
+
+    Adds ``n_chars_calc, n_tokens, n_words, avg_token_len, punct_ratio,
+    digit_ratio, upper_ratio, stopword_ratio, quality_score``.
+    Quality score = weighted mix of length/punct/stopword signals in
+    [0, 1] (heuristic, monotone in "looks like prose").
+    """
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.token_re = re.compile(TOKEN_RE)
+        self.word_re = re.compile(WORD_RE)
+        self.stop_en = _STOPWORDS["en"]
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[self.text_col].fillna("")
+        toks = s.str.findall(self.token_re)
+        words = s.str.findall(self.word_re)
+        n_chars = s.str.len().astype("int64")
+        n_tokens = toks.str.len().astype("int64")
+        n_words = words.str.len().astype("int64")
+        total_len = toks.map(lambda ts: sum(len(t) for t in ts))
+        batch["n_chars_calc"] = n_chars
+        batch["n_tokens"] = n_tokens
+        batch["n_words"] = n_words
+        batch["avg_token_len"] = np.where(n_tokens > 0, total_len / n_tokens.clip(lower=1), 0.0)
+        batch["punct_ratio"] = np.where(
+            n_chars > 0, s.str.count(r"[^\w\s]") / n_chars.clip(lower=1), 0.0
+        )
+        batch["digit_ratio"] = np.where(n_chars > 0, s.str.count(r"\d") / n_chars.clip(lower=1), 0.0)
+        batch["upper_ratio"] = np.where(n_chars > 0, s.str.count(r"[A-Z]") / n_chars.clip(lower=1), 0.0)
+        stop = self.stop_en
+        batch["stopword_ratio"] = toks.map(
+            lambda ts: (sum(t.lower() in stop for t in ts) / len(ts)) if ts else 0.0
+        )
+        # quality: prose-ish docs have moderate token length, some
+        # stopwords, low digit/punct density, non-trivial length
+        length_score = np.clip(n_tokens / 50.0, 0, 1)
+        batch["quality_score"] = (
+            0.35 * length_score
+            + 0.3 * np.clip(batch["stopword_ratio"] * 4, 0, 1)
+            + 0.2 * (1 - np.clip(batch["punct_ratio"] * 5, 0, 1))
+            + 0.15 * (1 - np.clip(batch["digit_ratio"] * 5, 0, 1))
+        )
+        return batch
+
+
+class LangId:
+    """Stopword-overlap language heuristic over {en, de, fr, es}.
+
+    Adds ``lang_pred`` and ``lang_score`` (fraction of tokens hitting
+    the winning language's stopword table; ``und`` = undetermined when
+    no table scores > 0).
+    """
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.token_re = re.compile(r"[a-zA-ZäöüßéèêàçñÁ-ÿ]+")
+        self.tables = {k: v for k, v in _STOPWORDS.items()}
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        preds, scores = [], []
+        for text in batch[self.text_col].fillna(""):
+            toks = [t.lower() for t in self.token_re.findall(text)]
+            if not toks:
+                preds.append("und")
+                scores.append(0.0)
+                continue
+            best_lang, best = "und", 0.0
+            for lang, table in self.tables.items():
+                score = sum(t in table for t in toks) / len(toks)
+                if score > best:
+                    best_lang, best = lang, score
+            preds.append(best_lang)
+            scores.append(best)
+        batch["lang_pred"] = preds
+        batch["lang_score"] = scores
+        return batch
+
+
+class Fingerprint:
+    """64-bit rolling polynomial hash of the normalized text
+    (lowercased, whitespace collapsed) -> ``fingerprint`` int64 column.
+    Deterministic across processes (pure integer arithmetic)."""
+
+    BASE = 1000003
+    MOD = (1 << 61) - 1
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.ws = re.compile(r"\s+")
+
+    def _fp(self, text: str) -> int:
+        h = 0
+        for ch in self.ws.sub(" ", text.strip().lower()):
+            h = (h * self.BASE + ord(ch)) % self.MOD
+        return h - (1 << 62) if h >= (1 << 62) else h
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch["fingerprint"] = [self._fp(t) for t in batch[self.text_col].fillna("")]
+        return batch
+
+
+def add_text_stats(ds: ray.data.Dataset, text_col: str = "text", *, concurrency=4, batch_size=4096) -> ray.data.Dataset:
+    return ds.map_batches(
+        TextStats, batch_format="pandas", concurrency=concurrency, batch_size=batch_size,
+        fn_constructor_args=(text_col,),
+    )
+
+
+def add_lang_id(ds: ray.data.Dataset, text_col: str = "text", *, concurrency=4, batch_size=4096) -> ray.data.Dataset:
+    return ds.map_batches(
+        LangId, batch_format="pandas", concurrency=concurrency, batch_size=batch_size,
+        fn_constructor_args=(text_col,),
+    )
+
+
+def add_fingerprint(ds: ray.data.Dataset, text_col: str = "text", *, concurrency=4, batch_size=4096) -> ray.data.Dataset:
+    return ds.map_batches(
+        Fingerprint, batch_format="pandas", concurrency=concurrency, batch_size=batch_size,
+        fn_constructor_args=(text_col,),
+    )

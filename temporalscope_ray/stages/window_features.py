@@ -99,11 +99,13 @@ def add_time_rolling_features(
     value_cols: Sequence[str],
     window: str | pd.Timedelta,
     fns: Sequence[str] = ("mean",),
+    closed: str = "both",
     num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
 ) -> ray.data.Dataset:
     """Trailing TIME-based rolling aggregates per entity:
-    ``{col}_troll_{fn}`` over ``RANGE BETWEEN window PRECEDING AND
-    CURRENT ROW`` (closed on both ends, pandas semantics)."""
+    ``{col}_troll_{fn}``. Default ``closed="both"`` = SQL
+    ``RANGE BETWEEN window PRECEDING AND CURRENT ROW`` (both endpoints
+    included); pandas' native default would be ``closed="right"``."""
     bad = set(fns) - _ROLL_FNS
     if bad:
         raise ValueError(f"Unsupported rolling fns: {sorted(bad)}. Supported: {sorted(_ROLL_FNS)}")
@@ -111,7 +113,7 @@ def add_time_rolling_features(
     def fn(g: pd.DataFrame) -> pd.DataFrame:
         out = g.copy()
         idx = g.set_index(time_col)
-        roll = idx.groupby(id_col, sort=False)[list(value_cols)].rolling(window)
+        roll = idx.groupby(id_col, sort=False)[list(value_cols)].rolling(window, closed=closed)
         for f in fns:
             res = getattr(roll, f)().reset_index(drop=True)
             for col in value_cols:

@@ -1,0 +1,163 @@
+"""Dedup family, text analysis, similarity search, multimodal stages."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from temporalscope_ray import codec, synth
+from temporalscope_ray.stages import multimodal
+from temporalscope_ray.stages.dedup import (
+    embedding_dedup,
+    exact_dedup,
+    jaccard_dedup,
+    minhash_dedup,
+    simhash_dedup,
+)
+from temporalscope_ray.stages.similarity import knn_brute, knn_lsh
+from temporalscope_ray.stages.text import add_fingerprint, add_lang_id, add_text_stats
+
+
+BASE_TEXTS = [
+    "the quick brown fox jumps over the lazy dog and runs away into the green forest",
+    "a completely different document about ray data pipelines and distributed computing at scale",
+    "numbers and code 12345 67890 !!!! ???? ####",
+    "der schnelle braune fuchs springt über den faulen hund und läuft in den wald",
+    "le renard brun rapide saute par dessus le chien paresseux dans la forêt",
+]
+
+
+def docs_df():
+    rows = []
+    i = 0
+    for t in BASE_TEXTS:
+        rows.append({"doc_id": i, "text": t}); i += 1
+    # exact duplicate of doc 0
+    rows.append({"doc_id": i, "text": BASE_TEXTS[0]}); i += 1
+    # near duplicate of doc 0 (one word changed)
+    rows.append({"doc_id": i, "text": BASE_TEXTS[0].replace("lazy", "sleepy")}); i += 1
+    # near duplicate of doc 1 (suffix added)
+    rows.append({"doc_id": i, "text": BASE_TEXTS[1] + " with extra trailing words"}); i += 1
+    return pd.DataFrame(rows)
+
+
+def test_exact_dedup_keeps_min_id():
+    df = docs_df()
+    out = exact_dedup(ray.data.from_pandas(df), id_col="doc_id", content_cols=["text"]).to_pandas()
+    assert 5 not in set(out["doc_id"])  # exact dup of 0 dropped
+    assert 0 in set(out["doc_id"])
+    assert len(out) == len(df) - 1  # only the exact dup removed
+
+
+def test_minhash_dedup_drops_near_dups():
+    df = docs_df()
+    out = minhash_dedup(
+        ray.data.from_pandas(df), text_col="text", id_col="doc_id", num_perm=64, bands=32, shingle_k=3
+    ).to_pandas()
+    kept = set(out["doc_id"])
+    assert 0 in kept and 5 not in kept and 6 not in kept  # exact + near dup of 0 gone
+    assert {1, 2, 3, 4} <= kept  # distinct docs survive
+
+
+def test_jaccard_dedup_threshold():
+    df = docs_df()
+    out = jaccard_dedup(
+        ray.data.from_pandas(df), text_col="text", id_col="doc_id", threshold=0.5, shingle_k=3, bands=32
+    ).to_pandas()
+    kept = set(out["doc_id"])
+    assert 5 not in kept and 0 in kept
+    assert {1, 2, 3, 4} <= kept
+
+
+def test_simhash_dedup():
+    df = docs_df()
+    out = simhash_dedup(
+        ray.data.from_pandas(df), text_col="text", id_col="doc_id", hamming_threshold=3
+    ).to_pandas()
+    kept = set(out["doc_id"])
+    assert 5 not in kept and 0 in kept  # exact dup has identical simhash
+
+
+def test_embedding_dedup():
+    rng = np.random.default_rng(4)
+    base = rng.standard_normal((6, 16))
+    rows = [{"vec_id": i, "embedding": base[i].tolist()} for i in range(6)]
+    rows.append({"vec_id": 6, "embedding": (base[0] * 2.0).tolist()})        # same direction as 0
+    rows.append({"vec_id": 7, "embedding": (base[1] + 0.001 * rng.standard_normal(16)).tolist()})
+    df = pd.DataFrame(rows)
+    out = embedding_dedup(
+        ray.data.from_pandas(df), emb_col="embedding", id_col="vec_id", threshold=0.99
+    ).to_pandas()
+    kept = set(out["vec_id"])
+    assert 6 not in kept and 7 not in kept
+    assert {0, 1, 2, 3, 4, 5} <= kept
+
+
+def test_text_stats_and_lang_id():
+    df = docs_df()
+    out = add_text_stats(ray.data.from_pandas(df), concurrency=1).to_pandas()
+    r0 = out[out["doc_id"] == 0].iloc[0]
+    assert r0["n_tokens"] == len(BASE_TEXTS[0].split())
+    assert r0["n_chars_calc"] == len(BASE_TEXTS[0])
+    assert r0["stopword_ratio"] > 0.1
+    lang = add_lang_id(ray.data.from_pandas(df), concurrency=1).to_pandas().set_index("doc_id")
+    assert lang.loc[0, "lang_pred"] == "en"
+    assert lang.loc[3, "lang_pred"] == "de"
+    assert lang.loc[4, "lang_pred"] == "fr"
+
+
+def test_fingerprint_deterministic_and_normalizing():
+    df = pd.DataFrame({"doc_id": [0, 1, 2], "text": ["Hello  World", "hello world", "different"]})
+    out = add_fingerprint(ray.data.from_pandas(df), concurrency=1).to_pandas().set_index("doc_id")
+    assert out.loc[0, "fingerprint"] == out.loc[1, "fingerprint"]  # case/ws-insensitive
+    assert out.loc[0, "fingerprint"] != out.loc[2, "fingerprint"]
+
+
+def test_knn_brute_exact():
+    rng = np.random.default_rng(9)
+    mat = rng.standard_normal((100, 8))
+    df = pd.DataFrame({"vec_id": range(100), "embedding": list(mat)})
+    q = mat[[3, 50]]
+    out = knn_brute(ray.data.from_pandas(df), q, k=5, concurrency=1)
+    # self is always the top hit with cos ~1
+    top = out.groupby("query_idx").first()
+    assert top.loc[0, "vec_id"] == 3 and top.loc[0, "cos_sim"] == pytest.approx(1.0)
+    assert top.loc[1, "vec_id"] == 50
+    # exact: matches numpy oracle
+    unit = mat / np.linalg.norm(mat, axis=1)[:, None]
+    cos = unit @ unit[3]
+    exp = set(np.argsort(-cos)[:5])
+    assert set(out[out["query_idx"] == 0]["vec_id"]) == exp
+
+
+def test_knn_lsh_finds_self():
+    rng = np.random.default_rng(10)
+    mat = rng.standard_normal((200, 8))
+    df = pd.DataFrame({"vec_id": range(200), "embedding": list(mat)})
+    out = knn_lsh(ray.data.from_pandas(df), mat[[7]], k=5, nbits=4, multiprobe=1, concurrency=1)
+    assert 7 in set(out[out["query_idx"] == 0]["vec_id"])
+
+
+def test_image_features_and_resize():
+    ds = synth.generate_image_caption_table(24, num_entities=4, num_blocks=2)
+    feats = multimodal.add_image_features(ds, concurrency=1).to_pandas()
+    assert feats["brightness"].between(0, 255).all()
+    assert feats["phash_check"].all()
+    small = multimodal.resize_images(ds, 8, concurrency=1).to_pandas()
+    assert (small["w"] == 8).all() and (small["fmt"] == "raw").all()
+    px = codec.decode_raw(small["bytes"].iloc[0], 8, 8)
+    assert px.shape == (8, 8, 3)
+
+
+def test_image_unknown_format_raises():
+    df = pd.DataFrame([{"image_id": "x", "bytes": b"123", "w": 1, "h": 1, "fmt": "jpeg", "phash": 0}])
+    with pytest.raises(Exception, match="needs a real decoder"):
+        multimodal.add_image_features(ray.data.from_pandas(df), concurrency=1).to_pandas()
+
+
+def test_audio_stub():
+    df = pd.DataFrame([{"clip_id": 1, "bytes": b"abc"}, {"clip_id": 2, "bytes": b"def"}])
+    out = multimodal.add_audio_features(ray.data.from_pandas(df), fake=True, concurrency=1).to_pandas()
+    assert {"rms_energy", "zero_crossings"} <= set(out.columns)
+    with pytest.raises(Exception, match="not available in this environment"):
+        multimodal.add_audio_features(ray.data.from_pandas(df), fake=False, concurrency=1).to_pandas()

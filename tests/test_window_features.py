@@ -69,7 +69,7 @@ def test_time_rolling_matches_pandas():
         )
     )
     exp = df.sort_values(["user_id", "ts"]).reset_index(drop=True)
-    r = exp.set_index("ts").groupby("user_id")["value"].rolling("30min").mean()
+    r = exp.set_index("ts").groupby("user_id")["value"].rolling("30min", closed="both").mean()
     exp["value_troll_mean"] = r.reset_index(drop=True).to_numpy()
     pd.testing.assert_frame_equal(out, exp, check_like=True)
 
