@@ -1,44 +1,498 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship temporal-feature pipeline on sf0.001;
+``queries()`` exposes one callable per implemented operator family
+(SURVEY.md §2 + the scale extensions); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible query. Column names
+match between the two sides; derived float columns are rounded to a
+fixed number of decimals ON BOTH SIDES so the driver's value-hash is
+not sensitive to summation-order ulp noise.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: no
+``ray.init`` / ``ray.shutdown`` anywhere in this module or the
+library it uses.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+
+def _events(sf_dir: str, columns=("event_id", "ts", "user_id", "event_type", "value")) -> ray.data.Dataset:
+    return ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=list(columns))
+
+
+def _round_cols(ds: ray.data.Dataset, cols: list[str], ndigits: int = 6) -> ray.data.Dataset:
+    def r(batch: pd.DataFrame) -> pd.DataFrame:
+        for c in cols:
+            batch[c] = np.round(batch[c].astype(np.float64), ndigits)
+        return batch
+
+    return ds.map_batches(r, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_shift_lead1(sf_dir: str):
+    from temporalscope_ray.stages.shift import shift_column_per_entity
+
+    ev = _events(sf_dir, ("event_id", "ts", "user_id", "value"))
+    return shift_column_per_entity(
+        ev, value_col="value", id_col="user_id", time_col="ts", n=1,
+        out_col="value_shift_1", tiebreak=["event_id"],
+    )
+
+
+def q_lag_lead_features(sf_dir: str):
+    from temporalscope_ray.stages.window_features import add_lag_lead_features
+
+    ev = _events(sf_dir, ("event_id", "ts", "user_id", "value"))
+    return add_lag_lead_features(
+        ev, id_col="user_id", time_col="ts", value_cols=["value"], lags=[1, 2], leads=[1],
+        tiebreak=["event_id"],
+    )
+
+
+def q_rolling_mean4(sf_dir: str):
+    from temporalscope_ray.stages.window_features import add_rolling_features
+
+    ev = _events(sf_dir, ("event_id", "ts", "user_id", "value"))
+    out = add_rolling_features(
+        ev, id_col="user_id", time_col="ts", value_cols=["value"], window=4,
+        fns=("mean", "sum"), tiebreak=["event_id"],
+    )
+    return _round_cols(out, ["value_roll_mean_4", "value_roll_sum_4"])
+
+
+def q_time_rolling_30min(sf_dir: str):
+    from temporalscope_ray.stages.window_features import add_time_rolling_features
+
+    ev = _events(sf_dir, ("event_id", "ts", "user_id", "value"))
+    out = add_time_rolling_features(
+        ev, id_col="user_id", time_col="ts", value_cols=["value"], window="30min", fns=("mean",),
+    )
+    return _round_cols(out, ["value_troll_mean"])
+
+
+def q_sessionize(sf_dir: str):
+    from temporalscope_ray.stages.window_features import sessionize
+
+    ev = _events(sf_dir, ("event_id", "ts", "user_id", "value"))
+    return sessionize(ev, id_col="user_id", time_col="ts", gap=pd.Timedelta("30min"))
+
+
+def q_session_stats(sf_dir: str):
+    from temporalscope_ray.stages.window_features import session_stats
+
+    ev = _events(sf_dir, ("event_id", "ts", "user_id", "value"))
+    out = session_stats(ev, id_col="user_id", time_col="ts", gap=pd.Timedelta("30min"), value_col="value")
+    return _round_cols(out, ["value_sum"])
+
+
+def _order_state(sf_dir: str) -> ray.data.Dataset:
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_orderdate", "o_totalprice"]
+    )
+
+    def dedupe(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().groupby(["o_custkey", "o_orderdate"], as_index=False)["o_totalprice"].max()
+        return pa.Table.from_pandas(
+            df.rename(columns={"o_orderdate": "ts", "o_custkey": "user_id"}), preserve_index=False
+        )
+
+    # global dedupe must see all rows per key: batch_size=None per block
+    # then a final driver-side combine via groupby would be needed for
+    # multi-block; orders are read as one block per file here.
+    return orders.map_batches(dedupe, batch_size=None, batch_format="pyarrow")
+
+
+def q_asof_latest_order(sf_dir: str):
+    from temporalscope_ray.stages.asof import asof_join
+
+    ev = _events(sf_dir, ("event_id", "ts", "user_id", "value"))
+    return asof_join(ev, _order_state(sf_dir), on="ts", by="user_id", broadcast=True,
+                     right_cols=["o_totalprice"])
+
+
+def q_asof_latest_order_tol(sf_dir: str):
+    from temporalscope_ray.stages.asof import asof_join
+
+    ev = _events(sf_dir, ("event_id", "ts", "user_id", "value"))
+    return asof_join(ev, _order_state(sf_dir), on="ts", by="user_id", broadcast=True,
+                     right_cols=["o_totalprice"], tolerance=pd.Timedelta(days=7))
+
+
+def q_asof_bucketed(sf_dir: str):
+    from temporalscope_ray.stages.asof import asof_join
+
+    ev = _events(sf_dir, ("event_id", "ts", "user_id", "value"))
+    return asof_join(ev, _order_state(sf_dir), on="ts", by="user_id", broadcast=False,
+                     right_cols=["o_totalprice"], num_buckets=16).select_columns(
+        ["event_id", "ts", "user_id", "value", "o_totalprice"]
+    )
+
+
+def q_global_shift(sf_dir: str):
+    from temporalscope_ray.stages.shift import shift_column_global
+
+    ev = _events(sf_dir, ("ts", "user_id", "value")).filter(expr="user_id == 7")
+    ev = ev.select_columns(["ts", "value"]).repartition(8)
+    return shift_column_global(ev, value_col="value", time_col="ts", n=1, out_col="value_shift_1")
+
+
+def q_null_counts(sf_dir: str):
+    from temporalscope_ray.core import count_dataset_column_nulls
+
+    ev = _events(sf_dir, ("event_id", "ts", "user_id", "event_type", "value", "props"))
+    counts = count_dataset_column_nulls(ev, ["event_id", "ts", "user_id", "event_type", "value", "props"])
+    return pa.table({k: pa.array([v], type=pa.int64()) for k, v in counts.items()})
+
+
+def q_dup_ts_pairs(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    ev = _events(sf_dir, ("ts", "user_id"))
+    dups = (
+        ev.groupby(["user_id", "ts"]).aggregate(Count(alias_name="cnt")).filter(expr="cnt > 1").count()
+    )
+    return pa.table({"n_dups": pa.array([dups], type=pa.int64())})
+
+
+def q_window_tags(sf_dir: str):
+    from temporalscope_ray.core import convert_time_column_to_numeric
+    from temporalscope_ray.dataset import TemporalDataset
+    from temporalscope_ray.stages.partition import SlidingWindowPartitioner
+
+    ev = _events(sf_dir, ("event_id", "ts", "value"))
+    ev = convert_time_column_to_numeric(ev, "ts", "us")
+    td = TemporalDataset(ev, time_col="ts", target_col="value", sort=False, validate=False)
+    p = SlidingWindowPartitioner(td, num_partitions=4, train_pct=0.6, test_pct=0.4)
+    p.fit()
+    return p.tag_windows().select_columns(["event_id", "window_id", "split"])
+
+
+def q_mean_pad_value(sf_dir: str):
+    from temporalscope_ray.stages.partition import mean_fill_pad
+
+    ev = _events(sf_dir, ("value",))
+    n = ev.count()
+    return _round_cols(mean_fill_pad(ev, target_len=n + 100, padding="post"), ["value"])
+
+
+def q_dedup_exact_docs(sf_dir: str):
+    from temporalscope_ray.stages.dedup import exact_dedup
+
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    return exact_dedup(docs, id_col="doc_id", content_cols=["text"])
+
+
+def q_text_stats(sf_dir: str):
+    from temporalscope_ray.stages.text import add_text_stats
+
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    out = add_text_stats(docs, concurrency=(1, 2))
+    return out.select_columns(["doc_id", "n_chars_calc", "n_tokens", "n_words"])
+
+
+def q_token_sum_by_lang(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    from temporalscope_ray.stages.text import add_text_stats
+
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang"])
+    stats = add_text_stats(docs, concurrency=(1, 2))
+    return (
+        stats.select_columns(["lang", "n_tokens"])
+        .groupby("lang")
+        .aggregate(Sum("n_tokens", alias_name="tokens_total"), Count(alias_name="n_docs"))
+    )
+
+
+def q_knn_brute(sf_dir: str):
+    from temporalscope_ray.stages.similarity import knn_brute
+
+    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    q_rows = emb.filter(expr="vec_id == 0 or vec_id == 1").to_pandas().sort_values("vec_id")
+    queries = np.stack(q_rows["embedding"].to_numpy()).astype(np.float64)
+    out = knn_brute(emb, queries, k=10, concurrency=(1, 2))
+    out = out.sort_values(["query_idx", "cos_sim", "vec_id"], ascending=[True, False, True]).reset_index(drop=True)
+    out["cos_sim"] = np.round(out["cos_sim"], 6)
+    return out
+
+
+def q_embedding_norms(sf_dir: str):
+    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+
+    def norms(batch: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        return pd.DataFrame({"vec_id": batch["vec_id"].to_numpy(), "l2_norm": np.round(np.linalg.norm(mat, axis=1), 6)})
+
+    return emb.map_batches(norms, batch_format="pandas")
+
+
+def q_lineitem_agg(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+
+    # partial pre-aggregation inside map_batches, tiny final groupby
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"), sum_price=("l_extendedprice", "sum"), n=("l_quantity", "size")
+        )
+        return g
+
+    agg = (
+        li.map_batches(partial, batch_format="pandas")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_price", alias_name="sum_price"),
+            Sum("n", alias_name="n"),
+        )
+    )
+    return _round_cols(agg, ["sum_price"], ndigits=2)
+
+
+def q_backfill(sf_dir: str):
+    from temporalscope_ray.stages.window_features import backfill
+
+    ev = _events(sf_dir, ("event_id", "ts", "user_id", "event_type", "value"))
+
+    def mask(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["value_filled"] = batch["value"].where(batch["event_type"] != "click", np.nan)
+        return batch[["event_id", "ts", "user_id", "value_filled"]]
+
+    masked = ev.map_batches(mask, batch_format="pandas")
+    return backfill(masked, id_col="user_id", time_col="ts", value_cols=["value_filled"], method="ffill")
+
+
+def q_expand_targets(sf_dir: str):
+    from temporalscope_ray.stages.shift import expand_targets_multi_step
+
+    ev = _events(sf_dir, ("event_id", "ts", "user_id", "value"))
+    return expand_targets_multi_step(ev, target_col="value", horizon=3, id_col="user_id", time_col="ts")
+
+
+def q_minhash_kept_docs(sf_dir: str):
+    from temporalscope_ray.stages.dedup import minhash_dedup
+
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    return minhash_dedup(docs, text_col="text", id_col="doc_id", concurrency=(1, 2)).select_columns(["doc_id"])
+
+
+def q_image_pipeline(sf_dir: str):
+    from temporalscope_ray.pipelines.flagship import image_feature_pipeline
+
+    out = image_feature_pipeline(sf_dir, concurrency=(1, 2))
+    return out.drop_columns(["bytes"])
+
+
+def q_flagship(sf_dir: str):
+    from temporalscope_ray.pipelines.flagship import temporal_feature_pipeline
+
+    out = temporal_feature_pipeline(sf_dir)
+    return _round_cols(out, ["value_roll_mean_4", "value_roll_sum_4"])
 
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    return q_flagship("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "shift_lead1_by_user": q_shift_lead1,
+        "lag_lead_features": q_lag_lead_features,
+        "rolling_mean_4": q_rolling_mean4,
+        "time_rolling_30min": q_time_rolling_30min,
+        "sessionize_30min": q_sessionize,
+        "session_stats_30min": q_session_stats,
+        "asof_latest_order": q_asof_latest_order,
+        "asof_latest_order_tol": q_asof_latest_order_tol,
+        "asof_bucketed": q_asof_bucketed,
+        "global_shift_lead1": q_global_shift,
+        "null_counts_events": q_null_counts,
+        "dup_ts_pairs": q_dup_ts_pairs,
+        "window_tags": q_window_tags,
+        "mean_pad_value": q_mean_pad_value,
+        "dedup_exact_docs": q_dedup_exact_docs,
+        "text_stats_docs": q_text_stats,
+        "token_sum_by_lang": q_token_sum_by_lang,
+        "knn_brute_10": q_knn_brute,
+        "embedding_norms": q_embedding_norms,
+        "lineitem_agg": q_lineitem_agg,
+        "backfill_ffill": q_backfill,
+        "expand_targets_h3": q_expand_targets,
+        "minhash_kept_docs": q_minhash_kept_docs,
+        "image_pipeline": q_image_pipeline,
+        "flagship_pipeline": q_flagship,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    order_state = (
+        "SELECT o_custkey AS user_id, o_orderdate AS ots, MAX(o_totalprice) AS o_totalprice "
+        "FROM orders GROUP BY 1, 2"
+    )
+    return {
+        "shift_lead1_by_user": """
+            SELECT * FROM (
+              SELECT event_id, ts, user_id, value,
+                     LEAD(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS value_shift_1
+              FROM events) WHERE value_shift_1 IS NOT NULL
+        """,
+        "lag_lead_features": """
+            SELECT event_id, ts, user_id, value,
+                   LAG(value, 1) OVER w AS value_lag_1,
+                   LAG(value, 2) OVER w AS value_lag_2,
+                   LEAD(value, 1) OVER w AS value_lead_1
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "rolling_mean_4": """
+            SELECT event_id, ts, user_id, value,
+                   ROUND(AVG(value) OVER w, 6) AS value_roll_mean_4,
+                   ROUND(SUM(value) OVER w, 6) AS value_roll_sum_4
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        """,
+        "time_rolling_30min": """
+            SELECT event_id, ts, user_id, value,
+                   ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING AND CURRENT ROW), 6) AS value_troll_mean
+            FROM events
+        """,
+        "sessionize_30min": """
+            SELECT event_id, ts, user_id, value,
+                   CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+            FROM (SELECT *, CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                                      > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+                  FROM events)
+        """,
+        "session_stats_30min": """
+            SELECT user_id, session_id, COUNT(*) AS n_events,
+                   MIN(ts) AS session_start, MAX(ts) AS session_end,
+                   ROUND(SUM(value), 6) AS value_sum
+            FROM (SELECT user_id, ts, value,
+                         CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+                  FROM (SELECT *, CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                                            > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+                        FROM events))
+            GROUP BY user_id, session_id
+        """,
+        "asof_latest_order": f"""
+            SELECT e.event_id, e.ts, e.user_id, e.value, os.o_totalprice
+            FROM events e ASOF LEFT JOIN ({order_state}) os
+              ON e.user_id = os.user_id AND e.ts >= os.ots
+        """,
+        "asof_latest_order_tol": f"""
+            SELECT e.event_id, e.ts, e.user_id, e.value,
+                   CASE WHEN os.ots >= e.ts - INTERVAL 7 DAY THEN os.o_totalprice END AS o_totalprice
+            FROM events e ASOF LEFT JOIN ({order_state}) os
+              ON e.user_id = os.user_id AND e.ts >= os.ots
+        """,
+        "asof_bucketed": f"""
+            SELECT e.event_id, e.ts, e.user_id, e.value, os.o_totalprice
+            FROM events e ASOF LEFT JOIN ({order_state}) os
+              ON e.user_id = os.user_id AND e.ts >= os.ots
+        """,
+        "global_shift_lead1": """
+            SELECT * FROM (
+              SELECT ts, value, LEAD(value) OVER (ORDER BY ts) AS value_shift_1
+              FROM events WHERE user_id = 7) WHERE value_shift_1 IS NOT NULL
+        """,
+        "null_counts_events": """
+            SELECT COUNT(*) - COUNT(event_id) AS event_id,
+                   COUNT(*) - COUNT(ts) AS ts,
+                   COUNT(*) - COUNT(user_id) AS user_id,
+                   COUNT(*) - COUNT(event_type) AS event_type,
+                   COUNT(*) - COUNT(value) AS value,
+                   COUNT(*) - COUNT(props) AS props
+            FROM events
+        """,
+        "dup_ts_pairs": """
+            SELECT COUNT(*) AS n_dups FROM (
+              SELECT user_id, ts FROM events GROUP BY user_id, ts HAVING COUNT(*) > 1)
+        """,
+        "window_tags": """
+            WITH e AS (SELECT event_id, CAST(epoch_us(ts) AS DOUBLE) AS t FROM events),
+            o AS (SELECT event_id, t, ROW_NUMBER() OVER (ORDER BY t) - 1 AS rn FROM e),
+            params AS (SELECT COUNT(*) AS n, COUNT(*) // 4 AS w FROM e),
+            starts AS (SELECT unnest(generate_series(0, (SELECT n - w FROM params), (SELECT w FROM params))) AS i),
+            bounds AS (
+              SELECT CAST(s.i / (SELECT w FROM params) AS INT) AS window_id,
+                     (SELECT t FROM o WHERE rn = s.i) AS start_t,
+                     (SELECT t FROM o WHERE rn = s.i + (SELECT w FROM params) - 1) AS end_t
+              FROM starts s),
+            b2 AS (SELECT window_id, start_t, end_t, start_t + (end_t - start_t) * 0.6 AS train_end FROM bounds)
+            SELECT o.event_id, b.window_id,
+                   CASE WHEN o.t < b.train_end THEN 'train' ELSE 'test' END AS split
+            FROM o JOIN b2 b ON o.t >= b.start_t AND o.t < b.end_t
+        """,
+        "mean_pad_value": """
+            SELECT ROUND(value, 6) AS value FROM events
+            UNION ALL
+            SELECT ROUND((SELECT AVG(value) FROM events), 6) AS value FROM generate_series(1, 100)
+        """,
+        "dedup_exact_docs": """
+            SELECT * FROM documents
+            WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY text)
+        """,
+        "text_stats_docs": r"""
+            SELECT doc_id,
+                   LENGTH(text) AS n_chars_calc,
+                   LENGTH(regexp_extract_all(text, '\S+')) AS n_tokens,
+                   LENGTH(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS n_words
+            FROM documents
+        """,
+        "token_sum_by_lang": r"""
+            SELECT lang,
+                   CAST(SUM(LENGTH(regexp_extract_all(text, '\S+'))) AS BIGINT) AS tokens_total,
+                   COUNT(*) AS n_docs
+            FROM documents GROUP BY lang
+        """,
+        "knn_brute_10": """
+            WITH q AS (
+              SELECT 0 AS query_idx, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0
+              UNION ALL
+              SELECT 1, CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 1)
+            SELECT query_idx, vec_id,
+                   ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 6) AS cos_sim
+            FROM embeddings e CROSS JOIN q
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY query_idx
+                     ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) DESC, vec_id) <= 10
+        """,
+        "embedding_norms": """
+            SELECT vec_id,
+                   ROUND(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS l2_norm
+            FROM embeddings
+        """,
+        "lineitem_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   SUM(l_quantity) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_price,
+                   COUNT(*) AS n
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "backfill_ffill": """
+            SELECT event_id, ts, user_id,
+                   LAST_VALUE(CASE WHEN event_type = 'click' THEN NULL ELSE value END IGNORE NULLS)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS value_filled
+            FROM events
+        """,
+    }

@@ -1,0 +1,112 @@
+"""Flagship pipelines.
+
+``temporal_feature_pipeline`` — the engine's headline over the driver
+testdata: events + orders -> point-in-time order state (as-of join,
+broadcast) -> lag/rolling/session features (ONE bucket pass) -> zero-
+leakage target shift. Mirrors the reference's flagship notebook flow
+(generate -> TimeFrame -> SingleStepTargetShifter, SURVEY.md §3.3)
+generalized to multi-entity + as-of enrichment.
+
+``image_feature_pipeline`` — the graft's north-star shape: the
+image+caption event table (BASELINE.json input_hint) through the same
+temporal operators with the binary payload riding along untouched,
+plus decoded-image features from an actor-pool stage.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from .. import synth
+from ..dataset import TemporalDataset
+from ..stages.asof import asof_join
+from ..stages.multimodal import add_image_features
+from ..stages.shift import shift_column_per_entity
+from ..stages.window_features import add_temporal_features
+
+
+def temporal_feature_pipeline(
+    sf_dir: str, *, num_buckets: int = 32, concurrency=(1, 4)
+) -> ray.data.Dataset:
+    """events ⟕asof orders → lag/rolling/session features → target shift."""
+    events = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    # point-in-time order state per user: latest order strictly known at ts
+    # (right side deduped to one row per (custkey, date) for determinism)
+    def dedupe_orders(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().groupby(["o_custkey", "o_orderdate"], as_index=False)["o_totalprice"].max()
+        return pa.Table.from_pandas(df.rename(columns={"o_orderdate": "ts", "o_custkey": "user_id"}),
+                                    preserve_index=False)
+
+    order_state = orders.map_batches(dedupe_orders, batch_format="pyarrow", batch_size=None)
+    enriched = asof_join(
+        events, order_state, on="ts", by="user_id", broadcast=True, concurrency=concurrency,
+        right_cols=["o_totalprice"],
+    )
+    feats = add_temporal_features(
+        enriched,
+        id_col="user_id",
+        time_col="ts",
+        value_cols=["value"],
+        lags=[1, 2],
+        leads=[],
+        rolling_windows=[4],
+        rolling_fns=("mean", "sum"),
+        session_gap=pd.Timedelta("30min"),
+        num_buckets=num_buckets,
+        tiebreak=["event_id"],
+    )
+    labeled = shift_column_per_entity(
+        feats, value_col="value", id_col="user_id", time_col="ts", n=1,
+        out_col="value_shift_1", num_buckets=num_buckets, tiebreak=["event_id"],
+    )
+    return labeled
+
+
+_IMG_CACHE = "/tmp/tsray_image_tables"
+
+
+def image_table_for(sf_dir: str, rows_per_sf: int = 20_000) -> str:
+    """Deterministic synthetic image+caption table sized to the sf of
+    ``sf_dir`` (no external data; cached parquet under /tmp)."""
+    name = os.path.basename(os.path.normpath(sf_dir))  # e.g. sf0.01
+    sf = float(name.replace("sf", "")) if name.startswith("sf") else 0.001
+    num_rows = max(200, int(rows_per_sf * sf * 10))
+    path = os.path.join(_IMG_CACHE, f"{name}_{num_rows}")
+    return synth.materialize_image_table(path, num_rows, num_entities=max(4, num_rows // 50), seed=42,
+                                         num_blocks=8)
+
+
+def image_feature_pipeline(
+    sf_dir: str, *, num_buckets: int = 32, concurrency=(1, 4), with_decode: bool = True
+) -> ray.data.Dataset:
+    """The north-star pipeline over the image+caption event table:
+    temporal features per image entity (payload rides along) + decoded
+    image features from the actor pool."""
+    path = image_table_for(sf_dir)
+    ds = ray.data.read_parquet(path)
+    feats = add_temporal_features(
+        ds,
+        id_col="image_id",
+        time_col="ts",
+        value_cols=["target", "feature_1"],
+        lags=[1],
+        rolling_windows=[4],
+        rolling_fns=("mean",),
+        session_gap=pd.Timedelta("10min"),
+        num_buckets=num_buckets,
+    )
+    if with_decode:
+        feats = add_image_features(feats, concurrency=concurrency)
+    return feats

@@ -97,7 +97,7 @@ def asof_join(
     broadcast: Optional[bool] = None,
     broadcast_limit_rows: int = 5_000_000,
     num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
-    concurrency: int | tuple[int, int] = 4,
+    concurrency: int | tuple[int, int] = (1, 4),
 ) -> ray.data.Dataset:
     """Distributed as-of join. ``right_cols`` defaults to all non-key
     right columns; overlapping names get ``suffix``."""
@@ -181,16 +181,26 @@ def asof_join(
     rt = rt.select_columns(ordered)
     both = lt.union(rt)
 
+    # pandas nulls coerce ints to float through the union; restore the
+    # left side's original dtypes after the merge
+    left_np_dtypes = {
+        c: left_schema.field(c).type.to_pandas_dtype() for c in left_names
+        if not pa.types.is_timestamp(left_schema.field(c).type)
+    }
+
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         lmask = g[side_col] == 0
         l = g[lmask].drop(columns=[side_col, *out_right_cols])
         r = g[~lmask][[on, by, *out_right_cols]]
+        l = l.astype({c: t for c, t in left_np_dtypes.items() if c in l.columns})
         if len(l) == 0:
-            return l
-        out = _merge_asof_frames(
+            out = l.copy()
+            for c in out_right_cols:
+                out[c] = pd.Series([], dtype=out_right_type[c].to_pandas_dtype())
+            return out
+        return _merge_asof_frames(
             l, r, on=on, by=by, tolerance=tolerance, direction=direction, right_cols=out_right_cols, suffix=suffix
         )
-        return out
 
     bucketed = grouped.with_bucket(both, by, num_buckets)
     return bucketed.groupby(grouped.BUCKET_COL).map_groups(

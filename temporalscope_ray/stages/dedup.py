@@ -148,7 +148,7 @@ def minhash_survivors(
     bands: int = 16,
     shingle_k: int = 5,
     seed: int = 7,
-    concurrency=4,
+    concurrency=(1, 4),
 ) -> ray.data.Dataset:
     """(id, canonical_id) pairs: canonical = min id over all shared LSH
     buckets (one hop)."""
@@ -178,7 +178,7 @@ def minhash_dedup(
     bands: int = 16,
     shingle_k: int = 5,
     seed: int = 7,
-    concurrency=4,
+    concurrency=(1, 4),
 ) -> ray.data.Dataset:
     """Keep rows whose id is its own cluster canonical (min over every
     bucket it shares)."""
@@ -235,7 +235,7 @@ def simhash_dedup(
     text_col: str,
     id_col: str,
     hamming_threshold: int = 3,
-    concurrency=4,
+    concurrency=(1, 4),
 ) -> ray.data.Dataset:
     """Candidates share a 16-bit chunk; verified by Hamming distance on
     the full 64-bit simhash inside the bucket; min-id canonical."""
@@ -282,7 +282,7 @@ def jaccard_dedup(
     num_perm: int = 64,
     bands: int = 16,
     seed: int = 7,
-    concurrency=4,
+    concurrency=(1, 4),
 ) -> ray.data.Dataset:
     """MinHash-LSH candidate generation + EXACT n-gram Jaccard
     verification inside each bucket (pairs below ``threshold`` are not
@@ -353,7 +353,7 @@ def embedding_dedup(
     threshold: float = 0.98,
     nbits: int = 8,
     seed: int = 11,
-    concurrency=4,
+    concurrency=(1, 4),
 ) -> ray.data.Dataset:
     """Cosine near-dup: hyperplane buckets (vectors with cosine ~1 agree
     on all sign bits with high probability), exact pairwise cosine

@@ -135,7 +135,7 @@ class AudioFeaturesStub:
 
 
 def add_image_features(
-    ds: ray.data.Dataset, *, strict: bool = True, concurrency=4, batch_size: int = DEFAULT_IMAGE_BATCH
+    ds: ray.data.Dataset, *, strict: bool = True, concurrency=(1, 4), batch_size: int = DEFAULT_IMAGE_BATCH
 ) -> ray.data.Dataset:
     return ds.map_batches(
         DecodeImageFeatures, batch_format="pandas", batch_size=batch_size,
@@ -144,7 +144,7 @@ def add_image_features(
 
 
 def resize_images(
-    ds: ray.data.Dataset, size: int, *, concurrency=4, batch_size: int = DEFAULT_IMAGE_BATCH
+    ds: ray.data.Dataset, size: int, *, concurrency=(1, 4), batch_size: int = DEFAULT_IMAGE_BATCH
 ) -> ray.data.Dataset:
     return ds.map_batches(
         ResizeImages, batch_format="pandas", batch_size=batch_size,
@@ -153,7 +153,7 @@ def resize_images(
 
 
 def add_audio_features(
-    ds: ray.data.Dataset, *, fake: bool = True, payload_col: str = "bytes", concurrency=4,
+    ds: ray.data.Dataset, *, fake: bool = True, payload_col: str = "bytes", concurrency=(1, 4),
     batch_size: int = DEFAULT_IMAGE_BATCH,
 ) -> ray.data.Dataset:
     return ds.map_batches(

@@ -55,7 +55,7 @@ def knn_brute(
     emb_col: str = "embedding",
     id_col: str = "vec_id",
     k: int = 10,
-    concurrency=4,
+    concurrency=(1, 4),
     batch_size: int = 4096,
 ) -> pd.DataFrame:
     """Exact cosine top-k per query row of ``queries`` (nq × dim).
@@ -102,7 +102,7 @@ def knn_lsh(
     nbits: int = 6,
     multiprobe: int = 1,
     seed: int = 13,
-    concurrency=4,
+    concurrency=(1, 4),
 ) -> pd.DataFrame:
     """Approximate top-k: vectors bucketed by ``nbits`` hyperplane sign
     bits (one shuffle); each query probes its own bucket plus buckets

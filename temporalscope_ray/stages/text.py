@@ -132,21 +132,21 @@ class Fingerprint:
         return batch
 
 
-def add_text_stats(ds: ray.data.Dataset, text_col: str = "text", *, concurrency=4, batch_size=4096) -> ray.data.Dataset:
+def add_text_stats(ds: ray.data.Dataset, text_col: str = "text", *, concurrency=(1, 4), batch_size=4096) -> ray.data.Dataset:
     return ds.map_batches(
         TextStats, batch_format="pandas", concurrency=concurrency, batch_size=batch_size,
         fn_constructor_args=(text_col,),
     )
 
 
-def add_lang_id(ds: ray.data.Dataset, text_col: str = "text", *, concurrency=4, batch_size=4096) -> ray.data.Dataset:
+def add_lang_id(ds: ray.data.Dataset, text_col: str = "text", *, concurrency=(1, 4), batch_size=4096) -> ray.data.Dataset:
     return ds.map_batches(
         LangId, batch_format="pandas", concurrency=concurrency, batch_size=batch_size,
         fn_constructor_args=(text_col,),
     )
 
 
-def add_fingerprint(ds: ray.data.Dataset, text_col: str = "text", *, concurrency=4, batch_size=4096) -> ray.data.Dataset:
+def add_fingerprint(ds: ray.data.Dataset, text_col: str = "text", *, concurrency=(1, 4), batch_size=4096) -> ray.data.Dataset:
     return ds.map_batches(
         Fingerprint, batch_format="pandas", concurrency=concurrency, batch_size=batch_size,
         fn_constructor_args=(text_col,),

@@ -197,6 +197,68 @@ def sessionize(
     return grouped.grouped_ordered_map(ds, id_col, [time_col], fn, num_buckets=num_buckets)
 
 
+def add_temporal_features(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str,
+    time_col: str,
+    value_cols: Sequence[str],
+    lags: Sequence[int] = (),
+    leads: Sequence[int] = (),
+    rolling_windows: Sequence[int] = (),
+    rolling_fns: Sequence[str] = ("mean",),
+    session_gap=None,
+    session_col: str = "session_id",
+    num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+    tiebreak: Optional[Sequence[str]] = None,
+) -> ray.data.Dataset:
+    """The flagship composite: lag/lead + rolling + sessionization in
+    ONE entity-bucket pass — a single shuffle feeds every kernel over
+    the same sorted bucket, instead of one exchange per feature family.
+    Output columns follow the individual operators' naming."""
+    bad = set(rolling_fns) - _ROLL_FNS
+    if bad:
+        raise ValueError(f"Unsupported rolling fns: {sorted(bad)}. Supported: {sorted(_ROLL_FNS)}")
+    order = [time_col, *(tiebreak or [])]
+    lags, leads = list(lags), list(leads)
+    windows = list(rolling_windows)
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.copy()
+        gb = g.groupby(id_col, sort=False)
+        for col in value_cols:
+            s = gb[col]
+            for k in lags:
+                out[f"{col}_lag_{k}"] = s.shift(k)
+            for k in leads:
+                out[f"{col}_lead_{k}"] = s.shift(-k)
+        for w in windows:
+            roll = gb[list(value_cols)].rolling(w, min_periods=1)
+            for f in rolling_fns:
+                res = getattr(roll, f)().reset_index(level=0, drop=True)
+                for col in value_cols:
+                    out[f"{col}_roll_{f}_{w}"] = res[col]
+        if session_gap is not None:
+            keys = g[id_col].to_numpy()
+            segs = grouped.entity_segments(keys)
+            ts = g[time_col].to_numpy()
+            breaks = np.zeros(len(g), dtype=np.int64)
+            if len(g) > 1:
+                gv = session_gap
+                if isinstance(gv, pd.Timedelta):
+                    gv = np.timedelta64(gv.to_timedelta64())
+                breaks[1:] = ((ts[1:] - ts[:-1]) > gv).astype(np.int64)
+            breaks[segs[:-1]] = 0
+            csum = np.cumsum(breaks)
+            base = np.zeros(len(g), dtype=np.int64)
+            for s, e in zip(segs[:-1], segs[1:]):
+                base[s:e] = csum[s]
+            out[session_col] = csum - base
+        return out
+
+    return grouped.grouped_ordered_map(ds, id_col, order, fn, num_buckets=num_buckets)
+
+
 def session_stats(
     ds: ray.data.Dataset,
     *,
