@@ -157,16 +157,17 @@ def phash64(pixels: np.ndarray, grid: int = 8) -> int:
     """
     gray = pixels.astype(np.float64).mean(axis=2)
     h, w = gray.shape
-    ys = (np.arange(grid + 1) * h) // grid
-    xs = (np.arange(grid + 1) * w) // grid
-    cells = np.empty((grid, grid))
-    for i in range(grid):
-        for j in range(grid):
-            cells[i, j] = gray[ys[i] : ys[i + 1], xs[j] : xs[j + 1]].mean()
+    if h % grid == 0 and w % grid == 0:
+        cells = gray.reshape(grid, h // grid, grid, w // grid).mean(axis=(1, 3))
+    else:
+        ys = (np.arange(grid + 1) * h) // grid
+        xs = (np.arange(grid + 1) * w) // grid
+        cells = np.empty((grid, grid))
+        for i in range(grid):
+            for j in range(grid):
+                cells[i, j] = gray[ys[i] : ys[i + 1], xs[j] : xs[j + 1]].mean()
     bits = (cells > np.median(cells)).flatten()
-    val = 0
-    for b in bits:
-        val = (val << 1) | int(b)
+    val = int.from_bytes(np.packbits(bits).tobytes(), "big")
     # to signed int64 range
     if val >= 1 << 63:
         val -= 1 << 64

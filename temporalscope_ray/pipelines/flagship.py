@@ -26,12 +26,11 @@ from .. import synth
 from ..dataset import TemporalDataset
 from ..stages.asof import asof_join
 from ..stages.multimodal import add_image_features
-from ..stages.shift import shift_column_per_entity
 from ..stages.window_features import add_temporal_features
 
 
 def temporal_feature_pipeline(
-    sf_dir: str, *, num_buckets: int = 32, concurrency=(1, 4)
+    sf_dir: str, *, num_buckets: int = 32, concurrency=8
 ) -> ray.data.Dataset:
     """events ⟕asof orders → lag/rolling/session features → target shift."""
     events = ray.data.read_parquet(
@@ -54,7 +53,8 @@ def temporal_feature_pipeline(
         events, order_state, on="ts", by="user_id", broadcast=True, concurrency=concurrency,
         right_cols=["o_totalprice"],
     )
-    feats = add_temporal_features(
+    # features AND the zero-leakage label shift in ONE bucket shuffle
+    return add_temporal_features(
         enriched,
         id_col="user_id",
         time_col="ts",
@@ -64,17 +64,13 @@ def temporal_feature_pipeline(
         rolling_windows=[4],
         rolling_fns=("mean", "sum"),
         session_gap=pd.Timedelta("30min"),
+        label_shift={"value_col": "value", "n": 1, "out_col": "value_shift_1"},
         num_buckets=num_buckets,
         tiebreak=["event_id"],
     )
-    labeled = shift_column_per_entity(
-        feats, value_col="value", id_col="user_id", time_col="ts", n=1,
-        out_col="value_shift_1", num_buckets=num_buckets, tiebreak=["event_id"],
-    )
-    return labeled
 
 
-_IMG_CACHE = "/tmp/tsray_image_tables"
+_IMG_CACHE = "/tmp/tsray_image_tables_v2"
 
 
 def image_table_for(sf_dir: str, rows_per_sf: int = 20_000) -> str:
@@ -85,28 +81,57 @@ def image_table_for(sf_dir: str, rows_per_sf: int = 20_000) -> str:
     num_rows = max(200, int(rows_per_sf * sf * 10))
     path = os.path.join(_IMG_CACHE, f"{name}_{num_rows}")
     return synth.materialize_image_table(path, num_rows, num_entities=max(4, num_rows // 50), seed=42,
-                                         num_blocks=8)
+                                         num_blocks=32)
+
+
+def image_pipeline_over(
+    path: str, *, num_buckets: int = 32, concurrency=8, with_decode: bool = True
+) -> ray.data.Dataset:
+    """The north-star pipeline over an image+caption table at ``path``.
+
+    The binary payload NEVER enters the shuffle: temporal features are
+    computed on the narrow (image_id, ts, target, feature_1) projection
+    and broadcast-merged back onto the payload stream
+    (`stages.payload.attach_features_broadcast`), then the decode actor
+    pool extracts pixel features. Payload bytes flow read -> map -> map;
+    shuffle bytes are ~2% of the table. The attach merge runs on a
+    small fixed pool, leaving CPUs for the decode pool and the read."""
+    ds = ray.data.read_parquet(path)
+
+    def features(narrow: ray.data.Dataset) -> ray.data.Dataset:
+        return add_temporal_features(
+            narrow,
+            id_col="image_id",
+            time_col="ts",
+            value_cols=["target", "feature_1"],
+            lags=[1],
+            rolling_windows=[4],
+            rolling_fns=("mean",),
+            session_gap=pd.Timedelta("10min"),
+            num_buckets=num_buckets,
+        )
+
+    from ..stages.payload import attach_features_broadcast
+
+    # split the CPU budget: the attach merge moves every payload byte
+    # (cheap per byte), the decode pool burns CPU per image; both must
+    # scale with the budget or one becomes the serial stage
+    budget = concurrency if isinstance(concurrency, int) else 8
+    attach_pool = max(1, budget // 4)
+    decode_pool = max(2, budget - attach_pool - 2)
+    feats = attach_features_broadcast(
+        ds, features, keys=["image_id", "ts"], narrow_cols=["image_id", "ts", "target", "feature_1"],
+        concurrency=attach_pool,
+    )
+    if with_decode:
+        feats = add_image_features(feats, concurrency=decode_pool)
+    return feats
 
 
 def image_feature_pipeline(
-    sf_dir: str, *, num_buckets: int = 32, concurrency=(1, 4), with_decode: bool = True
+    sf_dir: str, *, num_buckets: int = 32, concurrency=8, with_decode: bool = True
 ) -> ray.data.Dataset:
-    """The north-star pipeline over the image+caption event table:
-    temporal features per image entity (payload rides along) + decoded
-    image features from the actor pool."""
-    path = image_table_for(sf_dir)
-    ds = ray.data.read_parquet(path)
-    feats = add_temporal_features(
-        ds,
-        id_col="image_id",
-        time_col="ts",
-        value_cols=["target", "feature_1"],
-        lags=[1],
-        rolling_windows=[4],
-        rolling_fns=("mean",),
-        session_gap=pd.Timedelta("10min"),
-        num_buckets=num_buckets,
+    """`image_pipeline_over` on the cached sf-sized synthetic table."""
+    return image_pipeline_over(
+        image_table_for(sf_dir), num_buckets=num_buckets, concurrency=concurrency, with_decode=with_decode
     )
-    if with_decode:
-        feats = add_image_features(feats, concurrency=concurrency)
-    return feats

@@ -38,6 +38,7 @@ import ray
 import ray.data
 
 from . import grouped
+from .grouped import clamp_concurrency
 
 
 def _merge_asof_frames(
@@ -97,7 +98,7 @@ def asof_join(
     broadcast: Optional[bool] = None,
     broadcast_limit_rows: int = 5_000_000,
     num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
-    concurrency: int | tuple[int, int] = (1, 4),
+    concurrency: int | tuple[int, int] = 8,
 ) -> ray.data.Dataset:
     """Distributed as-of join. ``right_cols`` defaults to all non-key
     right columns; overlapping names get ``suffix``."""
@@ -121,7 +122,7 @@ def asof_join(
         return left.map_batches(
             _BroadcastAsof,
             batch_format="pandas",
-            concurrency=concurrency,
+            concurrency=clamp_concurrency(concurrency),
             fn_constructor_args=(right_ref, on, by, tolerance, direction, list(right_cols), suffix),
         )
 

@@ -25,23 +25,22 @@ import pyarrow as pa
 import ray.data
 
 from .asof import semi_join
+from .grouped import clamp_concurrency
 
 _MERSENNE = (1 << 61) - 1
 
 
-def _token_hashes(text: str, token_re: re.Pattern) -> np.ndarray:
-    toks = token_re.findall(text.lower())
-    if not toks:
+def hash_strings64(strings: list[str]) -> np.ndarray:
+    """Deterministic vectorized 64-bit string hashing
+    (``pd.util.hash_array`` uses a fixed key — stable across processes,
+    and C-speed instead of a per-byte Python loop)."""
+    if not strings:
         return np.array([], dtype=np.uint64)
-    return np.array([hash_str64(t) for t in toks], dtype=np.uint64)
+    return pd.util.hash_array(np.asarray(strings, dtype=object))
 
 
-def hash_str64(s: str) -> int:
-    """Deterministic 64-bit string hash (FNV-1a; process-independent)."""
-    h = 0xCBF29CE484222325
-    for b in s.encode("utf-8"):
-        h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
+def _token_hashes(text: str, token_re: re.Pattern) -> np.ndarray:
+    return hash_strings64(token_re.findall(text.lower()))
 
 
 def shingle_hashes(text: str, k: int, token_re: re.Pattern) -> np.ndarray:
@@ -51,7 +50,63 @@ def shingle_hashes(text: str, k: int, token_re: re.Pattern) -> np.ndarray:
         joined = [" ".join(toks)] if toks else []
     else:
         joined = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-    return np.array([hash_str64(s) for s in joined], dtype=np.uint64)
+    return hash_strings64(joined)
+
+
+# ---------------------------------------------------------------------------
+# shared canonicalization machinery
+# ---------------------------------------------------------------------------
+
+def _canonical_via_buckets(
+    exploded: ray.data.Dataset,
+    *,
+    id_col: str,
+    group_cols: Sequence[str],
+    verify_fn=None,
+    num_buckets: int = 64,
+):
+    """(id, canonical) links from an exploded (group_key..., id) table.
+
+    Ray's ``groupby(fine_key).map_groups`` costs one Python call per
+    group — catastrophic for LSH tables with ~1 group per row. Instead
+    the fine groups are HASH-COARSENED into ``num_buckets`` buckets
+    (every fine group lands wholly in one bucket), one shuffle
+    co-locates them, and inside each bucket a single vectorized pandas
+    ``groupby(...).transform("min")`` (or ``verify_fn`` per fine group
+    for verified variants) computes the per-group min id.
+
+    Returns the survivor id Dataset (ids that are their own canonical
+    min across every group they belong to).
+    """
+    group_cols = list(group_cols)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        df_keys = t.select(group_cols).to_pandas()
+        h = pd.util.hash_pandas_object(df_keys, index=False).to_numpy()
+        return t.append_column("__gbucket__", pa.array((h % np.uint64(num_buckets)).astype(np.int32)))
+
+    bucketed = exploded.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+
+    def links(g: pd.DataFrame) -> pd.DataFrame:
+        if verify_fn is None:
+            canon = g.groupby(group_cols, sort=False)[id_col].transform("min")
+            out = pd.DataFrame({id_col: g[id_col], "canonical": canon})
+        else:
+            parts = [verify_fn(sub) for _, sub in g.groupby(group_cols, sort=False)]
+            out = pd.concat(parts, ignore_index=True) if parts else pd.DataFrame({id_col: [], "canonical": []})
+        # pre-reduce within the bucket: one row per id
+        return out.groupby(id_col, as_index=False)["canonical"].min()
+
+    linked = bucketed.groupby("__gbucket__").map_groups(
+        lambda g: links(g.drop(columns=["__gbucket__"])), batch_format="pandas"
+    )
+    from ray.data.aggregate import Min
+
+    canon = linked.groupby(id_col).aggregate(Min("canonical", alias_name="canonical"))
+    return canon.map_batches(
+        lambda t: t.filter(pa.compute.equal(t.column(id_col), t.column("canonical"))).select([id_col]),
+        batch_format="pyarrow",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -148,25 +203,18 @@ def minhash_survivors(
     bands: int = 16,
     shingle_k: int = 5,
     seed: int = 7,
-    concurrency=(1, 4),
+    concurrency=8,
 ) -> ray.data.Dataset:
     """(id, canonical_id) pairs: canonical = min id over all shared LSH
     buckets (one hop)."""
     exploded = ds.select_columns([id_col, text_col]).map_batches(
         MinHasher,
         batch_format="pandas",
-        concurrency=concurrency,
+        concurrency=clamp_concurrency(concurrency),
         fn_constructor_args=(text_col, id_col, num_perm, bands, shingle_k, seed),
     )
 
-    def bucket_min(g: pd.DataFrame) -> pd.DataFrame:
-        m = g[id_col].min()
-        return pd.DataFrame({id_col: g[id_col], "canonical": m})
-
-    linked = exploded.groupby(["band_id", "band_hash"]).map_groups(bucket_min, batch_format="pandas")
-    from ray.data.aggregate import Min
-
-    return linked.groupby(id_col).aggregate(Min("canonical", alias_name="canonical"))
+    return _canonical_via_buckets(exploded, id_col=id_col, group_cols=["band_id", "band_hash"])
 
 
 def minhash_dedup(
@@ -178,17 +226,13 @@ def minhash_dedup(
     bands: int = 16,
     shingle_k: int = 5,
     seed: int = 7,
-    concurrency=(1, 4),
+    concurrency=8,
 ) -> ray.data.Dataset:
     """Keep rows whose id is its own cluster canonical (min over every
     bucket it shares)."""
-    canon = minhash_survivors(
+    keep = minhash_survivors(
         ds, text_col=text_col, id_col=id_col, num_perm=num_perm, bands=bands,
-        shingle_k=shingle_k, seed=seed, concurrency=concurrency,
-    )
-    keep = canon.map_batches(
-        lambda t: t.filter(pa.compute.equal(t.column(id_col), t.column("canonical"))).select([id_col]),
-        batch_format="pyarrow",
+        shingle_k=shingle_k, seed=seed, concurrency=clamp_concurrency(concurrency),
     )
     return semi_join(ds, keep, id_col)
 
@@ -235,12 +279,12 @@ def simhash_dedup(
     text_col: str,
     id_col: str,
     hamming_threshold: int = 3,
-    concurrency=(1, 4),
+    concurrency=8,
 ) -> ray.data.Dataset:
     """Candidates share a 16-bit chunk; verified by Hamming distance on
     the full 64-bit simhash inside the bucket; min-id canonical."""
     exploded = ds.select_columns([id_col, text_col]).map_batches(
-        SimHasher, batch_format="pandas", concurrency=concurrency,
+        SimHasher, batch_format="pandas", concurrency=clamp_concurrency(concurrency),
         fn_constructor_args=(text_col, id_col),
     )
 
@@ -257,13 +301,8 @@ def simhash_dedup(
                 canon[i] = min(canon[i], canon[close[0]])
         return pd.DataFrame({id_col: ids, "canonical": canon})
 
-    linked = exploded.groupby(["chunk_id", "chunk_val"]).map_groups(bucket_verify, batch_format="pandas")
-    from ray.data.aggregate import Min
-
-    canon = linked.groupby(id_col).aggregate(Min("canonical", alias_name="canonical"))
-    keep = canon.map_batches(
-        lambda t: t.filter(pa.compute.equal(t.column(id_col), t.column("canonical"))).select([id_col]),
-        batch_format="pyarrow",
+    keep = _canonical_via_buckets(
+        exploded, id_col=id_col, group_cols=["chunk_id", "chunk_val"], verify_fn=bucket_verify
     )
     return semi_join(ds, keep, id_col)
 
@@ -282,7 +321,7 @@ def jaccard_dedup(
     num_perm: int = 64,
     bands: int = 16,
     seed: int = 7,
-    concurrency=(1, 4),
+    concurrency=8,
 ) -> ray.data.Dataset:
     """MinHash-LSH candidate generation + EXACT n-gram Jaccard
     verification inside each bucket (pairs below ``threshold`` are not
@@ -291,7 +330,7 @@ def jaccard_dedup(
     token_re_src = r"\w+"
 
     exploded = ds.select_columns([id_col, text_col]).map_batches(
-        MinHasher, batch_format="pandas", concurrency=concurrency,
+        MinHasher, batch_format="pandas", concurrency=clamp_concurrency(concurrency),
         fn_constructor_args=(text_col, id_col, num_perm, bands, shingle_k, seed, True),
     )
 
@@ -312,13 +351,8 @@ def jaccard_dedup(
                     break
         return pd.DataFrame({id_col: ids, "canonical": canon})
 
-    linked = exploded.groupby(["band_id", "band_hash"]).map_groups(bucket_verify, batch_format="pandas")
-    from ray.data.aggregate import Min
-
-    canon = linked.groupby(id_col).aggregate(Min("canonical", alias_name="canonical"))
-    keep = canon.map_batches(
-        lambda t: t.filter(pa.compute.equal(t.column(id_col), t.column("canonical"))).select([id_col]),
-        batch_format="pyarrow",
+    keep = _canonical_via_buckets(
+        exploded, id_col=id_col, group_cols=["band_id", "band_hash"], verify_fn=bucket_verify
     )
     return semi_join(ds, keep, id_col)
 
@@ -353,14 +387,14 @@ def embedding_dedup(
     threshold: float = 0.98,
     nbits: int = 8,
     seed: int = 11,
-    concurrency=(1, 4),
+    concurrency=8,
 ) -> ray.data.Dataset:
     """Cosine near-dup: hyperplane buckets (vectors with cosine ~1 agree
     on all sign bits with high probability), exact pairwise cosine
     verification per bucket, min-id canonical."""
     dim = len(ds.take(1)[0][emb_col])
     bucketed = ds.select_columns([id_col, emb_col]).map_batches(
-        HyperplaneBucketer, batch_format="pandas", concurrency=concurrency,
+        HyperplaneBucketer, batch_format="pandas", concurrency=clamp_concurrency(concurrency),
         fn_constructor_args=(emb_col, id_col, dim, nbits, seed),
     )
 
@@ -379,12 +413,5 @@ def embedding_dedup(
                 canon[i] = min(canon[i], canon[close[0]])
         return pd.DataFrame({id_col: ids, "canonical": canon})
 
-    linked = bucketed.groupby("bucket").map_groups(bucket_verify, batch_format="pandas")
-    from ray.data.aggregate import Min
-
-    canon = linked.groupby(id_col).aggregate(Min("canonical", alias_name="canonical"))
-    keep = canon.map_batches(
-        lambda t: t.filter(pa.compute.equal(t.column(id_col), t.column("canonical"))).select([id_col]),
-        batch_format="pyarrow",
-    )
+    keep = _canonical_via_buckets(bucketed, id_col=id_col, group_cols=["bucket"], verify_fn=bucket_verify)
     return semi_join(ds, keep, id_col)

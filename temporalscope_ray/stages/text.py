@@ -15,6 +15,8 @@ import numpy as np
 import pandas as pd
 import ray.data
 
+from .grouped import clamp_concurrency
+
 # tiny built-in stopword lists (public, common words) for the n-gram /
 # stopword language heuristic
 _STOPWORDS = {
@@ -132,22 +134,22 @@ class Fingerprint:
         return batch
 
 
-def add_text_stats(ds: ray.data.Dataset, text_col: str = "text", *, concurrency=(1, 4), batch_size=4096) -> ray.data.Dataset:
+def add_text_stats(ds: ray.data.Dataset, text_col: str = "text", *, concurrency=8, batch_size=4096) -> ray.data.Dataset:
     return ds.map_batches(
-        TextStats, batch_format="pandas", concurrency=concurrency, batch_size=batch_size,
+        TextStats, batch_format="pandas", concurrency=clamp_concurrency(concurrency), batch_size=batch_size,
         fn_constructor_args=(text_col,),
     )
 
 
-def add_lang_id(ds: ray.data.Dataset, text_col: str = "text", *, concurrency=(1, 4), batch_size=4096) -> ray.data.Dataset:
+def add_lang_id(ds: ray.data.Dataset, text_col: str = "text", *, concurrency=8, batch_size=4096) -> ray.data.Dataset:
     return ds.map_batches(
-        LangId, batch_format="pandas", concurrency=concurrency, batch_size=batch_size,
+        LangId, batch_format="pandas", concurrency=clamp_concurrency(concurrency), batch_size=batch_size,
         fn_constructor_args=(text_col,),
     )
 
 
-def add_fingerprint(ds: ray.data.Dataset, text_col: str = "text", *, concurrency=(1, 4), batch_size=4096) -> ray.data.Dataset:
+def add_fingerprint(ds: ray.data.Dataset, text_col: str = "text", *, concurrency=8, batch_size=4096) -> ray.data.Dataset:
     return ds.map_batches(
-        Fingerprint, batch_format="pandas", concurrency=concurrency, batch_size=batch_size,
+        Fingerprint, batch_format="pandas", concurrency=clamp_concurrency(concurrency), batch_size=batch_size,
         fn_constructor_args=(text_col,),
     )

@@ -25,6 +25,70 @@ import ray.data
 from . import grouped
 
 _ROLL_FNS = {"mean", "sum", "min", "max", "std", "count"}
+_FAST_ROLL_FNS = {"mean", "sum", "count"}
+
+
+# ---------------------------------------------------------------------------
+# vectorized segment kernels (no per-group pandas objects — a hot Zipf
+# entity bucket with ~1M rows must cost milliseconds, not seconds;
+# pandas groupby.rolling was measured as a 15 s straggler task)
+# ---------------------------------------------------------------------------
+
+def _segment_ids(segs: np.ndarray) -> np.ndarray:
+    """Row -> segment ordinal, from entity_segments offsets."""
+    lens = np.diff(segs)
+    return np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+
+
+def _seg_shift(values: np.ndarray, seg_id: np.ndarray, k: int) -> np.ndarray:
+    """Per-segment shift by k (k>0 = lag/past, k<0 = lead/future),
+    NaN outside the segment. Fully vectorized."""
+    n = len(values)
+    out = np.full(n, np.nan)
+    if n == 0 or k == 0:
+        return values.astype(np.float64, copy=True) if k == 0 else out
+    a = abs(k)
+    if a >= n:
+        return out
+    if k > 0:
+        valid = seg_id[a:] == seg_id[:-a]
+        out[a:][valid] = values[:-a][valid]
+    else:
+        valid = seg_id[:-a] == seg_id[a:]
+        out[:-a][valid] = values[a:][valid]
+    return out
+
+
+def _seg_rolling(values: np.ndarray, seg_start: np.ndarray, window: int, min_periods: int = 1):
+    """Trailing ROWS-window sum/count per segment via one cumsum:
+    ``lo = max(seg_start, i-window+1)``; sum = csum[i] - csum[lo-1].
+    Returns (sum, count) float64 arrays."""
+    n = len(values)
+    if n == 0:
+        return np.array([]), np.array([])
+    csum = np.concatenate(([0.0], np.cumsum(values, dtype=np.float64)))
+    idx = np.arange(n, dtype=np.int64)
+    lo = np.maximum(seg_start, idx - window + 1)
+    s = csum[idx + 1] - csum[lo]
+    cnt = (idx - lo + 1).astype(np.float64)
+    if min_periods > 1:
+        s = np.where(cnt >= min_periods, s, np.nan)
+    return s, cnt
+
+
+def _seg_session_ids(ts: np.ndarray, segs: np.ndarray, gap) -> np.ndarray:
+    """0-based per-entity session index from gap breaks (vectorized)."""
+    n = len(ts)
+    breaks = np.zeros(n, dtype=np.int64)
+    if n > 1:
+        gv = gap
+        if isinstance(gv, pd.Timedelta):
+            gv = np.timedelta64(gv.to_timedelta64())
+        breaks[1:] = (ts[1:] - ts[:-1] > gv).astype(np.int64)
+    breaks[segs[:-1]] = 0
+    csum = np.cumsum(breaks)
+    base = np.repeat(csum[segs[:-1]], np.diff(segs))
+    return csum - base
 
 
 def add_lag_lead_features(
@@ -46,14 +110,14 @@ def add_lag_lead_features(
     leads = list(leads)
 
     def fn(g: pd.DataFrame) -> pd.DataFrame:
-        gb = g.groupby(id_col, sort=False)
         out = g.copy()
+        seg_id = _segment_ids(grouped.entity_segments(g[id_col].to_numpy()))
         for col in value_cols:
-            s = gb[col]
+            v = g[col].to_numpy(dtype=np.float64)
             for k in lags:
-                out[f"{col}_lag_{k}"] = s.shift(k)
+                out[f"{col}_lag_{k}"] = _seg_shift(v, seg_id, k)
             for k in leads:
-                out[f"{col}_lead_{k}"] = s.shift(-k)
+                out[f"{col}_lead_{k}"] = _seg_shift(v, seg_id, -k)
         return out
 
     return grouped.grouped_ordered_map(ds, id_col, order, fn, num_buckets=num_buckets)
@@ -81,11 +145,26 @@ def add_rolling_features(
 
     def fn(g: pd.DataFrame) -> pd.DataFrame:
         out = g.copy()
-        roll = g.groupby(id_col, sort=False)[list(value_cols)].rolling(window, min_periods=min_periods)
-        for f in fns:
-            res = getattr(roll, f)().reset_index(level=0, drop=True)
-            for col in value_cols:
-                out[f"{col}_roll_{f}_{window}"] = res[col]
+        segs = grouped.entity_segments(g[id_col].to_numpy())
+        seg_start = np.repeat(segs[:-1], np.diff(segs))
+        fast = set(fns) & _FAST_ROLL_FNS
+        slow = set(fns) - _FAST_ROLL_FNS
+        for col in value_cols:
+            v = g[col].to_numpy(dtype=np.float64)
+            if fast:
+                s, cnt = _seg_rolling(v, seg_start, window, min_periods)
+                if "sum" in fast:
+                    out[f"{col}_roll_sum_{window}"] = s
+                if "mean" in fast:
+                    out[f"{col}_roll_mean_{window}"] = s / cnt
+                if "count" in fast:
+                    out[f"{col}_roll_count_{window}"] = cnt
+        if slow:  # min/max/std fall back to pandas rolling
+            roll = g.groupby(id_col, sort=False)[list(value_cols)].rolling(window, min_periods=min_periods)
+            for f in sorted(slow):
+                res = getattr(roll, f)().reset_index(level=0, drop=True)
+                for col in value_cols:
+                    out[f"{col}_roll_{f}_{window}"] = res[col]
         return out
 
     return grouped.grouped_ordered_map(ds, id_col, order, fn, num_buckets=num_buckets)
@@ -170,28 +249,9 @@ def sessionize(
     gap_val = gap
 
     def fn(g: pd.DataFrame) -> pd.DataFrame:
-        keys = g[id_col].to_numpy()
-        segs = grouped.entity_segments(keys)
-        ts = g[time_col].to_numpy()
-        out_sessions = np.zeros(len(g), dtype=np.int64)
-        if len(g):
-            deltas = np.empty(len(g), dtype="object")
-            breaks = np.zeros(len(g), dtype=np.int64)
-            diff = ts[1:] - ts[:-1]
-            gv = gap_val
-            if isinstance(gv, pd.Timedelta):
-                gv = np.timedelta64(gv.to_timedelta64())
-            breaks[1:] = (diff > gv).astype(np.int64)
-            breaks[segs[:-1]] = 0  # entity starts reset the break flag
-            csum = np.cumsum(breaks)
-            # per-entity rebase: subtract cumsum at each segment start
-            base = np.zeros(len(g), dtype=np.int64)
-            for s, e in zip(segs[:-1], segs[1:]):
-                base[s:e] = csum[s]
-            out_sessions = csum - base
-            del deltas
+        segs = grouped.entity_segments(g[id_col].to_numpy())
         out = g.copy()
-        out[session_col] = out_sessions
+        out[session_col] = _seg_session_ids(g[time_col].to_numpy(), segs, gap_val)
         return out
 
     return grouped.grouped_ordered_map(ds, id_col, [time_col], fn, num_buckets=num_buckets)
@@ -209,13 +269,20 @@ def add_temporal_features(
     rolling_fns: Sequence[str] = ("mean",),
     session_gap=None,
     session_col: str = "session_id",
+    label_shift: Optional[dict] = None,
     num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
     tiebreak: Optional[Sequence[str]] = None,
 ) -> ray.data.Dataset:
-    """The flagship composite: lag/lead + rolling + sessionization in
-    ONE entity-bucket pass — a single shuffle feeds every kernel over
-    the same sorted bucket, instead of one exchange per feature family.
-    Output columns follow the individual operators' naming."""
+    """The flagship composite: lag/lead + rolling + sessionization (+
+    optionally the zero-leakage label shift) in ONE entity-bucket pass
+    — a single shuffle feeds every kernel over the same sorted bucket,
+    instead of one exchange per feature family. Output columns follow
+    the individual operators' naming.
+
+    ``label_shift={"value_col": ..., "n": 1, "out_col": ...}`` appends
+    the shifter's lead label and drops the tail rows per entity (the
+    reference shifter contract, single_step.py:265-301) without a
+    second shuffle."""
     bad = set(rolling_fns) - _ROLL_FNS
     if bad:
         raise ValueError(f"Unsupported rolling fns: {sorted(bad)}. Supported: {sorted(_ROLL_FNS)}")
@@ -223,37 +290,45 @@ def add_temporal_features(
     lags, leads = list(lags), list(leads)
     windows = list(rolling_windows)
 
+    fast = set(rolling_fns) & _FAST_ROLL_FNS
+    slow = set(rolling_fns) - _FAST_ROLL_FNS
+
     def fn(g: pd.DataFrame) -> pd.DataFrame:
         out = g.copy()
-        gb = g.groupby(id_col, sort=False)
-        for col in value_cols:
-            s = gb[col]
+        segs = grouped.entity_segments(g[id_col].to_numpy())
+        seg_id = _segment_ids(segs)
+        seg_start = np.repeat(segs[:-1], np.diff(segs))
+        vals = {col: g[col].to_numpy(dtype=np.float64) for col in value_cols}
+        for col, v in vals.items():
             for k in lags:
-                out[f"{col}_lag_{k}"] = s.shift(k)
+                out[f"{col}_lag_{k}"] = _seg_shift(v, seg_id, k)
             for k in leads:
-                out[f"{col}_lead_{k}"] = s.shift(-k)
+                out[f"{col}_lead_{k}"] = _seg_shift(v, seg_id, -k)
         for w in windows:
-            roll = gb[list(value_cols)].rolling(w, min_periods=1)
-            for f in rolling_fns:
-                res = getattr(roll, f)().reset_index(level=0, drop=True)
-                for col in value_cols:
-                    out[f"{col}_roll_{f}_{w}"] = res[col]
+            for col, v in vals.items():
+                if fast:
+                    s, cnt = _seg_rolling(v, seg_start, w)
+                    if "sum" in fast:
+                        out[f"{col}_roll_sum_{w}"] = s
+                    if "mean" in fast:
+                        out[f"{col}_roll_mean_{w}"] = s / cnt
+                    if "count" in fast:
+                        out[f"{col}_roll_count_{w}"] = cnt
+            if slow:
+                roll = g.groupby(id_col, sort=False)[list(value_cols)].rolling(w, min_periods=1)
+                for f in sorted(slow):
+                    res = getattr(roll, f)().reset_index(level=0, drop=True)
+                    for col in value_cols:
+                        out[f"{col}_roll_{f}_{w}"] = res[col]
         if session_gap is not None:
-            keys = g[id_col].to_numpy()
-            segs = grouped.entity_segments(keys)
-            ts = g[time_col].to_numpy()
-            breaks = np.zeros(len(g), dtype=np.int64)
-            if len(g) > 1:
-                gv = session_gap
-                if isinstance(gv, pd.Timedelta):
-                    gv = np.timedelta64(gv.to_timedelta64())
-                breaks[1:] = ((ts[1:] - ts[:-1]) > gv).astype(np.int64)
-            breaks[segs[:-1]] = 0
-            csum = np.cumsum(breaks)
-            base = np.zeros(len(g), dtype=np.int64)
-            for s, e in zip(segs[:-1], segs[1:]):
-                base[s:e] = csum[s]
-            out[session_col] = csum - base
+            out[session_col] = _seg_session_ids(g[time_col].to_numpy(), segs, session_gap)
+        if label_shift is not None:
+            n = label_shift.get("n", 1)
+            vcol = label_shift["value_col"]
+            ocol = label_shift.get("out_col", f"{vcol}_shift_{n}")
+            lead = _seg_shift(vals.get(vcol, g[vcol].to_numpy(dtype=np.float64)), seg_id, -n)
+            out[ocol] = lead
+            out = out[~np.isnan(lead)]
         return out
 
     return grouped.grouped_ordered_map(ds, id_col, order, fn, num_buckets=num_buckets)
@@ -275,21 +350,9 @@ def session_stats(
     gap_val = gap
 
     def fn(g: pd.DataFrame) -> pd.DataFrame:
-        keys = g[id_col].to_numpy()
-        segs = grouped.entity_segments(keys)
+        segs = grouped.entity_segments(g[id_col].to_numpy())
         ts = g[time_col].to_numpy()
-        breaks = np.zeros(len(g), dtype=np.int64)
-        if len(g) > 1:
-            gv = gap_val
-            if isinstance(gv, pd.Timedelta):
-                gv = np.timedelta64(gv.to_timedelta64())
-            breaks[1:] = ((ts[1:] - ts[:-1]) > gv).astype(np.int64)
-        breaks[segs[:-1]] = 0
-        csum = np.cumsum(breaks)
-        base = np.zeros(len(g), dtype=np.int64)
-        for s, e in zip(segs[:-1], segs[1:]):
-            base[s:e] = csum[s]
-        sess = csum - base
+        sess = _seg_session_ids(ts, segs, gap_val)
         tmp = pd.DataFrame({id_col: g[id_col].to_numpy(), "session_id": sess, time_col: ts})
         aggs = {"n_events": (time_col, "size"), "session_start": (time_col, "min"), "session_end": (time_col, "max")}
         if value_col is not None:

@@ -278,6 +278,62 @@ def generate_image_caption_table(
     return ray.data.from_items(specs).map_batches(gen, batch_format="pyarrow", batch_size=1)
 
 
+def generate_events_table(
+    num_rows: int,
+    num_users: Optional[int] = None,
+    *,
+    seed: int = 42,
+    num_blocks: int = 32,
+    alpha: float = 1.1,
+) -> ray.data.Dataset:
+    """Large synthetic events table for compute-dominated benchmarks:
+    ``(event_id, ts, user_id, value)``, Zipf-skewed users, per-user
+    strictly increasing ts. Same counter-hash determinism as the other
+    generators."""
+    if num_users is None:
+        num_users = max(1, num_rows // 100)
+    offsets = zipf_entity_offsets(num_rows, num_users, alpha)
+    epoch_us = 1672531200000000
+
+    def gen(batch: pa.Table) -> pa.Table:
+        tables = []
+        for spec in batch.to_pylist():
+            start, stop = spec["start"], spec["stop"]
+            idx = np.arange(start, stop, dtype=np.int64)
+            ent = np.searchsorted(offsets, idx, side="right") - 1
+            occ = idx - offsets[ent]
+            cadence_us = (30 + (ent % 90)) * 1_000_000
+            ts = epoch_us + occ * cadence_us + ent
+            tables.append(
+                pa.table(
+                    {
+                        "event_id": pa.array(idx),
+                        "ts": pa.array(ts, type=pa.timestamp("us")),
+                        "user_id": pa.array(ent),
+                        "value": pa.array(hash_uniform(seed, 201, idx), type=pa.float64()),
+                    }
+                )
+            )
+        return pa.concat_tables(tables)
+
+    specs = _block_specs(num_rows, num_blocks)
+    return ray.data.from_items(specs).map_batches(gen, batch_format="pyarrow", batch_size=1)
+
+
+def materialize_events_table(path: str, num_rows: int, **kwargs) -> str:
+    """Cache the XL events table as parquet; returns the path."""
+    import os
+
+    done = os.path.join(path, "_SUCCESS")
+    if os.path.exists(done):
+        return path
+    os.makedirs(path, exist_ok=True)
+    generate_events_table(num_rows, **kwargs).write_parquet(path)
+    with open(done, "w") as f:
+        f.write("ok")
+    return path
+
+
 def materialize_image_table(path: str, num_rows: int, **kwargs) -> str:
     """Write the synthetic image table to parquet (cached fixture for
     tests / bench / queries). Returns the path."""

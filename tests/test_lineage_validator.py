@@ -1,0 +1,143 @@
+"""Lineage/checkpoint-resume and DatasetValidator tests."""
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from temporalscope_ray.state import lineage
+from temporalscope_ray.validator import DatasetValidator
+
+
+def events_df(n=200, entities=10, seed=0):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame(
+        {
+            "user_id": rng.integers(0, entities, n),
+            "ts": np.arange(n, dtype=np.float64),
+            "value": rng.normal(size=n),
+        }
+    )
+
+
+def test_run_partitioned_writes_and_resumes(tmp_path):
+    out = str(tmp_path / "out")
+    df = events_df()
+    ds = ray.data.from_pandas(df)
+
+    def feat(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"])
+        g["value_lag_1"] = g.groupby("user_id")["value"].shift(1)
+        return g
+
+    summary = lineage.run_partitioned(ds, key="user_id", out_dir=out, num_buckets=8, transform=feat, time_col="ts")
+    assert summary["buckets_skipped"] == 0
+    assert summary["rows_written"] == len(df)
+    assert lineage.validate_manifest(out)
+
+    # read back: all rows present, feature computed
+    back = lineage.read_partitioned(out).to_pandas()
+    assert len(back) == len(df)
+    assert "value_lag_1" in back.columns
+
+    # resume: everything already done → nothing recomputed
+    summary2 = lineage.run_partitioned(ds, key="user_id", out_dir=out, num_buckets=8, transform=feat, time_col="ts")
+    assert summary2["buckets_written"] == 0
+    assert summary2["buckets_skipped"] == summary["buckets_written"]
+
+
+def test_run_partitioned_partial_resume(tmp_path):
+    out = str(tmp_path / "out")
+    df = events_df()
+    ds = ray.data.from_pandas(df)
+    full = lineage.run_partitioned(ds, key="user_id", out_dir=out, num_buckets=8, time_col="ts")
+    total_buckets = full["buckets_written"]
+    assert total_buckets > 1
+
+    # simulate a partially-failed run: delete half the lineage records + outputs
+    recs = lineage.completed_buckets(out)
+    victims = sorted(recs.keys())[: total_buckets // 2]
+    for b in victims:
+        os.remove(os.path.join(out, "_lineage", f"bucket-{b:04d}.json"))
+        shutil.rmtree(os.path.join(out, f"bucket={b:04d}"))
+
+    resumed = lineage.run_partitioned(ds, key="user_id", out_dir=out, num_buckets=8, time_col="ts")
+    assert resumed["buckets_written"] == len(victims)
+    assert resumed["buckets_skipped"] == total_buckets - len(victims)
+    back = lineage.read_partitioned(out).to_pandas()
+    assert len(back) == len(df)
+    assert lineage.validate_manifest(out)
+
+
+def test_lineage_records_contents(tmp_path):
+    out = str(tmp_path / "out")
+    ds = ray.data.from_pandas(events_df(50, entities=3))
+    lineage.run_partitioned(ds, key="user_id", out_dir=out, num_buckets=4, time_col="ts")
+    recs = lineage.completed_buckets(out)
+    rec = next(iter(recs.values()))
+    for field in ("partition_id", "key", "num_buckets", "row_count", "byte_size", "watermark", "checksum", "wall_secs", "output"):
+        assert field in rec
+    assert rec["key"] == "user_id"
+
+
+def make_valid_ds(n=5000, k=5):
+    rng = np.random.default_rng(1)
+    data = {"time": np.arange(n, dtype=np.float64), "target": rng.normal(size=n)}
+    for i in range(k):
+        data[f"feature_{i}"] = rng.normal(size=n)
+    return ray.data.from_pandas(pd.DataFrame(data))
+
+
+def test_validator_all_pass():
+    v = DatasetValidator(time_col="time", target_col="target")
+    results = v.fit_transform(make_valid_ds())
+    assert all(r.passed for r in results.values()), {k: r.message for k, r in results.items() if not r.passed}
+
+
+def test_validator_sample_size_bounds():
+    v = DatasetValidator(time_col="time", target_col="target", min_samples=10, max_samples=20)
+    with pytest.warns(UserWarning, match="more than recommended maximum"):
+        res = v.fit_transform(make_valid_ds(100))
+    assert not res["sample_size"].passed
+
+
+def test_validator_feature_variability_fails_on_constant():
+    n = 5000
+    rng = np.random.default_rng(2)
+    df = pd.DataFrame(
+        {
+            "time": np.arange(n, dtype=np.float64),
+            "target": rng.normal(size=n),
+            "feature_0": np.ones(n),
+            "feature_1": rng.normal(size=n),
+            "feature_2": rng.normal(size=n),
+            "feature_3": rng.normal(size=n),
+        }
+    )
+    v = DatasetValidator(time_col="time", target_col="target")
+    with pytest.warns(UserWarning, match="insufficient variability"):
+        res = v.fit_transform(ray.data.from_pandas(df))
+    assert not res["feature_variability"].passed
+    assert res["feature_variability"].details["feature_0"] == 1
+
+
+def test_validator_fit_rejects_nulls_and_non_numeric():
+    df = pd.DataFrame({"time": [1.0, 2.0], "target": [1.0, None], "feature_0": [1.0, 2.0]})
+    v = DatasetValidator(time_col="time", target_col="target")
+    with pytest.raises(ValueError, match="Null values found in columns"):
+        v.fit(ray.data.from_pandas(df))
+    df2 = pd.DataFrame({"time": [1.0], "target": [1.0], "feature_0": ["x"]})
+    with pytest.raises(ValueError, match="Column 'feature_0' must be numeric"):
+        v.fit(ray.data.from_pandas(df2))
+
+
+def test_validator_checks_subset():
+    v = DatasetValidator(time_col="time", target_col="target", checks_to_run=["sample_size"])
+    res = v.fit_transform(make_valid_ds())
+    assert set(res.keys()) == {"sample_size"}
+    with pytest.raises(ValueError, match="Invalid checks"):
+        DatasetValidator(time_col="t", target_col="y", checks_to_run=["bogus"])

@@ -1,0 +1,79 @@
+"""End-to-end pipeline tests: flagship parity, image pipeline invariants
+(PSNR >= 40 dB / exact decode + caption equality — the north-rule
+per-row payload contract), payload attach semantics, dataset loader."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from temporalscope_ray import codec, synth
+from temporalscope_ray.pipelines.flagship import image_pipeline_over, temporal_feature_pipeline
+from temporalscope_ray.sources import AVAILABLE_DATASETS, DatasetLoader
+from temporalscope_ray.stages.payload import attach_features_broadcast
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_flagship_pipeline_schema_and_leakage():
+    out = temporal_feature_pipeline(SF, num_buckets=8).to_pandas()
+    assert len(out) > 0
+    expected = {"event_id", "ts", "user_id", "value", "o_totalprice", "value_lag_1", "value_lag_2",
+                "value_roll_mean_4", "value_roll_sum_4", "session_id", "value_shift_1"}
+    assert expected <= set(out.columns)
+    # zero leakage: the label is the NEXT value per user; rolling uses only the past
+    g = out.sort_values(["user_id", "ts"]).groupby("user_id")
+    lead = g["value"].shift(-1)
+    # within the pipeline output, value_shift_1 == next row's value where next row exists
+    chk = out.sort_values(["user_id", "ts"]).assign(lead=lead).dropna(subset=["lead"])
+    assert np.allclose(chk["value_shift_1"], chk["lead"])
+
+
+def test_image_pipeline_payload_invariants(tmp_path):
+    path = str(tmp_path / "imgs")
+    synth.materialize_image_table(path, 120, num_entities=10, seed=42, num_blocks=4)
+    out = image_pipeline_over(path, num_buckets=4, concurrency=2).to_pandas()
+    src = ray.data.read_parquet(path).to_pandas().set_index(["image_id", "ts"])
+    assert len(out) == 120
+    for _, row in out.head(40).iterrows():
+        orig = src.loc[(row["image_id"], row["ts"])]
+        # caption EXACT equality through the whole pipeline
+        assert row["caption"] == orig["caption"]
+        # payload decodes; lossless exact vs stored bytes, lossy >= 40 dB
+        mine = codec.decode_image(row["bytes"], int(row["w"]), int(row["h"]), row["fmt"])
+        ref = codec.decode_image(orig["bytes"], int(orig["w"]), int(orig["h"]), orig["fmt"])
+        p = codec.psnr(ref, mine)
+        assert p == float("inf") if row["fmt"] in codec.LOSSLESS_FMTS else p >= 40.0
+        assert bool(row["phash_check"])
+    # temporal features present and zero-leakage per entity
+    assert {"target_lag_1", "target_roll_mean_4", "session_id", "brightness"} <= set(out.columns)
+    first_rows = out.sort_values(["image_id", "ts"]).groupby("image_id").head(1)
+    assert first_rows["target_lag_1"].isna().all()  # no past → no lag
+
+
+def test_attach_features_broadcast_inner_semantics():
+    df = pd.DataFrame({"k": [1, 2, 3], "ts": [1.0, 2.0, 3.0], "payload": ["a", "b", "c"], "v": [1.0, 2.0, 3.0]})
+
+    def feature_fn(narrow):
+        # drop k==2, add a doubled column
+        return narrow.map_batches(
+            lambda b: b[b["k"] != 2].assign(v2=lambda d: d["v"] * 2), batch_format="pandas"
+        )
+
+    out = attach_features_broadcast(
+        ray.data.from_pandas(df), feature_fn, keys=["k", "ts"], narrow_cols=["k", "ts", "v"], concurrency=1
+    ).to_pandas().sort_values("k")
+    assert out["k"].tolist() == [1, 3]  # inner merge drops the filtered row
+    assert out["v2"].tolist() == [2.0, 6.0]
+    assert out["payload"].tolist() == ["a", "c"]  # payload rode along
+
+
+def test_dataset_loader_macrodata():
+    ds, target = DatasetLoader("macrodata").load_data()
+    assert target == "realgdp"
+    df = ds.to_pandas()
+    assert len(df) == 203
+    assert "ds" in df.columns and "realgdp" in df.columns
+    with pytest.raises(ValueError, match="not supported"):
+        DatasetLoader("nope")
+    assert "macrodata" in AVAILABLE_DATASETS
