@@ -102,20 +102,27 @@ def q_session_stats(sf_dir: str):
 
 
 def _order_state(sf_dir: str) -> ray.data.Dataset:
+    """One row per (custkey, orderdate): the point-in-time order state.
+    GLOBAL dedupe via groupby-Max — a per-block dedupe would leave
+    cross-block duplicates once Ray splits the file."""
+    from ray.data.aggregate import Max
+
     orders = ray.data.read_parquet(
         os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_orderdate", "o_totalprice"]
     )
+    deduped = orders.groupby(["o_custkey", "o_orderdate"]).aggregate(Max("o_totalprice", alias_name="o_totalprice"))
 
-    def dedupe(t: pa.Table) -> pa.Table:
-        df = t.to_pandas().groupby(["o_custkey", "o_orderdate"], as_index=False)["o_totalprice"].max()
-        return pa.Table.from_pandas(
-            df.rename(columns={"o_orderdate": "ts", "o_custkey": "user_id"}), preserve_index=False
+    def rename(t: pa.Table) -> pa.Table:
+        t = t.rename_columns(
+            ["user_id" if c == "o_custkey" else "ts" if c == "o_orderdate" else c for c in t.column_names]
         )
+        # Ray's groupby can coarsen timestamp resolution; restore us so
+        # merge_asof keys match the left side
+        i = t.schema.get_field_index("ts")
+        import pyarrow.compute as pc
+        return t.set_column(i, "ts", pc.cast(t.column(i), pa.timestamp("us")))
 
-    # global dedupe must see all rows per key: batch_size=None per block
-    # then a final driver-side combine via groupby would be needed for
-    # multi-block; orders are read as one block per file here.
-    return orders.map_batches(dedupe, batch_size=None, batch_format="pyarrow")
+    return deduped.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def q_asof_latest_order(sf_dir: str):

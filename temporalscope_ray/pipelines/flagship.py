@@ -29,6 +29,19 @@ from ..stages.multimodal import add_image_features
 from ..stages.window_features import add_temporal_features
 
 
+def _rename_and_cast_ts(t: pa.Table) -> pa.Table:
+    """orders state: rename keys to (user_id, ts) and restore us
+    timestamp resolution (Ray's groupby can coarsen it, which breaks
+    merge_asof key compatibility)."""
+    import pyarrow.compute as pc
+
+    t = t.rename_columns(
+        ["user_id" if c == "o_custkey" else "ts" if c == "o_orderdate" else c for c in t.column_names]
+    )
+    i = t.schema.get_field_index("ts")
+    return t.set_column(i, "ts", pc.cast(t.column(i), pa.timestamp("us")))
+
+
 def temporal_feature_pipeline(
     sf_dir: str, *, num_buckets: int = 32, concurrency=8
 ) -> ray.data.Dataset:
@@ -41,14 +54,17 @@ def temporal_feature_pipeline(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_custkey", "o_orderdate", "o_totalprice"],
     )
-    # point-in-time order state per user: latest order strictly known at ts
-    # (right side deduped to one row per (custkey, date) for determinism)
-    def dedupe_orders(t: pa.Table) -> pa.Table:
-        df = t.to_pandas().groupby(["o_custkey", "o_orderdate"], as_index=False)["o_totalprice"].max()
-        return pa.Table.from_pandas(df.rename(columns={"o_orderdate": "ts", "o_custkey": "user_id"}),
-                                    preserve_index=False)
+    # point-in-time order state per user: latest order strictly known at
+    # ts; GLOBAL dedupe to one row per (custkey, date) for determinism
+    # (a per-block dedupe would leave cross-block duplicates)
+    from ray.data.aggregate import Max
 
-    order_state = orders.map_batches(dedupe_orders, batch_format="pyarrow", batch_size=None)
+    deduped = orders.groupby(["o_custkey", "o_orderdate"]).aggregate(Max("o_totalprice", alias_name="o_totalprice"))
+    order_state = deduped.map_batches(
+        lambda t: _rename_and_cast_ts(t),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
     enriched = asof_join(
         events, order_state, on="ts", by="user_id", broadcast=True, concurrency=concurrency,
         right_cols=["o_totalprice"],

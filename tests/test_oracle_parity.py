@@ -3,6 +3,7 @@ entry must match DuckDB exactly (row count, column set, values) at
 sf0.001 — the local replica of the driver's sf0.01 correctness gate."""
 
 import math
+import os
 
 import duckdb
 import numpy as np
@@ -11,7 +12,7 @@ import pytest
 
 import __ray_entry__ as entrymod
 
-SF_DIR = "/root/testdata/sf0.001"
+SF_DIR = os.environ.get("PARITY_SF", "/root/testdata/sf0.001")
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]
 
 
