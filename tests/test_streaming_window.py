@@ -1,0 +1,63 @@
+"""Stateful streaming window actor: cross-batch state must reproduce the
+batch (bucket-shuffle) operators exactly, regardless of batch size."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from temporalscope_ray.stages.streaming_window import StreamingWindowState, streaming_window_features
+from temporalscope_ray.stages.window_features import add_temporal_features
+
+
+def events_df(n_per=50, entities=(1, 2, 3), seed=11):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for e in entities:
+        t = 0.0
+        for _ in range(n_per):
+            t += float(rng.integers(1, 100))
+            rows.append({"user_id": e, "ts": t, "value": float(rng.normal())})
+    return pd.DataFrame(rows)
+
+
+def expected(df):
+    out = add_temporal_features(
+        ray.data.from_pandas(df), id_col="user_id", time_col="ts", value_cols=["value"],
+        lags=[1, 3], rolling_windows=[4], rolling_fns=("mean", "sum"), session_gap=50.0, num_buckets=4,
+    ).to_pandas().sort_values(["user_id", "ts"]).reset_index(drop=True)
+    return out
+
+
+@pytest.mark.parametrize("batch_size", [7, 64, 1000])
+def test_streaming_matches_batch_operators(batch_size):
+    df = events_df()
+    stream = streaming_window_features(
+        ray.data.from_pandas(df), id_col="user_id", time_col="ts", value_cols=["value"],
+        lags=[1, 3], windows=[4], session_gap=50.0, batch_size=batch_size,
+    ).to_pandas().sort_values(["user_id", "ts"]).reset_index(drop=True)
+    exp = expected(df)
+    for col in ["value_lag_1", "value_lag_3", "session_id"]:
+        a, b = stream[col], exp[col]
+        assert ((a.isna() & b.isna()) | (a == b)).all(), col
+    for col in ["value_roll_mean_4", "value_roll_sum_4"]:
+        # different cumsum groupings -> ulp-level differences are fine
+        assert np.allclose(stream[col], exp[col], rtol=1e-12), col
+
+
+def test_actor_state_carries_across_calls_directly():
+    """Drive the actor class itself with two batches split mid-entity."""
+    df = events_df(n_per=10, entities=(5,)).sort_values(["user_id", "ts"]).reset_index(drop=True)
+    actor = StreamingWindowState("user_id", "ts", ["value"], lags=[2], windows=[3], session_gap=50.0)
+    out1 = actor(df.iloc[:4].copy())
+    out2 = actor(df.iloc[4:].copy())
+    out = pd.concat([out1, out2], ignore_index=True)
+    # pandas oracle on the single entity
+    exp_lag2 = df["value"].shift(2)
+    exp_roll3 = df["value"].rolling(3, min_periods=1).mean()
+    # row 4's lag_2 must reach back INTO the previous batch
+    assert out.loc[4, "value_lag_2"] == df.loc[2, "value"]
+    a = out["value_lag_2"]
+    assert ((a.isna() & exp_lag2.isna()) | (a == exp_lag2)).all()
+    assert np.allclose(out["value_roll_mean_3"], exp_roll3, rtol=1e-12)
+    assert (out["session_id"] >= 0).all()
