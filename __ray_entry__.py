@@ -296,6 +296,102 @@ def q_expand_targets(sf_dir: str):
     return expand_targets_multi_step(ev, target_col="value", horizon=3, id_col="user_id", time_col="ts")
 
 
+def q_rolling_minmax(sf_dir: str):
+    from temporalscope_ray.stages.window_features import add_rolling_features
+
+    ev = _events(sf_dir, ("event_id", "ts", "user_id", "value"))
+    out = add_rolling_features(
+        ev, id_col="user_id", time_col="ts", value_cols=["value"], window=4,
+        fns=("min", "max", "std"), tiebreak=["event_id"],
+    )
+    return _round_cols(out, ["value_roll_std_4"])
+
+
+def q_streaming_features(sf_dir: str):
+    """The stateful actor-pool path (cross-batch window state) — must
+    equal the bucket-shuffle operators, so it shares their oracle."""
+    from temporalscope_ray.stages.streaming_window import streaming_window_features
+
+    ev = _events(sf_dir, ("event_id", "ts", "user_id", "value"))
+    out = streaming_window_features(
+        ev, id_col="user_id", time_col="ts", value_cols=["value"], lags=[1], windows=[4],
+        session_gap=pd.Timedelta("30min"), batch_size=4096,
+    )
+    out = _round_cols(out, ["value_roll_mean_4", "value_roll_sum_4"])
+    return out.select_columns(
+        ["event_id", "ts", "user_id", "value", "value_lag_1", "value_roll_mean_4", "value_roll_sum_4", "session_id"]
+    )
+
+
+def q_masv_lineitem(sf_dir: str):
+    from temporalscope_ray.modeling import calculate_masv
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_quantity", "l_discount"]
+    )
+    masv = calculate_masv(li, feature_cols=["l_quantity", "l_discount"], coefs=[1.0, 2.0], concurrency=2)
+    return pa.table({
+        "masv_l_quantity": pa.array([round(masv["l_quantity"], 6)]),
+        "masv_l_discount": pa.array([round(masv["l_discount"], 6)]),
+    })
+
+
+def q_simhash_kept_docs(sf_dir: str):
+    from temporalscope_ray.stages.dedup import simhash_dedup
+
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    return simhash_dedup(docs, text_col="text", id_col="doc_id", concurrency=2).select_columns(["doc_id"])
+
+
+def q_jaccard_kept_docs(sf_dir: str):
+    from temporalscope_ray.stages.dedup import jaccard_dedup
+
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    return jaccard_dedup(docs, text_col="text", id_col="doc_id", threshold=0.7, concurrency=2).select_columns(
+        ["doc_id"]
+    )
+
+
+def q_embedding_kept_vecs(sf_dir: str):
+    from temporalscope_ray.stages.dedup import embedding_dedup
+
+    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    return embedding_dedup(emb, emb_col="embedding", id_col="vec_id", threshold=0.995, concurrency=2).select_columns(
+        ["vec_id"]
+    )
+
+
+def q_knn_lsh(sf_dir: str):
+    from temporalscope_ray.stages.similarity import knn_lsh
+
+    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    q_rows = emb.filter(expr="vec_id == 0").to_pandas()
+    queries = np.stack(q_rows["embedding"].to_numpy()).astype(np.float64)
+    out = knn_lsh(emb, queries, k=10, nbits=5, multiprobe=1, concurrency=2)
+    out["cos_sim"] = np.round(out["cos_sim"], 6)
+    return out
+
+
+def q_validator_report(sf_dir: str):
+    from temporalscope_ray.validator import DatasetValidator
+
+    ev = _events(sf_dir, ("ts", "value")).map_batches(
+        lambda b: b.rename(columns={"value": "target"}).assign(
+            feature_1=lambda d: d["target"] * 2,
+            feature_2=lambda d: d["target"] + 1,
+            feature_3=lambda d: d["target"] ** 2,
+            feature_4=lambda d: -d["target"],
+        ),
+        batch_format="pandas",
+    )
+    v = DatasetValidator(time_col="ts", target_col="target", max_samples=10_000_000, enable_warnings=False)
+    results = v.fit_transform(ev)
+    return pa.table({
+        "check": pa.array(sorted(results.keys())),
+        "passed": pa.array([results[k].passed for k in sorted(results.keys())]),
+    })
+
+
 def q_minhash_kept_docs(sf_dir: str):
     from temporalscope_ray.stages.dedup import minhash_dedup
 
@@ -349,6 +445,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_kept_docs": q_minhash_kept_docs,
         "image_pipeline": q_image_pipeline,
         "flagship_pipeline": q_flagship,
+        "rolling_minmax_4": q_rolling_minmax,
+        "streaming_features": q_streaming_features,
+        "masv_lineitem": q_masv_lineitem,
+        "simhash_kept_docs": q_simhash_kept_docs,
+        "jaccard_kept_docs": q_jaccard_kept_docs,
+        "embedding_kept_vecs": q_embedding_kept_vecs,
+        "knn_lsh_10": q_knn_lsh,
+        "validator_report": q_validator_report,
     }
 
 
@@ -501,5 +605,30 @@ def oracle_sql() -> dict[str, str]:
                    LAST_VALUE(CASE WHEN event_type = 'click' THEN NULL ELSE value END IGNORE NULLS)
                      OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS value_filled
             FROM events
+        """,
+        "rolling_minmax_4": """
+            SELECT event_id, ts, user_id, value,
+                   MIN(value) OVER w AS value_roll_min_4,
+                   MAX(value) OVER w AS value_roll_max_4,
+                   ROUND(STDDEV(value) OVER w, 6) AS value_roll_std_4
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        """,
+        "streaming_features": """
+            SELECT event_id, ts, user_id, value,
+                   LAG(value, 1) OVER w AS value_lag_1,
+                   ROUND(AVG(value) OVER w2, 6) AS value_roll_mean_4,
+                   ROUND(SUM(value) OVER w2, 6) AS value_roll_sum_4,
+                   CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+            FROM (SELECT *, CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                                      > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+                  FROM events)
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+                   w2 AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        """,
+        "masv_lineitem": """
+            SELECT ROUND(AVG(ABS(1.0 * (l_quantity - (SELECT AVG(l_quantity) FROM lineitem)))), 6) AS masv_l_quantity,
+                   ROUND(AVG(ABS(2.0 * (l_discount - (SELECT AVG(l_discount) FROM lineitem)))), 6) AS masv_l_discount
+            FROM lineitem
         """,
     }

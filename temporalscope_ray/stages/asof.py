@@ -99,9 +99,19 @@ def asof_join(
     broadcast_limit_rows: int = 5_000_000,
     num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
     concurrency: int | tuple[int, int] = 8,
+    hot_entities: Optional[Sequence] = None,
+    num_salts: int = 8,
 ) -> ray.data.Dataset:
     """Distributed as-of join. ``right_cols`` defaults to all non-key
-    right columns; overlapping names get ``suffix``."""
+    right columns; overlapping names get ``suffix``.
+
+    ``hot_entities`` (e.g. from ``grouped.detect_hot_keys``) activates
+    skew handling in the bucketed path: a hot entity's LEFT rows are
+    salted across ``num_salts`` buckets (each left row's lookup is
+    independent, so any split is valid), and its RIGHT rows are
+    REPLICATED into every salt bucket so each salted shard still sees
+    the full point-in-time state. Cost: ``num_salts×`` duplication of
+    the hot entities' right rows only."""
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError("direction must be 'backward', 'forward' or 'nearest'")
     right_names = right.schema().names
@@ -203,7 +213,40 @@ def asof_join(
             l, r, on=on, by=by, tolerance=tolerance, direction=direction, right_cols=out_right_cols, suffix=suffix
         )
 
-    bucketed = grouped.with_bucket(both, by, num_buckets)
+    if hot_entities:
+        hot_ref = ray.put(pa.array(sorted(set(hot_entities))))
+
+        def salted_bucket(t: pa.Table) -> pa.Table:
+            hot = ray.get(hot_ref)
+            keys = t.column(by)
+            is_hot = pa.compute.is_in(keys, value_set=hot).to_numpy(zero_copy_only=False)
+            base = grouped.hash_key_column(keys, num_buckets).astype(np.int64)
+            side = t.column(side_col).to_numpy(zero_copy_only=False)
+            n = t.num_rows
+            # cold rows: plain bucket; hot left rows: salt by row position
+            salt_left = np.arange(n) % num_salts
+            out_tables = []
+            cold_or_left = ~is_hot | (side == 0)
+            bucket = base.copy()
+            hot_left = is_hot & (side == 0)
+            bucket[hot_left] = (base[hot_left] * np.int64(num_salts) + salt_left[hot_left]) % num_buckets
+            sub = t.filter(pa.array(cold_or_left)).append_column(
+                grouped.BUCKET_COL, pa.array(bucket[cold_or_left].astype(np.int32))
+            )
+            out_tables.append(sub)
+            # hot right rows: replicate into every salt bucket
+            hot_right_mask = is_hot & (side == 1)
+            if hot_right_mask.any():
+                hr = t.filter(pa.array(hot_right_mask))
+                hr_base = base[hot_right_mask]
+                for s in range(num_salts):
+                    b = ((hr_base * np.int64(num_salts) + s) % num_buckets).astype(np.int32)
+                    out_tables.append(hr.append_column(grouped.BUCKET_COL, pa.array(b)))
+            return pa.concat_tables(out_tables)
+
+        bucketed = both.map_batches(salted_bucket, batch_format="pyarrow", zero_copy_batch=True)
+    else:
+        bucketed = grouped.with_bucket(both, by, num_buckets)
     return bucketed.groupby(grouped.BUCKET_COL).map_groups(
         lambda g: per_bucket(g.drop(columns=[grouped.BUCKET_COL])), batch_format="pandas"
     )

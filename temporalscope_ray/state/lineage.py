@@ -81,10 +81,25 @@ def run_partitioned(
 
         bucketed = bucketed.map_batches(drop_done, batch_format="pyarrow", zero_copy_batch=True)
 
+    from ..sources.fragments import FRAGMENT_COL, ROW_START_COL
+
     def write_bucket(g: pd.DataFrame) -> pd.DataFrame:
         t0 = time.perf_counter()
         bucket_id = int(g[grouped.BUCKET_COL].iloc[0])
         g = g.drop(columns=[grouped.BUCKET_COL])
+        # input provenance: when the read was fragment-aware
+        # (sources.fragments.read_parquet_fragments), record which
+        # fragments + row ranges fed this partition, then drop the
+        # lineage columns from the written output
+        input_fragments = None
+        if FRAGMENT_COL in g.columns:
+            spans = g.groupby(FRAGMENT_COL)[ROW_START_COL].agg(["min", "max", "count"])
+            input_fragments = [
+                {"fragment_id": int(fid), "row_min": int(r["min"]), "row_max": int(r["max"]),
+                 "rows_used": int(r["count"])}
+                for fid, r in spans.iterrows()
+            ]
+            g = g.drop(columns=[FRAGMENT_COL, ROW_START_COL])
         if transform is not None:
             g = transform(g)
         part_dir = os.path.join(out_dir, f"bucket={bucket_id:04d}")
@@ -106,6 +121,8 @@ def run_partitioned(
             "wall_secs": round(time.perf_counter() - t0, 4),
             "output": final,
         }
+        if input_fragments is not None:
+            rec["input_fragments"] = input_fragments
         lineage_tmp = os.path.join(_lineage_dir(out_dir), f"bucket-{bucket_id:04d}.json.tmp")
         lineage_final = lineage_tmp[: -len(".tmp")]
         with open(lineage_tmp, "w") as f:
