@@ -91,9 +91,22 @@ class TemporalDataset:
         non_features = {self._time_col}
         if self._id_col is not None:
             non_features.add(self._id_col)
+        import warnings
+
         import pyarrow as pa
 
+        from .exceptions import TargetColumnWarning
+
         schema = core._schema(ds)
+        target_type = schema.field(self._target_col).type
+        if self._mode != MODE_SINGLE_TARGET and pa.types.is_list(target_type):
+            # reference exceptions.py:51-70: sequential targets need
+            # mode-appropriate handling
+            warnings.warn(
+                "`target_col` appears to contain sequential data. Ensure it is transformed "
+                "appropriately for MODE_MULTI_TARGET.",
+                TargetColumnWarning,
+            )
         for name in schema.names:
             if name in non_features:
                 continue

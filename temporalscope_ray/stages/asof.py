@@ -257,12 +257,20 @@ def asof_join(
 # ---------------------------------------------------------------------------
 
 def semi_join(
-    left: ray.data.Dataset, keys: ray.data.Dataset | Sequence, key_col: str, *, anti: bool = False
+    left: ray.data.Dataset, keys: ray.data.Dataset | Sequence, key_col: str, *, anti: bool = False,
+    assume_unique: bool = False,
 ) -> ray.data.Dataset:
     """Keep left rows whose ``key_col`` is (semi) / is not (anti) in the
-    key set. The key set is broadcast via ``ray.put`` — no shuffle."""
+    key set. The key set is broadcast via ``ray.put`` — no shuffle on
+    the left side. ``assume_unique=True`` skips the distinct pass on a
+    keys Dataset (another shuffle) when the caller guarantees
+    uniqueness (e.g. dedup survivor sets, one row per id by
+    construction)."""
     if isinstance(keys, ray.data.Dataset):
-        value_set = pa.array(keys.unique(key_col))
+        if assume_unique:
+            value_set = pa.array(keys.select_columns([key_col]).to_pandas()[key_col].to_numpy())
+        else:
+            value_set = pa.array(keys.unique(key_col))
     else:
         value_set = pa.array(sorted(set(keys)))
     ref = ray.put(value_set)  # Arrow array: zero-copy reads in every task

@@ -139,7 +139,7 @@ def exact_dedup(
         .aggregate(Min(id_col, alias_name=id_col))
     )
     keep_ids = survivors.select_columns([id_col])
-    return semi_join(ds, keep_ids, id_col)
+    return semi_join(ds, keep_ids, id_col, assume_unique=True)
 
 
 # ---------------------------------------------------------------------------
@@ -234,7 +234,7 @@ def minhash_dedup(
         ds, text_col=text_col, id_col=id_col, num_perm=num_perm, bands=bands,
         shingle_k=shingle_k, seed=seed, concurrency=clamp_concurrency(concurrency),
     )
-    return semi_join(ds, keep, id_col)
+    return semi_join(ds, keep, id_col, assume_unique=True)
 
 
 # ---------------------------------------------------------------------------
@@ -304,7 +304,7 @@ def simhash_dedup(
     keep = _canonical_via_buckets(
         exploded, id_col=id_col, group_cols=["chunk_id", "chunk_val"], verify_fn=bucket_verify
     )
-    return semi_join(ds, keep, id_col)
+    return semi_join(ds, keep, id_col, assume_unique=True)
 
 
 # ---------------------------------------------------------------------------
@@ -354,7 +354,7 @@ def jaccard_dedup(
     keep = _canonical_via_buckets(
         exploded, id_col=id_col, group_cols=["band_id", "band_hash"], verify_fn=bucket_verify
     )
-    return semi_join(ds, keep, id_col)
+    return semi_join(ds, keep, id_col, assume_unique=True)
 
 
 # ---------------------------------------------------------------------------
@@ -414,4 +414,4 @@ def embedding_dedup(
         return pd.DataFrame({id_col: ids, "canonical": canon})
 
     keep = _canonical_via_buckets(bucketed, id_col=id_col, group_cols=["bucket"], verify_fn=bucket_verify)
-    return semi_join(ds, keep, id_col)
+    return semi_join(ds, keep, id_col, assume_unique=True)

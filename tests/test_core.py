@@ -185,3 +185,15 @@ def test_temporal_dataset_time_conversion():
     )
     out = td.ds.to_pandas()
     assert out["time"].dtype == np.float64
+
+
+def test_multi_target_list_column_warns():
+    import pyarrow as pa
+    from temporalscope_ray import MODE_MULTI_TARGET, TargetColumnWarning
+
+    t = pa.table({
+        "time": pa.array([1.0, 2.0]),
+        "target": pa.array([[1.0, 2.0], [3.0, 4.0]], type=pa.list_(pa.float64())),
+    })
+    with pytest.warns(TargetColumnWarning, match="sequential data"):
+        TemporalDataset(ray.data.from_arrow(t), time_col="time", target_col="target", mode=MODE_MULTI_TARGET)
