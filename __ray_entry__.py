@@ -28,6 +28,40 @@ import pyarrow as pa
 import ray.data
 
 
+def _make_worker_safe() -> None:
+    """Ray workers inherit the raylet's environment, not this module's
+    ``sys.path`` — if the driver ran ``ray.init`` outside /root/repo,
+    workers cannot import ``temporalscope_ray`` and every UDF fails
+    with ModuleNotFoundError. Registering the package for BY-VALUE
+    cloudpickle serialization ships the code with each task instead of
+    by module reference, making the contract independent of the
+    driver's cwd/PYTHONPATH."""
+    import importlib
+    import pkgutil
+
+    import temporalscope_ray
+
+    for info in pkgutil.walk_packages(temporalscope_ray.__path__, prefix="temporalscope_ray."):
+        try:
+            importlib.import_module(info.name)
+        except Exception:
+            pass
+    try:
+        from ray import cloudpickle as _rcp
+
+        for name, mod in list(sys.modules.items()):
+            if name.startswith("temporalscope_ray") and mod is not None:
+                try:
+                    _rcp.register_pickle_by_value(mod)
+                except Exception:
+                    pass
+    except Exception:
+        pass
+
+
+_make_worker_safe()
+
+
 def _events(sf_dir: str, columns=("event_id", "ts", "user_id", "event_type", "value")) -> ray.data.Dataset:
     return ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=list(columns))
 

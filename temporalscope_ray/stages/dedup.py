@@ -174,21 +174,33 @@ class MinHasher:
         prod = (self.a[:, None] * (sh[None, :] % _MERSENNE)) % _MERSENNE
         return ((prod + self.b[:, None]) % _MERSENNE).min(axis=1)
 
+    def band_hashes(self, sig: np.ndarray) -> np.ndarray:
+        """All band hashes at once: reshape (bands, rows_per_band),
+        multiply-mod by the first rows_per_band permutation params, and
+        XOR-reduce along the band axis — one vectorized op, not a
+        Python loop per band."""
+        chunks = sig.reshape(self.bands, self.rows_per_band)
+        mixed = (chunks * self.a[None, : self.rows_per_band]) % _MERSENNE
+        return np.bitwise_xor.reduce(mixed, axis=1) % _MERSENNE
+
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         ids, band_ids, band_hashes, texts = [], [], [], []
+        band_range = np.arange(self.bands, dtype=np.int32)
         for doc_id, text in zip(batch[self.id_col], batch[self.text_col].fillna("")):
             sig = self.signature(text)
             if sig is None:
                 continue
-            for band in range(self.bands):
-                chunk = sig[band * self.rows_per_band : (band + 1) * self.rows_per_band]
-                bh = int(np.bitwise_xor.reduce((chunk * self.a[: self.rows_per_band]) % _MERSENNE) % _MERSENNE)
-                ids.append(doc_id)
-                band_ids.append(band)
-                band_hashes.append(bh)
-                if self.carry_text:
-                    texts.append(text)
-        out = {self.id_col: ids, "band_id": band_ids, "band_hash": band_hashes}
+            bh = self.band_hashes(sig)
+            ids.extend([doc_id] * self.bands)
+            band_ids.append(band_range)
+            band_hashes.append(bh.astype(np.int64))
+            if self.carry_text:
+                texts.extend([text] * self.bands)
+        out = {
+            self.id_col: ids,
+            "band_id": np.concatenate(band_ids) if band_ids else np.array([], dtype=np.int32),
+            "band_hash": np.concatenate(band_hashes) if band_hashes else np.array([], dtype=np.int64),
+        }
         if self.carry_text:
             out[self.text_col] = texts
         return pd.DataFrame(out)
