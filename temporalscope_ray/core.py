@@ -310,20 +310,31 @@ def validate_temporal_ordering(
         import numpy as np
         import pandas as pd
 
-        def check_group(g: pd.DataFrame) -> pd.DataFrame:
-            ts = g[time_col].to_numpy()
-            order = np.argsort(ts, kind="stable")
-            ts = ts[order]
-            dup = int((ts[1:] == ts[:-1]).sum()) if len(ts) > 1 else 0
-            if len(ts) > 1:
-                deltas = np.unique((ts[1:] - ts[:-1]))
-                n_deltas = int(len(deltas))
-            else:
-                n_deltas = 0
-            return pd.DataFrame({"dups": [dup], "n_deltas": [n_deltas]})
+        from .stages import grouped as _grouped
 
-        summary = ds.select_columns([id_col, time_col]).groupby(id_col).map_groups(
-            check_group, batch_format="pandas"
+        def check_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            """Vectorized dup/delta summary over the (entity, ts)-sorted
+            bucket — one row out per bucket, not per entity (a
+            per-entity map_groups costs one Python call per entity)."""
+            ts = g[time_col].to_numpy()
+            keys = g[id_col].to_numpy()
+            segs = _grouped.entity_segments(keys)
+            same_entity = np.zeros(len(g), dtype=bool)
+            if len(g) > 1:
+                same_entity[1:] = keys[1:] == keys[:-1]
+            dup = int(((ts[1:] == ts[:-1]) & same_entity[1:]).sum()) if len(g) > 1 else 0
+            max_deltas = 0
+            if enforce_equidistant_sampling and len(g) > 1:
+                deltas = ts[1:] - ts[:-1]
+                ent_of_delta = keys[1:]
+                valid = same_entity[1:]
+                d = pd.DataFrame({"e": ent_of_delta[valid], "d": deltas[valid]})
+                if len(d):
+                    max_deltas = int(d.groupby("e")["d"].nunique().max())
+            return pd.DataFrame({"dups": [dup], "n_deltas": [max_deltas]})
+
+        summary = _grouped.grouped_ordered_map(
+            ds.select_columns([id_col, time_col]), id_col, [time_col], check_bucket
         ).to_pandas()
         if (summary["dups"] > 0).any():
             raise TimeColumnError(f"Duplicate timestamps found within groups in '{time_col}'")

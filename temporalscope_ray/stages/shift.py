@@ -257,14 +257,25 @@ def expand_targets_multi_step(
         keys = g[id_col].to_numpy()
         segs = grouped.entity_segments(keys)
         vals = g[target_col].to_numpy(dtype=np.float64)
-        seqs: list[Optional[list[float]]] = [None] * len(g)
-        keep = np.zeros(len(g), dtype=bool)
-        for s, e in zip(segs[:-1], segs[1:]):
-            for i in range(s, e - horizon):
-                seqs[i] = vals[i + 1 : i + 1 + horizon].tolist()
-                keep[i] = True
+        n = len(g)
+        if n == 0:
+            g = g.copy()
+            g[out_col] = []
+            return g
+        # vectorized: seq[i] = vals[i+1 : i+1+horizon]; keep rows whose
+        # whole horizon stays inside the entity segment
+        lens = np.diff(segs)
+        seg_id = np.repeat(np.arange(len(lens)), lens)
+        windows = np.lib.stride_tricks.sliding_window_view(
+            np.concatenate([vals, np.full(horizon, np.nan)]), horizon
+        )[1 : n + 1]
+        keep = np.zeros(n, dtype=bool)
+        if n > horizon:
+            keep[:-horizon] = seg_id[:-horizon] == seg_id[horizon:]
         g = g.copy()
-        g[out_col] = seqs
-        return g[keep]
+        g[out_col] = list(windows)
+        g = g[keep]
+        g[out_col] = g[out_col].map(lambda w: w.tolist())
+        return g
 
     return grouped.grouped_ordered_map(ds, id_col, [time_col], fn, num_buckets=num_buckets)

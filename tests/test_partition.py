@@ -131,3 +131,22 @@ def test_mean_fill_pad_per_entity():
     g2 = out[out["id"] == 2]["v"]
     assert len(g1) == 3 and g1.tolist()[-1] == pytest.approx(2.0)  # entity-1 mean
     assert len(g2) == 3 and (g2.to_numpy()[1:] == 10.0).all()
+
+
+def test_fit_with_validation_split():
+    # W2 semantics: validation = [end, end + delta*val_pct) — starts AT
+    # the window end (reference sliding_window.py:384-402)
+    p = SlidingWindowPartitioner(make_td(100), window_size=50, stride=50,
+                                 train_pct=0.5, test_pct=0.3, val_pct=0.2)
+    p.fit()
+    part = p.metadata["partitions"][0]
+    # window rows 0..49: start=0, end=49, delta=49
+    assert part["train"] == (0.0, pytest.approx(24.5))
+    assert part["test"] == (pytest.approx(24.5), 49.0)
+    assert part["validation"] == (49.0, pytest.approx(49.0 + 49.0 * 0.2))
+    wins = list(p.transform())
+    val0 = wins[0]["validation"].to_pandas()
+    # [49, 58.8) → rows 49..58
+    assert val0["time"].min() == 49.0 and val0["time"].max() == 58.0
+    tagged = p.tag_windows().to_pandas()
+    assert set(tagged["split"]) == {"train", "test", "validation"}
