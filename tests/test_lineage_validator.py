@@ -141,3 +141,22 @@ def test_validator_checks_subset():
     assert set(res.keys()) == {"sample_size"}
     with pytest.raises(ValueError, match="Invalid checks"):
         DatasetValidator(time_col="t", target_col="y", checks_to_run=["bogus"])
+
+
+def test_job_cli_end_to_end(tmp_path):
+    """The ray-job entry: fresh run writes all partitions; rerun skips."""
+    from temporalscope_ray import synth
+    from temporalscope_ray.job import run_job
+    from temporalscope_ray.state import lineage as lin
+
+    src = str(tmp_path / "imgs")
+    synth.materialize_image_table(src, 80, num_entities=8, seed=42, num_blocks=2)
+    out = str(tmp_path / "features")
+    s1 = run_job(src, out, num_buckets=4)
+    assert s1["buckets_written"] > 0 and s1["rows_written"] == 80
+    s2 = run_job(src, out, num_buckets=4)
+    assert s2["buckets_written"] == 0 and s2["buckets_skipped"] == s1["buckets_written"]
+    back = lin.read_partitioned(out).to_pandas()
+    assert len(back) == 80
+    assert {"target_lag_1", "target_roll_mean_4", "session_id", "brightness"} <= set(back.columns)
+    assert lin.validate_manifest(out)
