@@ -150,16 +150,15 @@ def streaming_window_features(
 
     if not presorted:
         ds = ds.sort([id_col, time_col])
-    ctx = DataContext.get_current()
-    prev = ctx.execution_options.preserve_order
-    ctx.execution_options.preserve_order = True  # batches must arrive in sorted order
-    try:
-        return ds.map_batches(
-            StreamingWindowState,
-            batch_format="pandas",
-            batch_size=batch_size,
-            concurrency=1,
-            fn_constructor_args=(id_col, time_col, list(value_cols), list(lags), list(windows), session_gap),
-        )
-    finally:
-        ctx.execution_options.preserve_order = prev
+    # batches must arrive at the actor in sorted order; the flag must be
+    # ON at EXECUTION time (the plan is lazy), so it is set and left on —
+    # restoring it immediately would silently disable ordering for the
+    # eventual consumer
+    DataContext.get_current().execution_options.preserve_order = True
+    return ds.map_batches(
+        StreamingWindowState,
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=1,
+        fn_constructor_args=(id_col, time_col, list(value_cols), list(lags), list(windows), session_gap),
+    )
