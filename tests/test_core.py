@@ -197,3 +197,24 @@ def test_multi_target_list_column_warns():
     })
     with pytest.warns(TargetColumnWarning, match="sequential data"):
         TemporalDataset(ray.data.from_arrow(t), time_col="time", target_col="target", mode=MODE_MULTI_TARGET)
+
+
+def test_update_dataset_revalidates_and_sorts():
+    df = pd.DataFrame({"time": [3.0, 1.0, 2.0], "target": [3.0, 1.0, 2.0]})
+    td = TemporalDataset(ds_from(df), time_col="time", target_col="target")
+    df2 = pd.DataFrame({"time": [9.0, 7.0, 8.0], "target": [9.0, 7.0, 8.0]})
+    td.update_dataset(ds_from(df2))
+    assert list(td.ds.to_pandas()["time"]) == [7.0, 8.0, 9.0]
+    bad = pd.DataFrame({"time": [1.0], "other": [1.0]})
+    with pytest.raises(ValueError, match="Column 'target' does not exist in DataFrame"):
+        td.update_dataset(ds_from(bad))
+
+
+def test_convert_numeric_epoch_to_datetime():
+    from temporalscope_ray import convert_column_to_datetime_type
+
+    # int64 microseconds since epoch → timestamp[us]
+    df = pd.DataFrame({"time": [1672531200000000, 1672617600000000], "v": [1.0, 2.0]})
+    out = convert_column_to_datetime_type(ds_from(df), "time").to_pandas()
+    assert pd.api.types.is_datetime64_any_dtype(out["time"])
+    assert out["time"].iloc[0] == pd.Timestamp("2023-01-01")
