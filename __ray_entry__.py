@@ -185,6 +185,32 @@ def q_asof_bucketed(sf_dir: str):
     )
 
 
+def q_range_join_clicks(sf_dir: str):
+    """Every purchase joined to ALL clicks by the same user in the
+    trailing 30 minutes (interval join, not just the latest as-of)."""
+    from temporalscope_ray.stages.asof import range_join
+
+    ev = _events(sf_dir, ("event_id", "ts", "user_id", "event_type", "value"))
+    purchases = ev.filter(expr="event_type == 'purchase'").drop_columns(["event_type"])
+    clicks = ev.filter(expr="event_type == 'click'").drop_columns(["event_type"])
+    return range_join(
+        purchases, clicks, on="ts", by="user_id",
+        lower=-pd.Timedelta(minutes=30), upper=pd.Timedelta(0),
+        right_cols=["event_id", "value"],
+    )
+
+
+def q_knn_ivf(sf_dir: str):
+    from temporalscope_ray.stages.similarity import knn_ivf
+
+    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    q_rows = emb.filter(expr="vec_id == 0").to_pandas()
+    queries = np.stack(q_rows["embedding"].to_numpy()).astype(np.float64)
+    out = knn_ivf(emb, queries, k=10, nlist=8, nprobe=4, concurrency=(1, 2))
+    out["cos_sim"] = np.round(out["cos_sim"], 6)
+    return out
+
+
 def q_global_shift(sf_dir: str):
     from temporalscope_ray.stages.shift import shift_column_global
 
@@ -487,6 +513,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_kept_vecs": q_embedding_kept_vecs,
         "knn_lsh_10": q_knn_lsh,
         "validator_report": q_validator_report,
+        "range_join_clicks_30min": q_range_join_clicks,
+        "knn_ivf_10": q_knn_ivf,
     }
 
 
@@ -659,6 +687,14 @@ def oracle_sql() -> dict[str, str]:
                   FROM events)
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
                    w2 AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        """,
+        "range_join_clicks_30min": """
+            SELECT l.event_id, l.ts, l.user_id, l.value,
+                   r.ts AS ts_right, r.event_id AS event_id_right, r.value AS value_right
+            FROM events l JOIN events r
+              ON l.user_id = r.user_id
+             AND r.ts >= l.ts - INTERVAL 30 MINUTE AND r.ts <= l.ts
+            WHERE l.event_type = 'purchase' AND r.event_type = 'click'
         """,
         "masv_lineitem": """
             SELECT ROUND(AVG(ABS(1.0 * (l_quantity - (SELECT AVG(l_quantity) FROM lineitem)))), 6) AS masv_l_quantity,

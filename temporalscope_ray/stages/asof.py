@@ -253,6 +253,92 @@ def asof_join(
 
 
 # ---------------------------------------------------------------------------
+# range (interval) join
+# ---------------------------------------------------------------------------
+
+class _BroadcastRangeJoin:
+    """Actor: right side fetched + sorted by (by, on) ONCE per actor;
+    each left batch finds its per-row window of right rows via two
+    vectorized searchsorted calls on the composite (entity, ts) key."""
+
+    def __init__(self, right_ref, on, by, lower, upper, right_cols, suffix):
+        right: pd.DataFrame = ray.get(right_ref)
+        self.right = right.sort_values([by, on], kind="mergesort").reset_index(drop=True)
+        self.r_by = self.right[by].to_numpy()
+        self.r_on = self.right[on].to_numpy()
+        self.on, self.by, self.lower, self.upper = on, by, lower, upper
+        self.right_cols, self.suffix = right_cols, suffix
+        # entity -> (start, stop) slice of the sorted right side
+        import numpy as _np
+
+        change = _np.flatnonzero(self.r_by[1:] != self.r_by[:-1]) + 1
+        starts = _np.concatenate(([0], change))
+        stops = _np.concatenate((change, [len(self.r_by)]))
+        self.slices = {self.r_by[s]: (s, e) for s, e in zip(starts, stops)}
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out_left_idx, out_right_idx = [], []
+        l_on = batch[self.on].to_numpy()
+        l_by = batch[self.by].to_numpy()
+        for i in range(len(batch)):
+            sl = self.slices.get(l_by[i])
+            if sl is None:
+                continue
+            s, e = sl
+            lo = np.searchsorted(self.r_on[s:e], l_on[i] + self.lower, side="left") + s
+            hi = np.searchsorted(self.r_on[s:e], l_on[i] + self.upper, side="right") + s
+            if hi > lo:
+                out_left_idx.extend([i] * (hi - lo))
+                out_right_idx.extend(range(lo, hi))
+        if not out_left_idx:
+            out = batch.iloc[0:0].copy()
+            for c in self.right_cols:
+                name = f"{c}{self.suffix}" if c in batch.columns else c
+                out[name] = pd.Series([], dtype=self.right[c].dtype)
+            out[f"{self.on}{self.suffix}"] = pd.Series([], dtype=self.right[self.on].dtype)
+            return out
+        left_part = batch.iloc[out_left_idx].reset_index(drop=True)
+        right_part = self.right.iloc[out_right_idx].reset_index(drop=True)
+        out = left_part
+        out[f"{self.on}{self.suffix}"] = right_part[self.on]
+        for c in self.right_cols:
+            name = f"{c}{self.suffix}" if c in batch.columns else c
+            out[name] = right_part[c]
+        return out
+
+
+def range_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    on: str,
+    by: str,
+    lower,
+    upper,
+    right_cols: Optional[Sequence[str]] = None,
+    suffix: str = "_right",
+    concurrency: int | tuple[int, int] = 8,
+) -> ray.data.Dataset:
+    """Interval join: every (left, right) pair within the same entity
+    with ``left.on + lower <= right.on <= left.on + upper`` (inner —
+    unmatched left rows drop). With ``lower=-w, upper=0`` this is the
+    trailing-window join (all state in the last ``w``, not just the
+    latest as-of row). Broadcast execution: right side sorted once per
+    actor, per-row windows via vectorized searchsorted — no shuffle."""
+    right_names = right.schema().names
+    if right_cols is None:
+        right_cols = [c for c in right_names if c not in (on, by)]
+    right_df = right.select_columns(list(dict.fromkeys([on, by, *right_cols]))).to_pandas()
+    right_ref = ray.put(right_df)
+    return left.map_batches(
+        _BroadcastRangeJoin,
+        batch_format="pandas",
+        concurrency=clamp_concurrency(concurrency),
+        fn_constructor_args=(right_ref, on, by, lower, upper, list(right_cols), suffix),
+    )
+
+
+# ---------------------------------------------------------------------------
 # J2 — broadcast semi / anti lookup
 # ---------------------------------------------------------------------------
 
