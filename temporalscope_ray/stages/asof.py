@@ -193,10 +193,20 @@ def asof_join(
     both = lt.union(rt)
 
     # pandas nulls coerce ints to float through the union; restore the
-    # left side's original dtypes after the merge
+    # left side's dtypes after the merge. Integer columns restore to
+    # pandas NULLABLE Int dtypes (plain astype(int64) raises on NaN if
+    # the left data itself carries nulls); Arrow converts them back to
+    # the original int types.
+    def _restore_dtype(t: pa.DataType):
+        if pa.types.is_integer(t):
+            return {8: "Int8", 16: "Int16", 32: "Int32", 64: "Int64"}[t.bit_width]
+        return t.to_pandas_dtype()
+
     left_np_dtypes = {
-        c: left_schema.field(c).type.to_pandas_dtype() for c in left_names
-        if not pa.types.is_timestamp(left_schema.field(c).type)
+        c: _restore_dtype(left_schema.field(c).type) for c in left_names
+        # keys are populated on both sides (never null-coerced) and must
+        # keep identical plain dtypes for merge_asof
+        if not pa.types.is_timestamp(left_schema.field(c).type) and c not in (on, by)
     }
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -277,20 +287,34 @@ class _BroadcastRangeJoin:
         self.slices = {self.r_by[s]: (s, e) for s, e in zip(starts, stops)}
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        out_left_idx, out_right_idx = [], []
-        l_on = batch[self.on].to_numpy()
-        l_by = batch[self.by].to_numpy()
-        for i in range(len(batch)):
-            sl = self.slices.get(l_by[i])
+        from .grouped import entity_segments
+
+        # vectorized per entity-RUN: sort the batch by entity once, then
+        # one pair of searchsorted calls per run (not per row)
+        order = np.argsort(batch[self.by].to_numpy(), kind="mergesort")
+        l_on = batch[self.on].to_numpy()[order]
+        l_by = batch[self.by].to_numpy()[order]
+        out_left_parts, out_right_parts = [], []
+        segs = entity_segments(l_by)
+        for s0, e0 in zip(segs[:-1], segs[1:]):
+            sl = self.slices.get(l_by[s0])
             if sl is None:
                 continue
             s, e = sl
-            lo = np.searchsorted(self.r_on[s:e], l_on[i] + self.lower, side="left") + s
-            hi = np.searchsorted(self.r_on[s:e], l_on[i] + self.upper, side="right") + s
-            if hi > lo:
-                out_left_idx.extend([i] * (hi - lo))
-                out_right_idx.extend(range(lo, hi))
-        if not out_left_idx:
+            run_on = l_on[s0:e0]
+            lo = np.searchsorted(self.r_on[s:e], run_on + self.lower, side="left") + s
+            hi = np.searchsorted(self.r_on[s:e], run_on + self.upper, side="right") + s
+            counts = hi - lo
+            has = counts > 0
+            if not has.any():
+                continue
+            left_rows = np.repeat(order[s0:e0][has], counts[has])
+            right_rows = np.concatenate([np.arange(a, b) for a, b in zip(lo[has], hi[has])])
+            out_left_parts.append(left_rows)
+            out_right_parts.append(right_rows)
+        out_left_idx = np.concatenate(out_left_parts) if out_left_parts else []
+        out_right_idx = np.concatenate(out_right_parts) if out_right_parts else []
+        if len(out_left_idx) == 0:
             out = batch.iloc[0:0].copy()
             for c in self.right_cols:
                 name = f"{c}{self.suffix}" if c in batch.columns else c

@@ -127,15 +127,21 @@ def exact_dedup(
 
     def add_digest(batch: pa.Table) -> pa.Table:
         df = batch.select(list(content_cols)).to_pandas()
-        h = pd.util.hash_pandas_object(df, index=False).astype("int64")
-        return batch.append_column("__digest__", pa.array(h.to_numpy()))
+        # two independent 64-bit hashes -> effective 128-bit digest;
+        # birthday-bound collision odds stay negligible (~1e-20 at 4B
+        # rows), where a single 64-bit digest would silently merge
+        # distinct rows at web scale
+        h1 = pd.util.hash_pandas_object(df, index=False).astype("int64")
+        h2 = pd.util.hash_pandas_object(df, index=False, hash_key="1b893793ce274cce").astype("int64")
+        batch = batch.append_column("__digest1__", pa.array(h1.to_numpy()))
+        return batch.append_column("__digest2__", pa.array(h2.to_numpy()))
 
     digested = ds.map_batches(add_digest, batch_format="pyarrow", zero_copy_batch=True)
     from ray.data.aggregate import Min
 
     survivors = (
-        digested.select_columns(["__digest__", id_col])
-        .groupby("__digest__")
+        digested.select_columns(["__digest1__", "__digest2__", id_col])
+        .groupby(["__digest1__", "__digest2__"])
         .aggregate(Min(id_col, alias_name=id_col))
     )
     keep_ids = survivors.select_columns([id_col])
@@ -189,6 +195,17 @@ class MinHasher:
         for doc_id, text in zip(batch[self.id_col], batch[self.text_col].fillna("")):
             sig = self.signature(text)
             if sig is None:
+                # no shingles (empty/punctuation-only text): not a
+                # near-dup of anything — emit a singleton bucket keyed
+                # by the doc's own id so the doc SURVIVES dedup instead
+                # of silently disappearing from the output
+                ids.append(doc_id)
+                band_ids.append(np.array([-1], dtype=np.int32))
+                band_hashes.append(
+                    pd.util.hash_pandas_object(pd.Series([doc_id]), index=False).to_numpy().astype(np.int64)
+                )
+                if self.carry_text:
+                    texts.append(text)
                 continue
             bh = self.band_hashes(sig)
             ids.extend([doc_id] * self.bands)
@@ -261,8 +278,9 @@ class SimHasher:
         self.text_col, self.id_col = text_col, id_col
         self.token_re = re.compile(r"\w+")
 
-    def simhash(self, text: str) -> int:
-        hashes = _token_hashes(text, self.token_re)
+    def simhash(self, text: str, hashes: Optional[np.ndarray] = None) -> int:
+        if hashes is None:
+            hashes = _token_hashes(text, self.token_re)
         if len(hashes) == 0:
             return 0
         bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
@@ -276,7 +294,18 @@ class SimHasher:
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         ids, chunk_ids, chunk_vals, sims = [], [], [], []
         for doc_id, text in zip(batch[self.id_col], batch[self.text_col].fillna("")):
-            sh = self.simhash(text)
+            hashes = _token_hashes(text, self.token_re)
+            if len(hashes) == 0:
+                # tokenless doc: singleton bucket (survives; never a
+                # near-dup candidate) instead of colliding at simhash 0
+                ids.append(doc_id)
+                chunk_ids.append(-1)
+                chunk_vals.append(
+                    int(pd.util.hash_pandas_object(pd.Series([doc_id]), index=False).iloc[0] & 0x7FFFFFFF)
+                )
+                sims.append(0)
+                continue
+            sh = self.simhash(text, hashes)
             for c in range(4):
                 ids.append(doc_id)
                 chunk_ids.append(c)

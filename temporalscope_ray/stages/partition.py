@@ -145,10 +145,21 @@ def _values_at_sorted_indices(ds: ray.data.Dataset, time_col: str, indices: list
                                          type=batch.schema.field(time_col).type)})
 
     got = sorted_ts.map_batches(extract, batch_size=None, batch_format="pyarrow").to_pandas()
-    got = got.sort_values("j")
-    if len(got) != len(indices):
+    # Two blocks can share a (lo, hi, cnt) signature when the time
+    # column is heavily duplicated; both then answer the same request.
+    # Identical answers are fine (dedupe); differing answers mean the
+    # requested index is genuinely ambiguous under ties — report that,
+    # not a generic mismatch.
+    per_j = got.groupby("j")["val"].agg(["nunique", "first", "size"])
+    if len(per_j) != len(indices):
         raise RuntimeError("boundary extraction mismatch (non-deterministic block layout?)")
-    return got["val"].tolist()
+    if (per_j["nunique"] > 1).any():
+        bad = per_j[per_j["nunique"] > 1].index.tolist()
+        raise RuntimeError(
+            f"ambiguous boundary values at request indices {bad}: duplicate-timestamp blocks "
+            "share a signature with differing values; provide a unique time column"
+        )
+    return per_j.sort_index()["first"].tolist()
 
 
 # ---------------------------------------------------------------------------

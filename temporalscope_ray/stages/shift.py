@@ -118,12 +118,32 @@ def shift_column_global(
         return ds.repartition(1).map_batches(local, batch_size=None, batch_format="pandas")
     sorted_ds = ds.sort(time_col).materialize()  # pin so both passes see identical blocks
 
-    # pass 1: head rows + block start key (tiny)
+    # pass 1: head rows + a per-block signature (start value, row count,
+    # checksum of the head values). The signature identifies MY block in
+    # pass 2 so only my own heads are excluded — excluding by start
+    # value alone would wrongly drop a successor block that happens to
+    # start with the same (duplicate) timestamp. NOTE: when duplicate
+    # timestamps span a block boundary, the global order among the ties
+    # is one valid sort order, not a canonical one (same as any
+    # unstable distributed sort); provide a unique time key for strict
+    # determinism.
+    def _blk_sig(batch: pa.Table) -> tuple:
+        k = min(n, batch.num_rows)
+        head_vals = batch.column(value_col).slice(0, k).to_numpy(zero_copy_only=False)
+        return (
+            batch.column(time_col)[0].as_py(),
+            batch.num_rows,
+            float(np.nansum(head_vals)),
+        )
+
     def head_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            t = batch.select([time_col, value_col])
+            return t.append_column("__blk_sig__", pa.array([], type=pa.string()))
         k = min(n, batch.num_rows)
         head = batch.select([time_col, value_col]).slice(0, k)
-        start = batch.column(time_col)[0].as_py() if batch.num_rows else None
-        return head.append_column("__blk_start__", pa.array([start] * k, type=batch.schema.field(time_col).type))
+        sig = repr(_blk_sig(batch))
+        return head.append_column("__blk_sig__", pa.array([sig] * k, type=pa.string()))
 
     heads = sorted_ds.map_batches(head_rows, batch_size=None, batch_format="pyarrow").to_pandas()
     heads = heads.sort_values([time_col]).reset_index(drop=True)
@@ -134,11 +154,11 @@ def shift_column_global(
         if batch.num_rows == 0:
             return batch.append_column(out_col, pa.array([], type=pa.float64()))
         h: pd.DataFrame = ray.get(heads_ref)
-        my_start = batch.column(time_col)[0].as_py()
+        my_sig = repr(_blk_sig(batch))
         last = batch.column(time_col)[batch.num_rows - 1].as_py()
-        # successor rows: head rows of blocks starting after mine, in
-        # time order, excluding my own block's heads
-        succ = h[(h["__blk_start__"] != my_start) & (h[time_col] >= last)].sort_values(time_col)
+        # successor rows: head rows at/after my last ts, in time order,
+        # excluding exactly my own block's heads (full signature match)
+        succ = h[(h["__blk_sig__"] != my_sig) & (h[time_col] >= last)].sort_values(time_col)
         extra = succ[value_col].to_numpy(dtype=np.float64)[: n]
         vals = np.concatenate([batch.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64), extra])
         shifted = vals[n : n + batch.num_rows]
@@ -222,10 +242,27 @@ class SingleStepTargetShifter:
                 ds, value_col=self.target_col, time_col=time_col, n=self.n_lags, out_col=out_col
             )
         else:
-            raise ValueError("transform over a bare Dataset requires a TemporalDataset with time_col")
+            # bare Dataset: the reference shifts the frame in its
+            # CURRENT order (single_step.py:290-295). Coalesce to one
+            # worker task and shift in received order under
+            # preserve_order (small-data semantics; wrap large data in
+            # a TemporalDataset for the distributed paths).
+            from ray.data import DataContext
+
+            DataContext.get_current().execution_options.preserve_order = True
+            n, ocol, vcol = self.n_lags, out_col, self.target_col
+
+            def local(batch: pd.DataFrame) -> pd.DataFrame:
+                out = batch.copy()
+                out[ocol] = out[vcol].shift(-n)
+                return out[~out[ocol].isna()]
+
+            shifted = ds.repartition(1).map_batches(local, batch_size=None, batch_format="pandas")
         if self.drop_target:
             shifted = shifted.drop_columns([self.target_col])
 
+        # one execution: pin the (already shrunk) result, then count it
+        shifted = shifted.materialize()
         rows_after = shifted.count()
         if rows_after == 0:
             raise ValueError("All rows were dropped during transformation")

@@ -111,14 +111,18 @@ class StreamingWindowState:
                     lag = np.where(idx >= 0, v[np.maximum(idx, 0)], np.nan)
                     out_cols[f"{c}_lag_{k}"].extend(lag.tolist())
                 if self.windows:
-                    csum = np.concatenate(([0.0], np.cumsum(v)))
+                    valid = ~np.isnan(v)
+                    csum = np.concatenate(([0.0], np.cumsum(np.where(valid, v, 0.0))))
+                    cvalid = np.concatenate(([0], np.cumsum(valid)))
                     idx = np.arange(off, off + n)
                     for w in self.windows:
                         lo = np.maximum(idx - w + 1, 0)
                         ssum = csum[idx + 1] - csum[lo]
-                        cnt = (idx - lo + 1).astype(np.float64)
+                        cnt = (cvalid[idx + 1] - cvalid[lo]).astype(np.float64)
+                        ssum = np.where(cnt > 0, ssum, np.nan)
                         out_cols[f"{c}_roll_sum_{w}"].extend(ssum.tolist())
-                        out_cols[f"{c}_roll_mean_{w}"].extend((ssum / cnt).tolist())
+                        out_cols[f"{c}_roll_mean_{w}"].extend(
+                            np.where(cnt > 0, ssum / np.maximum(cnt, 1), np.nan).tolist())
                 st["tail"][c] = v[-self.keep:] if self.keep else np.array([], dtype=np.float64)
             st["last_ts"] = run_ts[-1]
             self.state[ent] = st

@@ -62,17 +62,22 @@ def _seg_shift(values: np.ndarray, seg_id: np.ndarray, k: int) -> np.ndarray:
 def _seg_rolling(values: np.ndarray, seg_start: np.ndarray, window: int, min_periods: int = 1):
     """Trailing ROWS-window sum/count per segment via one cumsum:
     ``lo = max(seg_start, i-window+1)``; sum = csum[i] - csum[lo-1].
-    Returns (sum, count) float64 arrays."""
+    NaNs are treated as missing observations (pandas rolling
+    semantics): they don't poison later windows, aren't counted, and a
+    window of only-NaN yields NaN. Returns (sum, count) float64 arrays
+    where count = number of non-NaN observations in the window."""
     n = len(values)
     if n == 0:
         return np.array([]), np.array([])
-    csum = np.concatenate(([0.0], np.cumsum(values, dtype=np.float64)))
+    valid = ~np.isnan(values)
+    filled = np.where(valid, values, 0.0)
+    csum = np.concatenate(([0.0], np.cumsum(filled, dtype=np.float64)))
+    cvalid = np.concatenate(([0], np.cumsum(valid, dtype=np.int64)))
     idx = np.arange(n, dtype=np.int64)
     lo = np.maximum(seg_start, idx - window + 1)
     s = csum[idx + 1] - csum[lo]
-    cnt = (idx - lo + 1).astype(np.float64)
-    if min_periods > 1:
-        s = np.where(cnt >= min_periods, s, np.nan)
+    cnt = (cvalid[idx + 1] - cvalid[lo]).astype(np.float64)
+    s = np.where(cnt >= max(1, min_periods), s, np.nan)
     return s, cnt
 
 
@@ -156,7 +161,7 @@ def add_rolling_features(
                 if "sum" in fast:
                     out[f"{col}_roll_sum_{window}"] = s
                 if "mean" in fast:
-                    out[f"{col}_roll_mean_{window}"] = s / cnt
+                    out[f"{col}_roll_mean_{window}"] = np.where(cnt > 0, s / np.maximum(cnt, 1), np.nan)
                 if "count" in fast:
                     out[f"{col}_roll_count_{window}"] = cnt
         if slow:  # min/max/std fall back to pandas rolling
@@ -311,7 +316,7 @@ def add_temporal_features(
                     if "sum" in fast:
                         out[f"{col}_roll_sum_{w}"] = s
                     if "mean" in fast:
-                        out[f"{col}_roll_mean_{w}"] = s / cnt
+                        out[f"{col}_roll_mean_{w}"] = np.where(cnt > 0, s / np.maximum(cnt, 1), np.nan)
                     if "count" in fast:
                         out[f"{col}_roll_count_{w}"] = cnt
             if slow:

@@ -106,3 +106,24 @@ def test_semi_and_anti_join():
     assert sorted(kept["k"]) == [2, 4]
     dropped = semi_join(ds, [2, 4], "k", anti=True).to_pandas()
     assert sorted(dropped["k"]) == [1, 3, 5]
+
+
+def test_asof_bucketed_nullable_int_left_column():
+    """Left int column containing nulls must survive the union/restore
+    round-trip (plain astype(int64) would raise on NaN)."""
+    import pyarrow as pa
+
+    left = pa.table({
+        "user_id": pa.array([1, 1, 2], type=pa.int64()),
+        "ts": pa.array([5.0, 10.0, 7.0]),
+        "flag": pa.array([7, None, 9], type=pa.int64()),
+    })
+    right = pa.table({
+        "user_id": pa.array([1, 2], type=pa.int64()),
+        "ts": pa.array([4.0, 6.0]),
+        "state": pa.array([40.0, 60.0]),
+    })
+    out = asof_join(ray.data.from_arrow(left), ray.data.from_arrow(right), on="ts", by="user_id",
+                    broadcast=False, num_buckets=2).to_pandas().sort_values(["user_id", "ts"])
+    assert out["state"].tolist() == [40.0, 40.0, 60.0]
+    assert out["flag"].isna().sum() == 1 and out["flag"].dropna().tolist() == [7, 9]
