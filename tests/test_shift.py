@@ -101,3 +101,14 @@ def test_expand_targets_multi_step():
     src = df[df["id"] == "A"].sort_values("time")["target"].tolist()
     assert g.loc[0, "target_seq_2"] == src[1:3]
     assert all(len(s) == 2 for s in out["target_seq_2"])
+
+
+def test_shifter_bare_dataset_current_order():
+    """Reference semantics: a bare frame shifts in its CURRENT order."""
+    df = pd.DataFrame({"target": [10.0, 20.0, 30.0, 40.0], "feature": [1.0, 2.0, 3.0, 4.0]})
+    out = SingleStepTargetShifter(target_col="target", n_lags=1).fit_transform(
+        ray.data.from_pandas(df)
+    ).to_pandas()
+    assert len(out) == 3
+    assert out["target_shift_1"].tolist() == [20.0, 30.0, 40.0]
+    assert "target" not in out.columns

@@ -119,3 +119,22 @@ def test_numeric_time_sessionize():
     df = pd.DataFrame({"user_id": [1] * 4, "ts": [0.0, 1.0, 10.0, 11.0], "value": [0.0] * 4})
     out = sorted_out(sessionize(ray.data.from_pandas(df), id_col="user_id", time_col="ts", gap=5.0))
     assert out["session_id"].tolist() == [0, 0, 1, 1]
+
+
+def test_rolling_with_nans_matches_pandas():
+    """NaNs are missing observations: must not poison later windows
+    (regression for the cumsum fast path)."""
+    df = events_df()
+    df.loc[df.index % 4 == 1, "value"] = np.nan
+    out = sorted_out(
+        add_rolling_features(
+            ray.data.from_pandas(df), id_col="user_id", time_col="ts", value_cols=["value"], window=3,
+            fns=("mean", "sum", "count"),
+        )
+    )
+    exp = df.sort_values(["user_id", "ts"]).reset_index(drop=True)
+    r = exp.groupby("user_id")["value"].rolling(3, min_periods=1)
+    for f, col in [("mean", "value_roll_mean_3"), ("sum", "value_roll_sum_3"), ("count", "value_roll_count_3")]:
+        expected = getattr(r, f)().reset_index(level=0, drop=True)
+        a, b = out[col], expected
+        assert ((a.isna() & b.isna()) | np.isclose(a, b, rtol=1e-12, equal_nan=True)).all(), f
