@@ -77,3 +77,37 @@ def test_dataset_loader_macrodata():
     with pytest.raises(ValueError, match="not supported"):
         DatasetLoader("nope")
     assert "macrodata" in AVAILABLE_DATASETS
+
+
+def test_flagship_feature_vectors_allclose_vs_rematerialized_reference():
+    """North-rule gate: the feature vector at every entity×timestamp must
+    match (allclose) a single-process pandas rematerialization of the
+    same semantics — as-of state, lags, trailing rolling stats, session
+    ids, and the zero-leakage label."""
+    out = temporal_feature_pipeline(SF, num_buckets=8).to_pandas()
+    out = out.sort_values(["user_id", "ts"]).reset_index(drop=True)
+
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_id", "ts", "user_id", "value"])
+    orders = pd.read_parquet(f"{SF}/orders.parquet", columns=["o_custkey", "o_orderdate", "o_totalprice"])
+    state = (orders.groupby(["o_custkey", "o_orderdate"], as_index=False)["o_totalprice"].max()
+             .rename(columns={"o_custkey": "user_id", "o_orderdate": "ts"}))
+    ref = pd.merge_asof(ev.sort_values("ts"), state.sort_values("ts"), on="ts", by="user_id")
+    ref = ref.sort_values(["user_id", "ts", "event_id"], kind="mergesort").reset_index(drop=True)
+    g = ref.groupby("user_id", sort=False)
+    ref["value_lag_1"] = g["value"].shift(1)
+    ref["value_lag_2"] = g["value"].shift(2)
+    roll = g["value"].rolling(4, min_periods=1)
+    ref["value_roll_mean_4"] = roll.mean().reset_index(level=0, drop=True)
+    ref["value_roll_sum_4"] = roll.sum().reset_index(level=0, drop=True)
+    brk = (ref["ts"].diff() > pd.Timedelta("30min")) & (ref["user_id"] == ref["user_id"].shift(1))
+    ref["session_id"] = brk.astype("int64").groupby(ref["user_id"], sort=False).cumsum()
+    ref["value_shift_1"] = g["value"].shift(-1)
+    ref = ref[~ref["value_shift_1"].isna()].sort_values(["user_id", "ts"]).reset_index(drop=True)
+
+    assert len(out) == len(ref)
+    feature_cols = ["value", "o_totalprice", "value_lag_1", "value_lag_2",
+                    "value_roll_mean_4", "value_roll_sum_4", "session_id", "value_shift_1"]
+    for c in feature_cols:
+        a = out[c].to_numpy(dtype=float)
+        b = ref[c].to_numpy(dtype=float)
+        assert np.allclose(a, b, rtol=1e-9, equal_nan=True), c
