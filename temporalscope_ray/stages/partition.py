@@ -174,6 +174,14 @@ class SlidingWindowPartitioner:
     (``partition/base_protocol.py:88-181``): ``setup`` (validate config),
     ``fit`` (window metadata), ``transform`` (lazy slices),
     ``fit_transform``.
+
+    Reference-faithful quirks kept on purpose: ``truncate`` is stored
+    but unused (the reference's fit also never reads it,
+    ``sliding_window.py:355-405`` — trailing partial windows are always
+    dropped by the ``range(0, total-w+1, stride)`` start math), and
+    with ``num_partitions=N`` where ``total % N != 0`` the derived
+    ``window_size = total // N`` can yield MORE than N windows, exactly
+    as the reference's formulas do (``utils.py:100-155``).
     """
 
     def __init__(
