@@ -43,14 +43,29 @@ def _token_hashes(text: str, token_re: re.Pattern) -> np.ndarray:
     return hash_strings64(token_re.findall(text.lower()))
 
 
+# fixed odd constants for positional shingle mixing (deterministic)
+_SHINGLE_C = (np.arange(1, 65, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
+
+
 def shingle_hashes(text: str, k: int, token_re: re.Pattern) -> np.ndarray:
-    """k-token shingles -> uint64 hashes (vector per doc)."""
+    """k-token shingles -> uint64 hashes (vector per doc).
+
+    Fully vectorized: tokens hash once (C-speed), then each shingle is
+    a position-weighted wrap-around combination of its k token hashes
+    via a sliding window — no per-shingle string joins (which were the
+    hot loop: ~3M Python joins for 5k docs)."""
     toks = token_re.findall(text.lower())
-    if len(toks) < k:
-        joined = [" ".join(toks)] if toks else []
+    th = hash_strings64(toks)
+    n = len(th)
+    if n == 0:
+        return th
+    if n < k:
+        window = th[None, :]
+        coef = _SHINGLE_C[:n]
     else:
-        joined = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-    return hash_strings64(joined)
+        window = np.lib.stride_tricks.sliding_window_view(th, k)
+        coef = _SHINGLE_C[:k]
+    return (window * coef[None, :]).sum(axis=1, dtype=np.uint64)
 
 
 # ---------------------------------------------------------------------------
