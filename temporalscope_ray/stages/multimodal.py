@@ -85,16 +85,18 @@ class ResizeImages:
         self.size = size
 
     def _resize(self, px: np.ndarray) -> np.ndarray:
+        # block-mean via two reduceat passes (rows then cols) — one
+        # vectorized kernel instead of an O(size^2) Python loop of
+        # per-cell .mean() calls
         h, w, _ = px.shape
         s = self.size
         ys = (np.arange(s + 1) * h) // s
         xs = (np.arange(s + 1) * w) // s
-        out = np.empty((s, s, 3), dtype=np.uint8)
         f = px.astype(np.float64)
-        for i in range(s):
-            for j in range(s):
-                out[i, j] = f[ys[i]: ys[i + 1], xs[j]: xs[j + 1]].mean(axis=(0, 1)).round()
-        return out
+        row_sum = np.add.reduceat(f, ys[:-1], axis=0)          # (s, w, 3)
+        cell_sum = np.add.reduceat(row_sum, xs[:-1], axis=1)   # (s, s, 3)
+        counts = np.diff(ys)[:, None] * np.diff(xs)[None, :]
+        return (cell_sum / counts[:, :, None]).round().astype(np.uint8)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         new_bytes, new_wh = [], []

@@ -40,20 +40,16 @@ from . import grouped
 
 def _shift_segment_values(values: np.ndarray, segments: np.ndarray, n: int) -> np.ndarray:
     """Vectorized per-segment lead: out[i] = values[i+n] within segment,
-    NaN past the segment end (works on float64; callers cast)."""
-    out = np.full(len(values), np.nan)
-    if n == 0:
-        return values.astype(np.float64, copy=True)
-    for s, e in zip(segments[:-1], segments[1:]):
-        seg = values[s:e]
-        if n > 0:
-            if e - s > n:
-                out[s : e - n] = seg[n:]
-        else:
-            m = -n
-            if e - s > m:
-                out[s + m : e] = seg[:-m]
-    return out
+    NaN past the segment end (works on float64; callers cast).
+
+    Delegates to the fully vectorized ``_seg_shift`` kernel (shared with
+    window_features) — no per-entity Python loop, so buckets with many
+    small entities cost one numpy pass, not one iteration per entity."""
+    from .window_features import _seg_shift, _segment_ids
+
+    # _seg_shift's sign convention: k>0 = lag (past), k<0 = lead (future);
+    # this helper's n>0 means lead, so negate.
+    return _seg_shift(values, _segment_ids(segments), -n)
 
 
 def shift_column_per_entity(

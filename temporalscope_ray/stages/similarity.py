@@ -129,7 +129,16 @@ def knn_ivf(
     from .grouped import clamp_concurrency
 
     q = np.asarray(queries, dtype=np.float64)
-    sample = ds.select_columns([emb_col]).limit(train_sample).to_pandas()
+    # train the quantizer on a RANDOM sample (fixed seed): limit() would
+    # take the first blocks, biasing centroids to the head of an entity-
+    # or time-ordered table and degrading recall for tail vectors
+    n_total = ds.count()
+    frac = min(1.0, (2.0 * train_sample) / max(n_total, 1))
+    sample = (
+        ds.select_columns([emb_col]).random_sample(frac, seed=seed).limit(train_sample).to_pandas()
+    )
+    if len(sample) == 0:  # tiny dataset edge: random_sample can return 0 rows
+        sample = ds.select_columns([emb_col]).limit(train_sample).to_pandas()
     mat_s = np.stack(sample[emb_col].to_numpy()).astype(np.float64)
     centroids = _kmeans(mat_s, nlist, seed=seed)
     cref = ray.put(centroids)

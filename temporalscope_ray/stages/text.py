@@ -92,45 +92,47 @@ class LangId:
         self.tables = {k: v for k, v in _STOPWORDS.items()}
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        preds, scores = [], []
-        for text in batch[self.text_col].fillna(""):
-            toks = [t.lower() for t in self.token_re.findall(text)]
-            if not toks:
-                preds.append("und")
-                scores.append(0.0)
-                continue
-            best_lang, best = "und", 0.0
-            for lang, table in self.tables.items():
-                score = sum(t in table for t in toks) / len(toks)
-                if score > best:
-                    best_lang, best = lang, score
-            preds.append(best_lang)
-            scores.append(best)
-        batch["lang_pred"] = preds
-        batch["lang_score"] = scores
+        # vectorized: explode tokens once, one isin() pass per language
+        # table (C-speed), then a groupby-mean back to doc rows — no
+        # per-document Python loop
+        s = batch[self.text_col].fillna("")
+        toks = s.str.findall(self.token_re)
+        n_toks = toks.str.len().to_numpy()
+        doc_idx = np.repeat(np.arange(len(batch)), n_toks)
+        flat = pd.Series(
+            [t for ts in toks for t in ts], dtype=object
+        ).str.lower() if len(doc_idx) else pd.Series([], dtype=object)
+        scores = np.zeros((len(batch), len(self.tables)))
+        langs = list(self.tables)
+        for li, lang in enumerate(langs):
+            hit = flat.isin(self.tables[lang]).to_numpy() if len(doc_idx) else np.array([], dtype=bool)
+            hits_per_doc = np.bincount(doc_idx, weights=hit, minlength=len(batch))
+            scores[:, li] = np.divide(
+                hits_per_doc, n_toks, out=np.zeros(len(batch)), where=n_toks > 0
+            )
+        best_li = scores.argmax(axis=1)
+        best = scores[np.arange(len(batch)), best_li]
+        batch["lang_pred"] = np.where(best > 0, np.array(langs, dtype=object)[best_li], "und")
+        batch["lang_score"] = best
         return batch
 
 
 class Fingerprint:
-    """64-bit rolling polynomial hash of the normalized text
-    (lowercased, whitespace collapsed) -> ``fingerprint`` int64 column.
-    Deterministic across processes (pure integer arithmetic)."""
-
-    BASE = 1000003
-    MOD = (1 << 61) - 1
+    """64-bit content fingerprint of the normalized text (lowercased,
+    whitespace collapsed) -> ``fingerprint`` int64 column. Deterministic
+    across processes (``pd.util.hash_array`` uses a fixed key) and fully
+    vectorized — normalization via pandas str kernels, hashing in C, no
+    per-character Python loop."""
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
-        self.ws = re.compile(r"\s+")
-
-    def _fp(self, text: str) -> int:
-        h = 0
-        for ch in self.ws.sub(" ", text.strip().lower()):
-            h = (h * self.BASE + ord(ch)) % self.MOD
-        return h - (1 << 62) if h >= (1 << 62) else h
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        batch["fingerprint"] = [self._fp(t) for t in batch[self.text_col].fillna("")]
+        norm = (
+            batch[self.text_col].fillna("").str.strip().str.lower().str.replace(r"\s+", " ", regex=True)
+        )
+        h = pd.util.hash_array(norm.to_numpy(dtype=object))
+        batch["fingerprint"] = h.astype(np.int64)  # wrap-around view: stable, sign-agnostic
         return batch
 
 
