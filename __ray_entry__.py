@@ -201,12 +201,18 @@ def q_range_join_clicks(sf_dir: str):
 
 
 def q_knn_ivf(sf_dir: str):
+    """IVF at full probe (nprobe=nlist): every inverted list is scanned,
+    so the ANN result is EXACT and the DuckDB brute-force oracle
+    applies — this oracle-checks the whole IVF machinery (quantizer
+    assignment, inverted-list groupby, per-list scoring, global merge).
+    ANN recall at nprobe<nlist is covered by the pytest recall suite."""
     from temporalscope_ray.stages.similarity import knn_ivf
 
     emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
     q_rows = emb.filter(expr="vec_id == 0").to_pandas()
     queries = np.stack(q_rows["embedding"].to_numpy()).astype(np.float64)
-    out = knn_ivf(emb, queries, k=10, nlist=8, nprobe=4, concurrency=(1, 2))
+    out = knn_ivf(emb, queries, k=10, nlist=8, nprobe=8, concurrency=(1, 2))
+    out = out.sort_values(["query_idx", "cos_sim", "vec_id"], ascending=[True, False, True]).reset_index(drop=True)
     out["cos_sim"] = np.round(out["cos_sim"], 6)
     return out
 
@@ -350,10 +356,34 @@ def q_backfill(sf_dir: str):
 
 
 def q_expand_targets(sf_dir: str):
+    """Multi-step expanded targets, flattened to (row, step, value) for
+    the oracle compare — list columns don't survive the driver's
+    sort+hash, so the sequence is exploded losslessly: step s holds
+    seq[s-1], i.e. the target s steps ahead."""
     from temporalscope_ray.stages.shift import expand_targets_multi_step
 
     ev = _events(sf_dir, ("event_id", "ts", "user_id", "value"))
-    return expand_targets_multi_step(ev, target_col="value", horizon=3, id_col="user_id", time_col="ts")
+    out = expand_targets_multi_step(
+        ev, target_col="value", horizon=3, id_col="user_id", time_col="ts", tiebreak=["event_id"]
+    )
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        h = 3
+        n = len(b)
+        seqs = np.concatenate(b["value_seq_3"].to_numpy()) if n else np.array([], dtype=np.float64)
+        rep = np.repeat(np.arange(n), h)
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"].to_numpy()[rep],
+                "ts": b["ts"].to_numpy()[rep],
+                "user_id": b["user_id"].to_numpy()[rep],
+                "value": b["value"].to_numpy()[rep],
+                "step": np.tile(np.arange(1, h + 1), n),
+                "target_value": np.asarray(seqs, dtype=np.float64),
+            }
+        )
+
+    return out.map_batches(explode, batch_format="pandas")
 
 
 def q_rolling_minmax(sf_dir: str):
@@ -516,6 +546,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_clicks_30min": q_range_join_clicks,
         "knn_ivf_10": q_knn_ivf,
     }
+
+
+def _lsh_oracle_sql() -> str:
+    """knn_lsh oracle: the hyperplane projection is data-INdependent
+    (fixed seed 13, dim 64, nbits 5), so the exact plane vectors are
+    embedded as SQL literals and DuckDB recomputes every vector's LSH
+    bucket, the query's multiprobe set (own bucket + Hamming-1), and
+    the exact cosine top-k over the candidate union — an end-to-end
+    replication of the ANN path, not just a rows-only check. repr()
+    floats round-trip exactly to the same doubles DuckDB parses."""
+    nbits, dim, seed = 5, 64, 13
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, nbits))
+
+    def lit(vec) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in vec) + "]::DOUBLE[]"
+
+    bucket_expr = " + ".join(
+        f"(CASE WHEN list_dot_product(e, {lit(planes[:, b])}) > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(nbits)
+    )
+    masks = [0] + [1 << b for b in range(nbits)]
+    return f"""
+        WITH v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        vb AS (SELECT vec_id, e, {bucket_expr} AS bucket FROM v),
+        q AS (SELECT e AS qe, bucket AS qb FROM vb WHERE vec_id = 0),
+        probes AS (
+          SELECT DISTINCT xor(q.qb::BIGINT, m.mask::BIGINT) AS pb, q.qe
+          FROM q CROSS JOIN (SELECT unnest({masks}) AS mask) m),
+        cand AS (SELECT vb.vec_id, vb.e, p.qe FROM vb JOIN probes p ON vb.bucket = p.pb)
+        SELECT 0 AS query_idx, vec_id,
+               ROUND(list_cosine_similarity(e, qe), 6) AS cos_sim
+        FROM cand
+        QUALIFY ROW_NUMBER() OVER (ORDER BY list_cosine_similarity(e, qe) DESC, vec_id) <= 10
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -701,4 +767,65 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(ABS(2.0 * (l_discount - (SELECT AVG(l_discount) FROM lineitem)))), 6) AS masv_l_discount
             FROM lineitem
         """,
+        "expand_targets_h3": """
+            SELECT event_id, ts, user_id, value, s.step,
+                   CASE s.step WHEN 1 THEN v1 WHEN 2 THEN v2 ELSE v3 END AS target_value
+            FROM (
+              SELECT event_id, ts, user_id, value,
+                     LEAD(value, 1) OVER w AS v1,
+                     LEAD(value, 2) OVER w AS v2,
+                     LEAD(value, 3) OVER w AS v3,
+                     ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+                     COUNT(*) OVER (PARTITION BY user_id) AS n
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ) CROSS JOIN (SELECT unnest([1, 2, 3]) AS step) s
+            WHERE rn <= n - 3
+        """,
+        "flagship_pipeline": f"""
+            WITH enr AS (
+              SELECT e.event_id, e.ts, e.user_id, e.value, os.o_totalprice
+              FROM events e ASOF LEFT JOIN ({order_state}) os
+                ON e.user_id = os.user_id AND e.ts >= os.ots),
+            feat AS (
+              SELECT event_id, ts, user_id, value, o_totalprice,
+                     LAG(value, 1) OVER w AS value_lag_1,
+                     LAG(value, 2) OVER w AS value_lag_2,
+                     ROUND(AVG(value) OVER w2, 6) AS value_roll_mean_4,
+                     ROUND(SUM(value) OVER w2, 6) AS value_roll_sum_4,
+                     CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id,
+                     LEAD(value, 1) OVER w AS value_shift_1
+              FROM (SELECT *, CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                                        > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+                    FROM enr)
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+                     w2 AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+            )
+            SELECT * FROM feat WHERE value_shift_1 IS NOT NULL
+        """,
+        "validator_report": """
+            WITH t AS (SELECT value AS target, value * 2 AS feature_1, value + 1 AS feature_2,
+                              value * value AS feature_3, -value AS feature_4, ts FROM events),
+            m AS (SELECT COUNT(*) AS n,
+                         COUNT(DISTINCT feature_1) AS u1, COUNT(DISTINCT feature_2) AS u2,
+                         COUNT(DISTINCT feature_3) AS u3, COUNT(DISTINCT feature_4) AS u4,
+                         COUNT(*) - COUNT(feature_1) AS n1, COUNT(*) - COUNT(feature_2) AS n2,
+                         COUNT(*) - COUNT(feature_3) AS n3, COUNT(*) - COUNT(feature_4) AS n4
+                  FROM t)
+            SELECT 'class_balance' AS "check", TRUE AS passed
+            UNION ALL SELECT 'feature_count', 4 BETWEEN 4 AND 500
+            UNION ALL SELECT 'feature_ratio', (4.0 / n) <= 0.1 FROM m
+            UNION ALL SELECT 'feature_variability',
+                      (LEAST(u1, u2, u3, u4) >= 10 AND n1 + n2 + n3 + n4 = 0) FROM m
+            UNION ALL SELECT 'sample_size', n BETWEEN 3000 AND 10000000 FROM m
+        """,
+        "knn_ivf_10": """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
+            SELECT 0 AS query_idx, vec_id,
+                   ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 6) AS cos_sim
+            FROM embeddings e CROSS JOIN q
+            QUALIFY ROW_NUMBER() OVER (
+                     ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) DESC, vec_id) <= 10
+        """,
+        "knn_lsh_10": _lsh_oracle_sql(),
     }

@@ -291,6 +291,7 @@ def expand_targets_multi_step(
     time_col: str,
     out_col: Optional[str] = None,
     num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+    tiebreak: Optional[list[str]] = None,
 ) -> ray.data.Dataset:
     """MODE_MULTI_TARGET expanded targets (T5): per row, the vector of the
     next ``horizon`` target values within the entity (list<float64>
@@ -298,8 +299,11 @@ def expand_targets_multi_step(
 
     The reference documents but never implements this
     (core_utils.py:61-72); semantics follow that documentation.
+    ``tiebreak`` columns extend the per-entity sort key — required for
+    deterministic output when (id, time) pairs can repeat.
     """
     out_col = out_col or f"{target_col}_seq_{horizon}"
+    order = [time_col, *(tiebreak or [])]
 
     def fn(g: pd.DataFrame) -> pd.DataFrame:
         keys = g[id_col].to_numpy()
@@ -326,4 +330,4 @@ def expand_targets_multi_step(
         g[out_col] = g[out_col].map(lambda w: w.tolist())
         return g
 
-    return grouped.grouped_ordered_map(ds, id_col, [time_col], fn, num_buckets=num_buckets)
+    return grouped.grouped_ordered_map(ds, id_col, order, fn, num_buckets=num_buckets)
