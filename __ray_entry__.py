@@ -427,13 +427,21 @@ def q_masv_lineitem(sf_dir: str):
 
 
 def q_simhash_kept_docs(sf_dir: str):
+    """portable=True: token hashes are md5-lower-64, so the DuckDB
+    oracle recomputes every doc's 64-bit simhash bit-for-bit and
+    replays chunk bucketing + Hamming verification exactly."""
     from temporalscope_ray.stages.dedup import simhash_dedup
 
     docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
-    return simhash_dedup(docs, text_col="text", id_col="doc_id", concurrency=2).select_columns(["doc_id"])
+    return simhash_dedup(
+        docs, text_col="text", id_col="doc_id", concurrency=2, portable=True
+    ).select_columns(["doc_id"])
 
 
 def q_jaccard_kept_docs(sf_dir: str):
+    """Oracle = EXACT shingle-set Jaccard over all pairs in SQL; the
+    engine's LSH candidates + exact verify must reproduce it (banding
+    recall for pairs >= threshold is ~1-1e-13 at these params)."""
     from temporalscope_ray.stages.dedup import jaccard_dedup
 
     docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -443,6 +451,8 @@ def q_jaccard_kept_docs(sf_dir: str):
 
 
 def q_embedding_kept_vecs(sf_dir: str):
+    """Oracle = exact pairwise cosine in SQL (list_cosine_similarity);
+    the banded multi-table hyperplane LSH + exact verify must match."""
     from temporalscope_ray.stages.dedup import embedding_dedup
 
     emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
@@ -483,10 +493,16 @@ def q_validator_report(sf_dir: str):
 
 
 def q_minhash_kept_docs(sf_dir: str):
+    """portable=True: shingle hashes are md5-lower-64 of the joined
+    token window, so the DuckDB oracle recomputes the full 64-perm
+    MinHash signature (HUGEINT arithmetic replicating numpy's uint64
+    wrap) and replays the banding decision exactly."""
     from temporalscope_ray.stages.dedup import minhash_dedup
 
     docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
-    return minhash_dedup(docs, text_col="text", id_col="doc_id", concurrency=(1, 2)).select_columns(["doc_id"])
+    return minhash_dedup(
+        docs, text_col="text", id_col="doc_id", concurrency=(1, 2), portable=True
+    ).select_columns(["doc_id"])
 
 
 def q_image_pipeline(sf_dir: str):
@@ -581,6 +597,53 @@ def _lsh_oracle_sql() -> str:
                ROUND(list_cosine_similarity(e, qe), 6) AS cos_sim
         FROM cand
         QUALIFY ROW_NUMBER() OVER (ORDER BY list_cosine_similarity(e, qe) DESC, vec_id) <= 10
+    """
+
+
+_P61 = (1 << 61) - 1
+_W64 = 1 << 64
+
+# shared SQL fragments for the text-dedup oracles: k=5 token shingles,
+# tokenization identical to the engine (`\w+` on lowered text — RE2 and
+# Python agree on ASCII; the testdata corpus is pure ASCII)
+_SQL_TOKS = "SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS t FROM documents"
+_SQL_SHINGLE_IDX = (
+    "CROSS JOIN LATERAL (SELECT unnest(generate_series(1, "
+    "CASE WHEN len(t) = 0 THEN 0 WHEN len(t) < 5 THEN 1 ELSE len(t) - 4 END)) AS i) g"
+)
+
+
+def _minhash_oracle_sql() -> str:
+    """minhash_kept_docs oracle: full algorithm replication in SQL.
+    The permutation parameters are data-independent (seed 7), embedded
+    as HUGEINT literals; shingle hashes are md5_number_lower of the
+    space-joined token window (the engine's portable mode); the
+    (a*x)%2^64%p wrap mirrors numpy's uint64 overflow exactly (probed);
+    bands compare as ordered 4-value lists (the engine compares band
+    hashes — equality is identical up to ~2^-61 collisions)."""
+    rng = np.random.default_rng(7)
+    a = rng.integers(1, _P61, size=64, dtype=np.uint64)
+    b = rng.integers(0, _P61, size=64, dtype=np.uint64)
+    perm_rows = ", ".join(f"({j}, {int(a[j])}::HUGEINT, {int(b[j])}::HUGEINT)" for j in range(64))
+    return f"""
+        WITH toks AS ({_SQL_TOKS}),
+        sh AS (
+          SELECT doc_id, md5_number_lower(array_to_string(t[i : i + 4], ' ')) AS h
+          FROM toks {_SQL_SHINGLE_IDX}),
+        dsh AS (SELECT DISTINCT doc_id, h FROM sh),
+        perms AS (SELECT * FROM (VALUES {perm_rows}) p(j, a, b)),
+        sigs AS (
+          SELECT doc_id, p.j,
+                 MIN((((p.a * (h::HUGEINT % {_P61})) % {_W64}) % {_P61} + p.b) % {_P61}) AS sig
+          FROM dsh CROSS JOIN perms p GROUP BY doc_id, p.j),
+        bands AS (
+          SELECT doc_id, j // 4 AS band_id, list(sig ORDER BY j) AS bsig
+          FROM sigs GROUP BY doc_id, j // 4),
+        dropped AS (
+          SELECT DISTINCT b2.doc_id AS id_b
+          FROM bands a2 JOIN bands b2
+            ON a2.band_id = b2.band_id AND a2.bsig = b2.bsig AND a2.doc_id < b2.doc_id)
+        SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id_b FROM dropped)
     """
 
 
@@ -828,4 +891,51 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) DESC, vec_id) <= 10
         """,
         "knn_lsh_10": _lsh_oracle_sql(),
+        "minhash_kept_docs": _minhash_oracle_sql(),
+        "jaccard_kept_docs": f"""
+            WITH toks AS ({_SQL_TOKS}),
+            sh AS (
+              SELECT doc_id, array_to_string(t[i : i + 4], ' ') AS s
+              FROM toks {_SQL_SHINGLE_IDX}),
+            dsh AS (SELECT DISTINCT doc_id, s FROM sh),
+            cnt AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+              FROM dsh a JOIN dsh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            dropped AS (
+              SELECT DISTINCT i.id_b
+              FROM inter i JOIN cnt ca ON ca.doc_id = i.id_a JOIN cnt cb ON cb.doc_id = i.id_b
+              WHERE i.c * 1.0 / (ca.n + cb.n - i.c) >= 0.7)
+            SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id_b FROM dropped)
+        """,
+        "simhash_kept_docs": """
+            WITH th AS (
+              SELECT doc_id, md5_number_lower(unnest(regexp_extract_all(lower(text), '\\w+'))) AS h
+              FROM documents),
+            bits AS (
+              SELECT doc_id, b.bit,
+                     SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS score
+              FROM th CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bit) b
+              GROUP BY doc_id, b.bit),
+            sim AS (
+              SELECT doc_id,
+                     SUM(CASE WHEN score > 0 THEN (1::UBIGINT << bit) ELSE 0 END)::UBIGINT AS sh
+              FROM bits GROUP BY doc_id),
+            chunks AS (
+              SELECT doc_id, sh, c.c AS chunk_id, (sh >> (16 * c.c)) & 65535 AS chunk_val
+              FROM sim CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS c) c),
+            dropped AS (
+              SELECT DISTINCT b.doc_id AS id_b
+              FROM chunks a JOIN chunks b
+                ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.sh, b.sh)) <= 3)
+            SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id_b FROM dropped)
+        """,
+        "embedding_kept_vecs": """
+            SELECT vec_id FROM embeddings WHERE vec_id NOT IN (
+              SELECT b.vec_id FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])) >= 0.995)
+        """,
     }

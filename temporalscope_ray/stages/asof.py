@@ -368,15 +368,28 @@ def range_join(
 
 def semi_join(
     left: ray.data.Dataset, keys: ray.data.Dataset | Sequence, key_col: str, *, anti: bool = False,
-    assume_unique: bool = False,
+    assume_unique: bool = False, broadcast_limit_rows: int = 2_000_000,
+    num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
 ) -> ray.data.Dataset:
     """Keep left rows whose ``key_col`` is (semi) / is not (anti) in the
-    key set. The key set is broadcast via ``ray.put`` — no shuffle on
-    the left side. ``assume_unique=True`` skips the distinct pass on a
-    keys Dataset (another shuffle) when the caller guarantees
-    uniqueness (e.g. dedup survivor sets, one row per id by
-    construction)."""
+    key set.
+
+    Execution is size-adaptive: a key set below
+    ``broadcast_limit_rows`` is broadcast via ``ray.put`` (no shuffle
+    on the left side); a larger key Dataset takes the BUCKETED path —
+    both sides get the same ``hash(key) % B`` bucket and one
+    ``groupby(bucket)`` co-locates them, so the key set is never
+    materialized on the driver (the round-1 scale flaw: dedup survivor
+    sets are ~95% of the corpus). ``assume_unique=True`` skips the
+    distinct pass on a keys Dataset when the caller guarantees
+    uniqueness (e.g. one row per id by construction)."""
     if isinstance(keys, ray.data.Dataset):
+        cnt = keys.count()
+        if cnt == 0:
+            # empty key set: anti keeps everything, semi keeps nothing
+            return left if anti else left.limit(0)
+        if cnt is not None and cnt > broadcast_limit_rows:
+            return _semi_join_bucketed(left, keys, key_col, anti=anti, num_buckets=num_buckets)
         if assume_unique:
             value_set = pa.array(keys.select_columns([key_col]).to_pandas()[key_col].to_numpy())
         else:
@@ -393,3 +406,32 @@ def semi_join(
         return batch.filter(mask)
 
     return left.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _semi_join_bucketed(
+    left: ray.data.Dataset, keys: ray.data.Dataset, key_col: str, *, anti: bool,
+    num_buckets: int,
+) -> ray.data.Dataset:
+    """Distributed semi/anti join: one bucket exchange, per-bucket
+    vectorized ``is_in``. Key rows carry only ``key_col`` through the
+    shuffle; each side is filtered separately on the side tag so left
+    columns never pass through a null-padding dtype coercion."""
+    from .exchange import SIDE_COL, pad_union
+
+    left_cols = list(left.schema().names)
+    both, _, _ = pad_union(left, keys.select_columns([key_col]))
+    bucketed = grouped.with_bucket(both, key_col, num_buckets)
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        side = t.column(SIDE_COL).to_numpy(zero_copy_only=False)
+        lmask = side == 0
+        l = t.filter(pa.array(lmask)).select(left_cols)
+        key_set = pa.compute.unique(t.filter(pa.array(~lmask)).column(key_col))
+        mask = pa.compute.is_in(l.column(key_col), value_set=key_set)
+        if anti:
+            mask = pa.compute.invert(mask)
+        return l.filter(mask)
+
+    return bucketed.groupby(grouped.BUCKET_COL).map_groups(
+        lambda t: per_bucket(t.drop_columns([grouped.BUCKET_COL])), batch_format="pyarrow"
+    )

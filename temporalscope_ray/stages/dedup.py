@@ -1,17 +1,30 @@
 """Deduplication family for web-scale corpora: exact, MinHash+LSH,
 SimHash, n-gram Jaccard, embedding-cosine near-dup.
 
-Common canonical-representative semantics: within each duplicate
-cluster, the row with the SMALLEST ``id_col`` survives (deterministic,
-order-free). All variants follow the same scale shape:
+Canonical semantics (direct-pair, deterministic, order-free): a row is
+DROPPED iff some verified duplicate partner with a SMALLER ``id_col``
+exists; equivalently the smallest id of every duplicate group
+survives. All variants share the scale shape:
 
   vectorized signature ``map_batches``  →  explode to (bucket, id)
-  →  ``groupby(bucket)`` (the only shuffle)  →  per-bucket min-id
-  →  tiny survivor set  →  broadcast semi-join filter.
+  →  ``groupby(bucket)`` (the only full shuffle)  →  per-bucket
+  candidate links / pairs  →  tiny DROPPED-id set  →  broadcast
+  anti-join filter (``semi_join(anti=True)``).
 
-A document is dropped iff some bucket links it to a smaller id — the
-"bucket-min" approximation of connected components (transitive
-closure within one hop; iterate ``rounds`` times for full closure).
+The filtered side is the DROPPED set — the small side of a dedup
+(near-dups are a few % of a corpus) — so nothing survivor-sized is
+ever materialized on the driver; above a size threshold ``semi_join``
+switches to its bucketed path automatically. Verified variants
+(SimHash/Jaccard/embedding) generate candidate PAIRS first and verify
+them against a broadcast payload of ONLY the candidate rows — raw
+text / vectors never ride the LSH shuffle (round-1 shipped text
+×bands; candidates ≪ corpus is the documented bound).
+
+``portable=True`` switches token/shingle hashing from the fast
+``pd.util.hash_array`` to md5-lower-64 — bit-identical to DuckDB's
+``md5_number_lower`` — so an external SQL engine can replicate
+MinHash/SimHash signatures exactly for cross-engine verification
+(the driver's oracle gate). Production default stays ``fast``.
 """
 
 from __future__ import annotations
@@ -22,43 +35,66 @@ from typing import Optional, Sequence
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import ray
 import ray.data
 
 from .asof import semi_join
 from .grouped import clamp_concurrency
 
 _MERSENNE = (1 << 61) - 1
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
 
 
-def hash_strings64(strings: list[str]) -> np.ndarray:
-    """Deterministic vectorized 64-bit string hashing
-    (``pd.util.hash_array`` uses a fixed key — stable across processes,
-    and C-speed instead of a per-byte Python loop)."""
+def _md5_lower64(strings) -> np.ndarray:
+    """md5 lower 64 bits, little-endian — DuckDB ``md5_number_lower``
+    parity (verified byte-for-byte)."""
+    import hashlib
+
+    return np.array(
+        [int.from_bytes(hashlib.md5(s.encode()).digest()[8:16], "little") for s in strings],
+        dtype=np.uint64,
+    )
+
+
+def hash_strings64(strings: list[str], portable: bool = False) -> np.ndarray:
+    """Deterministic vectorized 64-bit string hashing.
+
+    fast (default): ``pd.util.hash_array`` — fixed key, stable across
+    processes, C-speed. portable: md5-lower-64, replicable by any SQL
+    engine with an md5 function (slower; verification runs only)."""
     if not strings:
         return np.array([], dtype=np.uint64)
+    if portable:
+        return _md5_lower64(strings)
     return pd.util.hash_array(np.asarray(strings, dtype=object))
 
 
-def _token_hashes(text: str, token_re: re.Pattern) -> np.ndarray:
-    return hash_strings64(token_re.findall(text.lower()))
+def _token_hashes(text: str, token_re: re.Pattern, portable: bool = False) -> np.ndarray:
+    return hash_strings64(token_re.findall(text.lower()), portable)
 
 
 # fixed odd constants for positional shingle mixing (deterministic)
 _SHINGLE_C = (np.arange(1, 65, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
 
 
-def shingle_hashes(text: str, k: int, token_re: re.Pattern) -> np.ndarray:
+def shingle_hashes(text: str, k: int, token_re: re.Pattern, portable: bool = False) -> np.ndarray:
     """k-token shingles -> uint64 hashes (vector per doc).
 
-    Fully vectorized: tokens hash once (C-speed), then each shingle is
-    a position-weighted wrap-around combination of its k token hashes
-    via a sliding window — no per-shingle string joins (which were the
-    hot loop: ~3M Python joins for 5k docs)."""
+    fast: tokens hash once (C-speed), then each shingle is a
+    position-weighted wrap-around combination of its k token hashes via
+    a sliding window — no per-shingle string joins. portable: each
+    shingle is the space-joined token window hashed with md5-lower-64
+    (exactly ``md5_number_lower(array_to_string(tokens[i:i+k-1], ' '))``
+    in DuckDB)."""
     toks = token_re.findall(text.lower())
-    th = hash_strings64(toks)
-    n = len(th)
+    n = len(toks)
     if n == 0:
-        return th
+        return np.array([], dtype=np.uint64)
+    if portable:
+        if n < k:
+            return _md5_lower64([" ".join(toks)])
+        return _md5_lower64([" ".join(toks[i : i + k]) for i in range(n - k + 1)])
+    th = hash_strings64(toks)
     if n < k:
         window = th[None, :]
         coef = _SHINGLE_C[:n]
@@ -72,27 +108,12 @@ def shingle_hashes(text: str, k: int, token_re: re.Pattern) -> np.ndarray:
 # shared canonicalization machinery
 # ---------------------------------------------------------------------------
 
-def _canonical_via_buckets(
-    exploded: ray.data.Dataset,
-    *,
-    id_col: str,
-    group_cols: Sequence[str],
-    verify_fn=None,
-    num_buckets: int = 64,
-):
-    """(id, canonical) links from an exploded (group_key..., id) table.
-
-    Ray's ``groupby(fine_key).map_groups`` costs one Python call per
-    group — catastrophic for LSH tables with ~1 group per row. Instead
-    the fine groups are HASH-COARSENED into ``num_buckets`` buckets
-    (every fine group lands wholly in one bucket), one shuffle
-    co-locates them, and inside each bucket a single vectorized pandas
-    ``groupby(...).transform("min")`` (or ``verify_fn`` per fine group
-    for verified variants) computes the per-group min id.
-
-    Returns the survivor id Dataset (ids that are their own canonical
-    min across every group they belong to).
-    """
+def _coarse_bucketed(exploded: ray.data.Dataset, group_cols: Sequence[str], num_buckets: int):
+    """Hash-coarsen fine LSH groups into ``num_buckets`` shuffle buckets
+    (every fine group lands wholly in one bucket). Ray's
+    ``groupby(fine_key).map_groups`` costs one Python call per group —
+    catastrophic at ~1 group per row — so the shuffle key is the coarse
+    bucket and fine groups are handled vectorized inside."""
     group_cols = list(group_cols)
 
     def add_bucket(t: pa.Table) -> pa.Table:
@@ -100,15 +121,25 @@ def _canonical_via_buckets(
         h = pd.util.hash_pandas_object(df_keys, index=False).to_numpy()
         return t.append_column("__gbucket__", pa.array((h % np.uint64(num_buckets)).astype(np.int32)))
 
-    bucketed = exploded.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+    return exploded.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _dropped_via_buckets(
+    exploded: ray.data.Dataset,
+    *,
+    id_col: str,
+    group_cols: Sequence[str],
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Unverified bucket-min link: a row is dropped iff a SMALLER id
+    shares some fine group with it. Returns the dropped-id Dataset
+    (small side). One shuffle (coarse buckets) + one tiny id groupby."""
+    group_cols = list(group_cols)
+    bucketed = _coarse_bucketed(exploded, group_cols, num_buckets)
 
     def links(g: pd.DataFrame) -> pd.DataFrame:
-        if verify_fn is None:
-            canon = g.groupby(group_cols, sort=False)[id_col].transform("min")
-            out = pd.DataFrame({id_col: g[id_col], "canonical": canon})
-        else:
-            parts = [verify_fn(sub) for _, sub in g.groupby(group_cols, sort=False)]
-            out = pd.concat(parts, ignore_index=True) if parts else pd.DataFrame({id_col: [], "canonical": []})
+        canon = g.groupby(group_cols, sort=False)[id_col].transform("min")
+        out = pd.DataFrame({id_col: g[id_col], "canonical": canon})
         # pre-reduce within the bucket: one row per id
         return out.groupby(id_col, as_index=False)["canonical"].min()
 
@@ -119,9 +150,85 @@ def _canonical_via_buckets(
 
     canon = linked.groupby(id_col).aggregate(Min("canonical", alias_name="canonical"))
     return canon.map_batches(
-        lambda t: t.filter(pa.compute.equal(t.column(id_col), t.column("canonical"))).select([id_col]),
+        lambda t: t.filter(pa.compute.less(t.column("canonical"), t.column(id_col))).select([id_col]),
         batch_format="pyarrow",
     )
+
+
+def _candidate_pairs(
+    exploded: ray.data.Dataset,
+    *,
+    id_col: str,
+    group_cols: Sequence[str],
+    num_buckets: int = 64,
+    max_group: int = 4096,
+) -> ray.data.Dataset:
+    """Candidate pairs ``(id_a < id_b)`` from an exploded
+    (group_key..., id) table: fine groups of size >= 2 emit all ordered
+    pairs. Groups above ``max_group`` members are truncated to the
+    ``max_group`` smallest ids (logged via a warning column-free print)
+    — an explicit cap, not a silent one; a fine LSH group that large
+    means the banding parameters are too coarse for the corpus."""
+    group_cols = list(group_cols)
+    bucketed = _coarse_bucketed(exploded, group_cols, num_buckets)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # only fine groups with >= 2 members can produce pairs
+        sizes = g.groupby(group_cols, sort=False)[id_col].transform("size")
+        g2 = g[sizes >= 2]
+        if not len(g2):
+            return pd.DataFrame({"id_a": np.array([], dtype=np.int64), "id_b": np.array([], dtype=np.int64)})
+        out_a, out_b = [], []
+        for _, sub in g2.groupby(group_cols, sort=False):
+            ids = np.unique(sub[id_col].to_numpy())
+            if len(ids) > max_group:
+                print(
+                    f"temporalscope_ray.dedup: LSH group truncated {len(ids)} -> {max_group} "
+                    "(banding too coarse for corpus size)"
+                )
+                ids = ids[:max_group]
+            m = len(ids)
+            if m < 2:
+                continue
+            iu = np.triu_indices(m, k=1)
+            out_a.append(ids[iu[0]])
+            out_b.append(ids[iu[1]])
+        if not out_a:
+            return pd.DataFrame({"id_a": np.array([], dtype=np.int64), "id_b": np.array([], dtype=np.int64)})
+        df = pd.DataFrame({"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)})
+        return df.drop_duplicates(ignore_index=True)
+
+    return bucketed.groupby("__gbucket__").map_groups(
+        lambda g: pairs(g.drop(columns=["__gbucket__"])), batch_format="pandas"
+    )
+
+
+def _payload_map_for_candidates(
+    ds: ray.data.Dataset,
+    pairs_df: pd.DataFrame,
+    *,
+    id_col: str,
+    payload_fn,
+    payload_cols: Sequence[str],
+) -> "ray.ObjectRef":
+    """Broadcast {id -> payload} for ONLY the candidate ids: a
+    semi-join narrows the corpus to the candidate rows (ids from the
+    pair list — the small side), ``payload_fn(batch) -> dict[id, obj]``
+    computes the per-row verification payloads distributed, and the
+    merged map goes to the object store once (``ray.put``)."""
+    cand_ids = np.unique(np.concatenate([pairs_df["id_a"].to_numpy(), pairs_df["id_b"].to_numpy()])) if len(pairs_df) else np.array([], dtype=np.int64)
+    cand = semi_join(ds.select_columns(list(dict.fromkeys([id_col, *payload_cols]))), cand_ids.tolist(), id_col)
+    maps = cand.map_batches(
+        lambda b: pd.DataFrame({"__pickle__": [payload_fn(b)]}), batch_format="pandas", batch_size=4096
+    ).to_pandas()
+    merged: dict = {}
+    for m in maps["__pickle__"]:
+        merged.update(m)
+    return ray.put(merged)
+
+
+def _anti_join_dropped(ds: ray.data.Dataset, dropped: ray.data.Dataset | Sequence, id_col: str) -> ray.data.Dataset:
+    return semi_join(ds, dropped, id_col, anti=True)
 
 
 # ---------------------------------------------------------------------------
@@ -136,9 +243,10 @@ def exact_dedup(
 ) -> ray.data.Dataset:
     """Exact dedup on content: hash the content columns per batch
     (vectorized), hash-partition on the digest, keep the min-id row per
-    digest group, then semi-join the survivors back. Survivor-id sets
-    are tiny relative to the payload, so the full rows never shuffle
-    twice."""
+    digest group, then semi-join the survivors back (``semi_join``
+    auto-switches to its bucketed path when the survivor set exceeds
+    the broadcast threshold — nothing corpus-sized ever lands on the
+    driver)."""
 
     def add_digest(batch: pa.Table) -> pa.Table:
         df = batch.select(list(content_cols)).to_pandas()
@@ -170,14 +278,11 @@ def exact_dedup(
 class MinHasher:
     """Actor: permutation parameters generated ONCE per actor from a
     fixed seed; per batch computes num_perm minhashes per doc and
-    explodes them into (band_id, band_hash, id) rows. With
-    ``carry_text=True`` each exploded row also carries the doc text
-    (bands× duplication) so downstream buckets can verify exactly
-    without any driver-side lookup table."""
+    explodes them into (band_id, band_hash, id) rows — nothing but ids
+    and band keys ride the shuffle."""
 
     def __init__(self, text_col: str, id_col: str, num_perm: int, bands: int, shingle_k: int, seed: int,
-                 carry_text: bool = False):
-        self.carry_text = carry_text
+                 portable: bool = False):
         assert num_perm % bands == 0
         rng = np.random.default_rng(seed)
         self.a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
@@ -185,13 +290,16 @@ class MinHasher:
         self.rows_per_band = num_perm // bands
         self.num_perm, self.bands = num_perm, bands
         self.text_col, self.id_col, self.k = text_col, id_col, shingle_k
+        self.portable = portable
         self.token_re = re.compile(r"\w+")
 
     def signature(self, text: str) -> Optional[np.ndarray]:
-        sh = shingle_hashes(text, self.k, self.token_re)
+        sh = shingle_hashes(text, self.k, self.token_re, self.portable)
         if len(sh) == 0:
             return None
-        # (a*x + b) mod p, min over shingles, vectorized (num_perm × n)
+        # (a*x + b) mod p, min over shingles, vectorized (num_perm × n).
+        # NOTE the uint64 product wraps mod 2^64 BEFORE the mod-p — the
+        # portable SQL replication applies the same wrap explicitly.
         prod = (self.a[:, None] * (sh[None, :] % _MERSENNE)) % _MERSENNE
         return ((prod + self.b[:, None]) % _MERSENNE).min(axis=1)
 
@@ -199,13 +307,14 @@ class MinHasher:
         """All band hashes at once: reshape (bands, rows_per_band),
         multiply-mod by the first rows_per_band permutation params, and
         XOR-reduce along the band axis — one vectorized op, not a
-        Python loop per band."""
+        Python loop per band. (Band-hash equality stands in for
+        band-tuple equality; collision odds ~2^-61.)"""
         chunks = sig.reshape(self.bands, self.rows_per_band)
         mixed = (chunks * self.a[None, : self.rows_per_band]) % _MERSENNE
         return np.bitwise_xor.reduce(mixed, axis=1) % _MERSENNE
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        ids, band_ids, band_hashes, texts = [], [], [], []
+        ids, band_ids, band_hashes = [], [], []
         band_range = np.arange(self.bands, dtype=np.int32)
         for doc_id, text in zip(batch[self.id_col], batch[self.text_col].fillna("")):
             sig = self.signature(text)
@@ -219,26 +328,28 @@ class MinHasher:
                 band_hashes.append(
                     pd.util.hash_pandas_object(pd.Series([doc_id]), index=False).to_numpy().astype(np.int64)
                 )
-                if self.carry_text:
-                    texts.append(text)
                 continue
             bh = self.band_hashes(sig)
             ids.extend([doc_id] * self.bands)
             band_ids.append(band_range)
             band_hashes.append(bh.astype(np.int64))
-            if self.carry_text:
-                texts.extend([text] * self.bands)
-        out = {
+        return pd.DataFrame({
             self.id_col: ids,
             "band_id": np.concatenate(band_ids) if band_ids else np.array([], dtype=np.int32),
             "band_hash": np.concatenate(band_hashes) if band_hashes else np.array([], dtype=np.int64),
-        }
-        if self.carry_text:
-            out[self.text_col] = texts
-        return pd.DataFrame(out)
+        })
 
 
-def minhash_survivors(
+def _minhash_exploded(ds, *, text_col, id_col, num_perm, bands, shingle_k, seed, concurrency, portable=False):
+    return ds.select_columns([id_col, text_col]).map_batches(
+        MinHasher,
+        batch_format="pandas",
+        concurrency=clamp_concurrency(concurrency),
+        fn_constructor_args=(text_col, id_col, num_perm, bands, shingle_k, seed, portable),
+    )
+
+
+def minhash_dropped(
     ds: ray.data.Dataset,
     *,
     text_col: str,
@@ -248,17 +359,16 @@ def minhash_survivors(
     shingle_k: int = 5,
     seed: int = 7,
     concurrency=8,
+    portable: bool = False,
 ) -> ray.data.Dataset:
-    """(id, canonical_id) pairs: canonical = min id over all shared LSH
-    buckets (one hop)."""
-    exploded = ds.select_columns([id_col, text_col]).map_batches(
-        MinHasher,
-        batch_format="pandas",
-        concurrency=clamp_concurrency(concurrency),
-        fn_constructor_args=(text_col, id_col, num_perm, bands, shingle_k, seed),
+    """Dropped-id Dataset: ids sharing some LSH band bucket with a
+    smaller id (one hop, unverified — MinHash banding IS the match
+    criterion)."""
+    exploded = _minhash_exploded(
+        ds, text_col=text_col, id_col=id_col, num_perm=num_perm, bands=bands,
+        shingle_k=shingle_k, seed=seed, concurrency=concurrency, portable=portable,
     )
-
-    return _canonical_via_buckets(exploded, id_col=id_col, group_cols=["band_id", "band_hash"])
+    return _dropped_via_buckets(exploded, id_col=id_col, group_cols=["band_id", "band_hash"])
 
 
 def minhash_dedup(
@@ -271,14 +381,15 @@ def minhash_dedup(
     shingle_k: int = 5,
     seed: int = 7,
     concurrency=8,
+    portable: bool = False,
 ) -> ray.data.Dataset:
-    """Keep rows whose id is its own cluster canonical (min over every
-    bucket it shares)."""
-    keep = minhash_survivors(
+    """Keep rows with no smaller-id band-bucket partner. The filter
+    anti-joins the DROPPED set (the small side)."""
+    dropped = minhash_dropped(
         ds, text_col=text_col, id_col=id_col, num_perm=num_perm, bands=bands,
-        shingle_k=shingle_k, seed=seed, concurrency=clamp_concurrency(concurrency),
+        shingle_k=shingle_k, seed=seed, concurrency=clamp_concurrency(concurrency), portable=portable,
     )
-    return semi_join(ds, keep, id_col, assume_unique=True)
+    return _anti_join_dropped(ds, dropped, id_col)
 
 
 # ---------------------------------------------------------------------------
@@ -287,29 +398,30 @@ def minhash_dedup(
 
 class SimHasher:
     """64-bit SimHash per doc + 4×16-bit chunk bucketing (docs within
-    Hamming distance 3 share at least one exact chunk)."""
+    Hamming distance 3 share at least one exact chunk — pigeonhole).
+    The 64-bit simhash rides along (8 bytes/chunk row) so buckets
+    verify WITHOUT a second lookup."""
 
-    def __init__(self, text_col: str, id_col: str):
+    def __init__(self, text_col: str, id_col: str, portable: bool = False):
         self.text_col, self.id_col = text_col, id_col
+        self.portable = portable
         self.token_re = re.compile(r"\w+")
 
-    def simhash(self, text: str, hashes: Optional[np.ndarray] = None) -> int:
-        if hashes is None:
-            hashes = _token_hashes(text, self.token_re)
-        if len(hashes) == 0:
-            return 0
+    def simhash_from_hashes(self, hashes: np.ndarray) -> int:
         bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
         score = (2 * bits - 1).sum(axis=0)
-        out = 0
-        for i in range(64):
-            if score[i] > 0:
-                out |= 1 << i
-        return out
+        return int(((score > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64))
+
+    def simhash(self, text: str) -> int:
+        hashes = _token_hashes(text, self.token_re, self.portable)
+        if len(hashes) == 0:
+            return 0
+        return self.simhash_from_hashes(hashes)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         ids, chunk_ids, chunk_vals, sims = [], [], [], []
         for doc_id, text in zip(batch[self.id_col], batch[self.text_col].fillna("")):
-            hashes = _token_hashes(text, self.token_re)
+            hashes = _token_hashes(text, self.token_re, self.portable)
             if len(hashes) == 0:
                 # tokenless doc: singleton bucket (survives; never a
                 # near-dup candidate) instead of colliding at simhash 0
@@ -320,13 +432,32 @@ class SimHasher:
                 )
                 sims.append(0)
                 continue
-            sh = self.simhash(text, hashes)
+            sh = self.simhash_from_hashes(hashes)
             for c in range(4):
                 ids.append(doc_id)
                 chunk_ids.append(c)
                 chunk_vals.append((sh >> (16 * c)) & 0xFFFF)
-                sims.append(sh - (1 << 63) if sh >= (1 << 63) else sh)
+                # two's-complement int64 view (sh - 2^64, NOT 2^63 —
+                # the latter silently corrupts bit 63, a round-1 bug
+                # this family's DuckDB oracle caught)
+                sims.append(sh - (1 << 64) if sh >= (1 << 63) else sh)
         return pd.DataFrame({self.id_col: ids, "chunk_id": chunk_ids, "chunk_val": chunk_vals, "simhash": sims})
+
+
+def _hamming_le(sims: np.ndarray, threshold: int, block: int = 512) -> np.ndarray:
+    """For id-sorted uint64 simhashes: dropped[i] = True iff some j<i
+    has popcount(sims[i]^sims[j]) <= threshold. Vectorized byte-table
+    popcount, processed in row blocks so memory stays O(block × m)."""
+    m = len(sims)
+    dropped = np.zeros(m, dtype=bool)
+    for s in range(1, m, block):
+        e = min(s + block, m)
+        x = sims[s:e, None] ^ sims[None, :e]          # (rows, e) uint64
+        ham = _POP8[x.view(np.uint8).reshape(e - s, e, 8)].sum(axis=2)
+        idx = np.arange(s, e)[:, None]
+        close = (ham <= threshold) & (np.arange(e)[None, :] < idx)
+        dropped[s:e] |= close.any(axis=1)
+    return dropped
 
 
 def simhash_dedup(
@@ -336,35 +467,42 @@ def simhash_dedup(
     id_col: str,
     hamming_threshold: int = 3,
     concurrency=8,
+    portable: bool = False,
+    num_buckets: int = 64,
 ) -> ray.data.Dataset:
-    """Candidates share a 16-bit chunk; verified by Hamming distance on
-    the full 64-bit simhash inside the bucket; min-id canonical."""
+    """Candidates share a 16-bit chunk; verified by vectorized Hamming
+    distance on the full 64-bit simhash inside the bucket (byte-table
+    popcount — no per-pair Python); a row drops iff a smaller-id row
+    within distance ``hamming_threshold`` shares a chunk."""
     exploded = ds.select_columns([id_col, text_col]).map_batches(
         SimHasher, batch_format="pandas", concurrency=clamp_concurrency(concurrency),
-        fn_constructor_args=(text_col, id_col),
+        fn_constructor_args=(text_col, id_col, portable),
     )
+    group_cols = ["chunk_id", "chunk_val"]
+    bucketed = _coarse_bucketed(exploded, group_cols, num_buckets)
 
-    def bucket_verify(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col)
-        sims = g["simhash"].to_numpy().astype(np.int64).view(np.uint64)
-        ids = g[id_col].to_numpy()
-        canon = ids.copy()
-        for i in range(1, len(g)):
-            x = sims[:i] ^ sims[i]
-            ham = np.array([bin(int(v)).count("1") for v in x])
-            close = np.flatnonzero(ham <= hamming_threshold)
-            if len(close):
-                canon[i] = min(canon[i], canon[close[0]])
-        return pd.DataFrame({id_col: ids, "canonical": canon})
+    def bucket_dropped(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = g.groupby(group_cols, sort=False)[id_col].transform("size")
+        g2 = g[sizes >= 2]
+        out = []
+        for _, sub in g2.groupby(group_cols, sort=False):
+            sub = sub.sort_values(id_col)
+            sims = sub["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+            ids = sub[id_col].to_numpy()
+            d = _hamming_le(sims, hamming_threshold)
+            if d.any():
+                out.append(ids[d])
+        vals = np.concatenate(out) if out else np.array([], dtype=np.int64)
+        return pd.DataFrame({id_col: np.unique(vals)})
 
-    keep = _canonical_via_buckets(
-        exploded, id_col=id_col, group_cols=["chunk_id", "chunk_val"], verify_fn=bucket_verify
+    dropped = bucketed.groupby("__gbucket__").map_groups(
+        lambda g: bucket_dropped(g.drop(columns=["__gbucket__"])), batch_format="pandas"
     )
-    return semi_join(ds, keep, id_col, assume_unique=True)
+    return _anti_join_dropped(ds, dropped, id_col)
 
 
 # ---------------------------------------------------------------------------
-# n-gram Jaccard verified dedup
+# n-gram Jaccard verified dedup (two-phase: LSH candidates -> exact verify)
 # ---------------------------------------------------------------------------
 
 def jaccard_dedup(
@@ -379,60 +517,82 @@ def jaccard_dedup(
     seed: int = 7,
     concurrency=8,
 ) -> ray.data.Dataset:
-    """MinHash-LSH candidate generation + EXACT n-gram Jaccard
-    verification inside each bucket (pairs below ``threshold`` are not
-    linked). The scale shape matches ``minhash_dedup``; the verify adds
-    one shingle recomputation per bucket member."""
+    """MinHash-LSH candidate pairs + EXACT n-gram Jaccard verification.
+
+    Two-phase: the LSH shuffle moves only (band_id, band_hash, id);
+    candidate pairs come back small (near-dup density + banding false
+    positives), ONLY the candidate rows' shingle-hash sets are computed
+    and broadcast, and each pair verifies vectorized
+    (``np.intersect1d`` on sorted unique shingle hashes). A row drops
+    iff a smaller-id partner verifies at >= ``threshold``."""
+    exploded = _minhash_exploded(
+        ds, text_col=text_col, id_col=id_col, num_perm=num_perm, bands=bands,
+        shingle_k=shingle_k, seed=seed, concurrency=concurrency,
+    )
+    pairs = _candidate_pairs(exploded, id_col=id_col, group_cols=["band_id", "band_hash"])
+    pairs_df = pairs.to_pandas().drop_duplicates(ignore_index=True)  # candidates: small side
+    if not len(pairs_df):
+        return ds
+
     token_re_src = r"\w+"
 
-    exploded = ds.select_columns([id_col, text_col]).map_batches(
-        MinHasher, batch_format="pandas", concurrency=clamp_concurrency(concurrency),
-        fn_constructor_args=(text_col, id_col, num_perm, bands, shingle_k, seed, True),
-    )
-
-    def bucket_verify(g: pd.DataFrame) -> pd.DataFrame:
+    def sig_map(b: pd.DataFrame) -> dict:
         token_re = re.compile(token_re_src)
-        g = g.sort_values(id_col)
-        ids = g[id_col].to_numpy()
-        shingles = [set(shingle_hashes(t, shingle_k, token_re).tolist()) for t in g[text_col].fillna("")]
-        canon = ids.copy()
-        for i in range(1, len(ids)):
-            for j in range(i):
-                a, b = shingles[i], shingles[j]
-                if not a or not b:
-                    continue
-                jac = len(a & b) / len(a | b)
-                if jac >= threshold:
-                    canon[i] = min(canon[i], canon[j])
-                    break
-        return pd.DataFrame({id_col: ids, "canonical": canon})
+        return {
+            i: np.unique(shingle_hashes(t, shingle_k, token_re))
+            for i, t in zip(b[id_col], b[text_col].fillna(""))
+        }
 
-    keep = _canonical_via_buckets(
-        exploded, id_col=id_col, group_cols=["band_id", "band_hash"], verify_fn=bucket_verify
-    )
-    return semi_join(ds, keep, id_col, assume_unique=True)
+    sig_ref = _payload_map_for_candidates(ds, pairs_df, id_col=id_col, payload_fn=sig_map, payload_cols=[text_col])
+
+    def verify(b: pd.DataFrame) -> pd.DataFrame:
+        sigs: dict = ray.get(sig_ref)
+        keep = np.zeros(len(b), dtype=bool)
+        for i, (a_id, b_id) in enumerate(zip(b["id_a"], b["id_b"])):
+            sa, sb = sigs.get(a_id), sigs.get(b_id)
+            if sa is None or sb is None or not len(sa) or not len(sb):
+                continue
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            if inter and inter / (len(sa) + len(sb) - inter) >= threshold:
+                keep[i] = True
+        return pd.DataFrame({id_col: b["id_b"].to_numpy()[keep]})
+
+    dropped = pairs.map_batches(verify, batch_format="pandas")
+    return _anti_join_dropped(ds, dropped, id_col)
 
 
 # ---------------------------------------------------------------------------
-# embedding-cosine near-dup
+# embedding-cosine near-dup (multi-table hyperplane LSH + exact verify)
 # ---------------------------------------------------------------------------
 
 class HyperplaneBucketer:
-    """Random-hyperplane LSH for unit vectors: ``nbits`` sign bits from
-    a fixed-seed Gaussian projection -> bucket id."""
+    """Banded random-hyperplane LSH for unit vectors: ``num_tables``
+    independent tables of ``nbits`` sign bits each (fixed-seed Gaussian
+    projections). A near-identical pair agrees on all bits of at least
+    one table with probability ~1; bucket space per table is 2^nbits —
+    size ``nbits ~ log2(corpus)`` so buckets stay small. Emits
+    (table_id, bucket, id) only — vectors never ride the shuffle."""
 
-    def __init__(self, emb_col: str, id_col: str, dim: int, nbits: int, seed: int):
+    def __init__(self, emb_col: str, id_col: str, dim: int, nbits: int, num_tables: int, seed: int):
         rng = np.random.default_rng(seed)
-        self.planes = rng.standard_normal((dim, nbits))
+        self.planes = rng.standard_normal((num_tables, dim, nbits))
         self.emb_col, self.id_col = emb_col, id_col
+        self.num_tables, self.nbits = num_tables, nbits
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        mat = np.stack(batch[self.emb_col].to_numpy())
-        signs = (mat @ self.planes) > 0
-        bucket = signs @ (1 << np.arange(signs.shape[1], dtype=np.int64))
-        out = pd.DataFrame({self.id_col: batch[self.id_col].to_numpy(), "bucket": bucket})
-        out["emb"] = list(mat)
-        return out
+        mat = np.stack(batch[self.emb_col].to_numpy()).astype(np.float64)
+        ids = batch[self.id_col].to_numpy()
+        weights = 1 << np.arange(self.nbits, dtype=np.int64)
+        parts = []
+        for t in range(self.num_tables):
+            signs = (mat @ self.planes[t]) > 0
+            bucket = signs @ weights
+            parts.append(pd.DataFrame({
+                self.id_col: ids,
+                "table_id": np.full(len(ids), t, dtype=np.int32),
+                "bucket": bucket,
+            }))
+        return pd.concat(parts, ignore_index=True)
 
 
 def embedding_dedup(
@@ -441,33 +601,42 @@ def embedding_dedup(
     emb_col: str,
     id_col: str,
     threshold: float = 0.98,
-    nbits: int = 8,
+    nbits: int = 12,
+    num_tables: int = 8,
     seed: int = 11,
     concurrency=8,
 ) -> ray.data.Dataset:
-    """Cosine near-dup: hyperplane buckets (vectors with cosine ~1 agree
-    on all sign bits with high probability), exact pairwise cosine
-    verification per bucket, min-id canonical."""
+    """Cosine near-dup, two-phase: banded hyperplane candidate pairs
+    (vectors never shuffled), exact pairwise cosine verification over a
+    broadcast of ONLY the candidate vectors (vectorized row-wise dot),
+    min-id survives."""
     dim = len(ds.take(1)[0][emb_col])
-    bucketed = ds.select_columns([id_col, emb_col]).map_batches(
+    exploded = ds.select_columns([id_col, emb_col]).map_batches(
         HyperplaneBucketer, batch_format="pandas", concurrency=clamp_concurrency(concurrency),
-        fn_constructor_args=(emb_col, id_col, dim, nbits, seed),
+        fn_constructor_args=(emb_col, id_col, dim, nbits, num_tables, seed),
     )
+    pairs = _candidate_pairs(exploded, id_col=id_col, group_cols=["table_id", "bucket"])
+    pairs_df = pairs.to_pandas().drop_duplicates(ignore_index=True)
+    if not len(pairs_df):
+        return ds
 
-    def bucket_verify(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col)
-        ids = g[id_col].to_numpy()
-        mat = np.stack(g["emb"].to_numpy()).astype(np.float64)
+    def vec_map(b: pd.DataFrame) -> dict:
+        mat = np.stack(b[emb_col].to_numpy()).astype(np.float64)
         norms = np.linalg.norm(mat, axis=1)
         norms[norms == 0] = 1.0
         unit = mat / norms[:, None]
-        cos = unit @ unit.T
-        canon = ids.copy()
-        for i in range(1, len(ids)):
-            close = np.flatnonzero(cos[i, :i] >= threshold)
-            if len(close):
-                canon[i] = min(canon[i], canon[close[0]])
-        return pd.DataFrame({id_col: ids, "canonical": canon})
+        return {i: unit[j] for j, i in enumerate(b[id_col])}
 
-    keep = _canonical_via_buckets(bucketed, id_col=id_col, group_cols=["bucket"], verify_fn=bucket_verify)
-    return semi_join(ds, keep, id_col, assume_unique=True)
+    vec_ref = _payload_map_for_candidates(ds, pairs_df, id_col=id_col, payload_fn=vec_map, payload_cols=[emb_col])
+
+    def verify(b: pd.DataFrame) -> pd.DataFrame:
+        vecs: dict = ray.get(vec_ref)
+        if not len(b):
+            return pd.DataFrame({id_col: np.array([], dtype=np.int64)})
+        a = np.stack([vecs[i] for i in b["id_a"]])
+        c = np.stack([vecs[i] for i in b["id_b"]])
+        cos = (a * c).sum(axis=1)
+        return pd.DataFrame({id_col: b["id_b"].to_numpy()[cos >= threshold]})
+
+    dropped = pairs.map_batches(verify, batch_format="pandas")
+    return _anti_join_dropped(ds, dropped, id_col)

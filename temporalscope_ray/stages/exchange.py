@@ -1,0 +1,62 @@
+"""Schema-aligned tagged union — the shared building block for
+bucketed two-sided operators (semi/anti join, range join, as-of).
+
+Ray's ``union`` requires identical schemas; a bucketed two-sided
+operator wants both sides flowing through ONE ``groupby(bucket)``
+exchange. ``pad_union`` aligns the schemas by padding each side with
+the other's missing columns as TYPED nulls (types taken from the
+source schemas, so no untyped-null inference) and tags rows with
+``__side__`` (0 = left, 1 = right). Downstream per-bucket kernels
+split on the tag and convert each side to pandas SEPARATELY — the
+padded null columns are dropped before conversion, so left-side int64
+columns never round-trip through float64 (which would corrupt values
+above 2^53, e.g. snowflake-style ids).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+SIDE_COL = "__side__"
+
+
+def pad_union(left: ray.data.Dataset, right: ray.data.Dataset) -> tuple[ray.data.Dataset, list[str], list[str]]:
+    """Union ``left`` and ``right`` with typed-null padding + side tag.
+
+    Shared column names must have identical types (they are the join
+    keys). Returns ``(unioned, left_only_cols, right_only_cols)``; the
+    output column order is ``[*left_cols, *right_only_cols, SIDE_COL]``.
+    """
+    from ..core import _schema
+
+    ls, rs = _schema(left), _schema(right)
+    left_names = list(ls.names)
+    right_names = list(rs.names)
+    right_only = [c for c in right_names if c not in left_names]
+    left_only = [c for c in left_names if c not in right_names]
+    for c in set(left_names) & set(right_names):
+        if ls.field(c).type != rs.field(c).type:
+            raise ValueError(
+                f"pad_union: column '{c}' type mismatch: {ls.field(c).type} vs {rs.field(c).type}"
+            )
+    left_t = {c: ls.field(c).type for c in left_only}
+    right_t = {c: rs.field(c).type for c in right_only}
+    ordered = [*left_names, *right_only, SIDE_COL]
+
+    def pad_l(t: pa.Table) -> pa.Table:
+        for c in right_only:
+            t = t.append_column(c, pa.nulls(t.num_rows, type=right_t[c]))
+        t = t.append_column(SIDE_COL, pa.array(np.zeros(t.num_rows, dtype=np.int8)))
+        return t.select(ordered)
+
+    def pad_r(t: pa.Table) -> pa.Table:
+        for c in left_only:
+            t = t.append_column(c, pa.nulls(t.num_rows, type=left_t[c]))
+        t = t.append_column(SIDE_COL, pa.array(np.ones(t.num_rows, dtype=np.int8)))
+        return t.select(ordered)
+
+    lt = left.map_batches(pad_l, batch_format="pyarrow", zero_copy_batch=True)
+    rt = right.map_batches(pad_r, batch_format="pyarrow", zero_copy_batch=True)
+    return lt.union(rt), left_only, right_only
