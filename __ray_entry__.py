@@ -193,10 +193,12 @@ def q_range_join_clicks(sf_dir: str):
     ev = _events(sf_dir, ("event_id", "ts", "user_id", "event_type", "value"))
     purchases = ev.filter(expr="event_type == 'purchase'").drop_columns(["event_type"])
     clicks = ev.filter(expr="event_type == 'click'").drop_columns(["event_type"])
+    # broadcast=False: the correctness gate exercises the BUCKETED
+    # (both-sides-large) path; the broadcast path is covered by pytest
     return range_join(
         purchases, clicks, on="ts", by="user_id",
         lower=-pd.Timedelta(minutes=30), upper=pd.Timedelta(0),
-        right_cols=["event_id", "value"],
+        right_cols=["event_id", "value"], broadcast=False, num_buckets=16,
     )
 
 

@@ -192,36 +192,26 @@ def asof_join(
     rt = rt.select_columns(ordered)
     both = lt.union(rt)
 
-    # pandas nulls coerce ints to float through the union; restore the
-    # left side's dtypes after the merge. Integer columns restore to
-    # pandas NULLABLE Int dtypes (plain astype(int64) raises on NaN if
-    # the left data itself carries nulls); Arrow converts them back to
-    # the original int types.
-    def _restore_dtype(t: pa.DataType):
-        if pa.types.is_integer(t):
-            return {8: "Int8", 16: "Int16", 32: "Int32", 64: "Int64"}[t.bit_width]
-        return t.to_pandas_dtype()
-
-    left_np_dtypes = {
-        c: _restore_dtype(left_schema.field(c).type) for c in left_names
-        # keys are populated on both sides (never null-coerced) and must
-        # keep identical plain dtypes for merge_asof
-        if not pa.types.is_timestamp(left_schema.field(c).type) and c not in (on, by)
-    }
-
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lmask = g[side_col] == 0
-        l = g[lmask].drop(columns=[side_col, *out_right_cols])
-        r = g[~lmask][[on, by, *out_right_cols]]
-        l = l.astype({c: t for c, t in left_np_dtypes.items() if c in l.columns})
+    # The union put typed nulls into each side's foreign columns; the
+    # per-bucket kernel splits the sides while still ARROW tables and
+    # drops the padded columns BEFORE the pandas conversion, so a left
+    # int64 column never round-trips through float64 (which silently
+    # corrupts values above 2^53, e.g. snowflake-style ids).
+    def per_bucket(t: pa.Table) -> pa.Table:
+        side = t.column(side_col).to_numpy(zero_copy_only=False)
+        lmask = pa.array(side == 0)
+        l = t.filter(lmask).drop_columns([side_col, *out_right_cols]).to_pandas()
+        r = t.filter(pa.compute.invert(lmask)).select([on, by, *out_right_cols]).to_pandas()
         if len(l) == 0:
             out = l.copy()
             for c in out_right_cols:
                 out[c] = pd.Series([], dtype=out_right_type[c].to_pandas_dtype())
-            return out
-        return _merge_asof_frames(
-            l, r, on=on, by=by, tolerance=tolerance, direction=direction, right_cols=out_right_cols, suffix=suffix
-        )
+        else:
+            out = _merge_asof_frames(
+                l, r, on=on, by=by, tolerance=tolerance, direction=direction,
+                right_cols=out_right_cols, suffix=suffix,
+            )
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     if hot_entities:
         hot_ref = ray.put(pa.array(sorted(set(hot_entities))))
@@ -258,7 +248,7 @@ def asof_join(
     else:
         bucketed = grouped.with_bucket(both, by, num_buckets)
     return bucketed.groupby(grouped.BUCKET_COL).map_groups(
-        lambda g: per_bucket(g.drop(columns=[grouped.BUCKET_COL])), batch_format="pandas"
+        lambda t: per_bucket(t.drop_columns([grouped.BUCKET_COL])), batch_format="pyarrow"
     )
 
 
@@ -266,69 +256,82 @@ def asof_join(
 # range (interval) join
 # ---------------------------------------------------------------------------
 
+def _right_index(right_sorted: pd.DataFrame, on: str, by: str):
+    """entity -> (start, stop) slice map over a (by, on)-sorted frame."""
+    r_by = right_sorted[by].to_numpy()
+    r_on = right_sorted[on].to_numpy()
+    change = np.flatnonzero(r_by[1:] != r_by[:-1]) + 1
+    starts = np.concatenate(([0], change))
+    stops = np.concatenate((change, [len(r_by)]))
+    return r_on, {r_by[s]: (s, e) for s, e in zip(starts, stops)}
+
+
+def _range_join_frames(
+    batch: pd.DataFrame, right_sorted: pd.DataFrame, r_on: np.ndarray, slices: dict,
+    *, on: str, by: str, lower, upper, right_cols: Sequence[str], suffix: str,
+) -> pd.DataFrame:
+    """Vectorized interval join of one left frame against a (by, on)-
+    sorted right frame: per entity-RUN (not per row), one pair of
+    searchsorted calls finds each row's [on+lower, on+upper] window."""
+    from .grouped import entity_segments
+
+    order = np.argsort(batch[by].to_numpy(), kind="mergesort")
+    l_on = batch[on].to_numpy()[order]
+    l_by = batch[by].to_numpy()[order]
+    out_left_parts, out_right_parts = [], []
+    segs = entity_segments(l_by)
+    for s0, e0 in zip(segs[:-1], segs[1:]):
+        sl = slices.get(l_by[s0])
+        if sl is None:
+            continue
+        s, e = sl
+        run_on = l_on[s0:e0]
+        lo = np.searchsorted(r_on[s:e], run_on + lower, side="left") + s
+        hi = np.searchsorted(r_on[s:e], run_on + upper, side="right") + s
+        counts = hi - lo
+        has = counts > 0
+        if not has.any():
+            continue
+        left_rows = np.repeat(order[s0:e0][has], counts[has])
+        right_rows = np.concatenate([np.arange(a, b) for a, b in zip(lo[has], hi[has])])
+        out_left_parts.append(left_rows)
+        out_right_parts.append(right_rows)
+    out_left_idx = np.concatenate(out_left_parts) if out_left_parts else []
+    out_right_idx = np.concatenate(out_right_parts) if out_right_parts else []
+    if len(out_left_idx) == 0:
+        out = batch.iloc[0:0].copy()
+        for c in right_cols:
+            name = f"{c}{suffix}" if c in batch.columns else c
+            out[name] = pd.Series([], dtype=right_sorted[c].dtype)
+        out[f"{on}{suffix}"] = pd.Series([], dtype=right_sorted[on].dtype)
+        return out
+    left_part = batch.iloc[out_left_idx].reset_index(drop=True)
+    right_part = right_sorted.iloc[out_right_idx].reset_index(drop=True)
+    out = left_part
+    out[f"{on}{suffix}"] = right_part[on]
+    for c in right_cols:
+        name = f"{c}{suffix}" if c in batch.columns else c
+        out[name] = right_part[c]
+    return out
+
+
 class _BroadcastRangeJoin:
     """Actor: right side fetched + sorted by (by, on) ONCE per actor;
-    each left batch finds its per-row window of right rows via two
-    vectorized searchsorted calls on the composite (entity, ts) key."""
+    each left batch rides the shared searchsorted kernel."""
 
     def __init__(self, right_ref, on, by, lower, upper, right_cols, suffix):
         right: pd.DataFrame = ray.get(right_ref)
         self.right = right.sort_values([by, on], kind="mergesort").reset_index(drop=True)
-        self.r_by = self.right[by].to_numpy()
-        self.r_on = self.right[on].to_numpy()
+        self.r_on, self.slices = _right_index(self.right, on, by)
         self.on, self.by, self.lower, self.upper = on, by, lower, upper
         self.right_cols, self.suffix = right_cols, suffix
-        # entity -> (start, stop) slice of the sorted right side
-        import numpy as _np
-
-        change = _np.flatnonzero(self.r_by[1:] != self.r_by[:-1]) + 1
-        starts = _np.concatenate(([0], change))
-        stops = _np.concatenate((change, [len(self.r_by)]))
-        self.slices = {self.r_by[s]: (s, e) for s, e in zip(starts, stops)}
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        from .grouped import entity_segments
-
-        # vectorized per entity-RUN: sort the batch by entity once, then
-        # one pair of searchsorted calls per run (not per row)
-        order = np.argsort(batch[self.by].to_numpy(), kind="mergesort")
-        l_on = batch[self.on].to_numpy()[order]
-        l_by = batch[self.by].to_numpy()[order]
-        out_left_parts, out_right_parts = [], []
-        segs = entity_segments(l_by)
-        for s0, e0 in zip(segs[:-1], segs[1:]):
-            sl = self.slices.get(l_by[s0])
-            if sl is None:
-                continue
-            s, e = sl
-            run_on = l_on[s0:e0]
-            lo = np.searchsorted(self.r_on[s:e], run_on + self.lower, side="left") + s
-            hi = np.searchsorted(self.r_on[s:e], run_on + self.upper, side="right") + s
-            counts = hi - lo
-            has = counts > 0
-            if not has.any():
-                continue
-            left_rows = np.repeat(order[s0:e0][has], counts[has])
-            right_rows = np.concatenate([np.arange(a, b) for a, b in zip(lo[has], hi[has])])
-            out_left_parts.append(left_rows)
-            out_right_parts.append(right_rows)
-        out_left_idx = np.concatenate(out_left_parts) if out_left_parts else []
-        out_right_idx = np.concatenate(out_right_parts) if out_right_parts else []
-        if len(out_left_idx) == 0:
-            out = batch.iloc[0:0].copy()
-            for c in self.right_cols:
-                name = f"{c}{self.suffix}" if c in batch.columns else c
-                out[name] = pd.Series([], dtype=self.right[c].dtype)
-            out[f"{self.on}{self.suffix}"] = pd.Series([], dtype=self.right[self.on].dtype)
-            return out
-        left_part = batch.iloc[out_left_idx].reset_index(drop=True)
-        right_part = self.right.iloc[out_right_idx].reset_index(drop=True)
-        out = left_part
-        out[f"{self.on}{self.suffix}"] = right_part[self.on]
-        for c in self.right_cols:
-            name = f"{c}{self.suffix}" if c in batch.columns else c
-            out[name] = right_part[c]
-        return out
+        return _range_join_frames(
+            batch, self.right, self.r_on, self.slices,
+            on=self.on, by=self.by, lower=self.lower, upper=self.upper,
+            right_cols=self.right_cols, suffix=self.suffix,
+        )
 
 
 def range_join(
@@ -342,23 +345,83 @@ def range_join(
     right_cols: Optional[Sequence[str]] = None,
     suffix: str = "_right",
     concurrency: int | tuple[int, int] = 8,
+    broadcast: Optional[bool] = None,
+    broadcast_limit_rows: int = 5_000_000,
+    num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
 ) -> ray.data.Dataset:
     """Interval join: every (left, right) pair within the same entity
     with ``left.on + lower <= right.on <= left.on + upper`` (inner —
     unmatched left rows drop). With ``lower=-w, upper=0`` this is the
     trailing-window join (all state in the last ``w``, not just the
-    latest as-of row). Broadcast execution: right side sorted once per
-    actor, per-row windows via vectorized searchsorted — no shuffle."""
+    latest as-of row).
+
+    Two execution paths, mirroring ``asof_join``: **broadcast** (right
+    side below ``broadcast_limit_rows``: sorted once per actor, no
+    shuffle) and **bucketed** (both sides large: one tagged-union
+    entity-hash exchange, per-bucket searchsorted — sides split while
+    still Arrow, so no null-padding dtype corruption)."""
     right_names = right.schema().names
     if right_cols is None:
         right_cols = [c for c in right_names if c not in (on, by)]
-    right_df = right.select_columns(list(dict.fromkeys([on, by, *right_cols]))).to_pandas()
-    right_ref = ray.put(right_df)
-    return left.map_batches(
-        _BroadcastRangeJoin,
-        batch_format="pandas",
-        concurrency=clamp_concurrency(concurrency),
-        fn_constructor_args=(right_ref, on, by, lower, upper, list(right_cols), suffix),
+    right_cols = list(right_cols)
+    keep_right = list(dict.fromkeys([on, by, *right_cols]))
+
+    if broadcast is None:
+        cnt = right.count()
+        broadcast = cnt is not None and cnt <= broadcast_limit_rows
+
+    if broadcast:
+        right_df = right.select_columns(keep_right).to_pandas()
+        right_ref = ray.put(right_df)
+        return left.map_batches(
+            _BroadcastRangeJoin,
+            batch_format="pandas",
+            concurrency=clamp_concurrency(concurrency),
+            fn_constructor_args=(right_ref, on, by, lower, upper, right_cols, suffix),
+        )
+
+    # ---- bucketed path: one entity-hash exchange moves both sides ----
+    from .exchange import SIDE_COL, pad_union
+
+    left_names = list(left.schema().names)
+    # rename overlapping right value columns BEFORE the union (`on` is
+    # emitted as on+suffix; `by` is the shared key)
+    out_right_cols = [c if c not in left_names else f"{c}{suffix}" for c in right_cols]
+    rename = dict(zip(right_cols, out_right_cols))
+    on_out = f"{on}{suffix}"
+
+    def prep_right(t: pa.Table) -> pa.Table:
+        cols = {}
+        for name in t.column_names:
+            if name == by:
+                cols[by] = t.column(name)
+            elif name == on:
+                cols[on_out] = t.column(name)
+            if name in rename:
+                cols[rename[name]] = t.column(name)
+        return pa.table(cols)
+
+    rt = right.select_columns(keep_right).map_batches(prep_right, batch_format="pyarrow")
+    both, _, _ = pad_union(left, rt)
+    bucketed = grouped.with_bucket(both, by, num_buckets)
+    r_side_cols = list(dict.fromkeys([on_out, by, *out_right_cols]))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        side = t.column(SIDE_COL).to_numpy(zero_copy_only=False)
+        lmask = pa.array(side == 0)
+        l = t.filter(lmask).select(left_names).to_pandas()
+        r = t.filter(pa.compute.invert(lmask)).select(r_side_cols).to_pandas()
+        r = r.rename(columns={on_out: on})
+        r = r.sort_values([by, on], kind="mergesort").reset_index(drop=True)
+        r_on, slices = _right_index(r, on, by)
+        out = _range_join_frames(
+            l, r, r_on, slices, on=on, by=by, lower=lower, upper=upper,
+            right_cols=out_right_cols, suffix=suffix,
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return bucketed.groupby(grouped.BUCKET_COL).map_groups(
+        lambda t: per_bucket(t.drop_columns([grouped.BUCKET_COL])), batch_format="pyarrow"
     )
 
 

@@ -127,3 +127,45 @@ def test_asof_bucketed_nullable_int_left_column():
                     broadcast=False, num_buckets=2).to_pandas().sort_values(["user_id", "ts"])
     assert out["state"].tolist() == [40.0, 40.0, 60.0]
     assert out["flag"].isna().sum() == 1 and out["flag"].dropna().tolist() == [7, 9]
+
+
+def test_asof_bucketed_preserves_big_int64_ids():
+    """int64 values above 2^53 must come through the bucketed path
+    bit-exact (the old pandas union round-trip went through float64 and
+    silently corrupted snowflake-style ids)."""
+    import pyarrow as pa
+
+    big = [(1 << 62) + 12345678901234567, (1 << 62) + 12345678901234568, (1 << 61) + 3]
+    left = pa.table({
+        "user_id": pa.array([1, 1, 2], type=pa.int64()),
+        "ts": pa.array([5.0, 10.0, 7.0]),
+        "row_id": pa.array(big, type=pa.int64()),
+    })
+    right = pa.table({
+        "user_id": pa.array([1, 2], type=pa.int64()),
+        "ts": pa.array([4.0, 6.0]),
+        "state": pa.array([40.0, 60.0]),
+    })
+    out = asof_join(ray.data.from_arrow(left), ray.data.from_arrow(right), on="ts", by="user_id",
+                    broadcast=False, num_buckets=2).to_pandas().sort_values(["user_id", "ts"])
+    assert sorted(out["row_id"].tolist()) == sorted(big)  # adjacent big ints stay distinct
+
+
+def test_range_join_bucketed_matches_broadcast():
+    from temporalscope_ray.stages.asof import range_join
+
+    rng = np.random.default_rng(3)
+    n = 500
+    left = pd.DataFrame({
+        "user_id": rng.integers(0, 20, n), "ts": rng.uniform(0, 100, n).round(3), "lv": np.arange(n, dtype=np.float64),
+    })
+    right = pd.DataFrame({
+        "user_id": rng.integers(0, 20, n), "ts": rng.uniform(0, 100, n).round(3), "rv": np.arange(n, dtype=np.float64),
+    })
+    kw = dict(on="ts", by="user_id", lower=-5.0, upper=0.0, right_cols=["rv"])
+    a = range_join(ray.data.from_pandas(left), ray.data.from_pandas(right), broadcast=True, **kw).to_pandas()
+    b = range_join(ray.data.from_pandas(left), ray.data.from_pandas(right), broadcast=False, num_buckets=4, **kw).to_pandas()
+    key = ["user_id", "ts", "lv", "ts_right", "rv"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[key], b[key])
