@@ -508,9 +508,12 @@ def q_minhash_kept_docs(sf_dir: str):
 
 
 def q_image_pipeline(sf_dir: str):
+    """attach="partitioned": the gate exercises the 100 TB co-partitioned
+    feature-attach path (broadcast disabled); broadcast-vs-partitioned
+    equality is pytest-verified."""
     from temporalscope_ray.pipelines.flagship import image_feature_pipeline
 
-    out = image_feature_pipeline(sf_dir, concurrency=(1, 2))
+    out = image_feature_pipeline(sf_dir, concurrency=(1, 2), attach="partitioned")
     return out.drop_columns(["bytes"])
 
 

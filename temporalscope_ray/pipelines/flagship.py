@@ -101,17 +101,23 @@ def image_table_for(sf_dir: str, rows_per_sf: int = 20_000) -> str:
 
 
 def image_pipeline_over(
-    path: str, *, num_buckets: int = 32, concurrency=8, with_decode: bool = True
+    path: str, *, num_buckets: int = 32, concurrency=8, with_decode: bool = True,
+    attach: str = "broadcast", feature_dir: str | None = None,
 ) -> ray.data.Dataset:
     """The north-star pipeline over an image+caption table at ``path``.
 
     The binary payload NEVER enters the shuffle: temporal features are
     computed on the narrow (image_id, ts, target, feature_1) projection
-    and broadcast-merged back onto the payload stream
-    (`stages.payload.attach_features_broadcast`), then the decode actor
-    pool extracts pixel features. Payload bytes flow read -> map -> map;
+    and merged back onto the payload stream, then the decode actor pool
+    extracts pixel features. Payload bytes flow read -> map -> map;
     shuffle bytes are ~2% of the table. The attach merge runs on a
-    small fixed pool, leaving CPUs for the decode pool and the read."""
+    small fixed pool, leaving CPUs for the decode pool and the read.
+
+    ``attach`` picks the merge strategy: ``"broadcast"`` (feature table
+    fits the object store — single-node default) or ``"partitioned"``
+    (the 100 TB path: features written key-hash-partitioned with
+    lineage records, payload joins per bucket through a bounded LRU —
+    nothing feature-table-sized on the driver)."""
     ds = ray.data.read_parquet(path)
 
     def features(narrow: ray.data.Dataset) -> ray.data.Dataset:
@@ -127,7 +133,7 @@ def image_pipeline_over(
             num_buckets=num_buckets,
         )
 
-    from ..stages.payload import attach_features_broadcast
+    from ..stages.payload import attach_features_broadcast, attach_features_partitioned
 
     # split the CPU budget: the attach merge moves every payload byte
     # (cheap per byte), the decode pool burns CPU per image; both must
@@ -135,19 +141,30 @@ def image_pipeline_over(
     budget = concurrency if isinstance(concurrency, int) else 8
     attach_pool = max(1, budget // 4)
     decode_pool = max(2, budget - attach_pool - 2)
-    feats = attach_features_broadcast(
-        ds, features, keys=["image_id", "ts"], narrow_cols=["image_id", "ts", "target", "feature_1"],
-        concurrency=attach_pool,
-    )
+    kw = dict(keys=["image_id", "ts"], narrow_cols=["image_id", "ts", "target", "feature_1"],
+              concurrency=attach_pool)
+    if attach == "partitioned":
+        if feature_dir is None:
+            import hashlib
+            feature_dir = os.path.join(
+                "/tmp/tsray_feature_parts", hashlib.md5(path.encode()).hexdigest()[:12]
+            )
+        feats = attach_features_partitioned(
+            ds, features, feature_dir=feature_dir, num_buckets=num_buckets, **kw
+        )
+    else:
+        feats = attach_features_broadcast(ds, features, **kw)
     if with_decode:
         feats = add_image_features(feats, concurrency=decode_pool)
     return feats
 
 
 def image_feature_pipeline(
-    sf_dir: str, *, num_buckets: int = 32, concurrency=8, with_decode: bool = True
+    sf_dir: str, *, num_buckets: int = 32, concurrency=8, with_decode: bool = True,
+    attach: str = "broadcast",
 ) -> ray.data.Dataset:
     """`image_pipeline_over` on the cached sf-sized synthetic table."""
     return image_pipeline_over(
-        image_table_for(sf_dir), num_buckets=num_buckets, concurrency=concurrency, with_decode=with_decode
+        image_table_for(sf_dir), num_buckets=num_buckets, concurrency=concurrency,
+        with_decode=with_decode, attach=attach,
     )

@@ -17,6 +17,8 @@ and co-partition the payload read instead.
 
 from __future__ import annotations
 
+import os
+from collections import OrderedDict
 from typing import Callable, Sequence
 
 import pandas as pd
@@ -65,3 +67,87 @@ def attach_features_broadcast(
             return merged.reset_index(drop=True)
 
     return payload_ds.map_batches(Attach, batch_format="pandas", concurrency=clamp_concurrency(concurrency))
+
+
+class _PartitionedAttach:
+    """Actor: joins payload batches against key-hash-partitioned feature
+    parquet. Per-bucket feature frames load lazily on first touch and
+    live in a bounded LRU — worker memory is ``cache_buckets`` feature
+    partitions, NOT the whole feature table (the broadcast path's 100 TB
+    flaw). When the payload read is itself partitioned by the same key
+    hash, each task touches exactly one partition and the cache never
+    evicts."""
+
+    def __init__(self, feature_dir: str, keys: Sequence[str], narrow_cols: Sequence[str],
+                 num_buckets: int, cache_buckets: int):
+        self.feature_dir = feature_dir
+        self.keys = list(keys)
+        self.narrow_cols = list(narrow_cols)
+        self.num_buckets = num_buckets
+        self.cache: OrderedDict[int, pd.DataFrame] = OrderedDict()
+        self.cache_buckets = cache_buckets
+
+    def _bucket_frame(self, b: int) -> pd.DataFrame:
+        hit = self.cache.get(b)
+        if hit is not None:
+            self.cache.move_to_end(b)
+            return hit
+        import pyarrow.parquet as pq
+
+        path = os.path.join(self.feature_dir, f"bucket={b:04d}", "part-0.parquet")
+        feats = pq.read_table(path).to_pandas() if os.path.exists(path) else pd.DataFrame(columns=self.keys)
+        dup = [c for c in feats.columns if c not in self.keys and c in self.narrow_cols]
+        feats = feats.drop(columns=dup).set_index(self.keys)
+        self.cache[b] = feats
+        while len(self.cache) > self.cache_buckets:
+            self.cache.popitem(last=False)
+        return feats
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        from . import grouped
+
+        buckets = grouped.hash_key_column(batch[self.keys[0]], self.num_buckets)
+        parts = []
+        for b in pd.unique(buckets):
+            sub = batch[buckets == b]
+            merged = sub.join(self._bucket_frame(int(b)), on=self.keys, how="inner")
+            parts.append(merged.reset_index(drop=True))
+        return pd.concat(parts, ignore_index=True) if parts else batch.iloc[0:0]
+
+
+def attach_features_partitioned(
+    payload_ds: ray.data.Dataset,
+    feature_fn: Callable[[ray.data.Dataset], ray.data.Dataset],
+    *,
+    keys: Sequence[str],
+    narrow_cols: Sequence[str],
+    feature_dir: str,
+    num_buckets: int = 32,
+    cache_buckets: int = 8,
+    concurrency=8,
+    narrow_blocks: int | None = 16,
+) -> ray.data.Dataset:
+    """Co-partitioned feature attach — the 100 TB path.
+
+    ``feature_fn`` runs over the narrow projection, and its output is
+    WRITTEN to ``feature_dir`` partitioned by ``hash(keys[0]) % B``
+    (``state.lineage.run_partitioned`` — atomic publish + lineage
+    records, so a resumed job skips completed feature buckets). The
+    payload stream then joins per batch against the matching feature
+    partition through a bounded per-actor LRU. Nothing feature-table-
+    sized is ever broadcast or held on the driver; payload bytes still
+    never enter a shuffle."""
+    from ..state import lineage
+
+    keys = list(keys)
+    narrow = payload_ds.select_columns(list(dict.fromkeys([*keys, *narrow_cols])))
+    if narrow_blocks is not None:
+        narrow = narrow.repartition(narrow_blocks)
+    features = feature_fn(narrow)
+    lineage.run_partitioned(features, key=keys[0], out_dir=feature_dir, num_buckets=num_buckets)
+    return payload_ds.map_batches(
+        _PartitionedAttach,
+        batch_format="pandas",
+        concurrency=clamp_concurrency(concurrency),
+        fn_constructor_args=(feature_dir, keys, list(narrow_cols), num_buckets, cache_buckets),
+    )

@@ -111,3 +111,36 @@ def test_flagship_feature_vectors_allclose_vs_rematerialized_reference():
         a = out[c].to_numpy(dtype=float)
         b = ref[c].to_numpy(dtype=float)
         assert np.allclose(a, b, rtol=1e-9, equal_nan=True), c
+
+
+def test_partitioned_attach_matches_broadcast(tmp_path):
+    """The co-partitioned feature attach (100 TB path) must produce
+    exactly the broadcast path's rows — same keys, same feature values."""
+    path = str(tmp_path / "imgtbl")
+    synth.materialize_image_table(path, 150, num_entities=12, seed=7, num_blocks=4)
+    a = image_pipeline_over(path, num_buckets=4, concurrency=2, with_decode=False,
+                            attach="broadcast").to_pandas()
+    b = image_pipeline_over(path, num_buckets=4, concurrency=2, with_decode=False,
+                            attach="partitioned", feature_dir=str(tmp_path / "feats")).to_pandas()
+    cols = sorted(c for c in a.columns if c != "bytes")
+    a2 = a[cols].sort_values(["image_id", "ts"]).reset_index(drop=True)
+    b2 = b[cols].sort_values(["image_id", "ts"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a2, b2)
+    assert (a["bytes"].map(len).sum()) == (b["bytes"].map(len).sum())
+
+
+def test_partitioned_attach_resumes_from_lineage(tmp_path):
+    """A second run over the same feature_dir must skip all completed
+    feature buckets (lineage resume) and still produce full output."""
+    from temporalscope_ray.state import lineage
+
+    path = str(tmp_path / "imgtbl")
+    synth.materialize_image_table(path, 100, num_entities=8, seed=9, num_blocks=2)
+    fdir = str(tmp_path / "feats")
+    out1 = image_pipeline_over(path, num_buckets=4, concurrency=2, with_decode=False,
+                               attach="partitioned", feature_dir=fdir).to_pandas()
+    done = lineage.completed_buckets(fdir)
+    assert len(done) > 0
+    out2 = image_pipeline_over(path, num_buckets=4, concurrency=2, with_decode=False,
+                               attach="partitioned", feature_dir=fdir).to_pandas()
+    assert len(out1) == len(out2)
