@@ -400,14 +400,16 @@ def q_rolling_minmax(sf_dir: str):
 
 
 def q_streaming_features(sf_dir: str):
-    """The stateful actor-pool path (cross-batch window state) — must
-    equal the bucket-shuffle operators, so it shares their oracle."""
+    """The stateful actor-pool path (cross-batch window state), SHARDED
+    (concurrency=2: one ordered single-actor pool per entity-hash
+    shard) — must equal the bucket-shuffle operators, so it shares
+    their oracle."""
     from temporalscope_ray.stages.streaming_window import streaming_window_features
 
     ev = _events(sf_dir, ("event_id", "ts", "user_id", "value"))
     out = streaming_window_features(
         ev, id_col="user_id", time_col="ts", value_cols=["value"], lags=[1], windows=[4],
-        session_gap=pd.Timedelta("30min"), batch_size=4096,
+        session_gap=pd.Timedelta("30min"), batch_size=4096, concurrency=2, tiebreak=["event_id"],
     )
     out = _round_cols(out, ["value_roll_mean_4", "value_roll_sum_4"])
     return out.select_columns(

@@ -351,10 +351,11 @@ def mean_fill_pad(
 
     Means come from one streaming aggregate (A7, partial+final); the pad
     block is synthesized driver-side (tiny) and unioned in ``pre``/``post``
-    order. Null anywhere -> error, as in the reference. NOTE: the
-    pre/post row order is only observable under
-    ``DataContext.execution_options.preserve_order = True`` (Ray's
-    streaming executor may otherwise complete blocks out of order).
+    order. Null anywhere -> error, as in the reference. The pre/post row
+    order is made observable by setting ``preserve_order`` on the RESULT
+    dataset's own ``DataContext`` (scoped to this lineage — the process
+    global is untouched; Ray's streaming executor may otherwise complete
+    blocks out of order).
     """
     from ray.data.aggregate import Mean
 
@@ -380,7 +381,9 @@ def mean_fill_pad(
         return pa.table(dict(zip(cols, arrays)))
 
     ds_f = ds.map_batches(to_f64, batch_format="pyarrow", zero_copy_batch=True)
-    return pad_ds.union(ds_f) if padding == "pre" else ds_f.union(pad_ds)
+    out = pad_ds.union(ds_f) if padding == "pre" else ds_f.union(pad_ds)
+    out.context.execution_options.preserve_order = True
+    return out
 
 
 def mean_fill_pad_per_entity(

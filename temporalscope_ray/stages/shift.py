@@ -241,11 +241,11 @@ class SingleStepTargetShifter:
             # bare Dataset: the reference shifts the frame in its
             # CURRENT order (single_step.py:290-295). Coalesce to one
             # worker task and shift in received order under
-            # preserve_order (small-data semantics; wrap large data in
-            # a TemporalDataset for the distributed paths).
-            from ray.data import DataContext
-
-            DataContext.get_current().execution_options.preserve_order = True
+            # preserve_order — set on THIS dataset lineage's context
+            # (not the process global), so later pipelines don't pay
+            # ordered-execution cost (small-data semantics; wrap large
+            # data in a TemporalDataset for the distributed paths).
+            ds.context.execution_options.preserve_order = True
             n, ocol, vcol = self.n_lags, out_col, self.target_col
 
             def local(batch: pd.DataFrame) -> pd.DataFrame:

@@ -144,25 +144,61 @@ def streaming_window_features(
     session_gap=None,
     batch_size: int = 8192,
     presorted: bool = False,
+    concurrency: int = 1,
+    tiebreak: Optional[Sequence[str]] = None,
 ) -> ray.data.Dataset:
     """Run the stateful window actor over the ``(entity, ts)``-sorted
-    stream. Local mode uses a single ordered actor (``concurrency=1``,
-    ``preserve_order`` required for cross-batch ordering); at cluster
-    scale, run one pool instance per entity-range shard instead.
-    """
-    from ray.data import DataContext
+    stream.
 
-    if not presorted:
-        ds = ds.sort([id_col, time_col])
-    # batches must arrive at the actor in sorted order; the flag must be
-    # ON at EXECUTION time (the plan is lazy), so it is set and left on —
-    # restoring it immediately would silently disable ordering for the
-    # eventual consumer
-    DataContext.get_current().execution_options.preserve_order = True
-    return ds.map_batches(
-        StreamingWindowState,
-        batch_format="pandas",
-        batch_size=batch_size,
-        concurrency=1,
-        fn_constructor_args=(id_col, time_col, list(value_cols), list(lags), list(windows), session_gap),
-    )
+    ``concurrency=1``: one ordered actor over the whole sorted stream.
+    ``concurrency=K>1``: the SHARDED cluster form — entities are
+    hash-assigned to K shards, ONE sort co-locates and orders every
+    shard (``[shard, entity, ts]``), and each shard streams through its
+    own single-actor ordered pool; the shard outputs union back into
+    one Dataset. Every entity's rows pass through exactly one actor in
+    order — the keyed-streaming-operator topology the north rule names
+    — and per-shard state stays bounded at ``max(lags, windows)`` rows
+    per live entity.
+
+    ``preserve_order`` is set on THIS dataset lineage's own
+    ``DataContext`` (Ray captures one per dataset), not the process
+    global — later pipelines in the process are unaffected.
+    """
+    order = [id_col, time_col, *(tiebreak or [])]
+    ctor = (id_col, time_col, list(value_cols), list(lags), list(windows), session_gap)
+    if concurrency <= 1:
+        if not presorted:
+            ds = ds.sort(order)
+        ds.context.execution_options.preserve_order = True
+        return ds.map_batches(
+            StreamingWindowState, batch_format="pandas", batch_size=batch_size, concurrency=1,
+            fn_constructor_args=ctor,
+        )
+
+    # ---- sharded: one ordered single-actor pool per entity-hash shard ----
+    from . import grouped
+
+    bucketed = grouped.with_bucket(ds, id_col, concurrency)
+    # one sort orders ALL shards ([shard, entity, ts]); materialize pins
+    # the sorted blocks so the K per-shard filters scan the object store,
+    # not the source (at cluster scale, split at shard boundaries
+    # instead of filtering)
+    sorted_all = bucketed.sort([grouped.BUCKET_COL, *order]).materialize()
+    sorted_all.context.execution_options.preserve_order = True
+    shards = []
+    for s in range(concurrency):
+        shard = (
+            sorted_all.filter(expr=f"{grouped.BUCKET_COL} == {s}")
+            .drop_columns([grouped.BUCKET_COL])
+            .map_batches(
+                StreamingWindowState, batch_format="pandas", batch_size=batch_size, concurrency=1,
+                fn_constructor_args=ctor,
+                # fractional reservation: K single-actor pools must not
+                # reserve every CPU or the upstream filter/scan tasks
+                # starve and the pipeline deadlocks (the actor's work is
+                # one vectorized pass per batch — far below a full core)
+                num_cpus=0.5,
+            )
+        )
+        shards.append(shard)
+    return shards[0].union(*shards[1:])

@@ -185,6 +185,7 @@ def add_time_rolling_features(
     fns: Sequence[str] = ("mean",),
     closed: str = "both",
     num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+    tiebreak: Optional[Sequence[str]] = None,
 ) -> ray.data.Dataset:
     """Trailing TIME-based rolling aggregates per entity:
     ``{col}_troll_{fn}``. Default ``closed="both"`` = SQL
@@ -204,7 +205,7 @@ def add_time_rolling_features(
                 out[f"{col}_troll_{f}"] = res[col].to_numpy()
         return out
 
-    return grouped.grouped_ordered_map(ds, id_col, [time_col], fn, num_buckets=num_buckets)
+    return grouped.grouped_ordered_map(ds, id_col, [time_col, *(tiebreak or [])], fn, num_buckets=num_buckets)
 
 
 def backfill(
@@ -215,6 +216,7 @@ def backfill(
     value_cols: Sequence[str],
     method: str = "ffill",
     num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+    tiebreak: Optional[Sequence[str]] = None,
 ) -> ray.data.Dataset:
     """Per-entity fill of missing values along the time order.
 
@@ -232,7 +234,7 @@ def backfill(
         out[list(value_cols)] = gb.ffill() if method == "ffill" else gb.bfill()
         return out
 
-    return grouped.grouped_ordered_map(ds, id_col, [time_col], fn, num_buckets=num_buckets)
+    return grouped.grouped_ordered_map(ds, id_col, [time_col, *(tiebreak or [])], fn, num_buckets=num_buckets)
 
 
 def sessionize(
@@ -243,6 +245,7 @@ def sessionize(
     gap: pd.Timedelta | float | int,
     session_col: str = "session_id",
     num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+    tiebreak: Optional[Sequence[str]] = None,
 ) -> ray.data.Dataset:
     """Gap-based sessionization: within an entity, a new session starts
     when ``ts - previous_ts > gap``. ``session_col`` is the 0-based
@@ -259,7 +262,7 @@ def sessionize(
         out[session_col] = _seg_session_ids(g[time_col].to_numpy(), segs, gap_val)
         return out
 
-    return grouped.grouped_ordered_map(ds, id_col, [time_col], fn, num_buckets=num_buckets)
+    return grouped.grouped_ordered_map(ds, id_col, [time_col, *(tiebreak or [])], fn, num_buckets=num_buckets)
 
 
 def add_temporal_features(
@@ -347,6 +350,7 @@ def session_stats(
     gap: pd.Timedelta | float | int,
     value_col: Optional[str] = None,
     num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+    tiebreak: Optional[Sequence[str]] = None,
 ) -> ray.data.Dataset:
     """Sessionize then aggregate one row per (entity, session):
     ``n_events, session_start, session_end`` (+ ``value_sum`` when
@@ -366,4 +370,4 @@ def session_stats(
         out = tmp.groupby([id_col, "session_id"], sort=False).agg(**aggs).reset_index()
         return out
 
-    return grouped.grouped_ordered_map(ds, id_col, [time_col], fn, num_buckets=num_buckets)
+    return grouped.grouped_ordered_map(ds, id_col, [time_col, *(tiebreak or [])], fn, num_buckets=num_buckets)

@@ -61,3 +61,29 @@ def test_actor_state_carries_across_calls_directly():
     assert ((a.isna() & exp_lag2.isna()) | (a == exp_lag2)).all()
     assert np.allclose(out["value_roll_mean_3"], exp_roll3, rtol=1e-12)
     assert (out["session_id"] >= 0).all()
+
+
+def test_sharded_streaming_matches_single_actor_and_keeps_global_context_clean():
+    """concurrency=4 (one ordered pool per entity-hash shard) must equal
+    the concurrency=1 stream exactly, with tiny batches forcing
+    cross-batch carried state — and neither may flip the PROCESS-global
+    preserve_order flag."""
+    from ray.data import DataContext
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 40, n),
+        "ts": np.arange(n, dtype=np.float64),
+        "value": rng.normal(size=n).round(4),
+    })
+    ds = ray.data.from_pandas(df).repartition(8)
+    kw = dict(id_col="user_id", time_col="ts", value_cols=["value"], lags=[1, 3], windows=[4],
+              session_gap=10.0, batch_size=128)
+    a = streaming_window_features(ds, concurrency=1, **kw).to_pandas()
+    b = streaming_window_features(ds, concurrency=4, **kw).to_pandas()
+    assert DataContext.get_current().execution_options.preserve_order is False
+    key = ["user_id", "ts"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
