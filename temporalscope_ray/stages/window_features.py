@@ -20,6 +20,7 @@ from typing import Optional, Sequence
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray.data
 
 from . import grouped
@@ -340,6 +341,220 @@ def add_temporal_features(
         return out
 
     return grouped.grouped_ordered_map(ds, id_col, order, fn, num_buckets=num_buckets)
+
+
+def add_temporal_features_chunked(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str,
+    time_col: str,
+    value_cols: Sequence[str],
+    hot_entities: Sequence,
+    lags: Sequence[int] = (),
+    leads: Sequence[int] = (),
+    rolling_windows: Sequence[int] = (),
+    rolling_fns: Sequence[str] = ("mean",),
+    session_gap=None,
+    session_col: str = "session_id",
+    label_shift: Optional[dict] = None,
+    chunks_per_hot: int = 8,
+    num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+    tiebreak: Optional[Sequence[str]] = None,
+) -> ray.data.Dataset:
+    """``add_temporal_features`` with HOT-ENTITY overflow handling — the
+    window-family counterpart of the as-of join's right-replication
+    (north rule: phash-skewed hot entities).
+
+    The canonical bucket pass assumes an entity fits in one bucket
+    task. Entities in ``hot_entities`` (e.g. from
+    ``grouped.detect_hot_keys``) instead get CHUNKED by time range into
+    ``chunks_per_hot`` independent tasks with boundary carry:
+
+    1. chunk boundaries = ts quantiles from a distributed sample;
+    2. pass 1 over (entity, chunk) groups collects each chunk's head /
+       tail carry rows (``max(lag, window-1, shift)`` rows — tiny) plus
+       per-chunk session-break counts; the driver chains them into
+       effective carries and per-chunk session offsets (a
+       boundary-exchange, like the global shifter's);
+    3. pass 2 recomputes each chunk WITH its neighbor carries prepended
+       /appended and emits only its own rows, sessions offset to the
+       entity-global index.
+
+    Cold entities ride the normal one-shuffle bucket pass; outputs
+    union. Results are row-identical to the unchunked operator (tested
+    with one entity ≫ the bucket target)."""
+    import ray as _ray
+
+    hot = sorted(set(hot_entities))
+    if not hot:
+        return add_temporal_features(
+            ds, id_col=id_col, time_col=time_col, value_cols=value_cols, lags=lags, leads=leads,
+            rolling_windows=rolling_windows, rolling_fns=rolling_fns, session_gap=session_gap,
+            session_col=session_col, label_shift=label_shift, num_buckets=num_buckets, tiebreak=tiebreak,
+        )
+    order = [time_col, *(tiebreak or [])]
+    lags, leads, windows = list(lags), list(leads), list(rolling_windows)
+    shift_n = int(label_shift["n"]) if label_shift else 0
+    carry_back = max([*lags, *(w - 1 for w in windows), 1 if session_gap is not None else 0, 0])
+    carry_fwd = max([*leads, shift_n, 0])
+    hot_arr = pa.array(hot)
+    hot_ref = _ray.put(hot_arr)
+
+    def split_hot(t: pa.Table, want_hot: bool) -> pa.Table:
+        mask = pa.compute.is_in(t.column(id_col), value_set=_ray.get(hot_ref))
+        return t.filter(mask if want_hot else pa.compute.invert(mask))
+
+    cold_out = add_temporal_features(
+        ds.map_batches(lambda t: split_hot(t, False), batch_format="pyarrow", zero_copy_batch=True),
+        id_col=id_col, time_col=time_col, value_cols=value_cols, lags=lags, leads=leads,
+        rolling_windows=windows, rolling_fns=rolling_fns, session_gap=session_gap,
+        session_col=session_col, label_shift=label_shift, num_buckets=num_buckets, tiebreak=tiebreak,
+    )
+
+    hot_ds = ds.map_batches(lambda t: split_hot(t, True), batch_format="pyarrow", zero_copy_batch=True)
+
+    # --- chunk boundaries: per-hot-entity ts quantiles from a sample ---
+    def sample_ts(t: pa.Table) -> pa.Table:
+        sub = t.select([id_col, time_col])
+        n = sub.num_rows
+        step = max(1, n // 256)
+        return sub.take(np.arange(0, n, step))
+
+    samp = hot_ds.map_batches(sample_ts, batch_format="pyarrow").to_pandas()
+    bounds: dict = {}
+    for ent, sub in samp.groupby(id_col):
+        ts_np = sub[time_col].to_numpy()
+        is_dt = ts_np.dtype.kind == "M"
+        vals = ts_np.view("int64") if is_dt else ts_np.astype(np.float64)
+        qs = np.quantile(vals, np.linspace(0, 1, chunks_per_hot + 1)[1:-1]) if len(vals) else np.array([])
+        qs = np.unique(qs)
+        bounds[ent] = qs.astype("int64").view(ts_np.dtype) if is_dt else qs
+    bounds_ref = _ray.put(bounds)
+
+    def add_chunk(t: pa.Table) -> pa.Table:
+        bmap = _ray.get(bounds_ref)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        ts = t.column(time_col).to_numpy(zero_copy_only=False)
+        chunk = np.zeros(t.num_rows, dtype=np.int32)
+        for ent, bs in bmap.items():
+            m = ids == ent
+            if m.any() and len(bs):
+                chunk[m] = np.searchsorted(bs, ts[m], side="right").astype(np.int32)
+        return t.append_column("__chunk__", pa.array(chunk))
+
+    chunked = hot_ds.map_batches(add_chunk, batch_format="pyarrow", zero_copy_batch=True)
+
+    # --- pass 1: per-chunk carries + session metadata (tiny output) ---
+    carry_cols = [time_col, *(tiebreak or []), *dict.fromkeys(value_cols)]
+
+    def pass1(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order, kind="mergesort")
+        ts = g[time_col].to_numpy()
+        brk = 0
+        if session_gap is not None and len(g) > 1:
+            gv = session_gap
+            if isinstance(gv, pd.Timedelta):
+                gv = np.timedelta64(gv.to_timedelta64())
+            brk = int((ts[1:] - ts[:-1] > gv).sum())
+        head = g.head(carry_fwd)[carry_cols] if carry_fwd else g.head(0)[carry_cols]
+        tail = g.tail(carry_back)[carry_cols] if carry_back else g.tail(0)[carry_cols]
+        import pickle
+
+        return pd.DataFrame([{
+            id_col: g[id_col].iloc[0], "__chunk__": int(g["__chunk__"].iloc[0]),
+            "n_rows": len(g), "first_ts": ts[0], "last_ts": ts[-1], "internal_breaks": brk,
+            "head_blob": pickle.dumps(head), "tail_blob": pickle.dumps(tail),
+        }])
+
+    meta = chunked.groupby([id_col, "__chunk__"]).map_groups(pass1, batch_format="pandas").to_pandas()
+    import pickle
+
+    carries: dict = {}
+    offsets: dict = {}
+    for ent, sub in meta.groupby(id_col):
+        sub = sub.sort_values("__chunk__")
+        eff_tail = pickle.loads(sub["tail_blob"].iloc[0]).head(0)  # empty, right schema
+        off = 0
+        prev_last = None
+        tails, offs = {}, {}
+        for _, row in sub.iterrows():
+            c = int(row["__chunk__"])
+            tails[c] = eff_tail
+            offs[c] = off
+            boundary = 0
+            if session_gap is not None and prev_last is not None:
+                gv = session_gap
+                if isinstance(gv, pd.Timedelta):
+                    gv = np.timedelta64(gv.to_timedelta64())
+                boundary = int((row["first_ts"] - prev_last) > gv)
+            off = off + boundary + int(row["internal_breaks"])
+            eff_tail = pd.concat([eff_tail, pickle.loads(row["tail_blob"])]).tail(carry_back)
+            prev_last = row["last_ts"]
+        heads = {}
+        eff_head = pickle.loads(sub["head_blob"].iloc[0]).head(0)
+        for _, row in sub.iloc[::-1].iterrows():
+            c = int(row["__chunk__"])
+            heads[c] = eff_head
+            eff_head = pd.concat([pickle.loads(row["head_blob"]), eff_head]).head(carry_fwd)
+        for c in tails:
+            carries[(ent, c)] = (tails[c], heads[c])
+            offsets[(ent, c)] = offs[c]
+    carry_ref = _ray.put((carries, offsets))
+
+    fast = set(rolling_fns) & _FAST_ROLL_FNS
+    slow = set(rolling_fns) - _FAST_ROLL_FNS
+
+    # --- pass 2: recompute with carries, emit own rows only ---
+    def pass2(g: pd.DataFrame) -> pd.DataFrame:
+        carries_m, offsets_m = _ray.get(carry_ref)
+        ent = g[id_col].iloc[0]
+        c = int(g["__chunk__"].iloc[0])
+        g = g.drop(columns=["__chunk__"]).sort_values(order, kind="mergesort").reset_index(drop=True)
+        tail, head = carries_m.get((ent, c), (g.head(0), g.head(0)))
+        n_tail, n_own = len(tail), len(g)
+        full = pd.concat([tail, g[carry_cols], head], ignore_index=True)
+        out = g.copy()
+        ts = full[time_col].to_numpy()
+        own = slice(n_tail, n_tail + n_own)
+        seg_id = np.zeros(len(full), dtype=np.int64)  # one entity
+        seg_start = np.zeros(len(full), dtype=np.int64)
+        for col in dict.fromkeys(value_cols):
+            v = full[col].to_numpy(dtype=np.float64)
+            for k in lags:
+                out[f"{col}_lag_{k}"] = _seg_shift(v, seg_id, k)[own]
+            for k in leads:
+                out[f"{col}_lead_{k}"] = _seg_shift(v, seg_id, -k)[own]
+            for w in windows:
+                if fast:
+                    s, cnt = _seg_rolling(v, seg_start, w)
+                    if "sum" in fast:
+                        out[f"{col}_roll_sum_{w}"] = s[own]
+                    if "mean" in fast:
+                        out[f"{col}_roll_mean_{w}"] = np.where(cnt > 0, s / np.maximum(cnt, 1), np.nan)[own]
+                    if "count" in fast:
+                        out[f"{col}_roll_count_{w}"] = cnt[own]
+                for f in sorted(slow):
+                    r = getattr(pd.Series(v).rolling(w, min_periods=1), f)().to_numpy()
+                    out[f"{col}_roll_{f}_{w}"] = r[own]
+        if session_gap is not None:
+            segs = np.array([0, len(full)], dtype=np.int64)
+            sess = _seg_session_ids(ts, segs, session_gap)
+            # subtract breaks inside the TAIL carry (sess at the tail's
+            # last row), not sess[own][0] — the boundary break between
+            # chunk c-1 and c belongs to the own rows' session index
+            sess_tail_end = sess[n_tail - 1] if n_tail else 0
+            out[session_col] = sess[own] - sess_tail_end + offsets_m.get((ent, c), 0)
+        if label_shift is not None:
+            n = label_shift.get("n", 1)
+            vcol = label_shift["value_col"]
+            ocol = label_shift.get("out_col", f"{vcol}_shift_{n}")
+            lead = _seg_shift(full[vcol].to_numpy(dtype=np.float64), seg_id, -n)[own]
+            out[ocol] = lead
+            out = out[~np.isnan(lead)]
+        return out
+
+    hot_out = chunked.groupby([id_col, "__chunk__"]).map_groups(pass2, batch_format="pandas")
+    return cold_out.union(hot_out)
 
 
 def session_stats(

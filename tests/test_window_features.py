@@ -138,3 +138,40 @@ def test_rolling_with_nans_matches_pandas():
         expected = getattr(r, f)().reset_index(level=0, drop=True)
         a, b = out[col], expected
         assert ((a.isna() & b.isna()) | np.isclose(a, b, rtol=1e-12, equal_nan=True)).all(), f
+
+
+def test_chunked_hot_entity_matches_unchunked():
+    """One Zipf-hot entity (70% of all rows) processed via the chunked
+    boundary-carry path must match the plain bucket pass row-for-row —
+    lags, leads, rolling, session ids and the label shift."""
+    from temporalscope_ray.stages.window_features import (
+        add_temporal_features,
+        add_temporal_features_chunked,
+    )
+
+    rng = np.random.default_rng(5)
+    n = 4000
+    hot_n = int(n * 0.7)
+    ids = np.concatenate([np.full(hot_n, 99), rng.integers(0, 25, n - hot_n)])
+    df = pd.DataFrame({
+        "user_id": ids,
+        "ts": pd.Timestamp("2024-01-01") + pd.to_timedelta(rng.integers(0, 10_000_000, n), unit="s"),
+        "event_id": np.arange(n),
+        "value": rng.normal(size=n).round(4),
+    })
+    ds = ray.data.from_pandas(df).repartition(6)
+    kw = dict(
+        id_col="user_id", time_col="ts", value_cols=["value"], lags=[1, 2], leads=[1],
+        rolling_windows=[4], rolling_fns=("mean", "sum", "max"), session_gap=pd.Timedelta("2h"),
+        label_shift={"value_col": "value", "n": 1, "out_col": "value_shift_1"},
+        tiebreak=["event_id"],
+    )
+    plain = add_temporal_features(ds, num_buckets=8, **kw).to_pandas()
+    chunked = add_temporal_features_chunked(
+        ds, hot_entities=[99], chunks_per_hot=7, num_buckets=8, **kw
+    ).to_pandas()
+    key = ["user_id", "ts", "event_id"]
+    a = plain.sort_values(key).reset_index(drop=True)
+    b = chunked.sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b)
+    pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)], check_dtype=False)
