@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
@@ -221,13 +222,39 @@ def convert_column_to_datetime_type(ds: ray.data.Dataset, time_col: str) -> ray.
             return batch.set_column(i, time_col, pc.cast(batch.column(i), pa.timestamp("us")))
         return ds.map_batches(as_us, batch_format="pyarrow", zero_copy_batch=True)
     if pa.types.is_string(t) or pa.types.is_large_string(t):
+        # the reference's string step is a general `str.to_datetime()`
+        # parse (core_utils.py:795-797, narwhals -> pd.to_datetime under
+        # the pandas backend). Cascade: Arrow ISO cast (vectorized fast
+        # path) -> common strptime formats -> pandas mixed-format
+        # inference (per-element, so heterogeneous batches parse too);
+        # total failure raises the reference's TimeColumnError message.
+        _FORMATS = (
+            "%Y-%m-%d", "%Y/%m/%d", "%m/%d/%Y", "%d-%m-%Y", "%d.%m.%Y",
+            "%Y-%m-%d %H:%M:%S", "%Y-%m-%dT%H:%M:%S", "%Y/%m/%d %H:%M:%S",
+            "%m/%d/%Y %H:%M:%S", "%Y%m%d",
+        )
+
         def parse(batch: pa.Table) -> pa.Table:
             i = batch.schema.get_field_index(time_col)
             col = batch.column(i)
+            out = None
             try:
                 out = pc.cast(col, pa.timestamp("us"))
             except pa.ArrowInvalid:
-                out = pc.cast(pc.strptime(col, format="%Y-%m-%d", unit="us"), pa.timestamp("us"))
+                for fmt in _FORMATS:
+                    try:
+                        out = pc.cast(pc.strptime(col, format=fmt, unit="us"), pa.timestamp("us"))
+                        break
+                    except pa.ArrowInvalid:
+                        continue
+            if out is None:
+                try:
+                    parsed = pd.to_datetime(col.to_pandas(), format="mixed")
+                    out = pa.Array.from_pandas(parsed.astype("datetime64[us]"))
+                except (ValueError, TypeError):
+                    raise TimeColumnError(
+                        f"Column '{time_col}' must be string or numeric to convert to datetime"
+                    )
             return batch.set_column(i, time_col, out)
         return ds.map_batches(parse, batch_format="pyarrow", zero_copy_batch=True)
     if _is_numeric(t):

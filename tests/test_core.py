@@ -218,3 +218,26 @@ def test_convert_numeric_epoch_to_datetime():
     out = convert_column_to_datetime_type(ds_from(df), "time").to_pandas()
     assert pd.api.types.is_datetime64_any_dtype(out["time"])
     assert out["time"].iloc[0] == pd.Timestamp("2023-01-01")
+
+
+def test_convert_string_datetime_format_cascade():
+    """Reference cascade parity (core_utils.py:795-802): arbitrary
+    parseable string formats convert; garbage raises the reference's
+    TimeColumnError message."""
+    from temporalscope_ray.core import convert_column_to_datetime_type
+    from temporalscope_ray.exceptions import TimeColumnError
+
+    for vals, expect in [
+        (["2023-01-01", "2023-01-02"], ["2023-01-01", "2023-01-02"]),
+        (["01/15/2023", "02/20/2023"], ["2023-01-15", "2023-02-20"]),
+        (["20230115", "20230220"], ["2023-01-15", "2023-02-20"]),
+        (["2023/01/15 10:30:00", "2023/02/20 11:00:00"], ["2023-01-15 10:30:00", "2023-02-20 11:00:00"]),
+        (["Jan 15 2023", "2023-02-20"], ["2023-01-15", "2023-02-20"]),  # mixed -> pandas inference
+    ]:
+        ds = ray.data.from_pandas(pd.DataFrame({"t": vals, "v": [1.0, 2.0]}))
+        out = convert_column_to_datetime_type(ds, "t").to_pandas()
+        assert out["t"].tolist() == [pd.Timestamp(e) for e in expect], vals
+
+    bad = ray.data.from_pandas(pd.DataFrame({"t": ["not-a-date", "nope"], "v": [1.0, 2.0]}))
+    with pytest.raises(Exception, match="must be string or numeric to convert to datetime"):
+        convert_column_to_datetime_type(bad, "t").materialize()
