@@ -118,7 +118,7 @@ def run_scale_probe(num_cpus: int) -> dict:
 
     from temporalscope_ray import synth
     from temporalscope_ray.pipelines.flagship import image_feature_pipeline, image_table_for
-    from temporalscope_ray.stages.window_features import add_temporal_features
+    from temporalscope_ray.stages.window_features import add_temporal_features_auto
 
     xl_path = synth.materialize_events_table(f"/tmp/tsray_events_xl_{XL_ROWS}", XL_ROWS, num_blocks=64)
     img_path = synth.materialize_image_table(
@@ -130,7 +130,7 @@ def run_scale_probe(num_cpus: int) -> dict:
     ev = ray.data.read_parquet(xl_path, columns=["event_id", "ts", "user_id", "value"])
     t0 = time.perf_counter()
     rows = consume(
-        add_temporal_features(
+        add_temporal_features_auto(
             ev, id_col="user_id", time_col="ts", value_cols=["value"], lags=[1, 2],
             rolling_windows=[4], rolling_fns=("mean", "sum"), session_gap=pd.Timedelta("30min"),
             label_shift={"value_col": "value", "n": 1, "out_col": "value_shift_1"},

@@ -135,25 +135,49 @@ def grouped_ordered_map(
 # ---------------------------------------------------------------------------
 
 def detect_hot_keys(
-    ds: ray.data.Dataset, key: str, *, min_count: int = 100_000, top_k: int = 20
+    ds: ray.data.Dataset, key: str, *, min_count: int = 100_000, top_k: int = 20,
+    prune: Optional[int] = None,
 ) -> pd.DataFrame:
-    """Cheap hot-key pre-pass: per-batch partial counts -> small groupby
-    -> top-k keys above ``min_count``. Output is a tiny driver-side frame.
-    """
+    """Cheap hot-key pre-pass: ONE scan emitting per-block partial
+    counts, merged on the driver (no Ray groupby/sort — those cost two
+    extra all-to-all barriers for a result that is tiny by
+    construction). Output: top-k keys with count ≥ ``min_count``,
+    descending.
+
+    ``prune`` drops keys with per-batch count < prune from each partial
+    (bounding the driver merge at huge key cardinality). Hot keys are
+    never lost: a key with global count ≥ min_count has ≥
+    min_count/num_batches rows in some batch (pigeonhole), so any
+    prune ≤ min_count/num_batches keeps it visible; each pruned partial
+    also emits a null-key marker row so the driver knows the exact
+    number of partials B and compensates the ≤ prune×B undercount by
+    accepting keys at ``min_count − prune×B`` (possible mild false
+    positives — harmless for skew routing, which merely chunks them
+    too). With ``prune=None`` (default) the merge is exact."""
+    p = int(prune) if prune else 0
+
     def partial(batch: pa.Table) -> pa.Table:
         counts = batch.group_by(key).aggregate([(key, "count")])
-        return counts.rename_columns([key, "cnt"])
+        counts = counts.rename_columns([key, "cnt"])
+        if p > 1:
+            counts = counts.filter(pa.compute.greater_equal(counts.column("cnt"), p))
+            marker = pa.table(
+                {key: pa.array([None], type=counts.schema.field(key).type),
+                 "cnt": pa.array([-1], type=counts.schema.field("cnt").type)}
+            )
+            counts = pa.concat_tables([counts, marker])
+        return counts
 
-    from ray.data.aggregate import Sum
-
-    agg = (
-        ds.select_columns([key])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby(key)
-        .aggregate(Sum("cnt", alias_name="cnt"))
-    )
-    out = agg.sort("cnt", descending=True).limit(top_k).to_pandas()
-    return out[out["cnt"] >= min_count].reset_index(drop=True)
+    parts = ds.select_columns([key]).map_batches(partial, batch_format="pyarrow").to_pandas()
+    if p > 1:
+        num_partials = int((parts["cnt"] < 0).sum())
+        parts = parts[parts["cnt"] >= 0]
+        cutoff = max(1, min_count - p * num_partials)
+    else:
+        cutoff = min_count
+    merged = parts.groupby(key, sort=False)["cnt"].sum().reset_index()
+    out = merged[merged["cnt"] >= cutoff].nlargest(top_k, "cnt").reset_index(drop=True)
+    return out
 
 
 def salted_group_aggregate(

@@ -296,6 +296,21 @@ def add_temporal_features(
     if bad:
         raise ValueError(f"Unsupported rolling fns: {sorted(bad)}. Supported: {sorted(_ROLL_FNS)}")
     order = [time_col, *(tiebreak or [])]
+    fn = _flagship_kernel(
+        id_col=id_col, time_col=time_col, value_cols=value_cols, lags=lags, leads=leads,
+        rolling_windows=rolling_windows, rolling_fns=rolling_fns, session_gap=session_gap,
+        session_col=session_col, label_shift=label_shift,
+    )
+    return grouped.grouped_ordered_map(ds, id_col, order, fn, num_buckets=num_buckets)
+
+
+def _flagship_kernel(
+    *, id_col, time_col, value_cols, lags, leads, rolling_windows, rolling_fns,
+    session_gap, session_col, label_shift,
+):
+    """The per-bucket flagship kernel (lags/leads + rolling + sessions +
+    label shift over a ``(entity, ts)``-sorted frame) — shared by the
+    plain bucket pass and the hot-entity dispatch pass."""
     lags, leads = list(lags), list(leads)
     windows = list(rolling_windows)
 
@@ -340,7 +355,7 @@ def add_temporal_features(
             out = out[~np.isnan(lead)]
         return out
 
-    return grouped.grouped_ordered_map(ds, id_col, order, fn, num_buckets=num_buckets)
+    return fn
 
 
 def add_temporal_features_chunked(
@@ -376,13 +391,16 @@ def add_temporal_features_chunked(
        per-chunk session-break counts; the driver chains them into
        effective carries and per-chunk session offsets (a
        boundary-exchange, like the global shifter's);
-    3. pass 2 recomputes each chunk WITH its neighbor carries prepended
-       /appended and emits only its own rows, sessions offset to the
-       entity-global index.
+    3. the MAIN pass is still ONE exchange: hot (entity, chunk) pairs
+       get dedicated bucket ids above the cold hash range, so a single
+       ``groupby(__bucket__)`` shuffle carries cold buckets and hot
+       chunks together; the per-group fn dispatches — cold buckets run
+       the plain kernel, hot chunks recompute WITH their neighbor
+       carries prepended/appended and emit only their own rows,
+       sessions offset to the entity-global index.
 
-    Cold entities ride the normal one-shuffle bucket pass; outputs
-    union. Results are row-identical to the unchunked operator (tested
-    with one entity ≫ the bucket target)."""
+    Results are row-identical to the unchunked operator (tested with
+    one entity ≫ the bucket target)."""
     import ray as _ray
 
     hot = sorted(set(hot_entities))
@@ -404,14 +422,14 @@ def add_temporal_features_chunked(
         mask = pa.compute.is_in(t.column(id_col), value_set=_ray.get(hot_ref))
         return t.filter(mask if want_hot else pa.compute.invert(mask))
 
-    cold_out = add_temporal_features(
-        ds.map_batches(lambda t: split_hot(t, False), batch_format="pyarrow", zero_copy_batch=True),
-        id_col=id_col, time_col=time_col, value_cols=value_cols, lags=lags, leads=leads,
-        rolling_windows=windows, rolling_fns=rolling_fns, session_gap=session_gap,
-        session_col=session_col, label_shift=label_shift, num_buckets=num_buckets, tiebreak=tiebreak,
-    )
-
-    hot_ds = ds.map_batches(lambda t: split_hot(t, True), batch_format="pyarrow", zero_copy_batch=True)
+    # The hot subset is consumed twice before the main pass (boundary
+    # sample, pass-1 carry collection); materialize it ONCE into the
+    # object store instead of re-running the upstream read+filter per
+    # consumer. Bounded by the hot-entity mass — small relative to the
+    # corpus, distributed and spillable, never driver-resident.
+    hot_ds = ds.map_batches(
+        lambda t: split_hot(t, True), batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
 
     # --- chunk boundaries: per-hot-entity ts quantiles from a sample ---
     def sample_ts(t: pa.Table) -> pa.Table:
@@ -509,7 +527,8 @@ def add_temporal_features_chunked(
         carries_m, offsets_m = _ray.get(carry_ref)
         ent = g[id_col].iloc[0]
         c = int(g["__chunk__"].iloc[0])
-        g = g.drop(columns=["__chunk__"]).sort_values(order, kind="mergesort").reset_index(drop=True)
+        drop = [col for col in ("__chunk__", grouped.BUCKET_COL) if col in g.columns]
+        g = g.drop(columns=drop).sort_values(order, kind="mergesort").reset_index(drop=True)
         tail, head = carries_m.get((ent, c), (g.head(0), g.head(0)))
         n_tail, n_own = len(tail), len(g)
         full = pd.concat([tail, g[carry_cols], head], ignore_index=True)
@@ -553,8 +572,110 @@ def add_temporal_features_chunked(
             out = out[~np.isnan(lead)]
         return out
 
-    hot_out = chunked.groupby([id_col, "__chunk__"]).map_groups(pass2, batch_format="pandas")
-    return cold_out.union(hot_out)
+    # --- main pass: ONE exchange for cold buckets AND hot chunks ---
+    # Hot (entity, chunk) pairs get dedicated bucket ids ABOVE the cold
+    # range, so a single groupby("__bucket__") shuffle co-locates cold
+    # entities per hash bucket and each hot chunk in its own task; the
+    # per-group function dispatches on the ``__chunk__`` marker. (Two
+    # parallel sort-based exchanges in one DAG — the previous
+    # cold.union(hot) design — thrash the streaming executor: measured
+    # 52 s where the single exchange runs the same work in ~25 s.)
+    hot_index = {ent: i for i, ent in enumerate(hot)}
+    hot_index_ref = _ray.put(hot_index)
+    cold_fn = _flagship_kernel(
+        id_col=id_col, time_col=time_col, value_cols=value_cols, lags=lags, leads=leads,
+        rolling_windows=windows, rolling_fns=rolling_fns, session_gap=session_gap,
+        session_col=session_col, label_shift=label_shift,
+    )
+
+    def assign(t: pa.Table) -> pa.Table:
+        bmap = _ray.get(bounds_ref)
+        idx = _ray.get(hot_index_ref)
+        ids_col = t.column(id_col)
+        bucket = grouped.hash_key_column(ids_col, num_buckets)
+        chunk = np.full(t.num_rows, -1, dtype=np.int32)
+        hot_mask = pa.compute.is_in(ids_col, value_set=_ray.get(hot_ref)).to_numpy(zero_copy_only=False)
+        if hot_mask.any():
+            ids = ids_col.to_numpy(zero_copy_only=False)
+            ts = t.column(time_col).to_numpy(zero_copy_only=False)
+            for ent, bs in bmap.items():
+                m = ids == ent
+                if not m.any():
+                    continue
+                c = (
+                    np.searchsorted(bs, ts[m], side="right").astype(np.int32)
+                    if len(bs) else np.zeros(int(m.sum()), dtype=np.int32)
+                )
+                chunk[m] = c
+                bucket[m] = num_buckets + idx[ent] * chunks_per_hot + c
+        t = t.append_column(grouped.BUCKET_COL, pa.array(bucket, type=pa.int32()))
+        return t.append_column("__chunk__", pa.array(chunk))
+
+    def dispatch(g: pd.DataFrame) -> pd.DataFrame:
+        if int(g["__chunk__"].iloc[0]) >= 0:
+            return pass2(g)
+        drop = [col for col in ("__chunk__", grouped.BUCKET_COL) if col in g.columns]
+        g = g.drop(columns=drop).sort_values([id_col, *order], kind="mergesort")
+        return cold_fn(g)
+
+    tagged = ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+    return tagged.groupby(grouped.BUCKET_COL).map_groups(
+        dispatch, batch_format="pandas", num_cpus=2
+    )
+
+
+def add_temporal_features_auto(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str,
+    time_col: str,
+    value_cols: Sequence[str],
+    lags: Sequence[int] = (),
+    leads: Sequence[int] = (),
+    rolling_windows: Sequence[int] = (),
+    rolling_fns: Sequence[str] = ("mean",),
+    session_gap=None,
+    session_col: str = "session_id",
+    label_shift: Optional[dict] = None,
+    num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+    tiebreak: Optional[Sequence[str]] = None,
+    hot_min_rows: int = 250_000,
+    chunk_target_rows: int = 250_000,
+    max_chunks_per_hot: int = 64,
+    detect_on: Optional[ray.data.Dataset] = None,
+) -> ray.data.Dataset:
+    """Skew-aware ``add_temporal_features``: a cheap counting pre-pass
+    (``grouped.detect_hot_keys`` — per-batch partial counts over the
+    key column only, then a tiny top-k groupby) finds entities whose
+    row count exceeds ``hot_min_rows`` (i.e. would turn one bucket task
+    into a straggler) and routes them through the chunked overflow path
+    with ``chunks_per_hot`` scaled to the largest entity. Cold data
+    takes the normal one-shuffle pass; results are row-identical to the
+    unchunked operator.
+
+    ``detect_on`` lets the caller run detection on a cheaper upstream
+    dataset (e.g. the raw parquet read before an enrichment join) when
+    ``ds`` itself is mid-pipeline — entity row counts are the same.
+
+    Sizing rationale (north rule: phash-skewed hot entities): a bucket
+    task costs ~linear in rows, so any entity a few × the mean bucket
+    size (= total/num_buckets) serializes the whole stage; at a Zipf
+    tail the top entity can hold >10% of the corpus. 250k rows ≈ a
+    single-digit-seconds task at measured kernel throughput."""
+    kw = dict(
+        id_col=id_col, time_col=time_col, value_cols=value_cols, lags=lags, leads=leads,
+        rolling_windows=rolling_windows, rolling_fns=rolling_fns, session_gap=session_gap,
+        session_col=session_col, label_shift=label_shift, num_buckets=num_buckets, tiebreak=tiebreak,
+    )
+    probe = detect_on if detect_on is not None else ds
+    hot_df = grouped.detect_hot_keys(probe, id_col, min_count=hot_min_rows, top_k=32)
+    if hot_df.empty:
+        return add_temporal_features(ds, **kw)
+    chunks = int(np.ceil(hot_df["cnt"].max() / float(chunk_target_rows)))
+    chunks = max(2, min(chunks, max_chunks_per_hot))
+    return add_temporal_features_chunked(
+        ds, hot_entities=hot_df[id_col].tolist(), chunks_per_hot=chunks, **kw
+    )
 
 
 def session_stats(

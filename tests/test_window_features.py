@@ -175,3 +175,18 @@ def test_chunked_hot_entity_matches_unchunked():
     b = chunked.sort_values(key).reset_index(drop=True)
     assert len(a) == len(b)
     pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)], check_dtype=False)
+
+    # the auto wrapper must detect entity 99 (2800 rows > hot_min_rows)
+    # on its own and produce the same result via the chunked path
+    from temporalscope_ray.stages.window_features import add_temporal_features_auto
+
+    auto = add_temporal_features_auto(
+        ds, num_buckets=8, hot_min_rows=1000, chunk_target_rows=500, **kw
+    ).to_pandas()
+    c = auto.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[sorted(a.columns)], c[sorted(c.columns)], check_dtype=False)
+
+    # no hot entities above threshold -> falls back to the plain pass
+    cold = add_temporal_features_auto(ds, num_buckets=8, hot_min_rows=10_000, **kw).to_pandas()
+    d = cold.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[sorted(a.columns)], d[sorted(d.columns)], check_dtype=False)
