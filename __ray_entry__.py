@@ -245,6 +245,38 @@ def q_dup_ts_pairs(sf_dir: str):
     return pa.table({"n_dups": pa.array([dups], type=pa.int64())})
 
 
+def q_equidistant_by_user(sf_dir: str):
+    """A5/A6 as a result table: per-entity duplicate-timestamp and
+    distinct-delta summary (the grouped equidistant check's internals,
+    core.py:validate_temporal_ordering) — one bucket pass, one tiny row
+    per entity."""
+    from temporalscope_ray.stages import grouped
+
+    ev = _events(sf_dir, ("ts", "user_id"))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        keys = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy()
+        segs = grouped.entity_segments(keys)
+        out = []
+        tsi = ts.astype("datetime64[us]").view("int64")
+        for s, e in zip(segs[:-1], segs[1:]):
+            d = np.diff(tsi[s:e])
+            out.append((keys[s], int(e - s), int((d == 0).sum()), int(len(np.unique(d)))))
+        return pd.DataFrame(out, columns=["user_id", "n_rows", "n_dups", "n_deltas"])
+
+    return grouped.grouped_ordered_map(ev, "user_id", ["ts"], per_bucket)
+
+
+def q_time_to_numeric(sf_dir: str):
+    """M2: convert_datetime_column_to_timestamp — us-resolution
+    timestamps to float64 epoch-microseconds (core.py)."""
+    from temporalscope_ray.core import convert_time_column_to_numeric
+
+    ev = _events(sf_dir, ("event_id", "ts"))
+    return convert_time_column_to_numeric(ev, "ts", "us")
+
+
 def q_window_tags(sf_dir: str):
     from temporalscope_ray.core import convert_time_column_to_numeric
     from temporalscope_ray.dataset import TemporalDataset
@@ -545,6 +577,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_shift_lead1": q_global_shift,
         "null_counts_events": q_null_counts,
         "dup_ts_pairs": q_dup_ts_pairs,
+        "equidistant_by_user": q_equidistant_by_user,
+        "time_to_numeric": q_time_to_numeric,
         "window_tags": q_window_tags,
         "mean_pad_value": q_mean_pad_value,
         "dedup_exact_docs": q_dedup_exact_docs,
@@ -737,6 +771,20 @@ def oracle_sql() -> dict[str, str]:
         "dup_ts_pairs": """
             SELECT COUNT(*) AS n_dups FROM (
               SELECT user_id, ts FROM events GROUP BY user_id, ts HAVING COUNT(*) > 1)
+        """,
+        "equidistant_by_user": """
+            WITH d AS (
+              SELECT user_id,
+                     epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS delta
+              FROM events)
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) FILTER (WHERE delta = 0) AS BIGINT) AS n_dups,
+                   CAST(COUNT(DISTINCT delta) AS BIGINT) AS n_deltas
+            FROM d GROUP BY user_id
+        """,
+        "time_to_numeric": """
+            SELECT event_id, CAST(epoch_us(ts) AS DOUBLE) AS ts FROM events
         """,
         "window_tags": """
             WITH e AS (SELECT event_id, CAST(epoch_us(ts) AS DOUBLE) AS t FROM events),

@@ -42,6 +42,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
 
+    # NOTE: the sf0.1 headline pipelines keep Ray's default sort-based
+    # shuffle — their exchanges are ~100k rows and cannot amortize the
+    # hash-shuffle aggregator actor pool (measured: asof_bucketed
+    # 3.6 s -> 29.6 s with hash shuffle ON at this scale). The
+    # compute-dominated scale probe (run_scale_probe) uses
+    # tuning.configure_exchange, where the hash exchange wins.
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from temporalscope_ray.pipelines.flagship import image_feature_pipeline, image_table_for, temporal_feature_pipeline
     from temporalscope_ray.stages.asof import asof_join
@@ -113,6 +119,9 @@ def run_scale_probe(num_cpus: int) -> dict:
 
     DataContext.get_current().enable_progress_bars = False
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from temporalscope_ray.tuning import configure_exchange
+
+    configure_exchange(num_cpus)
     import pandas as pd
     import ray.data
 

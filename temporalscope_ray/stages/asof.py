@@ -447,6 +447,12 @@ def semi_join(
     distinct pass on a keys Dataset when the caller guarantees
     uniqueness (e.g. one row per id by construction)."""
     if isinstance(keys, ray.data.Dataset):
+        # materialize ONCE: count() would otherwise execute the keys
+        # lineage, and unique()/to_pandas() would re-execute it from
+        # scratch — measured as a full re-run of a 3-stage dedup
+        # pipeline per consumer. The materialized set lives in the
+        # (distributed, spillable) object store, never on the driver.
+        keys = keys.materialize()
         cnt = keys.count()
         if cnt == 0:
             # empty key set: anti keeps everything, semi keeps nothing

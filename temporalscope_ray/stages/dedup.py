@@ -133,25 +133,23 @@ def _dropped_via_buckets(
 ) -> ray.data.Dataset:
     """Unverified bucket-min link: a row is dropped iff a SMALLER id
     shares some fine group with it. Returns the dropped-id Dataset
-    (small side). One shuffle (coarse buckets) + one tiny id groupby."""
+    (small side), possibly with an id repeated across buckets (≤ the
+    band count) — downstream ``semi_join`` key-set semantics are
+    duplicate-tolerant.
+
+    ONE shuffle total: "global min partner < id" ⟺ "some bucket-local
+    min partner < id", so each bucket emits its locally-dropped ids
+    directly and no per-id global reduction (a second all-to-all) is
+    needed."""
     group_cols = list(group_cols)
     bucketed = _coarse_bucketed(exploded, group_cols, num_buckets)
 
     def links(g: pd.DataFrame) -> pd.DataFrame:
         canon = g.groupby(group_cols, sort=False)[id_col].transform("min")
-        out = pd.DataFrame({id_col: g[id_col], "canonical": canon})
-        # pre-reduce within the bucket: one row per id
-        return out.groupby(id_col, as_index=False)["canonical"].min()
+        return g.loc[canon.to_numpy() < g[id_col].to_numpy(), [id_col]].drop_duplicates()
 
-    linked = bucketed.groupby("__gbucket__").map_groups(
+    return bucketed.groupby("__gbucket__").map_groups(
         lambda g: links(g.drop(columns=["__gbucket__"])), batch_format="pandas"
-    )
-    from ray.data.aggregate import Min
-
-    canon = linked.groupby(id_col).aggregate(Min("canonical", alias_name="canonical"))
-    return canon.map_batches(
-        lambda t: t.filter(pa.compute.less(t.column("canonical"), t.column(id_col))).select([id_col]),
-        batch_format="pyarrow",
     )
 
 
@@ -363,7 +361,8 @@ def minhash_dropped(
 ) -> ray.data.Dataset:
     """Dropped-id Dataset: ids sharing some LSH band bucket with a
     smaller id (one hop, unverified — MinHash banding IS the match
-    criterion)."""
+    criterion). May repeat an id across band buckets; consumers
+    (``semi_join``) are duplicate-tolerant."""
     exploded = _minhash_exploded(
         ds, text_col=text_col, id_col=id_col, num_perm=num_perm, bands=bands,
         shingle_k=shingle_k, seed=seed, concurrency=concurrency, portable=portable,
