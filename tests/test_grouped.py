@@ -52,3 +52,57 @@ def test_salted_group_aggregate_matches_plain():
     exp = exp.sort_values("k").reset_index(drop=True)
     assert (merged["cnt"].to_numpy() == exp["count"].to_numpy()).all()
     assert np.allclose(merged["sum"].to_numpy(), exp["sum"].to_numpy())
+
+
+def test_detect_hot_keys_pruned_matches_exact():
+    """Pruned partial counts must never lose a hot key (pigeonhole
+    cutoff); mild false positives are allowed but absent here."""
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({"k": np.concatenate([np.full(5000, 99), rng.integers(0, 50, 2000)]),
+                       "v": np.arange(7000)})
+    ds = ray.data.from_pandas(df).repartition(8)
+    exact = grouped.detect_hot_keys(ds, "k", min_count=3000, top_k=5)
+    pruned = grouped.detect_hot_keys(ds, "k", min_count=3000, top_k=5, prune=8)
+    assert 99 in exact["k"].tolist() and int(exact["cnt"].iloc[0]) == 5000
+    assert 99 in pruned["k"].tolist()
+
+
+def test_hash_shuffle_exchange_matches_default():
+    """The bench harness runs the canonical exchange under Ray's
+    hash-shuffle strategy (tuning.configure_exchange); results must be
+    row-identical to the default sort exchange."""
+    from ray.data import DataContext
+    from temporalscope_ray.tuning import configure_exchange
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 40, 3000),
+        "ts": rng.permutation(3000),  # unique: no (k, ts) ties to make ordering ambiguous
+        "v": rng.normal(size=3000).round(4),
+    })
+    ds = ray.data.from_pandas(df).repartition(6)
+
+    def lag_fn(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.copy()
+        segs = grouped.entity_segments(g["k"].to_numpy())
+        seg_id = np.repeat(np.arange(len(segs) - 1), np.diff(segs))
+        v = g["v"].to_numpy()
+        lag = np.roll(v, 1)
+        lag[segs[:-1]] = np.nan
+        out["v_lag"] = lag
+        return out
+
+    base = grouped.grouped_ordered_map(ds, "k", ["ts"], lag_fn, num_buckets=8).to_pandas()
+
+    ctx = DataContext.get_current()
+    saved = (ctx.shuffle_strategy, ctx.default_hash_shuffle_parallelism, ctx.max_hash_shuffle_aggregators)
+    try:
+        configure_exchange(4, ctx)
+        hashed = grouped.grouped_ordered_map(ds, "k", ["ts"], lag_fn, num_buckets=8).to_pandas()
+    finally:
+        ctx.shuffle_strategy, ctx.default_hash_shuffle_parallelism, ctx.max_hash_shuffle_aggregators = saved
+
+    key = ["k", "ts", "v"]
+    a = base.sort_values(key).reset_index(drop=True)
+    b = hashed.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)], check_dtype=False)
