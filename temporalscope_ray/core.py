@@ -71,6 +71,32 @@ def _schema(ds: ray.data.Dataset) -> pa.Schema:
 
 
 # ---------------------------------------------------------------------------
+# L6 — env/config helpers (core_utils.py:109-185)
+# ---------------------------------------------------------------------------
+
+def get_api_keys() -> dict[str, Optional[str]]:
+    """Retrieve LLM-integration API keys from environment variables
+    (reference ``core_utils.py:109-159``; same key names, same missing-
+    key warning). No LLM calls are made anywhere in this engine — the
+    helper exists for API parity with downstream code that checks it."""
+    import os
+
+    api_keys = {
+        "OPENAI_API_KEY": os.getenv("OPENAI_API_KEY"),
+        "CLAUDE_API_KEY": os.getenv("CLAUDE_API_KEY"),
+    }
+    for key, value in api_keys.items():
+        if value is None:
+            print(f"Warning: {key} is not set in the environment variables.")
+    return api_keys
+
+
+def print_divider(char: str = "=", length: int = 70) -> None:
+    """Print a visual divider line (reference ``core_utils.py:162-185``)."""
+    print(char * length)
+
+
+# ---------------------------------------------------------------------------
 # M7 — emptiness
 # ---------------------------------------------------------------------------
 

@@ -241,3 +241,16 @@ def test_convert_string_datetime_format_cascade():
     bad = ray.data.from_pandas(pd.DataFrame({"t": ["not-a-date", "nope"], "v": [1.0, 2.0]}))
     with pytest.raises(Exception, match="must be string or numeric to convert to datetime"):
         convert_column_to_datetime_type(bad, "t").materialize()
+
+
+def test_api_key_helpers(monkeypatch, capsys):
+    from temporalscope_ray.core import get_api_keys, print_divider
+
+    monkeypatch.setenv("OPENAI_API_KEY", "abc123")
+    monkeypatch.delenv("CLAUDE_API_KEY", raising=False)
+    keys = get_api_keys()
+    assert keys["OPENAI_API_KEY"] == "abc123" and keys["CLAUDE_API_KEY"] is None
+    out = capsys.readouterr().out
+    assert "Warning: CLAUDE_API_KEY is not set in the environment variables." in out
+    print_divider("-", 10)
+    assert capsys.readouterr().out.strip() == "-" * 10
