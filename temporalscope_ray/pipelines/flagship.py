@@ -29,19 +29,6 @@ from ..stages.multimodal import add_image_features
 from ..stages.window_features import add_temporal_features
 
 
-def _rename_and_cast_ts(t: pa.Table) -> pa.Table:
-    """orders state: rename keys to (user_id, ts) and restore us
-    timestamp resolution (Ray's groupby can coarsen it, which breaks
-    merge_asof key compatibility)."""
-    import pyarrow.compute as pc
-
-    t = t.rename_columns(
-        ["user_id" if c == "o_custkey" else "ts" if c == "o_orderdate" else c for c in t.column_names]
-    )
-    i = t.schema.get_field_index("ts")
-    return t.set_column(i, "ts", pc.cast(t.column(i), pa.timestamp("us")))
-
-
 def temporal_feature_pipeline(
     sf_dir: str, *, num_buckets: int = 32, concurrency=8
 ) -> ray.data.Dataset:
@@ -54,19 +41,17 @@ def temporal_feature_pipeline(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_custkey", "o_orderdate", "o_totalprice"],
     )
-    # point-in-time order state per user: latest order strictly known at
-    # ts; GLOBAL dedupe to one row per (custkey, date) for determinism
-    # (a per-block dedupe would leave cross-block duplicates)
-    from ray.data.aggregate import Max
-
-    deduped = orders.groupby(["o_custkey", "o_orderdate"]).aggregate(Max("o_totalprice", alias_name="o_totalprice"))
-    order_state = deduped.map_batches(
-        lambda t: _rename_and_cast_ts(t),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
+    # point-in-time order state per user: latest order strictly known
+    # at ts, one row per (custkey, date). The broadcast as-of path
+    # driver-materializes the dimension side anyway, so the dedupe runs
+    # in pandas on the materialized frame — no distributed groupby (a
+    # full shuffle + barrier) for a dimension table.
+    odf = orders.to_pandas()
+    odf = odf.groupby(["o_custkey", "o_orderdate"], as_index=False)["o_totalprice"].max()
+    odf = odf.rename(columns={"o_custkey": "user_id", "o_orderdate": "ts"})
+    odf["ts"] = odf["ts"].astype("datetime64[us]")
     enriched = asof_join(
-        events, order_state, on="ts", by="user_id", broadcast=True, concurrency=concurrency,
+        events, odf, on="ts", by="user_id", broadcast=True, concurrency=concurrency,
         right_cols=["o_totalprice"],
     )
     # features AND the zero-leakage label shift in ONE bucket shuffle

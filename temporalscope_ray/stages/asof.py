@@ -114,7 +114,16 @@ def asof_join(
     the hot entities' right rows only."""
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError("direction must be 'backward', 'forward' or 'nearest'")
-    right_names = right.schema().names
+    # A pandas right side is accepted for the broadcast path: a
+    # dimension-sized right is driver-materialized there anyway, so
+    # callers that already hold (or can cheaply produce) the frame skip
+    # a Ray round-trip — and can pre-dedupe in pandas instead of paying
+    # a distributed groupby for a dimension table.
+    right_is_frame = isinstance(right, pd.DataFrame)
+    if right_is_frame and broadcast is False:
+        right = ray.data.from_pandas(right)
+        right_is_frame = False
+    right_names = list(right.columns) if right_is_frame else right.schema().names
     key_cols = {on} | ({by} if by else set())
     if right_cols is None:
         right_cols = [c for c in right_names if c not in key_cols]
@@ -123,11 +132,12 @@ def asof_join(
         raise ValueError(f"Column '{missing[0]}' does not exist in right Dataset")
 
     if broadcast is None:
-        cnt = right.count()
+        cnt = len(right) if right_is_frame else right.count()
         broadcast = cnt is not None and cnt <= broadcast_limit_rows
 
     if broadcast:
-        right_df = right.select_columns(list(dict.fromkeys([on, *([by] if by else []), *right_cols]))).to_pandas()
+        keep = list(dict.fromkeys([on, *([by] if by else []), *right_cols]))
+        right_df = right[keep] if right_is_frame else right.select_columns(keep).to_pandas()
         right_ref = ray.put(right_df)
         return left.map_batches(
             _BroadcastAsof,
