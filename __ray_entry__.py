@@ -551,6 +551,49 @@ def q_image_pipeline(sf_dir: str):
     return out.drop_columns(["bytes"])
 
 
+def q_audio_pipeline(sf_dir: str):
+    """REAL WAV decode (numpy RIFF/PCM16 codec) + temporal lag over the
+    deterministic synthetic audio table (no SQL oracle possible — the
+    table is not a driver view and the decode is not SQL-expressible;
+    decode correctness is pytest-gated: spectral centroid recovers the
+    generator's tone frequency)."""
+    from temporalscope_ray import synth
+    from temporalscope_ray.stages.multimodal import add_audio_features
+    from temporalscope_ray.stages.window_features import add_lag_lead_features
+
+    name = os.path.basename(os.path.normpath(sf_dir))
+    sf = float(name.replace("sf", "")) if name.startswith("sf") else 0.001
+    rows = max(64, int(2000 * sf * 10))
+    path = synth.materialize_audio_table(f"/tmp/tsray_audio_tables/{name}_{rows}", rows,
+                                         num_entities=max(4, rows // 16))
+    ds = ray.data.read_parquet(path)
+    feats = add_audio_features(ds, concurrency=(1, 4))
+    out = add_lag_lead_features(
+        feats.drop_columns(["bytes"]), id_col="speaker_id", time_col="ts",
+        value_cols=["rms_energy"], lags=[1], num_buckets=8,
+    )
+    return out.select_columns(["clip_id", "speaker_id", "spectral_centroid_hz",
+                               "rms_energy", "rms_energy_lag_1"])
+
+
+def q_video_pipeline(sf_dir: str):
+    """vid1 decode + uniform frame sampling + motion features, then
+    per-channel session stats (rows-only check; motion-vs-generator
+    monotonicity is pytest-gated)."""
+    from temporalscope_ray import synth
+    from temporalscope_ray.stages.multimodal import add_video_features
+
+    name = os.path.basename(os.path.normpath(sf_dir))
+    sf = float(name.replace("sf", "")) if name.startswith("sf") else 0.001
+    rows = max(32, int(500 * sf * 10))
+    path = synth.materialize_video_table(f"/tmp/tsray_video_tables/{name}_{rows}", rows,
+                                         num_entities=max(4, rows // 8))
+    ds = ray.data.read_parquet(path)
+    out = add_video_features(ds, sample_k=8, concurrency=(1, 4)).drop_columns(["bytes"])
+    return out.select_columns(["video_id", "channel_id", "n_frames", "fps",
+                               "motion_energy", "mean_brightness"])
+
+
 def q_flagship(sf_dir: str):
     from temporalscope_ray.pipelines.flagship import temporal_feature_pipeline
 
@@ -591,6 +634,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "expand_targets_h3": q_expand_targets,
         "minhash_kept_docs": q_minhash_kept_docs,
         "image_pipeline": q_image_pipeline,
+        "audio_pipeline": q_audio_pipeline,
+        "video_pipeline": q_video_pipeline,
         "flagship_pipeline": q_flagship,
         "rolling_minmax_4": q_rolling_minmax,
         "streaming_features": q_streaming_features,

@@ -172,3 +172,106 @@ def phash64(pixels: np.ndarray, grid: int = 8) -> int:
     if val >= 1 << 63:
         val -= 1 << 64
     return val
+
+
+# ---------------------------------------------------------------------------
+# audio: RIFF/WAVE PCM16 (real container, numpy+struct only)
+# ---------------------------------------------------------------------------
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Mono PCM16 WAV (standard RIFF container — readable by any WAV
+    decoder). ``samples`` is float in [-1, 1] or int16."""
+    if samples.dtype != np.int16:
+        samples = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+        samples = np.round(samples * 32767.0).astype(np.int16)
+    data = samples.tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16,
+        b"data", len(data),
+    )
+    return hdr + data
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """Parse a mono PCM16 RIFF/WAVE buffer -> (float64 samples in
+    [-1, 1], sample_rate). Walks the chunk list (extra chunks are
+    skipped), so WAVs from other writers parse too."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE buffer")
+    pos, sample_rate, n_channels, bits, pcm = 12, None, None, None, None
+    while pos + 8 <= len(data):
+        tag, size = struct.unpack_from("<4sI", data, pos)
+        pos += 8
+        if tag == b"fmt ":
+            fmt_code, n_channels, sample_rate, _, _, bits = struct.unpack_from("<HHIIHH", data, pos)
+            if fmt_code != 1:
+                raise ValueError(f"unsupported WAV format code {fmt_code} (PCM only)")
+        elif tag == b"data":
+            pcm = data[pos : pos + size]
+        pos += size + (size & 1)
+    if sample_rate is None or pcm is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    if bits != 16 or n_channels != 1:
+        raise ValueError(f"unsupported WAV layout: {bits}-bit, {n_channels}ch (mono PCM16 only)")
+    samples = np.frombuffer(pcm, dtype="<i2").astype(np.float64) / 32767.0
+    return samples, int(sample_rate)
+
+
+def audio_features(samples: np.ndarray, sample_rate: int) -> dict:
+    """Vectorized classic audio features over a mono waveform."""
+    n = len(samples)
+    if n == 0:
+        return {"duration_s": 0.0, "rms_energy": 0.0, "zero_crossings": 0, "spectral_centroid_hz": 0.0}
+    rms = float(np.sqrt(np.mean(samples**2)))
+    # signbit-based count: a crossing that lands exactly on 0 still
+    # flips the sign bit on the next sample (the product test misses it)
+    sb = np.signbit(samples)
+    zc = int((sb[1:] != sb[:-1]).sum())
+    spec = np.abs(np.fft.rfft(samples))
+    freqs = np.fft.rfftfreq(n, d=1.0 / sample_rate)
+    denom = spec.sum()
+    centroid = float((freqs * spec).sum() / denom) if denom > 0 else 0.0
+    return {
+        "duration_s": n / sample_rate,
+        "rms_energy": rms,
+        "zero_crossings": zc,
+        "spectral_centroid_hz": centroid,
+    }
+
+
+# ---------------------------------------------------------------------------
+# video: frame-packed container "vid1" (grayscale frames + zlib)
+# ---------------------------------------------------------------------------
+
+_VID1_MAGIC = b"VID1"
+
+
+def encode_video(frames: np.ndarray, fps: float) -> bytes:
+    """``frames``: (n, h, w) uint8 grayscale -> zlib-compressed packed
+    container with a fixed header (magic, n, h, w, fps)."""
+    frames = np.ascontiguousarray(frames, dtype=np.uint8)
+    n, h, w = frames.shape
+    hdr = struct.pack("<4sIIIf", _VID1_MAGIC, n, h, w, float(fps))
+    return hdr + zlib.compress(frames.tobytes(), 6)
+
+
+def decode_video(data: bytes) -> tuple[np.ndarray, float]:
+    """-> ((n, h, w) uint8 frames, fps)."""
+    if len(data) < 20 or data[:4] != _VID1_MAGIC:
+        raise ValueError("not a vid1 buffer")
+    _, n, h, w, fps = struct.unpack_from("<4sIIIf", data, 0)
+    raw = zlib.decompress(data[20:])
+    frames = np.frombuffer(raw, dtype=np.uint8).reshape(n, h, w)
+    return frames, float(fps)
+
+
+def sample_frames(frames: np.ndarray, k: int) -> np.ndarray:
+    """Deterministic uniform temporal sampling: k frame indices evenly
+    spaced over [0, n) (the standard eval-time sampling grid)."""
+    n = len(frames)
+    if n == 0 or k <= 0:
+        return frames[:0]
+    idx = (np.arange(k) * n) // k
+    return frames[idx]

@@ -9,11 +9,12 @@ actor, small batches (binary payloads are wide; a 256-row batch of
 object store handles spill).
 
 The sandbox has no PIL/ffmpeg; formats outside this repo's numpy+zlib
-codecs (`temporalscope_ray.codec`) raise ``NotImplementedError`` with
-a clear message — the Ray-side plumbing (schemas, actor signatures,
-batch sizing, output layout) is real and tested either way. Audio and
-video stages are deterministic-fake implementations behind the same
-interface.
+codecs (`temporalscope_ray.codec`: raw/PNG/qnt6 images, RIFF/WAVE
+PCM16 audio, vid1 frame-packed video) raise ``NotImplementedError``
+with a clear message — the Ray-side plumbing (schemas, actor
+signatures, batch sizing, output layout) is real and tested either
+way. ``AudioFeaturesStub`` remains as the deterministic fallback for
+codec-blocked payloads.
 """
 
 from __future__ import annotations
@@ -112,12 +113,47 @@ class ResizeImages:
         return out
 
 
+class AudioFeatures:
+    """REAL audio decode for RIFF/WAVE PCM16 payloads
+    (``codec.decode_wav`` — standard container, numpy+struct only):
+    emits ``duration_s, rms_energy, zero_crossings,
+    spectral_centroid_hz``. Compressed formats (mp3/ogg/flac) need
+    external codecs (soundfile/librosa) and raise
+    ``NotImplementedError`` (``strict=True``) or null out
+    (``strict=False``)."""
+
+    def __init__(self, payload_col: str = "bytes", strict: bool = True):
+        self.payload_col = payload_col
+        self.strict = strict
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        n = len(batch)
+        cols = {"duration_s": np.full(n, np.nan), "rms_energy": np.full(n, np.nan),
+                "zero_crossings": np.full(n, -1, dtype=np.int64),
+                "spectral_centroid_hz": np.full(n, np.nan)}
+        for i, buf in enumerate(batch[self.payload_col]):
+            try:
+                samples, sr = codec.decode_wav(buf)
+            except ValueError:
+                if self.strict:
+                    raise NotImplementedError(
+                        "non-WAV audio decoding requires soundfile/librosa, "
+                        "not available in this environment"
+                    )
+                continue
+            f = codec.audio_features(samples, sr)
+            for k in cols:
+                cols[k][i] = f[k]
+        out = batch.copy()
+        for k, v in cols.items():
+            out[k] = v
+        return out
+
+
 class AudioFeaturesStub:
-    """STUB — real audio decode (soundfile/librosa) is not available in
-    this environment. With ``fake=True`` emits deterministic
-    pseudo-features (seeded by payload CRC) so the pipeline plumbing is
-    exercised end-to-end; with ``fake=False`` raises
-    ``NotImplementedError``."""
+    """STUB fallback for payloads no in-sandbox codec can parse. Emits
+    deterministic pseudo-features (seeded by payload CRC) so pipeline
+    plumbing is exercised end-to-end regardless of codec availability."""
 
     def __init__(self, fake: bool = True, payload_col: str = "bytes"):
         self.fake = fake
@@ -134,6 +170,45 @@ class AudioFeaturesStub:
         out = batch.copy()
         out["rms_energy"] = (crcs % 1000).astype(np.float64) / 1000.0
         out["zero_crossings"] = (crcs % 97).astype(np.int64)
+        return out
+
+
+class VideoFeatures:
+    """REAL video decode for the ``vid1`` frame-packed container
+    (``codec.decode_video``): uniform-samples ``sample_k`` frames and
+    emits ``n_frames, fps, motion_energy`` (mean |frame diff| over the
+    sampled grid — the standard cheap temporal-activity signal) and
+    ``mean_brightness``. Real containers (mp4/webm) need ffmpeg and
+    raise ``NotImplementedError`` under ``strict=True``."""
+
+    def __init__(self, payload_col: str = "bytes", sample_k: int = 8, strict: bool = True):
+        self.payload_col = payload_col
+        self.sample_k = sample_k
+        self.strict = strict
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        n = len(batch)
+        cols = {"n_frames": np.full(n, -1, dtype=np.int64), "fps": np.full(n, np.nan),
+                "motion_energy": np.full(n, np.nan), "mean_brightness": np.full(n, np.nan)}
+        for i, buf in enumerate(batch[self.payload_col]):
+            try:
+                frames, fps = codec.decode_video(buf)
+            except ValueError:
+                if self.strict:
+                    raise NotImplementedError(
+                        "mp4/webm decoding requires ffmpeg, not available in this environment"
+                    )
+                continue
+            samp = codec.sample_frames(frames, self.sample_k).astype(np.float64)
+            cols["n_frames"][i] = len(frames)
+            cols["fps"][i] = fps
+            cols["mean_brightness"][i] = samp.mean() if len(samp) else np.nan
+            cols["motion_energy"][i] = (
+                float(np.abs(np.diff(samp, axis=0)).mean()) if len(samp) > 1 else 0.0
+            )
+        out = batch.copy()
+        for k, v in cols.items():
+            out[k] = v
         return out
 
 
@@ -156,10 +231,33 @@ def resize_images(
 
 
 def add_audio_features(
-    ds: ray.data.Dataset, *, fake: bool = True, payload_col: str = "bytes", concurrency=16,
-    batch_size: int = DEFAULT_IMAGE_BATCH,
+    ds: ray.data.Dataset, *, mode: str = "wav", payload_col: str = "bytes", strict: bool = True,
+    concurrency=16, batch_size: int = DEFAULT_IMAGE_BATCH,
+    fake: Optional[bool] = None,
 ) -> ray.data.Dataset:
+    """``mode="wav"`` — real RIFF/PCM16 decode + spectral features;
+    ``mode="stub"`` — deterministic fake for codec-blocked payloads.
+    (``fake=True/False`` kept as a back-compat alias for stub/raise.)"""
+    if fake is not None:  # legacy alias
+        mode = "stub" if fake else "raise"
+    if mode == "stub" or mode == "raise":
+        return ds.map_batches(
+            AudioFeaturesStub, batch_format="pandas", batch_size=batch_size,
+            concurrency=clamp_concurrency(concurrency), fn_constructor_args=(mode == "stub", payload_col),
+        )
     return ds.map_batches(
-        AudioFeaturesStub, batch_format="pandas", batch_size=batch_size,
-        concurrency=clamp_concurrency(concurrency), fn_constructor_args=(fake, payload_col),
+        AudioFeatures, batch_format="pandas", batch_size=batch_size,
+        concurrency=clamp_concurrency(concurrency), fn_constructor_args=(payload_col, strict),
+    )
+
+
+def add_video_features(
+    ds: ray.data.Dataset, *, payload_col: str = "bytes", sample_k: int = 8, strict: bool = True,
+    concurrency=16, batch_size: int = 64,
+) -> ray.data.Dataset:
+    """Frame-sampled video features (vid1 container; small batches —
+    video payloads are the widest rows in the table)."""
+    return ds.map_batches(
+        VideoFeatures, batch_format="pandas", batch_size=batch_size,
+        concurrency=clamp_concurrency(concurrency), fn_constructor_args=(payload_col, sample_k, strict),
     )

@@ -348,3 +348,130 @@ def materialize_image_table(path: str, num_rows: int, **kwargs) -> str:
     with open(done, "w") as f:
         f.write("ok")
     return path
+
+
+def generate_audio_table(
+    num_rows: int,
+    num_entities: Optional[int] = None,
+    *,
+    seed: int = 42,
+    sample_rate: int = 8000,
+    duration_s: float = 0.5,
+    num_blocks: int = 8,
+) -> ray.data.Dataset:
+    """Audio+caption table: ``(clip_id, ts, speaker_id, bytes (WAV
+    PCM16), sr, n_samples, caption, target)``. Each clip is a
+    deterministic sine mixture (fundamental keyed by the row hash) —
+    every cell a pure function of (seed, row index), so any parallelism
+    yields the identical table, and the spectral-centroid feature is
+    analytically predictable per row."""
+    if num_entities is None:
+        num_entities = max(1, num_rows // 8)
+    n_samp = int(sample_rate * duration_s)
+    epoch_us = 1672531200000000
+
+    def gen(batch: pa.Table) -> pa.Table:
+        tables = []
+        for spec in batch.to_pylist():
+            start, stop = spec["start"], spec["stop"]
+            idx = np.arange(start, stop, dtype=np.int64)
+            ent = idx % num_entities
+            freq = 100.0 + np.floor(hash_uniform(seed, 301, idx) * 20.0) * 50.0  # 100..1050 Hz
+            amp = 0.3 + 0.5 * hash_uniform(seed, 302, idx)
+            t = np.arange(n_samp, dtype=np.float64) / sample_rate
+            bufs = []
+            for j, i in enumerate(idx):
+                wave = amp[j] * np.sin(2 * np.pi * freq[j] * t)
+                bufs.append(codec.encode_wav(wave, sample_rate))
+            tables.append(pa.table({
+                "clip_id": pa.array([f"clip_{i:08d}" for i in idx]),
+                "ts": pa.array(epoch_us + idx * 1_000_000 + ent, type=pa.timestamp("us")),
+                "speaker_id": pa.array(ent),
+                "bytes": pa.array(bufs, type=pa.binary()),
+                "sr": pa.array(np.full(len(idx), sample_rate, dtype=np.int32)),
+                "n_samples": pa.array(np.full(len(idx), n_samp, dtype=np.int32)),
+                "caption": pa.array([f"tone {f:.0f}hz clip {i}" for f, i in zip(freq, idx)]),
+                "target": pa.array(freq, type=pa.float64()),
+            }))
+        return pa.concat_tables(tables)
+
+    specs = _block_specs(num_rows, num_blocks)
+    return ray.data.from_items(specs).map_batches(gen, batch_format="pyarrow", batch_size=1)
+
+
+def generate_video_table(
+    num_rows: int,
+    num_entities: Optional[int] = None,
+    *,
+    seed: int = 42,
+    n_frames: int = 16,
+    frame_size: int = 24,
+    fps: float = 8.0,
+    num_blocks: int = 8,
+) -> ray.data.Dataset:
+    """Video table: ``(video_id, ts, channel_id, bytes (vid1), n_frames,
+    w, h, caption, motion)`` — each clip is a moving bright square whose
+    per-frame step size ("motion") is row-keyed, so the decoded
+    motion-energy feature is monotonic in the generator's parameter."""
+    if num_entities is None:
+        num_entities = max(1, num_rows // 8)
+    epoch_us = 1672531200000000
+
+    def gen(batch: pa.Table) -> pa.Table:
+        tables = []
+        for spec in batch.to_pylist():
+            start, stop = spec["start"], spec["stop"]
+            idx = np.arange(start, stop, dtype=np.int64)
+            ent = idx % num_entities
+            speed = 1 + (hash_u64(seed, 401, idx) % np.uint64(4)).astype(np.int64)  # 1..4 px/frame
+            bufs = []
+            for j, i in enumerate(idx):
+                frames = np.zeros((n_frames, frame_size, frame_size), dtype=np.uint8)
+                sq = max(2, frame_size // 6)
+                for f in range(n_frames):
+                    pos = int((int(speed[j]) * f) % (frame_size - sq))
+                    frames[f, pos : pos + sq, pos : pos + sq] = 220
+                bufs.append(codec.encode_video(frames, fps))
+            tables.append(pa.table({
+                "video_id": pa.array([f"vid_{i:08d}" for i in idx]),
+                "ts": pa.array(epoch_us + idx * 2_000_000 + ent, type=pa.timestamp("us")),
+                "channel_id": pa.array(ent),
+                "bytes": pa.array(bufs, type=pa.binary()),
+                "n_frames": pa.array(np.full(len(idx), n_frames, dtype=np.int32)),
+                "w": pa.array(np.full(len(idx), frame_size, dtype=np.int32)),
+                "h": pa.array(np.full(len(idx), frame_size, dtype=np.int32)),
+                "caption": pa.array([f"square speed {s} clip {i}" for s, i in zip(speed, idx)]),
+                "motion": pa.array(speed.astype(np.float64)),
+            }))
+        return pa.concat_tables(tables)
+
+    specs = _block_specs(num_rows, num_blocks)
+    return ray.data.from_items(specs).map_batches(gen, batch_format="pyarrow", batch_size=1)
+
+
+def materialize_audio_table(path: str, num_rows: int, **kwargs) -> str:
+    """Cache the synthetic audio table as parquet; returns the path."""
+    import os
+
+    done = os.path.join(path, "_SUCCESS")
+    if os.path.exists(done):
+        return path
+    os.makedirs(path, exist_ok=True)
+    generate_audio_table(num_rows, **kwargs).write_parquet(path)
+    with open(done, "w") as f:
+        f.write("ok")
+    return path
+
+
+def materialize_video_table(path: str, num_rows: int, **kwargs) -> str:
+    """Cache the synthetic video table as parquet; returns the path."""
+    import os
+
+    done = os.path.join(path, "_SUCCESS")
+    if os.path.exists(done):
+        return path
+    os.makedirs(path, exist_ok=True)
+    generate_video_table(num_rows, **kwargs).write_parquet(path)
+    with open(done, "w") as f:
+        f.write("ok")
+    return path

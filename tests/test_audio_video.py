@@ -1,0 +1,85 @@
+"""Audio (RIFF/WAVE PCM16) and video (vid1 frame container) codecs +
+actor-pool feature stages over the deterministic synthetic tables."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from temporalscope_ray import codec, synth
+from temporalscope_ray.stages import multimodal
+
+
+def test_wav_roundtrip_and_features():
+    sr = 8000
+    t = np.arange(sr) / sr
+    wave = 0.5 * np.sin(2 * np.pi * 440 * t)
+    buf = codec.encode_wav(wave, sr)
+    assert buf[:4] == b"RIFF" and buf[8:12] == b"WAVE"
+    out, sr2 = codec.decode_wav(buf)
+    assert sr2 == sr
+    assert np.allclose(out, wave, atol=2 / 32767)
+    f = codec.audio_features(out, sr)
+    assert abs(f["duration_s"] - 1.0) < 1e-9
+    assert abs(f["rms_energy"] - 0.5 / np.sqrt(2)) < 1e-3
+    # a pure 440 Hz tone crosses zero ~2*440 times/sec and centroids at ~440 Hz
+    assert abs(f["zero_crossings"] - 880) <= 2
+    assert abs(f["spectral_centroid_hz"] - 440) < 15
+
+
+def test_wav_rejects_garbage():
+    with pytest.raises(ValueError, match="RIFF"):
+        codec.decode_wav(b"not audio at all")
+
+
+def test_video_roundtrip_and_sampling():
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (20, 16, 16)).astype(np.uint8)
+    buf = codec.encode_video(frames, 10.0)
+    out, fps = codec.decode_video(buf)
+    assert fps == 10.0 and (out == frames).all()
+    s = codec.sample_frames(out, 5)
+    assert (s == frames[[0, 4, 8, 12, 16]]).all()
+
+
+def test_audio_stage_real_decode_matches_generator():
+    """The synthetic generator's target IS the tone frequency; the real
+    decode stage must recover it via the spectral centroid."""
+    ds = synth.generate_audio_table(24, num_entities=4, num_blocks=3)
+    out = multimodal.add_audio_features(ds, concurrency=1).to_pandas()
+    assert len(out) == 24
+    err = np.abs(out["spectral_centroid_hz"].to_numpy() - out["target"].to_numpy())
+    assert err.max() < 25, err.max()
+    # deterministic regardless of parallelism
+    out2 = multimodal.add_audio_features(
+        synth.generate_audio_table(24, num_entities=4, num_blocks=7), concurrency=1
+    ).to_pandas()
+    a = out.sort_values("clip_id").reset_index(drop=True)
+    b = out2.sort_values("clip_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_audio_stage_strict_and_stub_paths():
+    df = pd.DataFrame([{"clip_id": 1, "bytes": b"abc"}, {"clip_id": 2, "bytes": b"def"}])
+    with pytest.raises(Exception, match="not available in this environment"):
+        multimodal.add_audio_features(ray.data.from_pandas(df), concurrency=1).to_pandas()
+    lax = multimodal.add_audio_features(ray.data.from_pandas(df), strict=False, concurrency=1).to_pandas()
+    assert lax["rms_energy"].isna().all()
+    stub = multimodal.add_audio_features(ray.data.from_pandas(df), mode="stub", concurrency=1).to_pandas()
+    assert {"rms_energy", "zero_crossings"} <= set(stub.columns)
+    # legacy alias still honored
+    with pytest.raises(Exception, match="not available in this environment"):
+        multimodal.add_audio_features(ray.data.from_pandas(df), fake=False, concurrency=1).to_pandas()
+
+
+def test_video_stage_motion_tracks_generator():
+    """motion_energy must rank clips by the generator's step speed."""
+    ds = synth.generate_video_table(16, num_entities=4, num_blocks=2)
+    out = multimodal.add_video_features(ds, sample_k=8, concurrency=1).to_pandas()
+    assert len(out) == 16
+    assert (out["n_frames"] == 16).all()
+    by_speed = out.groupby("motion")["motion_energy"].mean()
+    assert by_speed.is_monotonic_increasing, by_speed
+    with pytest.raises(Exception, match="requires ffmpeg"):
+        bad = pd.DataFrame([{"video_id": "x", "bytes": b"mp4garbage"}])
+        multimodal.add_video_features(ray.data.from_pandas(bad), concurrency=1).to_pandas()
