@@ -62,8 +62,17 @@ def _make_worker_safe() -> None:
 _make_worker_safe()
 
 
+def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
+    """Size-aware read: small files get few, meaty blocks so sort-based
+    exchanges don't pay the O(blocks^2) splinter overhead; large inputs
+    keep Ray's auto parallelism (see sources/reader.py)."""
+    from temporalscope_ray.sources.reader import sized_read_parquet
+
+    return sized_read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
 def _events(sf_dir: str, columns=("event_id", "ts", "user_id", "event_type", "value")) -> ray.data.Dataset:
-    return ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=list(columns))
+    return _read(sf_dir, "events", columns=list(columns))
 
 
 def _round_cols(ds: ray.data.Dataset, cols: list[str], ndigits: int = 6) -> ray.data.Dataset:
@@ -141,9 +150,7 @@ def _order_state(sf_dir: str) -> ray.data.Dataset:
     cross-block duplicates once Ray splits the file."""
     from ray.data.aggregate import Max
 
-    orders = ray.data.read_parquet(
-        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_orderdate", "o_totalprice"]
-    )
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"])
     deduped = orders.groupby(["o_custkey", "o_orderdate"]).aggregate(Max("o_totalprice", alias_name="o_totalprice"))
 
     def rename(t: pa.Table) -> pa.Table:
@@ -210,7 +217,7 @@ def q_knn_ivf(sf_dir: str):
     ANN recall at nprobe<nlist is covered by the pytest recall suite."""
     from temporalscope_ray.stages.similarity import knn_ivf
 
-    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     q_rows = emb.filter(expr="vec_id == 0").to_pandas()
     queries = np.stack(q_rows["embedding"].to_numpy()).astype(np.float64)
     out = knn_ivf(emb, queries, k=10, nlist=8, nprobe=8, concurrency=(1, 2))
@@ -301,14 +308,14 @@ def q_mean_pad_value(sf_dir: str):
 def q_dedup_exact_docs(sf_dir: str):
     from temporalscope_ray.stages.dedup import exact_dedup
 
-    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _read(sf_dir, "documents")
     return exact_dedup(docs, id_col="doc_id", content_cols=["text"])
 
 
 def q_text_stats(sf_dir: str):
     from temporalscope_ray.stages.text import add_text_stats
 
-    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
     out = add_text_stats(docs, concurrency=(1, 2))
     return out.select_columns(["doc_id", "n_chars_calc", "n_tokens", "n_words"])
 
@@ -318,7 +325,7 @@ def q_token_sum_by_lang(sf_dir: str):
 
     from temporalscope_ray.stages.text import add_text_stats
 
-    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang"])
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
     stats = add_text_stats(docs, concurrency=(1, 2))
     return (
         stats.select_columns(["lang", "n_tokens"])
@@ -330,7 +337,7 @@ def q_token_sum_by_lang(sf_dir: str):
 def q_knn_brute(sf_dir: str):
     from temporalscope_ray.stages.similarity import knn_brute
 
-    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     q_rows = emb.filter(expr="vec_id == 0 or vec_id == 1").to_pandas().sort_values("vec_id")
     queries = np.stack(q_rows["embedding"].to_numpy()).astype(np.float64)
     out = knn_brute(emb, queries, k=10, concurrency=(1, 2))
@@ -340,7 +347,7 @@ def q_knn_brute(sf_dir: str):
 
 
 def q_embedding_norms(sf_dir: str):
-    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
     def norms(batch: pd.DataFrame) -> pd.DataFrame:
         mat = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
@@ -352,10 +359,7 @@ def q_embedding_norms(sf_dir: str):
 def q_lineitem_agg(sf_dir: str):
     from ray.data.aggregate import Sum
 
-    li = ray.data.read_parquet(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
-    )
+    li = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"])
 
     # partial pre-aggregation inside map_batches, tiny final groupby
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
@@ -452,9 +456,7 @@ def q_streaming_features(sf_dir: str):
 def q_masv_lineitem(sf_dir: str):
     from temporalscope_ray.modeling import calculate_masv
 
-    li = ray.data.read_parquet(
-        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_quantity", "l_discount"]
-    )
+    li = _read(sf_dir, "lineitem", columns=["l_quantity", "l_discount"])
     masv = calculate_masv(li, feature_cols=["l_quantity", "l_discount"], coefs=[1.0, 2.0], concurrency=2)
     return pa.table({
         "masv_l_quantity": pa.array([round(masv["l_quantity"], 6)]),
@@ -468,7 +470,7 @@ def q_simhash_kept_docs(sf_dir: str):
     replays chunk bucketing + Hamming verification exactly."""
     from temporalscope_ray.stages.dedup import simhash_dedup
 
-    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _read(sf_dir, "documents")
     return simhash_dedup(
         docs, text_col="text", id_col="doc_id", concurrency=2, portable=True
     ).select_columns(["doc_id"])
@@ -480,7 +482,7 @@ def q_jaccard_kept_docs(sf_dir: str):
     recall for pairs >= threshold is ~1-1e-13 at these params)."""
     from temporalscope_ray.stages.dedup import jaccard_dedup
 
-    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _read(sf_dir, "documents")
     return jaccard_dedup(docs, text_col="text", id_col="doc_id", threshold=0.7, concurrency=2).select_columns(
         ["doc_id"]
     )
@@ -491,7 +493,7 @@ def q_embedding_kept_vecs(sf_dir: str):
     the banded multi-table hyperplane LSH + exact verify must match."""
     from temporalscope_ray.stages.dedup import embedding_dedup
 
-    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return embedding_dedup(emb, emb_col="embedding", id_col="vec_id", threshold=0.995, concurrency=2).select_columns(
         ["vec_id"]
     )
@@ -500,7 +502,7 @@ def q_embedding_kept_vecs(sf_dir: str):
 def q_knn_lsh(sf_dir: str):
     from temporalscope_ray.stages.similarity import knn_lsh
 
-    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     q_rows = emb.filter(expr="vec_id == 0").to_pandas()
     queries = np.stack(q_rows["embedding"].to_numpy()).astype(np.float64)
     out = knn_lsh(emb, queries, k=10, nbits=5, multiprobe=1, concurrency=2)
@@ -535,7 +537,7 @@ def q_minhash_kept_docs(sf_dir: str):
     wrap) and replays the banding decision exactly."""
     from temporalscope_ray.stages.dedup import minhash_dedup
 
-    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _read(sf_dir, "documents")
     return minhash_dedup(
         docs, text_col="text", id_col="doc_id", concurrency=(1, 2), portable=True
     ).select_columns(["doc_id"])

@@ -73,8 +73,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     image_table_for(sf_dir)  # materialize the image table outside the timed region
 
-    timed("flagship", lambda: consume(temporal_feature_pipeline(sf_dir, num_buckets=max(32, num_cpus * 2))))
-    timed("image_pipeline", lambda: consume(image_feature_pipeline(sf_dir, num_buckets=max(32, num_cpus * 2))))
+    pool = max(8, num_cpus - 4)  # actor-pool budget: leave headroom for read/map tasks
+    timed("flagship", lambda: consume(
+        temporal_feature_pipeline(sf_dir, num_buckets=max(32, num_cpus * 2), concurrency=pool)))
+    timed("image_pipeline", lambda: consume(
+        image_feature_pipeline(sf_dir, num_buckets=max(32, num_cpus * 2), concurrency=pool)))
 
     import __ray_entry__ as entrymod
 

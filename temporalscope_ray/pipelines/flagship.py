@@ -33,7 +33,9 @@ def temporal_feature_pipeline(
     sf_dir: str, *, num_buckets: int = 32, concurrency=8
 ) -> ray.data.Dataset:
     """events ⟕asof orders → lag/rolling/session features → target shift."""
-    events = ray.data.read_parquet(
+    from ..sources.reader import sized_read_parquet
+
+    events = sized_read_parquet(
         os.path.join(sf_dir, "events.parquet"),
         columns=["event_id", "ts", "user_id", "value"],
     )

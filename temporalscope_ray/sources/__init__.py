@@ -1,3 +1,4 @@
 """Dataset sources: named demo-dataset registry and parquet readers."""
 
 from .datasets import AVAILABLE_DATASETS, DatasetLoader  # noqa: F401
+from .reader import sized_read_parquet  # noqa: F401
