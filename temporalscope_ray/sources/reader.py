@@ -65,7 +65,7 @@ def sized_read_parquet(
     downstream exchanges see a handful of meaty blocks instead of
     ``2 x cpus`` splinters; large inputs pass through untouched.
 
-    ``min_blocks`` floors the override (default 8, clamped to the CPU
+    ``min_blocks`` floors the override (default 16, clamped to the CPU
     count): Ray's sort-based exchange produces roughly one output
     partition per input block, so a 1-block read would serialize every
     downstream ``map_groups`` — keep a handful of blocks so bucketed

@@ -246,6 +246,28 @@ def exact_dedup(
     the broadcast threshold — nothing corpus-sized ever lands on the
     driver)."""
 
+    def _remix(df: pd.DataFrame) -> pd.DataFrame:
+        """Value-level perturbation so the second digest is INDEPENDENT
+        of the first: pandas' ``hash_key`` only alters string/object
+        hashing, so for numeric/datetime columns the bit pattern must be
+        remixed BEFORE hashing or h2 == h1 row-for-row and the combined
+        digest is effectively 64-bit."""
+        out = {}
+        c1 = np.int64(-7046029254386353131)  # 0x9E3779B97F4A7C15 as two's complement
+        for c in df.columns:
+            arr = df[c].to_numpy()
+            if arr.dtype.kind == "f" and arr.dtype.itemsize == 8:
+                out[c] = pd.Series(arr.view(np.int64) ^ c1)
+            elif arr.dtype.kind in "iub" and arr.dtype.itemsize <= 8:
+                out[c] = pd.Series(arr.astype(np.int64, copy=False) ^ c1)
+            elif arr.dtype.kind in "Mm":
+                out[c] = pd.Series(arr.view(np.int64) ^ c1)
+            elif arr.dtype.kind == "f":
+                out[c] = pd.Series(arr.astype(np.float64).view(np.int64) ^ c1)
+            else:
+                out[c] = df[c]  # strings/objects: hash_key below differentiates
+        return pd.DataFrame(out)
+
     def add_digest(batch: pa.Table) -> pa.Table:
         df = batch.select(list(content_cols)).to_pandas()
         # two independent 64-bit hashes -> effective 128-bit digest;
@@ -253,7 +275,7 @@ def exact_dedup(
         # rows), where a single 64-bit digest would silently merge
         # distinct rows at web scale
         h1 = pd.util.hash_pandas_object(df, index=False).astype("int64")
-        h2 = pd.util.hash_pandas_object(df, index=False, hash_key="1b893793ce274cce").astype("int64")
+        h2 = pd.util.hash_pandas_object(_remix(df), index=False, hash_key="1b893793ce274cce").astype("int64")
         batch = batch.append_column("__digest1__", pa.array(h1.to_numpy()))
         return batch.append_column("__digest2__", pa.array(h2.to_numpy()))
 
@@ -318,14 +340,11 @@ class MinHasher:
             sig = self.signature(text)
             if sig is None:
                 # no shingles (empty/punctuation-only text): not a
-                # near-dup of anything — emit a singleton bucket keyed
-                # by the doc's own id so the doc SURVIVES dedup instead
-                # of silently disappearing from the output
-                ids.append(doc_id)
-                band_ids.append(np.array([-1], dtype=np.int32))
-                band_hashes.append(
-                    pd.util.hash_pandas_object(pd.Series([doc_id]), index=False).to_numpy().astype(np.int64)
-                )
+                # near-dup of anything — emit NOTHING. The dropped-side
+                # semantics make absence safe (a doc with no bucket rows
+                # can never be dropped, so it survives the anti-join);
+                # emitting an id-keyed singleton bucket instead would
+                # add a hash-collision class between singleton keys.
                 continue
             bh = self.band_hashes(sig)
             ids.extend([doc_id] * self.bands)
@@ -422,14 +441,12 @@ class SimHasher:
         for doc_id, text in zip(batch[self.id_col], batch[self.text_col].fillna("")):
             hashes = _token_hashes(text, self.token_re, self.portable)
             if len(hashes) == 0:
-                # tokenless doc: singleton bucket (survives; never a
-                # near-dup candidate) instead of colliding at simhash 0
-                ids.append(doc_id)
-                chunk_ids.append(-1)
-                chunk_vals.append(
-                    int(pd.util.hash_pandas_object(pd.Series([doc_id]), index=False).iloc[0] & 0x7FFFFFFF)
-                )
-                sims.append(0)
+                # tokenless doc: emit nothing — dropped-side semantics
+                # mean a doc with no chunk rows can never be dropped, so
+                # it survives; a singleton bucket keyed by a truncated
+                # id hash (the previous scheme) could collide two
+                # tokenless docs (both simhash 0 -> verified at
+                # Hamming 0) and wrongly delete one.
                 continue
             sh = self.simhash_from_hashes(hashes)
             for c in range(4):
@@ -528,7 +545,10 @@ def jaccard_dedup(
         ds, text_col=text_col, id_col=id_col, num_perm=num_perm, bands=bands,
         shingle_k=shingle_k, seed=seed, concurrency=concurrency,
     )
-    pairs = _candidate_pairs(exploded, id_col=id_col, group_cols=["band_id", "band_hash"])
+    # materialize ONCE: the pair list is consumed twice (driver frame
+    # for the payload narrowing + the distributed verify pass); without
+    # this the whole signature+LSH-shuffle lineage would execute twice
+    pairs = _candidate_pairs(exploded, id_col=id_col, group_cols=["band_id", "band_hash"]).materialize()
     pairs_df = pairs.to_pandas().drop_duplicates(ignore_index=True)  # candidates: small side
     if not len(pairs_df):
         return ds
@@ -609,12 +629,16 @@ def embedding_dedup(
     (vectors never shuffled), exact pairwise cosine verification over a
     broadcast of ONLY the candidate vectors (vectorized row-wise dot),
     min-id survives."""
-    dim = len(ds.take(1)[0][emb_col])
+    head = ds.take(1)
+    if not head:
+        return ds  # empty corpus: nothing to dedup
+    dim = len(head[0][emb_col])
     exploded = ds.select_columns([id_col, emb_col]).map_batches(
         HyperplaneBucketer, batch_format="pandas", concurrency=clamp_concurrency(concurrency),
         fn_constructor_args=(emb_col, id_col, dim, nbits, num_tables, seed),
     )
-    pairs = _candidate_pairs(exploded, id_col=id_col, group_cols=["table_id", "bucket"])
+    # materialized once: consumed by the driver frame AND the verify pass
+    pairs = _candidate_pairs(exploded, id_col=id_col, group_cols=["table_id", "bucket"]).materialize()
     pairs_df = pairs.to_pandas().drop_duplicates(ignore_index=True)
     if not len(pairs_df):
         return ds

@@ -86,6 +86,26 @@ class _PartitionedAttach:
         self.num_buckets = num_buckets
         self.cache: OrderedDict[int, pd.DataFrame] = OrderedDict()
         self.cache_buckets = cache_buckets
+        # schema-stable empty fallback: a bucket with NO feature
+        # partition file (feature_fn dropped every row that hashed
+        # there) must still join against a frame with the FULL feature
+        # schema, or the emitted block would miss the feature columns
+        # and downstream schema unification fails. The template comes
+        # from any written partition (they all share one schema).
+        self.empty_feats: pd.DataFrame | None = None
+
+    def _empty_template(self) -> pd.DataFrame:
+        if self.empty_feats is None:
+            import glob
+
+            import pyarrow.parquet as pq
+
+            parts = glob.glob(os.path.join(self.feature_dir, "bucket=*", "*.parquet"))
+            if parts:
+                self.empty_feats = pq.read_schema(parts[0]).empty_table().to_pandas()
+            else:  # no partitions at all: keys-only (degenerate but consistent)
+                self.empty_feats = pd.DataFrame(columns=self.keys)
+        return self.empty_feats
 
     def _bucket_frame(self, b: int) -> pd.DataFrame:
         hit = self.cache.get(b)
@@ -95,7 +115,7 @@ class _PartitionedAttach:
         import pyarrow.parquet as pq
 
         path = os.path.join(self.feature_dir, f"bucket={b:04d}", "part-0.parquet")
-        feats = pq.read_table(path).to_pandas() if os.path.exists(path) else pd.DataFrame(columns=self.keys)
+        feats = pq.read_table(path).to_pandas() if os.path.exists(path) else self._empty_template()
         dup = [c for c in feats.columns if c not in self.keys and c in self.narrow_cols]
         feats = feats.drop(columns=dup).set_index(self.keys)
         self.cache[b] = feats
@@ -112,7 +132,10 @@ class _PartitionedAttach:
             sub = batch[buckets == b]
             merged = sub.join(self._bucket_frame(int(b)), on=self.keys, how="inner")
             parts.append(merged.reset_index(drop=True))
-        return pd.concat(parts, ignore_index=True) if parts else batch.iloc[0:0]
+        if parts:
+            return pd.concat(parts, ignore_index=True)
+        # empty batch: emit the full joined schema, not payload-only
+        return batch.iloc[0:0].join(self._bucket_frame(0), on=self.keys, how="inner").reset_index(drop=True)
 
 
 def attach_features_partitioned(

@@ -19,9 +19,14 @@ canonical ``sort([entity, ts])`` range partitioning, e.g. one
 boundaries are safe because the state dict carries the tail of the
 previous batch.
 
-Restart semantics: actors are replayed from their partition's start on
-failure (idempotent — state is derived purely from the ordered input),
-matching the lineage/resume story in ``state/lineage.py``.
+Restart semantics: Ray Data restarts a died map actor FRESH and
+re-runs only the lost/pending blocks — it does NOT replay the
+partition from its start, so a restarted actor would silently compute
+lags/sessions from empty state. The stage therefore pins
+``max_restarts=0`` on its actors: an actor death fails the job loudly
+(re-run it end-to-end; the input is immutable), never produces
+silently wrong window values. Checkpoint/resume at the JOB level lives
+in ``state/lineage.py``.
 """
 
 from __future__ import annotations
@@ -166,18 +171,41 @@ def streaming_window_features(
     """
     order = [id_col, time_col, *(tiebreak or [])]
     ctor = (id_col, time_col, list(value_cols), list(lags), list(windows), session_gap)
+    # stateful actors must NOT silently restart (a fresh actor would
+    # recompute lags/sessions from empty state mid-stream) — fail loud
+    fail_loud = {"max_restarts": 0, "max_task_retries": 0}
     if concurrency <= 1:
         if not presorted:
             ds = ds.sort(order)
         ds.context.execution_options.preserve_order = True
         return ds.map_batches(
             StreamingWindowState, batch_format="pandas", batch_size=batch_size, concurrency=1,
-            fn_constructor_args=ctor,
+            fn_constructor_args=ctor, **fail_loud,
         )
 
     # ---- sharded: one ordered single-actor pool per entity-hash shard ----
     from . import grouped
 
+    # K shards spawn K single-actor pools at 0.5 CPU each (K/2 CPUs
+    # reserved); clamp K so the pools can never reserve every CPU and
+    # starve the per-shard filter/scan tasks (the deadlock
+    # clamp_concurrency guards against for full-CPU pools):
+    # K/2 <= cpus - 2  =>  K <= 2*(cpus - 2)
+    try:
+        import ray as _ray
+
+        _avail = int(_ray.cluster_resources().get("CPU", 4))
+        concurrency = max(1, min(int(concurrency), 2 * (_avail - 2)))
+    except Exception:
+        pass
+    if concurrency <= 1:
+        if not presorted:
+            ds = ds.sort(order)
+        ds.context.execution_options.preserve_order = True
+        return ds.map_batches(
+            StreamingWindowState, batch_format="pandas", batch_size=batch_size, concurrency=1,
+            fn_constructor_args=ctor, **fail_loud,
+        )
     bucketed = grouped.with_bucket(ds, id_col, concurrency)
     # one sort orders ALL shards ([shard, entity, ts]); materialize pins
     # the sorted blocks so the K per-shard filters scan the object store,
@@ -198,6 +226,7 @@ def streaming_window_features(
                 # starve and the pipeline deadlocks (the actor's work is
                 # one vectorized pass per batch — far below a full core)
                 num_cpus=0.5,
+                **fail_loud,
             )
         )
         shards.append(shard)

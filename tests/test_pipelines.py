@@ -144,3 +144,46 @@ def test_partitioned_attach_resumes_from_lineage(tmp_path):
     out2 = image_pipeline_over(path, num_buckets=4, concurrency=2, with_decode=False,
                                attach="partitioned", feature_dir=fdir).to_pandas()
     assert len(out1) == len(out2)
+
+
+def test_partitioned_attach_schema_stable_when_bucket_has_no_features(tmp_path):
+    """A payload batch whose rows all hash to a bucket with NO feature
+    partition file must still emit blocks carrying the full feature
+    schema (regression: keys-only fallback produced heterogeneous
+    blocks that break downstream schema unification)."""
+    import ray
+    from temporalscope_ray.stages.payload import attach_features_partitioned
+    from temporalscope_ray.stages import grouped
+
+    n = 60
+    df = pd.DataFrame({
+        "image_id": np.arange(n, dtype=np.int64),
+        "ts": pd.date_range("2024-01-01", periods=n, freq="1min"),
+        "score": np.linspace(0.0, 1.0, n),
+        "bytes": [b"x" * 32] * n,
+    })
+    num_buckets = 4
+    buckets = grouped.hash_key_column(df["image_id"], num_buckets)
+    # feature_fn drops EVERY row of one present bucket -> no partition
+    # file is written for it
+    victim = int(pd.Series(buckets).mode()[0])
+
+    def feature_fn(narrow):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            keep = grouped.hash_key_column(b["image_id"], num_buckets) != victim
+            out = b[keep].copy()
+            out["feat"] = out["score"] * 2.0
+            return out
+        return narrow.map_batches(f, batch_format="pandas")
+
+    out = attach_features_partitioned(
+        ray.data.from_pandas(df), feature_fn,
+        keys=["image_id"], narrow_cols=["image_id", "score"],
+        feature_dir=str(tmp_path / "feats"), num_buckets=num_buckets,
+        concurrency=2, narrow_blocks=2,
+    )
+    got = out.to_pandas()  # schema unification across blocks must not fail
+    assert "feat" in got.columns
+    # inner-join semantics: the victim bucket's rows drop
+    assert set(got["image_id"]) == {i for i, b in zip(df["image_id"], buckets) if b != victim}
+    assert np.allclose(got["feat"], got["score"] * 2.0)

@@ -87,3 +87,26 @@ def test_sharded_streaming_matches_single_actor_and_keeps_global_context_clean()
     a = a.sort_values(key).reset_index(drop=True)
     b = b.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
+
+
+def test_sharded_streaming_overclamp_does_not_deadlock():
+    """Asking for more shards than the CPU budget supports (16 pools at
+    0.5 CPU each on a 4-CPU session would reserve every CPU) must clamp
+    to a safe shard count and complete with identical results, not hang
+    (regression: unclamped pools starved the per-shard filter tasks)."""
+    rng = np.random.default_rng(5)
+    n = 1200
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 12, n),
+        "ts": np.arange(n, dtype=np.float64),
+        "value": rng.normal(size=n).round(4),
+    })
+    ds = ray.data.from_pandas(df).repartition(4)
+    kw = dict(id_col="user_id", time_col="ts", value_cols=["value"], lags=[1], windows=[3],
+              session_gap=7.0, batch_size=64)
+    a = streaming_window_features(ds, concurrency=1, **kw).to_pandas()
+    b = streaming_window_features(ds, concurrency=16, **kw).to_pandas()
+    key = ["user_id", "ts"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
