@@ -147,11 +147,17 @@ def q_session_stats(sf_dir: str):
 def _order_state(sf_dir: str) -> ray.data.Dataset:
     """One row per (custkey, orderdate): the point-in-time order state.
     GLOBAL dedupe via groupby-Max — a per-block dedupe would leave
-    cross-block duplicates once Ray splits the file."""
-    from ray.data.aggregate import Max
+    cross-block duplicates once Ray splits the file. Uses the engine's
+    combiner-style ``hash_groupby_aggregate`` (per-block partial Max →
+    one hash exchange of partials → per-bucket final), which replaced a
+    native Ray sort-based Aggregate measured at ~8 s of the bucketed
+    as-of query's 12 s at sf0.1."""
+    from temporalscope_ray.stages.grouped import hash_groupby_aggregate
 
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"])
-    deduped = orders.groupby(["o_custkey", "o_orderdate"]).aggregate(Max("o_totalprice", alias_name="o_totalprice"))
+    deduped = hash_groupby_aggregate(
+        orders, ["o_custkey", "o_orderdate"], {"o_totalprice": ("o_totalprice", "max")}, num_buckets=16
+    )
 
     def rename(t: pa.Table) -> pa.Table:
         t = t.rename_columns(

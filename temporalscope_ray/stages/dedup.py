@@ -280,12 +280,12 @@ def exact_dedup(
         return batch.append_column("__digest2__", pa.array(h2.to_numpy()))
 
     digested = ds.map_batches(add_digest, batch_format="pyarrow", zero_copy_batch=True)
-    from ray.data.aggregate import Min
+    from .grouped import hash_groupby_aggregate
 
-    survivors = (
-        digested.select_columns(["__digest1__", "__digest2__", id_col])
-        .groupby(["__digest1__", "__digest2__"])
-        .aggregate(Min(id_col, alias_name=id_col))
+    survivors = hash_groupby_aggregate(
+        digested.select_columns(["__digest1__", "__digest2__", id_col]),
+        ["__digest1__", "__digest2__"],
+        {id_col: (id_col, "min")},
     )
     keep_ids = survivors.select_columns([id_col])
     return semi_join(ds, keep_ids, id_col, assume_unique=True)

@@ -209,3 +209,77 @@ def salted_group_aggregate(
         .groupby(key)
         .aggregate(Sum("sum", alias_name="sum"), Sum("cnt", alias_name="cnt"))
     )
+
+
+# ---------------------------------------------------------------------------
+# combiner-style distributed groupby-aggregate
+# ---------------------------------------------------------------------------
+
+# decomposable aggregates: fn -> (partial pandas agg(s), final merge)
+_AGG_FNS = ("max", "min", "sum", "count", "mean")
+
+
+def hash_groupby_aggregate(
+    ds: ray.data.Dataset,
+    keys: Sequence[str],
+    aggs: dict,
+    *,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+) -> ray.data.Dataset:
+    """Distributed groupby-aggregate as *combiner → ONE hash exchange →
+    per-bucket final* — the scale-correct replacement for Ray's native
+    ``groupby(...).aggregate(...)``, whose sort-based exchange was
+    measured at ~8 s for a 150k-row Max at sf0.1 (vs ~0.3 s here).
+
+    ``aggs`` maps ``out_col -> (src_col, fn)`` with ``fn`` in
+    ``max|min|sum|count|mean`` (``src_col=None`` with ``count`` counts
+    rows, i.e. ``COUNT(*)``; otherwise ``count`` counts non-nulls like
+    SQL ``COUNT(col)``). All five are algebraic, so each block is first
+    reduced to one partial row per key (combiner), the exchange moves
+    only partials hashed on ``keys[0]`` (every row of a full key shares
+    it), and the per-bucket final merges partials: max-of-max,
+    sum-of-sum, ``mean = Σsum/Σcount``. Skewed keys cost one partial
+    row per block, never a fat bucket.
+    """
+    keys = list(keys)
+    for out_col, (src, fn) in aggs.items():
+        if fn not in _AGG_FNS:
+            raise ValueError(f"unsupported aggregate fn '{fn}' for '{out_col}'")
+        if src is None and fn != "count":
+            raise ValueError(f"src_col=None only valid with 'count' (got '{fn}')")
+
+    # partial column layout: one column per (out_col, piece)
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby(keys, sort=False, dropna=False)
+        pieces = {}
+        for out_col, (src, fn) in aggs.items():
+            if fn == "mean":
+                pieces[f"{out_col}__s"] = g[src].sum()
+                pieces[f"{out_col}__c"] = g[src].count()
+            elif fn == "count":
+                pieces[f"{out_col}__c"] = g.size() if src is None else g[src].count()
+            else:
+                pieces[out_col] = g[src].agg(fn)
+        out = pd.DataFrame(pieces).reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        gb = g.groupby(keys, sort=False, dropna=False)
+        cols = {}
+        for out_col, (src, fn) in aggs.items():
+            if fn == "mean":
+                s = gb[f"{out_col}__s"].sum()
+                c = gb[f"{out_col}__c"].sum()
+                cols[out_col] = s / c.where(c > 0)
+            elif fn == "count":
+                cols[out_col] = gb[f"{out_col}__c"].sum()
+            else:
+                cols[out_col] = gb[out_col].agg(fn)
+        return pd.DataFrame(cols).reset_index()
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    bucketed = with_bucket(partials, keys[0], num_buckets)
+    return bucketed.groupby(BUCKET_COL).map_groups(
+        lambda g: final(g.drop(columns=[BUCKET_COL])), batch_format="pandas"
+    )

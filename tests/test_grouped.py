@@ -1,6 +1,7 @@
 """Bucket infrastructure: determinism, entity completeness, skew tooling."""
 
 import numpy as np
+import pytest
 import pandas as pd
 import ray.data
 
@@ -106,3 +107,35 @@ def test_hash_shuffle_exchange_matches_default():
     a = base.sort_values(key).reset_index(drop=True)
     b = hashed.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)], check_dtype=False)
+
+
+def test_hash_groupby_aggregate_matches_pandas():
+    """Combiner-style distributed groupby equals a single-process pandas
+    groupby across all five decomposable fns, incl. NaN handling
+    (count skips nulls; COUNT(*) via src=None does not)."""
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 50, 5000),
+        "k2": rng.integers(0, 4, 5000),
+        "v": rng.normal(size=5000),
+        "w": rng.integers(0, 100, 5000).astype(float),
+    })
+    df.loc[rng.integers(0, 5000, 200), "w"] = np.nan
+    ds = ray.data.from_pandas(df).repartition(8)
+    got = grouped.hash_groupby_aggregate(ds, ["k", "k2"], {
+        "v_max": ("v", "max"), "v_min": ("v", "min"), "v_sum": ("v", "sum"),
+        "w_mean": ("w", "mean"), "n": (None, "count"), "w_n": ("w", "count"),
+    }, num_buckets=4).to_pandas().sort_values(["k", "k2"]).reset_index(drop=True)
+    exp = df.groupby(["k", "k2"]).agg(
+        v_max=("v", "max"), v_min=("v", "min"), v_sum=("v", "sum"),
+        w_mean=("w", "mean"), n=("v", "size"), w_n=("w", "count"),
+    ).reset_index().sort_values(["k", "k2"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[list(exp.columns)], exp, check_dtype=False)
+
+
+def test_hash_groupby_aggregate_rejects_bad_fn():
+    ds = ray.data.from_pandas(pd.DataFrame({"k": [1], "v": [1.0]}))
+    with pytest.raises(ValueError, match="unsupported aggregate fn"):
+        grouped.hash_groupby_aggregate(ds, ["k"], {"o": ("v", "median")})
+    with pytest.raises(ValueError, match="only valid with 'count'"):
+        grouped.hash_groupby_aggregate(ds, ["k"], {"o": (None, "sum")})
