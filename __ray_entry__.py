@@ -609,6 +609,64 @@ def q_flagship(sf_dir: str):
     return _round_cols(out, ["value_roll_mean_4", "value_roll_sum_4"])
 
 
+# deterministic-split / sampling / normalization / vocabulary queries
+# (training-data plumbing; md5-keyed decisions so DuckDB replays them)
+
+SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+SAMPLE_RATES = {"en": 0.3, "fr": 1.0}
+SAMPLE_DEFAULT_RATE = 0.6
+
+
+def q_hash_split_docs(sf_dir: str):
+    """Every document with its deterministic train/val/test assignment
+    (keyed on md5 of the doc id — reproducible at any parallelism)."""
+    from temporalscope_ray.stages.sampling import with_split_column
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    return with_split_column(docs, "doc_id", SPLIT_FRACTIONS)
+
+
+def q_stratified_sample_docs(sf_dir: str):
+    """Language-stratified downsample: cap 'en' at 30%, keep all 'fr',
+    60% elsewhere — the web-corpus rebalancing move."""
+    from temporalscope_ray.stages.sampling import stratified_sample
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    return stratified_sample(docs, "doc_id", strata_col="lang",
+                             rates=SAMPLE_RATES, default_rate=SAMPLE_DEFAULT_RATE)
+
+
+def q_zscore_by_user(sf_dir: str):
+    """Per-entity standardization of the value series (population std;
+    NaN where an entity's std is 0)."""
+    from temporalscope_ray.stages.stats import zscore_per_entity
+
+    ev = _events(sf_dir, ("event_id", "user_id", "value"))
+    out = zscore_per_entity(ev, "user_id", "value")
+    return _round_cols(out, ["value_z"])
+
+
+def q_value_quantiles(sf_dir: str):
+    """Exact lower-rank order statistics of events.value (non-null):
+    distributed single-column sort + rank-row fetch; the emitted values
+    are EXISTING table values, so parity is arithmetic-free."""
+    from temporalscope_ray.stages.stats import exact_quantiles
+
+    ev = _events(sf_dir, ("value",)).map_batches(
+        lambda t: t.filter(pa.compute.is_valid(t.column("value"))),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return exact_quantiles(ev, "value", [0.1, 0.25, 0.5, 0.75, 0.9, 0.99])
+
+
+def q_top_terms(sf_dir: str):
+    """Corpus top-50 terms (count desc, term asc — total order)."""
+    from temporalscope_ray.stages.text import top_terms
+
+    docs = _read(sf_dir, "documents", columns=["text"])
+    return top_terms(docs, "text", k=50)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
     return q_flagship("/root/testdata/sf0.001")
@@ -655,6 +713,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "validator_report": q_validator_report,
         "range_join_clicks_30min": q_range_join_clicks,
         "knn_ivf_10": q_knn_ivf,
+        "hash_split_docs": q_hash_split_docs,
+        "stratified_sample_docs": q_stratified_sample_docs,
+        "zscore_by_user": q_zscore_by_user,
+        "value_quantiles": q_value_quantiles,
+        "top_terms_50": q_top_terms,
     }
 
 
@@ -746,6 +809,16 @@ def oracle_sql() -> dict[str, str]:
         "SELECT o_custkey AS user_id, o_orderdate AS ots, MAX(o_totalprice) AS o_totalprice "
         "FROM orders GROUP BY 1, 2"
     )
+    from temporalscope_ray.stages.sampling import split_thresholds
+
+    _split_bounds = split_thresholds(SPLIT_FRACTIONS)
+    # the last bin is the CASE/ELSE remainder; the inner bounds are
+    # shared integer literals with the engine
+    _U64 = float(2**64)
+
+    def _rate_thr(stratum) -> int:
+        r = SAMPLE_RATES.get(stratum, SAMPLE_DEFAULT_RATE) if stratum else SAMPLE_DEFAULT_RATE
+        return min(2**64 - 1, int(r * _U64))
     return {
         "shift_lead1_by_user": """
             SELECT * FROM (
@@ -1045,5 +1118,43 @@ def oracle_sql() -> dict[str, str]:
               SELECT b.vec_id FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
               WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                            CAST(b.embedding AS DOUBLE[])) >= 0.995)
+        """,
+        # split/sample decisions replay exactly: md5_number_lower == the
+        # engine's _md5_lower64, thresholds are the SAME integer
+        # literals (computed once by split_thresholds)
+        "hash_split_docs": f"""
+            SELECT doc_id, lang,
+                   CASE WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) < {_split_bounds[0][1]}::UBIGINT THEN '{_split_bounds[0][0]}'
+                        WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) < {_split_bounds[1][1]}::UBIGINT THEN '{_split_bounds[1][0]}'
+                        ELSE '{_split_bounds[2][0]}' END AS split
+            FROM documents
+        """,
+        "stratified_sample_docs": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) <
+                  (CASE lang WHEN 'en' THEN {_rate_thr('en')}::UBIGINT
+                             WHEN 'fr' THEN {_rate_thr('fr')}::UBIGINT
+                             ELSE {_rate_thr(None)}::UBIGINT END)
+        """,
+        "zscore_by_user": """
+            SELECT e.event_id, e.user_id, e.value,
+                   ROUND(CASE WHEN s.std > 0 THEN (e.value - s.mean) / s.std END, 6) AS value_z
+            FROM events e JOIN (
+              SELECT user_id, AVG(value) AS mean, STDDEV_POP(value) AS std
+              FROM events GROUP BY user_id) s USING (user_id)
+        """,
+        "value_quantiles": """
+            WITH s AS (
+              SELECT value, row_number() OVER (ORDER BY value) - 1 AS rn,
+                     COUNT(*) OVER () AS n
+              FROM events WHERE value IS NOT NULL)
+            SELECT CAST(q AS DOUBLE) AS q, value
+            FROM (VALUES (0.1), (0.25), (0.5), (0.75), (0.9), (0.99)) AS qs(q)
+            JOIN s ON s.rn = CAST(FLOOR(CAST(q AS DOUBLE) * (s.n - 1)) AS BIGINT)
+        """,
+        "top_terms_50": """
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM (SELECT unnest(regexp_extract_all(lower(text), '\\w+')) AS term FROM documents)
+            GROUP BY term ORDER BY cnt DESC, term LIMIT 50
         """,
     }

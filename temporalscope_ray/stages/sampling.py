@@ -1,0 +1,154 @@
+"""Deterministic sampling / dataset splitting — training-data plumbing.
+
+A 100 TB training pipeline needs *reproducible* train/val/test splits
+and per-stratum downsampling that (a) never shuffle, (b) assign every
+row identically regardless of parallelism, block layout, or re-runs,
+and (c) can be audited by an external SQL engine. Both operators here
+are pure ``map_batches`` filters over a key hash — zero exchange, so
+they cost one streaming pass at any scale.
+
+Determinism contract: ``portable=True`` (default) keys the decision on
+md5-lower-64 of the key's decimal string — bit-identical to DuckDB's
+``md5_number_lower(CAST(key AS VARCHAR))`` — so the correctness gate
+can replay the exact assignment in SQL. ``portable=False`` switches to
+the ~50× faster vectorized ``pd.util.hash_pandas_object`` (same
+stability guarantees, not SQL-replayable); use it in production, keep
+``portable=True`` where auditability matters.
+
+Reference anchor: the reference's train/test handling is the
+percentage math of `/root/reference/src/temporalscope/partition/
+single_target/utils.py` (contiguous temporal splits, W5-W7 — already
+implemented in ``stages/partition.py``); this module adds the
+*unordered* split family the reference lacks but any large-scale
+training-data pipeline needs.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from .dedup import _md5_lower64
+
+_U64 = float(2**64)
+
+
+def _key_units(keys: pd.Series, *, salt: str, portable: bool) -> np.ndarray:
+    """uint64 hash per key — uniform over [0, 2^64)."""
+    if portable:
+        strings = (keys.astype(str) + salt) if salt else keys.astype(str)
+        return _md5_lower64(strings.tolist())
+    salted = keys.astype(str) + salt if salt else keys
+    return pd.util.hash_pandas_object(salted, index=False).to_numpy()
+
+
+def split_thresholds(fractions: dict) -> list[tuple[str, int]]:
+    """[(name, exclusive uint64 upper bound)] from cumulative fractions.
+
+    Computed once on the driver with exact integer arithmetic so the
+    engine and a SQL oracle can share the SAME literal thresholds.
+    """
+    total = float(sum(fractions.values()))
+    if not (0.999 <= total <= 1.001):
+        raise ValueError(f"split fractions must sum to 1 (got {total})")
+    out, acc = [], 0.0
+    for name, frac in fractions.items():
+        acc += frac / total
+        out.append((name, min(2**64, int(acc * _U64))))
+    out[-1] = (out[-1][0], 2**64)  # close the last bin exactly
+    return out
+
+
+def with_split_column(
+    ds: ray.data.Dataset,
+    key_col: str,
+    fractions: Optional[dict] = None,
+    *,
+    out_col: str = "split",
+    salt: str = "",
+    portable: bool = True,
+) -> ray.data.Dataset:
+    """Append a deterministic split label per row (default
+    train/val/test = 0.8/0.1/0.1), keyed on ``hash(key_col)`` so the
+    same key always lands in the same split — across runs, block
+    layouts, and cluster sizes. No shuffle; one streaming pass."""
+    fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    bounds = split_thresholds(fractions)
+    names = np.array([n for n, _ in bounds])
+    # strict upper bounds of all bins but the last (the last bin is the
+    # remainder, exactly the SQL CASE/ELSE shape the oracle replays)
+    inner = np.array([b for _, b in bounds[:-1]], dtype=np.uint64)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        u = _key_units(batch.column(key_col).to_pandas(), salt=salt, portable=portable)
+        idx = np.searchsorted(inner, u.astype(np.uint64), side="right")
+        return batch.append_column(out_col, pa.array(names[idx]))
+
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def hash_split(
+    ds: ray.data.Dataset,
+    key_col: str,
+    fractions: Optional[dict] = None,
+    *,
+    salt: str = "",
+    portable: bool = True,
+) -> dict[str, ray.data.Dataset]:
+    """Split into named datasets (lazy filters over one tagged stream).
+
+    Each returned Dataset re-reads + re-filters independently; when all
+    splits are consumed, share the work by materializing the tagged
+    dataset first or write it once with ``split`` as a partition key.
+    """
+    fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    tagged = with_split_column(ds, key_col, fractions, salt=salt, portable=portable)
+    return {
+        name: tagged.filter(expr=f"split == '{name}'").drop_columns(["split"])
+        for name in fractions
+    }
+
+
+def stratified_sample(
+    ds: ray.data.Dataset,
+    key_col: str,
+    *,
+    strata_col: str,
+    rates: dict,
+    default_rate: float = 0.0,
+    salt: str = "",
+    portable: bool = True,
+) -> ray.data.Dataset:
+    """Deterministic per-stratum downsampling: keep a row iff
+    ``hash(key) < rate(stratum) * 2^64``. The standard rebalancing move
+    for web-corpus training data (cap the dominant language/source,
+    keep the tail) — zero shuffle, reproducible, SQL-auditable.
+
+    ``rates`` maps stratum value → keep fraction in [0, 1]; strata not
+    listed use ``default_rate``."""
+    bad = {s: r for s, r in rates.items() if not (0.0 <= r <= 1.0)}
+    if bad or not (0.0 <= default_rate <= 1.0):
+        raise ValueError(f"sampling rates must be in [0, 1] (got {bad or default_rate})")
+    thresholds = {s: min(2**64 - 1, int(r * _U64)) for s, r in rates.items()}
+    default_thr = min(2**64 - 1, int(default_rate * _U64))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        u = _key_units(batch.column(key_col).to_pandas(), salt=salt, portable=portable)
+        # threshold lookup must stay uint64 end-to-end: thresholds are
+        # ≥ 2^63, and any pandas float path (map/fillna) silently
+        # rounds them; a categorical code -> uint64 LUT never leaves
+        # integer space
+        cat = pd.Categorical(batch.column(strata_col).to_pandas())
+        lut = np.array([thresholds.get(c, default_thr) for c in cat.categories], dtype=np.uint64)
+        codes = cat.codes
+        if len(lut) == 0:  # all-null strata in this batch
+            thr = np.full(len(codes), default_thr, dtype=np.uint64)
+        else:
+            thr = np.where(codes >= 0, lut[np.maximum(codes, 0)], np.uint64(default_thr))
+        return batch.filter(pa.array(u.astype(np.uint64) < thr))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)

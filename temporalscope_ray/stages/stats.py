@@ -1,0 +1,132 @@
+"""Distributed normalization + exact quantiles.
+
+``zscore_per_entity`` — per-entity standardization, the feature-scaling
+step the reference's modeling path leaves to the user (its MASV /
+trainer stages consume raw features;
+`/root/reference/src/temporalscope/metrics/masv.py` notes scaling as a
+pre-step). Two streaming passes, ZERO shuffle of the fact table:
+
+1. stats pass: per-block partial (Σv, Σv², n) per entity via
+   ``hash_groupby_aggregate`` (combiner → one partial-row exchange);
+2. apply pass: the per-entity stats table (one small row per entity)
+   is broadcast via ``ray.put`` and every batch standardizes with a
+   vectorized merge.
+
+The broadcast assumption — the ENTITY table fits the object store —
+holds to ~10^9 entities (3 doubles/entity ≈ 24 GB); beyond that,
+compute the same stats and apply them inside one entity-bucket
+exchange (``grouped.grouped_ordered_map``) instead.
+
+``exact_quantiles`` — exact order statistics over a column at any
+scale: one distributed sort of the SINGLE projected column, then
+``split_at_indices`` fetches just the rank rows (driver pulls k rows,
+never the column). Exact beats sketches when the value feeds a
+filter/clip threshold that must be reproducible; for monitoring-grade
+percentiles a t-digest is cheaper — this is deliberately the exact
+path.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from .grouped import hash_groupby_aggregate
+
+
+def entity_stats(
+    ds: ray.data.Dataset, id_col: str, value_col: str, *, num_buckets: int = 32
+) -> ray.data.Dataset:
+    """Per-entity ``n, mean, std`` (population, ddof=0 — matches SQL
+    ``STDDEV_POP``) in one combiner-style pass."""
+
+    def with_sq(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        return batch.append_column("__v2__", pa.array(v * v))
+
+    partials = hash_groupby_aggregate(
+        ds.select_columns([id_col, value_col]).map_batches(
+            with_sq, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        [id_col],
+        {"__s__": (value_col, "sum"), "__s2__": ("__v2__", "sum"), "n": (value_col, "count")},
+        num_buckets=num_buckets,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        n = df["n"].to_numpy(dtype=np.float64)
+        mean = df["__s__"].to_numpy() / n
+        # population variance; clip the tiny negative residue of
+        # floating-point cancellation
+        var = np.maximum(df["__s2__"].to_numpy() / n - mean * mean, 0.0)
+        out = pd.DataFrame({id_col: df[id_col], "n": df["n"], "mean": mean, "std": np.sqrt(var)})
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return partials.map_batches(finish, batch_format="pyarrow")
+
+
+def zscore_per_entity(
+    ds: ray.data.Dataset,
+    id_col: str,
+    value_col: str,
+    *,
+    out_col: str | None = None,
+    stats: ray.data.Dataset | pd.DataFrame | None = None,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Append ``(v - mean_entity) / std_entity`` (NaN where std == 0,
+    mirroring SQL ``/ NULLIF(stddev_pop, 0)``).
+
+    Pass ``stats`` (from ``entity_stats`` on the TRAIN split) to apply
+    train-fit normalization to val/test — the leakage-safe form."""
+    out_col = out_col or f"{value_col}_z"
+    if stats is None:
+        stats = entity_stats(ds, id_col, value_col, num_buckets=num_buckets)
+    stats_df = stats.to_pandas() if isinstance(stats, ray.data.Dataset) else stats
+    lookup = stats_df.set_index(id_col)[["mean", "std"]]
+    ref = ray.put(lookup)
+
+    def apply(batch: pd.DataFrame) -> pd.DataFrame:
+        lk: pd.DataFrame = ray.get(ref)
+        m = batch[id_col].map(lk["mean"]).to_numpy(dtype=np.float64)
+        s = batch[id_col].map(lk["std"]).to_numpy(dtype=np.float64)
+        v = batch[value_col].to_numpy(dtype=np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            z = np.where(s > 0, (v - m) / s, np.nan)
+        out = batch.copy()
+        out[out_col] = z
+        return out
+
+    return ds.map_batches(apply, batch_format="pandas")
+
+
+def exact_quantiles(
+    ds: ray.data.Dataset, col: str, qs: Sequence[float]
+) -> pd.DataFrame:
+    """Exact lower-rank quantiles: value at sorted index
+    ``floor(q * (n - 1))`` for each q. Returns a small driver frame
+    ``(q, value)`` — the DATA never reaches the driver: the projected
+    column is sorted distributed, ``split_at_indices`` cuts at the rank
+    positions (block-metadata arithmetic, no second pass), and only the
+    k rank rows are fetched."""
+    qs = list(qs)
+    if any(not (0.0 <= q <= 1.0) for q in qs):
+        raise ValueError("quantiles must be in [0, 1]")
+    proj = ds.select_columns([col])
+    n = proj.count()
+    if not n:
+        return pd.DataFrame({"q": qs, "value": [float("nan")] * len(qs)})
+    ranks = [int(np.floor(q * (n - 1))) for q in qs]
+    uniq = sorted(set(ranks))
+    srt = proj.sort(col).materialize()
+    splits = srt.split_at_indices(uniq)
+    vals = {}
+    for r, part in zip(uniq, splits[1:]):
+        vals[r] = part.limit(1).take(1)[0][col]
+    return pd.DataFrame({"q": qs, "value": [vals[r] for r in ranks]})

@@ -155,3 +155,33 @@ def add_fingerprint(ds: ray.data.Dataset, text_col: str = "text", *, concurrency
         Fingerprint, batch_format="pandas", concurrency=clamp_concurrency(concurrency), batch_size=batch_size,
         fn_constructor_args=(text_col,),
     )
+
+
+def top_terms(
+    ds: ray.data.Dataset, text_col: str = "text", *, k: int = 50, num_buckets: int = 32
+) -> ray.data.Dataset:
+    """Corpus top-k terms by document-token frequency — the vocabulary
+    probe of a web-scale text pipeline (stopword discovery, TF-IDF
+    document frequency, contamination spot-checks).
+
+    Tokenization is the engine-wide portable convention (``\\w+`` over
+    lowered text — DuckDB ``regexp_extract_all(lower(text), '\\w+')``).
+    Shape: per-block ``value_counts`` partials (a block never emits more
+    rows than its distinct terms) → combiner-style
+    ``hash_groupby_aggregate`` over the term key → sort/limit on the
+    VOCABULARY-sized aggregate, never the corpus. Tie-break: count
+    desc, term asc — total order, so top-k is deterministic."""
+    import pyarrow as pa
+
+    from .grouped import hash_groupby_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col).to_pandas().astype(str)
+        toks = s.str.lower().str.findall(r"\w+").explode().dropna()
+        counts = toks.value_counts(sort=False)
+        return pa.table({"term": pa.array(counts.index.astype(str)),
+                         "cnt": pa.array(counts.to_numpy(dtype=np.int64))})
+
+    parts = ds.select_columns([text_col]).map_batches(partial, batch_format="pyarrow")
+    agg = hash_groupby_aggregate(parts, ["term"], {"cnt": ("cnt", "sum")}, num_buckets=num_buckets)
+    return agg.sort(["cnt", "term"], descending=[True, False]).limit(k)

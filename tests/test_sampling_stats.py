@@ -1,0 +1,146 @@
+"""Deterministic splits/sampling + normalization/quantiles/vocabulary."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from temporalscope_ray.stages import sampling, stats
+from temporalscope_ray.stages.text import top_terms
+
+
+def _docs(n=2000, seed=3):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "lang": rng.choice(["en", "fr", "de"], n, p=[0.6, 0.2, 0.2]),
+    })
+
+
+def test_split_deterministic_across_parallelism():
+    """The same key lands in the same split regardless of block layout
+    (the property that makes the split valid on any cluster size)."""
+    df = _docs()
+    a = sampling.with_split_column(ray.data.from_pandas(df).repartition(2), "doc_id").to_pandas()
+    b = sampling.with_split_column(ray.data.from_pandas(df).repartition(13), "doc_id").to_pandas()
+    merged = a.merge(b, on="doc_id", suffixes=("_a", "_b"))
+    assert (merged["split_a"] == merged["split_b"]).all()
+    # fractions roughly honored (md5 is uniform)
+    frac = a["split"].value_counts(normalize=True)
+    assert abs(frac["train"] - 0.8) < 0.05 and abs(frac["val"] - 0.1) < 0.03
+
+
+def test_hash_split_partitions_are_disjoint_and_complete():
+    df = _docs(500)
+    splits = sampling.hash_split(ray.data.from_pandas(df), "doc_id",
+                                 {"train": 0.7, "test": 0.3})
+    parts = {k: set(v.to_pandas()["doc_id"]) for k, v in splits.items()}
+    assert parts["train"] | parts["test"] == set(df["doc_id"])
+    assert not (parts["train"] & parts["test"])
+
+
+def test_split_salt_changes_assignment():
+    df = _docs(500)
+    a = sampling.with_split_column(ray.data.from_pandas(df), "doc_id").to_pandas()
+    b = sampling.with_split_column(ray.data.from_pandas(df), "doc_id", salt="v2").to_pandas()
+    assert (a.sort_values("doc_id")["split"].to_numpy()
+            != b.sort_values("doc_id")["split"].to_numpy()).any()
+
+
+def test_split_nonportable_matches_fraction_contract():
+    df = _docs(2000)
+    out = sampling.with_split_column(ray.data.from_pandas(df).repartition(4), "doc_id",
+                                     portable=False).to_pandas()
+    frac = out["split"].value_counts(normalize=True)
+    assert abs(frac["train"] - 0.8) < 0.05
+
+
+def test_stratified_sample_rates():
+    df = _docs(6000)
+    out = sampling.stratified_sample(
+        ray.data.from_pandas(df).repartition(5), "doc_id", strata_col="lang",
+        rates={"en": 0.25, "fr": 1.0}, default_rate=0.5,
+    ).to_pandas()
+    base = df["lang"].value_counts()
+    kept = out["lang"].value_counts()
+    assert abs(kept["en"] / base["en"] - 0.25) < 0.05
+    assert kept["fr"] == base["fr"]
+    assert abs(kept["de"] / base["de"] - 0.5) < 0.07
+    # deterministic: rerun keeps the identical row set
+    out2 = sampling.stratified_sample(
+        ray.data.from_pandas(df).repartition(2), "doc_id", strata_col="lang",
+        rates={"en": 0.25, "fr": 1.0}, default_rate=0.5,
+    ).to_pandas()
+    assert set(out["doc_id"]) == set(out2["doc_id"])
+
+
+def test_stratified_sample_rejects_bad_rate():
+    ds = ray.data.from_pandas(_docs(10))
+    with pytest.raises(ValueError, match="rates must be in"):
+        sampling.stratified_sample(ds, "doc_id", strata_col="lang", rates={"en": 1.5})
+
+
+def test_zscore_matches_pandas():
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({
+        "uid": rng.integers(0, 40, 4000),
+        "v": rng.normal(50, 9, 4000),
+    })
+    df.loc[rng.integers(0, 4000, 100), "v"] = np.nan
+    got = stats.zscore_per_entity(
+        ray.data.from_pandas(df).repartition(7), "uid", "v", num_buckets=4
+    ).to_pandas().sort_values(["uid", "v"]).reset_index(drop=True)
+    g = df.groupby("uid")["v"]
+    exp = (df["v"] - df["uid"].map(g.mean())) / df["uid"].map(g.std(ddof=0))
+    exp_df = df.assign(v_z=exp).sort_values(["uid", "v"]).reset_index(drop=True)
+    np.testing.assert_allclose(got["v_z"].to_numpy(), exp_df["v_z"].to_numpy(),
+                               rtol=1e-9, atol=1e-9, equal_nan=True)
+
+
+def test_zscore_train_fit_applied_to_test():
+    """Leakage-safe form: stats fitted on one split standardize another."""
+    df = pd.DataFrame({"uid": [1] * 6, "v": [1.0, 2, 3, 4, 5, 6]})
+    train = ray.data.from_pandas(df.iloc[:4])
+    fit = stats.entity_stats(train, "uid", "v").to_pandas()
+    test = ray.data.from_pandas(df.iloc[4:])
+    got = stats.zscore_per_entity(test, "uid", "v", stats=fit).to_pandas()
+    m, s = 2.5, np.std([1.0, 2, 3, 4])
+    np.testing.assert_allclose(got["v_z"].to_numpy(), (np.array([5.0, 6]) - m) / s)
+
+
+def test_zscore_constant_entity_is_nan():
+    df = pd.DataFrame({"uid": [1, 1, 2, 2], "v": [3.0, 3.0, 1.0, 2.0]})
+    got = stats.zscore_per_entity(ray.data.from_pandas(df), "uid", "v").to_pandas()
+    assert got.loc[got["uid"] == 1, "v_z"].isna().all()
+    assert got.loc[got["uid"] == 2, "v_z"].notna().all()
+
+
+def test_exact_quantiles_match_numpy():
+    rng = np.random.default_rng(5)
+    vals = rng.normal(size=3001)
+    ds = ray.data.from_pandas(pd.DataFrame({"x": vals})).repartition(6)
+    qs = [0.0, 0.1, 0.5, 0.9, 1.0]
+    got = stats.exact_quantiles(ds, "x", qs)
+    srt = np.sort(vals)
+    exp = [srt[int(np.floor(q * (len(vals) - 1)))] for q in qs]
+    np.testing.assert_allclose(got["value"].to_numpy(), exp, rtol=0, atol=0)
+
+
+def test_exact_quantiles_validates_range():
+    ds = ray.data.from_pandas(pd.DataFrame({"x": [1.0]}))
+    with pytest.raises(ValueError, match="quantiles must be in"):
+        stats.exact_quantiles(ds, "x", [1.5])
+
+
+def test_top_terms_matches_counter():
+    df = pd.DataFrame({"text": [
+        "the cat sat on the mat",
+        "the dog ate the cat food",
+        "a cat and a dog",
+    ]})
+    got = top_terms(ray.data.from_pandas(df).repartition(3), "text", k=3).to_pandas()
+    exp = (pd.Series(" ".join(df["text"]).lower().split()).value_counts()
+           .rename_axis("term").reset_index(name="cnt"))
+    exp = exp.sort_values(["cnt", "term"], ascending=[False, True]).head(3).reset_index(drop=True)
+    assert list(got["term"]) == list(exp["term"])
+    assert list(got["cnt"]) == list(exp["cnt"])
