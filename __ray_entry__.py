@@ -667,6 +667,26 @@ def q_top_terms(sf_dir: str):
     return top_terms(docs, "text", k=50)
 
 
+def q_interp_value(sf_dir: str):
+    """Per-entity linear interpolation of null values in time (no
+    extrapolation at the edges)."""
+    from temporalscope_ray.stages.window_features import interpolate_linear
+
+    ev = _events(sf_dir, ("event_id", "ts", "user_id", "value"))
+    out = interpolate_linear(ev, id_col="user_id", time_col="ts",
+                             value_cols=["value"], tiebreak=["event_id"])
+    return _round_cols(out, ["value_interp"])
+
+
+def q_top3_events_by_user(sf_dir: str):
+    """Per-group top-k: each user's 3 highest-value events
+    (combiner top-k → one exchange of partials → final top-k)."""
+    from temporalscope_ray.stages.grouped import group_top_k
+
+    ev = _events(sf_dir, ("event_id", "ts", "user_id", "value"))
+    return group_top_k(ev, "user_id", "value", k=3, tiebreak=["event_id"])
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
     return q_flagship("/root/testdata/sf0.001")
@@ -718,6 +738,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zscore_by_user": q_zscore_by_user,
         "value_quantiles": q_value_quantiles,
         "top_terms_50": q_top_terms,
+        "interp_value": q_interp_value,
+        "top3_events_by_user": q_top3_events_by_user,
     }
 
 
@@ -1156,5 +1178,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
             FROM (SELECT unnest(regexp_extract_all(lower(text), '\\w+')) AS term FROM documents)
             GROUP BY term ORDER BY cnt DESC, term LIMIT 50
+        """,
+        # epoch_us keeps the time deltas in int64 microseconds — the
+        # same doubles the engine divides, so the interpolation is
+        # bit-identical before the shared round
+        "interp_value": """
+            SELECT event_id, ts, user_id, value,
+                   ROUND(CASE WHEN value IS NOT NULL THEN value
+                              WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+                                prev_v + ((next_v - prev_v) * CAST(epoch_us(ts) - prev_t AS DOUBLE))
+                                         / CAST(next_t - prev_t AS DOUBLE)
+                         END, 6) AS value_interp
+            FROM (
+              SELECT event_id, ts, user_id, value,
+                     LAST_VALUE(value IGNORE NULLS) OVER wp AS prev_v,
+                     LAST_VALUE(CASE WHEN value IS NOT NULL THEN epoch_us(ts) END IGNORE NULLS) OVER wp AS prev_t,
+                     FIRST_VALUE(value IGNORE NULLS) OVER wn AS next_v,
+                     FIRST_VALUE(CASE WHEN value IS NOT NULL THEN epoch_us(ts) END IGNORE NULLS) OVER wn AS next_t
+              FROM events
+              WINDOW wp AS (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     wn AS (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+        """,
+        "top3_events_by_user": """
+            SELECT event_id, ts, user_id, value FROM (
+              SELECT *, row_number() OVER (PARTITION BY user_id
+                         ORDER BY value DESC, event_id) AS rn
+              FROM events)
+            WHERE rn <= 3
         """,
     }

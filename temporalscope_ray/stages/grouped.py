@@ -283,3 +283,41 @@ def hash_groupby_aggregate(
     return bucketed.groupby(BUCKET_COL).map_groups(
         lambda g: final(g.drop(columns=[BUCKET_COL])), batch_format="pandas"
     )
+
+
+def group_top_k(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    *,
+    k: int,
+    tiebreak: Sequence[str] = (),
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+) -> ray.data.Dataset:
+    """Top-``k`` rows per group by ``value_col`` (desc; nulls last;
+    ties broken by ``tiebreak`` asc — a total order, so the result is
+    deterministic and SQL-replayable as
+    ``row_number() OVER (PARTITION BY g ORDER BY v DESC, tb) <= k``).
+
+    Combiner shape: each block keeps at most ``k`` rows per group
+    (local top-k — a superset of every group's global top-k members in
+    that block), then ONE group-hash exchange moves only those
+    partials and the per-bucket final re-applies the same selection.
+    A hot group costs ``k × num_blocks`` exchanged rows, never its
+    full row count.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    sort_cols = [group_col, value_col, *tiebreak]
+    ascending = [True, False] + [True] * len(tiebreak)
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        srt = df.sort_values(sort_cols, ascending=ascending, kind="mergesort",
+                             na_position="last")
+        return srt.groupby(group_col, sort=False).head(k)
+
+    partials = ds.map_batches(local_topk, batch_format="pandas")
+    bucketed = with_bucket(partials, group_col, num_buckets)
+    return bucketed.groupby(BUCKET_COL).map_groups(
+        lambda g: local_topk(g.drop(columns=[BUCKET_COL])), batch_format="pandas"
+    )

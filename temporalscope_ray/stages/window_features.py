@@ -238,6 +238,67 @@ def backfill(
     return grouped.grouped_ordered_map(ds, id_col, [time_col, *(tiebreak or [])], fn, num_buckets=num_buckets)
 
 
+def interpolate_linear(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str,
+    time_col: str,
+    value_cols: Sequence[str],
+    num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+    tiebreak: Optional[Sequence[str]] = None,
+    suffix: str = "_interp",
+) -> ray.data.Dataset:
+    """Per-entity linear interpolation of missing values in TIME (not
+    row position): a null between two observations gets
+    ``v_prev + (v_next - v_prev) * (t - t_prev) / (t_next - t_prev)``.
+    Leading/trailing nulls stay null (no extrapolation). Complements
+    ``backfill`` — ffill is the point-in-time-safe gap fill, linear
+    interpolation the offline-analysis one (it reads a FUTURE value;
+    never use it to build features for training).
+
+    Vectorized across the whole bucket: prev/next-valid row indices
+    come from two global monotone accumulates, reset at entity
+    boundaries via each row's segment bounds — no per-entity loop.
+    Arithmetic is evaluated in SQL's left-to-right order over int64-us
+    time deltas so the DuckDB oracle (``epoch_us``-based) reproduces it
+    bit-for-bit."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.copy()
+        n = len(g)
+        if n == 0:
+            for c in value_cols:
+                out[f"{c}{suffix}"] = pd.Series([], dtype=np.float64)
+            return out
+        t = g[time_col].to_numpy()
+        tf = t.view("int64").astype(np.float64) if t.dtype.kind in "Mm" else t.astype(np.float64)
+        segs = grouped.entity_segments(g[id_col].to_numpy())
+        lens = np.diff(segs)
+        seg_start = np.repeat(segs[:-1], lens)
+        seg_end = np.repeat(segs[1:], lens)
+        idx = np.arange(n)
+        for c in value_cols:
+            v = g[c].to_numpy(dtype=np.float64)
+            valid = ~np.isnan(v)
+            prev_i = np.maximum.accumulate(np.where(valid, idx, -1))
+            nxt = np.where(valid, idx, n)
+            next_i = np.minimum.accumulate(nxt[::-1])[::-1]
+            has_prev = prev_i >= seg_start
+            has_next = next_i < seg_end
+            fill = ~valid & has_prev & has_next
+            res = v.copy()
+            if fill.any():
+                p, q = prev_i[fill], next_i[fill]
+                # SQL left-to-right order: ((vn - vp) * dt1) / dt2
+                res[fill] = v[p] + ((v[q] - v[p]) * (tf[fill] - tf[p])) / (tf[q] - tf[p])
+            out[f"{c}{suffix}"] = res
+        return out
+
+    return grouped.grouped_ordered_map(
+        ds, id_col, [time_col, *(tiebreak or [])], fn, num_buckets=num_buckets
+    )
+
+
 def sessionize(
     ds: ray.data.Dataset,
     *,

@@ -144,3 +144,65 @@ def test_top_terms_matches_counter():
     exp = exp.sort_values(["cnt", "term"], ascending=[False, True]).head(3).reset_index(drop=True)
     assert list(got["term"]) == list(exp["term"])
     assert list(got["cnt"]) == list(exp["cnt"])
+
+
+def test_group_top_k_matches_pandas():
+    rng = np.random.default_rng(2)
+    df = pd.DataFrame({
+        "uid": rng.integers(0, 30, 3000),
+        "eid": np.arange(3000, dtype=np.int64),
+        "v": rng.normal(size=3000),
+    })
+    df.loc[rng.integers(0, 3000, 60), "v"] = np.nan
+    from temporalscope_ray.stages.grouped import group_top_k
+
+    got = group_top_k(ray.data.from_pandas(df).repartition(9), "uid", "v",
+                      k=3, tiebreak=["eid"], num_buckets=4).to_pandas()
+    exp = (df.sort_values(["uid", "v", "eid"], ascending=[True, False, True],
+                          na_position="last")
+           .groupby("uid", sort=False).head(3))
+    key = ["uid", "eid"]
+    assert (got.sort_values(key)[key].to_numpy()
+            == exp.sort_values(key)[key].to_numpy()).all()
+
+
+def test_group_top_k_hot_group_bounded_exchange():
+    """One group holding 90% of rows still returns exactly k rows for
+    it (the combiner caps what the exchange moves to k per block)."""
+    n = 5000
+    df = pd.DataFrame({
+        "uid": np.where(np.arange(n) % 10 < 9, 0, np.arange(n) % 7 + 1),
+        "eid": np.arange(n, dtype=np.int64),
+        "v": np.arange(n, dtype=np.float64),
+    })
+    from temporalscope_ray.stages.grouped import group_top_k
+
+    got = group_top_k(ray.data.from_pandas(df).repartition(16), "uid", "v",
+                      k=5, tiebreak=["eid"]).to_pandas()
+    hot = got[got["uid"] == 0]
+    assert len(hot) == 5
+    exp_hot = df[df["uid"] == 0].nlargest(5, "v")["eid"]
+    assert set(hot["eid"]) == set(exp_hot)
+
+
+def test_interpolate_linear_matches_manual():
+    from temporalscope_ray.stages.window_features import interpolate_linear
+
+    ts = pd.to_datetime(["2023-01-01 00:00", "2023-01-01 00:10",
+                         "2023-01-01 00:40", "2023-01-01 01:00",
+                         "2023-01-01 00:00", "2023-01-01 00:30"])
+    df = pd.DataFrame({
+        "uid": [1, 1, 1, 1, 2, 2],
+        "eid": np.arange(6, dtype=np.int64),
+        "ts": ts,
+        "v": [10.0, np.nan, np.nan, 40.0, np.nan, 5.0],
+    })
+    got = interpolate_linear(ray.data.from_pandas(df), id_col="uid", time_col="ts",
+                             value_cols=["v"], tiebreak=["eid"]).to_pandas()
+    got = got.sort_values("eid").reset_index(drop=True)
+    # user 1: gaps at 10min and 40min between (0min, 10.0) and (60min, 40.0)
+    np.testing.assert_allclose(got["v_interp"].to_numpy()[:4],
+                               [10.0, 15.0, 30.0, 40.0])
+    # user 2: leading null has no previous observation -> stays null
+    assert np.isnan(got["v_interp"].to_numpy()[4])
+    assert got["v_interp"].to_numpy()[5] == 5.0
