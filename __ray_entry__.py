@@ -667,6 +667,25 @@ def q_top_terms(sf_dir: str):
     return top_terms(docs, "text", k=50)
 
 
+def q_tfidf_docs(sf_dir: str):
+    """Per-document TF-IDF mass (lexical salience quality signal)."""
+    from temporalscope_ray.stages.text import tfidf_score
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return _round_cols(tfidf_score(docs, "text", "doc_id"), ["tfidf_sum"])
+
+
+def q_embedding_cov(sf_dir: str):
+    """Upper-triangle population covariance of the embedding column —
+    O(d^2)-per-block combiner reduction, never row-count-sized."""
+    from temporalscope_ray.stages.linalg import embedding_covariance
+
+    emb = _read(sf_dir, "embeddings", columns=["embedding"])
+    out = embedding_covariance(emb, "embedding")
+    out["cov"] = np.round(out["cov"], 6)
+    return out
+
+
 def q_interp_value(sf_dir: str):
     """Per-entity linear interpolation of null values in time (no
     extrapolation at the edges)."""
@@ -740,6 +759,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms_50": q_top_terms,
         "interp_value": q_interp_value,
         "top3_events_by_user": q_top3_events_by_user,
+        "tfidf_docs": q_tfidf_docs,
+        "embedding_cov": q_embedding_cov,
     }
 
 
@@ -1207,5 +1228,27 @@ def oracle_sql() -> dict[str, str]:
                          ORDER BY value DESC, event_id) AS rn
               FROM events)
             WHERE rn <= 3
+        """,
+        "tfidf_docs": """
+            WITH toks AS (
+              SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\w+')) AS term
+              FROM documents),
+            tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+            df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+            n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+            s AS (SELECT doc_id, SUM(tf * ln(n.n / df.df)) AS sc
+                  FROM tf JOIN df USING (term) CROSS JOIN n GROUP BY doc_id)
+            SELECT d.doc_id, ROUND(COALESCE(s.sc, 0), 6) AS tfidf_sum
+            FROM documents d LEFT JOIN s USING (doc_id)
+        """,
+        "embedding_cov": """
+            WITH pairs AS (
+              SELECT a.i AS i, b.i AS j
+              FROM range(64) a(i), range(64) b(i) WHERE a.i <= b.i)
+            SELECT p.i, p.j,
+                   ROUND(AVG(CAST(embedding[p.i + 1] AS DOUBLE) * CAST(embedding[p.j + 1] AS DOUBLE))
+                         - AVG(CAST(embedding[p.i + 1] AS DOUBLE)) * AVG(CAST(embedding[p.j + 1] AS DOUBLE)),
+                         6) AS cov
+            FROM embeddings, pairs p GROUP BY p.i, p.j
         """,
     }

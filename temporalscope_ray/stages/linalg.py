@@ -1,0 +1,105 @@
+"""Distributed dense linear algebra over embedding columns.
+
+``embedding_covariance`` computes the d×d population covariance of a
+``list<float>`` column as a pure combiner reduction: each block is
+reduced to ``X^T X`` (d×d), the column sums (d) and a row count —
+O(d²) per block regardless of rows — and the tiny partials merge
+through one term-hash exchange. At 100 TB the exchanged bytes are
+``blocks × d² × 8`` (a few GB for d=64 and a million blocks), never a
+function of row count. The eigendecomposition of the result (for PCA
+whitening / projection) is a driver-side ``np.linalg.eigh`` on a d×d
+matrix — intentionally not distributed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from .grouped import hash_groupby_aggregate
+
+
+def _stack(batch: pa.Table, col: str) -> np.ndarray:
+    """(rows, d) float64 from a list<float> column or Ray's tensor
+    extension type (``from_pandas`` of numpy rows produces the latter)."""
+    arr = batch.column(col).combine_chunks()
+    try:
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+    except AttributeError:
+        return np.asarray(arr.to_numpy(zero_copy_only=False).tolist(), dtype=np.float64)
+    d = len(flat) // max(1, batch.num_rows)
+    return flat.reshape(batch.num_rows, d).astype(np.float64)
+
+
+def embedding_covariance(
+    ds: ray.data.Dataset, col: str = "embedding", *, num_buckets: int = 8
+) -> pd.DataFrame:
+    """Upper-triangle population covariance as a small driver frame
+    ``(i, j, cov)`` with ``i <= j`` (0-based dims):
+    ``cov = E[x_i x_j] - E[x_i] E[x_j]``.
+
+    Per-block partial rows: ``(i, j, sxy)`` for the upper triangle,
+    ``(i, -1, sx_i)`` for the sums, ``(-1, -1, n)`` for the count —
+    merged by ``hash_groupby_aggregate`` so no block list ever reaches
+    the driver, only the final O(d²) aggregate."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = _stack(batch, col)
+        n, d = x.shape
+        xtx = x.T @ x
+        iu, ju = np.triu_indices(d)
+        i = np.concatenate([iu, np.arange(d), [-1]]).astype(np.int32)
+        j = np.concatenate([ju, np.full(d, -1), [-1]]).astype(np.int32)
+        v = np.concatenate([xtx[iu, ju], x.sum(axis=0), [float(n)]])
+        return pa.table({"i": pa.array(i), "j": pa.array(j), "v": pa.array(v)})
+
+    merged = hash_groupby_aggregate(
+        ds.select_columns([col]).map_batches(partial, batch_format="pyarrow"),
+        ["i", "j"],
+        {"v": ("v", "sum")},
+        num_buckets=num_buckets,
+    ).to_pandas()
+
+    n = float(merged.loc[(merged["i"] == -1) & (merged["j"] == -1), "v"].iloc[0])
+    sums = merged[(merged["j"] == -1) & (merged["i"] >= 0)].set_index("i")["v"]
+    cross = merged[merged["j"] >= 0]
+    mean = sums / n
+    i = cross["i"].to_numpy()
+    j = cross["j"].to_numpy()
+    cov = cross["v"].to_numpy() / n - mean.loc[i].to_numpy() * mean.loc[j].to_numpy()
+    out = pd.DataFrame({"i": i.astype(np.int64), "j": j.astype(np.int64), "cov": cov})
+    return out.sort_values(["i", "j"]).reset_index(drop=True)
+
+
+def pca_project(
+    ds: ray.data.Dataset,
+    col: str = "embedding",
+    *,
+    k: int,
+    out_col: str = "pca",
+    num_buckets: int = 8,
+) -> ray.data.Dataset:
+    """Project embeddings onto their top-``k`` principal components.
+    Covariance via the combiner reduction above; eigenvectors on the
+    driver (d×d); the projection matrix broadcasts into a vectorized
+    per-batch matmul."""
+    import ray as _ray
+
+    tri = embedding_covariance(ds, col, num_buckets=num_buckets)
+    d = int(tri["j"].max()) + 1
+    cov = np.zeros((d, d))
+    cov[tri["i"], tri["j"]] = tri["cov"]
+    cov[tri["j"], tri["i"]] = tri["cov"]
+    w, v = np.linalg.eigh(cov)
+    proj = v[:, np.argsort(w)[::-1][:k]]  # d × k, descending eigenvalue
+    ref = _ray.put(np.ascontiguousarray(proj))
+
+    def apply(batch: pa.Table) -> pa.Table:
+        p = _ray.get(ref)
+        x = _stack(batch, col)
+        y = x @ p
+        return batch.append_column(out_col, pa.array(list(y)))
+
+    return ds.map_batches(apply, batch_format="pyarrow")

@@ -185,3 +185,72 @@ def top_terms(
     parts = ds.select_columns([text_col]).map_batches(partial, batch_format="pyarrow")
     agg = hash_groupby_aggregate(parts, ["term"], {"cnt": ("cnt", "sum")}, num_buckets=num_buckets)
     return agg.sort(["cnt", "term"], descending=[True, False]).limit(k)
+
+
+def document_frequency(
+    ds: ray.data.Dataset, text_col: str = "text", *, num_buckets: int = 32
+) -> ray.data.Dataset:
+    """Per-term document frequency (#docs containing the term).
+
+    Per-block combiner: each doc contributes its UNIQUE terms once, the
+    block pre-counts them, and only vocabulary-sized partials enter the
+    one term-hash exchange."""
+    import pyarrow as pa
+
+    from .grouped import hash_groupby_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col).to_pandas().astype(str)
+        toks = s.str.lower().str.findall(r"\w+")
+        uniq = toks.map(lambda ts: list(set(ts))).explode().dropna()
+        counts = uniq.value_counts(sort=False)
+        return pa.table({"term": pa.array(counts.index.astype(str)),
+                         "df": pa.array(counts.to_numpy(dtype=np.int64))})
+
+    parts = ds.select_columns([text_col]).map_batches(partial, batch_format="pyarrow")
+    return hash_groupby_aggregate(parts, ["term"], {"df": ("df", "sum")}, num_buckets=num_buckets)
+
+
+def tfidf_score(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Per-document TF-IDF mass: ``Σ_terms tf(t, d) · ln(N / df(t))`` —
+    the standard lexical-salience score (near 0 for stopword-only or
+    boilerplate docs, high for token-rich distinctive ones), a common
+    quality-filter feature for web-corpus curation.
+
+    Two streaming passes, one vocabulary-sized exchange: (1)
+    ``document_frequency`` (combiner → term-hash aggregate); (2)
+    re-tokenize and score each doc against the BROADCAST idf table —
+    token rows never shuffle (a doc is one row, its tf is block-local).
+    Assumes the vocabulary fits the object store (~10^8 terms ≈ GBs);
+    beyond that, bucket both sides by term hash instead."""
+    import ray as _ray
+
+    import pyarrow as pa
+
+    df_tbl = document_frequency(ds, text_col, num_buckets=num_buckets).to_pandas()
+    n_docs = ds.count()
+    idf = pd.Series(
+        np.log(float(n_docs) / df_tbl["df"].to_numpy(dtype=np.float64)).astype(np.float64),
+        index=df_tbl["term"],
+    )
+    ref = _ray.put(idf)
+
+    def score(batch: pa.Table) -> pa.Table:
+        idf_s: pd.Series = _ray.get(ref)
+        s = batch.column(text_col).to_pandas().astype(str)
+        toks = s.str.lower().str.findall(r"\w+")
+        flat = toks.explode().dropna()
+        w = flat.map(idf_s).to_numpy(dtype=np.float64)
+        sums = np.zeros(len(s), dtype=np.float64)
+        np.add.at(sums, flat.index.to_numpy(dtype=np.int64), np.nan_to_num(w))
+        out = batch.select([id_col]).to_pandas()
+        out["tfidf_sum"] = sums
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return ds.select_columns([id_col, text_col]).map_batches(score, batch_format="pyarrow")

@@ -206,3 +206,42 @@ def test_interpolate_linear_matches_manual():
     # user 2: leading null has no previous observation -> stays null
     assert np.isnan(got["v_interp"].to_numpy()[4])
     assert got["v_interp"].to_numpy()[5] == 5.0
+
+
+def test_embedding_covariance_matches_numpy():
+    from temporalscope_ray.stages.linalg import embedding_covariance
+
+    rng = np.random.default_rng(9)
+    x = rng.normal(size=(800, 6)).astype(np.float32)
+    df = pd.DataFrame({"embedding": list(x)})
+    got = embedding_covariance(ray.data.from_pandas(df).repartition(5), "embedding")
+    exp = np.cov(x.astype(np.float64).T, bias=True)
+    for _, r in got.iterrows():
+        assert abs(r["cov"] - exp[int(r["i"]), int(r["j"])]) < 1e-9
+
+
+def test_pca_project_recovers_dominant_direction():
+    from temporalscope_ray.stages.linalg import pca_project
+
+    rng = np.random.default_rng(4)
+    base = rng.normal(size=(1000, 1)) @ np.array([[3.0, 1.0, 0.2, 0.0]])
+    noise = rng.normal(scale=0.05, size=(1000, 4))
+    df = pd.DataFrame({"embedding": list((base + noise).astype(np.float32))})
+    out = pca_project(ray.data.from_pandas(df).repartition(4), "embedding", k=1).to_pandas()
+    y = np.stack(out["pca"].to_numpy())[:, 0]
+    # the first PC carries ~all the variance of the planted direction
+    x = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    total_var = x.var(axis=0).sum()
+    assert y.var() / total_var > 0.98
+
+
+def test_tfidf_zero_for_empty_doc():
+    from temporalscope_ray.stages.text import tfidf_score
+
+    df = pd.DataFrame({"doc_id": [1, 2, 3],
+                       "text": ["alpha beta beta", "", "alpha unique"]})
+    got = tfidf_score(ray.data.from_pandas(df), "text", "doc_id").to_pandas()
+    got = got.set_index("doc_id")["tfidf_sum"]
+    assert got[2] == 0.0
+    # 'unique' (df=1) outweighs 'alpha' (df=2) in doc 3
+    assert got[3] > 0
