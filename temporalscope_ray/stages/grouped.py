@@ -314,7 +314,9 @@ def group_top_k(
     def local_topk(df: pd.DataFrame) -> pd.DataFrame:
         srt = df.sort_values(sort_cols, ascending=ascending, kind="mergesort",
                              na_position="last")
-        return srt.groupby(group_col, sort=False).head(k)
+        # dropna=False: a null group key is a group (SQL PARTITION BY
+        # semantics), not silently discarded rows
+        return srt.groupby(group_col, sort=False, dropna=False).head(k)
 
     partials = ds.map_batches(local_topk, batch_format="pandas")
     bucketed = with_bucket(partials, group_col, num_buckets)

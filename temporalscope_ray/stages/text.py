@@ -176,7 +176,7 @@ def top_terms(
     from .grouped import hash_groupby_aggregate
 
     def partial(batch: pa.Table) -> pa.Table:
-        s = batch.column(text_col).to_pandas().astype(str)
+        s = batch.column(text_col).to_pandas().fillna("").astype(str)
         toks = s.str.lower().str.findall(r"\w+").explode().dropna()
         counts = toks.value_counts(sort=False)
         return pa.table({"term": pa.array(counts.index.astype(str)),
@@ -200,7 +200,7 @@ def document_frequency(
     from .grouped import hash_groupby_aggregate
 
     def partial(batch: pa.Table) -> pa.Table:
-        s = batch.column(text_col).to_pandas().astype(str)
+        s = batch.column(text_col).to_pandas().fillna("").astype(str)
         toks = s.str.lower().str.findall(r"\w+")
         uniq = toks.map(lambda ts: list(set(ts))).explode().dropna()
         counts = uniq.value_counts(sort=False)
@@ -243,7 +243,7 @@ def tfidf_score(
 
     def score(batch: pa.Table) -> pa.Table:
         idf_s: pd.Series = _ray.get(ref)
-        s = batch.column(text_col).to_pandas().astype(str)
+        s = batch.column(text_col).to_pandas().fillna("").astype(str)
         toks = s.str.lower().str.findall(r"\w+")
         flat = toks.explode().dropna()
         w = flat.map(idf_s).to_numpy(dtype=np.float64)

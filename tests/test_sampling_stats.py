@@ -245,3 +245,23 @@ def test_tfidf_zero_for_empty_doc():
     assert got[2] == 0.0
     # 'unique' (df=1) outweighs 'alpha' (df=2) in doc 3
     assert got[3] > 0
+
+
+def test_top_terms_and_tfidf_ignore_null_text():
+    from temporalscope_ray.stages.text import tfidf_score, top_terms
+
+    df = pd.DataFrame({"doc_id": [1, 2], "text": ["alpha beta", None]})
+    terms = top_terms(ray.data.from_pandas(df), "text", k=10).to_pandas()
+    assert set(terms["term"]) == {"alpha", "beta"}  # no 'nan'/'none' token
+    scores = tfidf_score(ray.data.from_pandas(df), "text", "doc_id").to_pandas()
+    assert scores.set_index("doc_id")["tfidf_sum"][2] == 0.0
+
+
+def test_group_top_k_keeps_null_group():
+    from temporalscope_ray.stages.grouped import group_top_k
+
+    df = pd.DataFrame({"uid": [1.0, 1.0, np.nan, np.nan, np.nan],
+                       "eid": np.arange(5, dtype=np.int64),
+                       "v": [5.0, 4.0, 3.0, 2.0, 1.0]})
+    got = group_top_k(ray.data.from_pandas(df), "uid", "v", k=2, tiebreak=["eid"]).to_pandas()
+    assert len(got[got["uid"].isna()]) == 2  # null key is a group, not dropped
