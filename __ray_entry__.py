@@ -706,6 +706,49 @@ def q_top3_events_by_user(sf_dir: str):
     return group_top_k(ev, "user_id", "value", k=3, tiebreak=["event_id"])
 
 
+def q_running_sum_value(sf_dir: str):
+    """Distributed two-pass prefix scan (block partials -> driver
+    offsets -> per-block cumsum): corpus-order running sum over the
+    total (ts, event_id) order. The summand is ``floor(value*1000)``
+    as int64 (null -> 0) so both sides are integer-exact — float
+    cumsum association order would put ulp noise under the driver's
+    value hash."""
+    from temporalscope_ray.stages.scan import global_running_sum
+
+    ev = _events(sf_dir, ("event_id", "ts", "value"))
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        mil = np.floor(np.nan_to_num(v, nan=0.0) * 1000.0).astype(np.int64)
+        return batch.drop_columns(["value"]).append_column("value_mil", pa.array(mil))
+
+    out = global_running_sum(
+        ev.map_batches(to_int, batch_format="pyarrow", zero_copy_batch=True),
+        order_by=["ts", "event_id"], value_col="value_mil", out_col="running_value_mil",
+    )
+    return out
+
+
+def q_row_index_events(sf_dir: str):
+    """0-based global row index over the total (ts, event_id) order —
+    the count-partials form of the same two-pass scan."""
+    from temporalscope_ray.stages.scan import with_global_index
+
+    ev = _events(sf_dir, ("event_id", "ts"))
+    return with_global_index(ev, order_by=["ts", "event_id"], out_col="row_idx")
+
+
+def q_pack_chunks_docs(sf_dir: str):
+    """Token-budget sequence packing: walking documents in doc_id
+    order, each doc goes to chunk floor(tokens_before / capacity) —
+    contiguous ~8 KiB-of-chars pre-training chunks, int64-exact."""
+    from temporalscope_ray.stages.scan import pack_by_budget
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return pack_by_budget(docs, order_by=["doc_id"], token_col="n_chars",
+                          capacity=8192, out_col="chunk_id")
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
     return q_flagship("/root/testdata/sf0.001")
@@ -761,6 +804,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top3_events_by_user": q_top3_events_by_user,
         "tfidf_docs": q_tfidf_docs,
         "embedding_cov": q_embedding_cov,
+        "running_sum_value": q_running_sum_value,
+        "row_index_events": q_row_index_events,
+        "pack_chunks_docs": q_pack_chunks_docs,
     }
 
 
@@ -1250,5 +1296,24 @@ def oracle_sql() -> dict[str, str]:
                          - AVG(CAST(embedding[p.i + 1] AS DOUBLE)) * AVG(CAST(embedding[p.j + 1] AS DOUBLE)),
                          6) AS cov
             FROM embeddings, pairs p GROUP BY p.i, p.j
+        """,
+        "running_sum_value": """
+            SELECT event_id, ts,
+                   CAST(COALESCE(FLOOR(value * 1000), 0) AS BIGINT) AS value_mil,
+                   CAST(SUM(CAST(COALESCE(FLOOR(value * 1000), 0) AS BIGINT))
+                       OVER (ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_value_mil
+            FROM events
+        """,
+        "row_index_events": """
+            SELECT event_id, ts,
+                   ROW_NUMBER() OVER (ORDER BY ts, event_id) - 1 AS row_idx
+            FROM events
+        """,
+        "pack_chunks_docs": """
+            SELECT doc_id, n_chars,
+                   CAST(COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       // 8192 AS BIGINT) AS chunk_id
+            FROM documents
         """,
     }

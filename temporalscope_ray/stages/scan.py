@@ -1,0 +1,142 @@
+"""Distributed global prefix scan + token-budget sequence packing.
+
+A prefix sum over a TOTAL order is the one primitive the bucket
+exchange cannot express (it is inherently cross-bucket sequential).
+The distributed form is the classic two-pass scan:
+
+1. sort by the (unique) order key and pin the block layout;
+2. pass 1 reduces each block to ``(first_key, rows, block_sum)`` —
+   O(blocks) bytes to the driver, never O(rows);
+3. the driver prefix-sums the per-block sums into per-block OFFSETS
+   (broadcast back via ``ray.put``);
+4. pass 2 adds ``offset + local cumsum`` inside each block.
+
+Block identity uses the same signature trick as
+``shift.shift_column_global`` (first key + row count + checksum); the
+order key must be globally UNIQUE (e.g. a primary key, or a
+``(ts, event_id)`` pair) — with duplicate keys spanning block
+boundaries, block order among the ties would be one valid sort order,
+not canonical.
+
+``pack_by_budget`` builds on it: sequential token-budget chunking of a
+corpus (chunk = floor(exclusive-prefix-tokens / capacity)) — the
+deterministic, SQL-replayable cousin of greedy sequence packing for
+LLM pre-training batches. All arithmetic stays int64, so the DuckDB
+oracle (window SUM + integer division) matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _sig(batch: pa.Table, order_by: Sequence[str], value_col: str) -> str:
+    first = tuple(batch.column(c)[0].as_py() for c in order_by)
+    v = batch.column(value_col).to_numpy(zero_copy_only=False)
+    return repr((first, batch.num_rows, float(np.nansum(v.astype(np.float64)))))
+
+
+def global_running_sum(
+    ds: ray.data.Dataset,
+    *,
+    order_by: Sequence[str],
+    value_col: str,
+    out_col: str = "running_sum",
+    exclusive: bool = False,
+) -> ray.data.Dataset:
+    """Running sum of ``value_col`` over the total ``order_by`` order
+    (inclusive by default; ``exclusive=True`` gives the sum of strictly
+    preceding rows). Integer inputs stay int64 (exact); floats use
+    null-skipping cumsum. ``order_by`` must be globally unique."""
+    order_by = list(order_by)
+    sorted_ds = ds.sort(order_by).materialize()
+
+    def part(batch: pa.Table) -> pa.Table:
+        first = batch.select(order_by).slice(0, min(1, batch.num_rows))
+        v = batch.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        n = first.num_rows
+        first = first.append_column(
+            "__sig__", pa.array([_sig(batch, order_by, value_col)] * n, type=pa.string())
+        )
+        return first.append_column("__sum__", pa.array([float(np.nansum(v))] * n))
+
+    parts = sorted_ds.map_batches(part, batch_size=None, batch_format="pyarrow").to_pandas()
+    # block order = order of the (typed, unique) first keys
+    ordered = parts.sort_values(order_by, kind="mergesort").reset_index(drop=True)
+    sums = ordered["__sum__"].to_numpy()
+    offsets = np.concatenate(([0.0], np.cumsum(sums)[:-1]))
+    offset_by_sig = dict(zip(ordered["__sig__"], offsets))
+    ref = ray.put(offset_by_sig)
+    is_excl = exclusive
+
+    def apply(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            vt = batch.schema.field(value_col).type
+            ot = pa.int64() if pa.types.is_integer(vt) else pa.float64()
+            return batch.append_column(out_col, pa.array([], type=ot))
+        off = ray.get(ref)[_sig(batch, order_by, value_col)]
+        v = batch.column(value_col).to_numpy(zero_copy_only=False)
+        if np.issubdtype(v.dtype, np.integer):
+            local = np.cumsum(v.astype(np.int64))
+            if is_excl:
+                local = local - v.astype(np.int64)
+            out = local + np.int64(round(off))
+            return batch.append_column(out_col, pa.array(out, type=pa.int64()))
+        vf = v.astype(np.float64)
+        local = np.nancumsum(vf)
+        if is_excl:
+            local = local - np.nan_to_num(vf)
+        return batch.append_column(out_col, pa.array(local + off, type=pa.float64()))
+
+    return sorted_ds.map_batches(apply, batch_size=None, batch_format="pyarrow")
+
+
+def with_global_index(
+    ds: ray.data.Dataset, *, order_by: Sequence[str], out_col: str = "row_idx"
+) -> ray.data.Dataset:
+    """0-based global row index over the total ``order_by`` order —
+    the same two-pass scan with count partials."""
+    tmp = "__one__"
+    with_one = ds.map_batches(
+        lambda t: t.append_column(tmp, pa.array(np.ones(t.num_rows, dtype=np.int64))),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    out = global_running_sum(with_one, order_by=order_by, value_col=tmp,
+                             out_col=out_col, exclusive=True)
+    return out.drop_columns([tmp])
+
+
+def pack_by_budget(
+    ds: ray.data.Dataset,
+    *,
+    order_by: Sequence[str],
+    token_col: str,
+    capacity: int,
+    out_col: str = "chunk_id",
+) -> ray.data.Dataset:
+    """Sequential token-budget chunking: walking the corpus in
+    ``order_by`` order, row i goes to chunk
+    ``floor(tokens_before_i / capacity)`` — contiguous chunks of
+    ~``capacity`` tokens (a document longer than the remaining budget
+    spills into the next chunk rather than splitting). int64-exact and
+    SQL-replayable; the deterministic baseline for LLM sequence
+    packing (a bin-packing optimizer would be a non-associative scan —
+    intentionally out of scope)."""
+    if capacity < 1:
+        raise ValueError("capacity must be >= 1")
+    summed = global_running_sum(ds, order_by=order_by, value_col=token_col,
+                                out_col="__prefix__", exclusive=True)
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        p = batch.column("__prefix__").to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.drop_columns(["__prefix__"]).append_column(
+            out_col, pa.array(p // np.int64(capacity), type=pa.int64())
+        )
+
+    return summed.map_batches(chunk, batch_format="pyarrow", zero_copy_batch=True)

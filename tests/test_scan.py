@@ -1,0 +1,130 @@
+"""Distributed prefix scan + token-budget packing (stages/scan.py).
+
+The two-pass scan must be exact regardless of block layout, so every
+test repartitions the input to force multiple blocks and compares
+against a single-process pandas replay.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from temporalscope_ray.stages.scan import (
+    global_running_sum,
+    pack_by_budget,
+    with_global_index,
+)
+
+
+def _ds(df: pd.DataFrame, blocks: int = 7) -> ray.data.Dataset:
+    return ray.data.from_pandas(df).repartition(blocks)
+
+
+def _frame(n: int = 500, seed: int = 7) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    df = pd.DataFrame(
+        {
+            "k": rng.permutation(n),  # unique order key, shuffled
+            "vi": rng.integers(-50, 50, size=n),
+            "vf": rng.standard_normal(n),
+        }
+    )
+    df.loc[df.index % 11 == 3, "vf"] = np.nan
+    return df
+
+
+def test_running_sum_int_exact():
+    df = _frame()
+    out = (
+        global_running_sum(_ds(df), order_by=["k"], value_col="vi", out_col="rs")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    exp = df.sort_values("k").reset_index(drop=True)
+    assert out["rs"].dtype == np.int64
+    np.testing.assert_array_equal(out["rs"].to_numpy(), exp["vi"].cumsum().to_numpy())
+
+
+def test_running_sum_exclusive_int():
+    df = _frame(301, seed=1)
+    out = (
+        global_running_sum(_ds(df, 5), order_by=["k"], value_col="vi", out_col="rs", exclusive=True)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    exp = df.sort_values("k").reset_index(drop=True)
+    expected = exp["vi"].cumsum().to_numpy() - exp["vi"].to_numpy()
+    np.testing.assert_array_equal(out["rs"].to_numpy(), expected)
+
+
+def test_running_sum_float_nan_skipping():
+    df = _frame(400, seed=3)
+    out = (
+        global_running_sum(_ds(df, 9), order_by=["k"], value_col="vf", out_col="rs")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    exp = df.sort_values("k").reset_index(drop=True)
+    expected = exp["vf"].fillna(0.0).cumsum().to_numpy()
+    np.testing.assert_allclose(out["rs"].to_numpy(), expected, atol=1e-9)
+
+
+def test_global_index_is_rank():
+    df = _frame(250, seed=5)
+    out = (
+        with_global_index(_ds(df, 6), order_by=["k"], out_col="idx")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    np.testing.assert_array_equal(out["idx"].to_numpy(), np.arange(250))
+    assert "__one__" not in out.columns
+
+
+def test_pack_by_budget_matches_replay():
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({"doc": np.arange(600), "tok": rng.integers(1, 900, size=600)})
+    cap = 2048
+    out = (
+        pack_by_budget(_ds(df, 8), order_by=["doc"], token_col="tok", capacity=cap)
+        .to_pandas()
+        .sort_values("doc")
+        .reset_index(drop=True)
+    )
+    prefix = df["tok"].cumsum().to_numpy() - df["tok"].to_numpy()
+    np.testing.assert_array_equal(out["chunk_id"].to_numpy(), prefix // cap)
+    # chunks are contiguous and non-decreasing in corpus order
+    assert (np.diff(out["chunk_id"].to_numpy()) >= 0).all()
+    assert "__prefix__" not in out.columns
+
+
+def test_pack_rejects_bad_capacity():
+    df = pd.DataFrame({"doc": [1], "tok": [3]})
+    try:
+        pack_by_budget(_ds(df, 1), order_by=["doc"], token_col="tok", capacity=0)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+def test_running_sum_composite_order_key():
+    # duplicate ts disambiguated by event_id — the documented contract
+    df = pd.DataFrame(
+        {
+            "ts": np.repeat(np.arange(50), 4),
+            "eid": np.arange(200),
+            "v": np.ones(200, dtype=np.int64),
+        }
+    )
+    out = (
+        global_running_sum(_ds(df.sample(frac=1.0, random_state=0), 5),
+                           order_by=["ts", "eid"], value_col="v", out_col="rs")
+        .to_pandas()
+        .sort_values(["ts", "eid"])
+        .reset_index(drop=True)
+    )
+    np.testing.assert_array_equal(out["rs"].to_numpy(), np.arange(1, 201))
