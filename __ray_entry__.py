@@ -749,6 +749,97 @@ def q_pack_chunks_docs(sf_dir: str):
                           capacity=8192, out_col="chunk_id")
 
 
+def q_join_orders_customer(sf_dir: str):
+    """Bucketed inner equi-join (fact × fact plan): both sides flow
+    through ONE tagged-union hash exchange; per-bucket Arrow-side
+    split keeps int64 keys out of any float64 round-trip."""
+    from temporalscope_ray.stages.join import equi_join
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal"]).map_batches(
+        lambda t: t.rename_columns(["o_custkey", "c_name", "c_acctbal"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return equi_join(orders, cust, "o_custkey", how="inner", broadcast=False)
+
+
+def q_left_join_orders_customer(sf_dir: str):
+    """Broadcast left join against a filtered dimension side —
+    unmatched orders keep typed nulls in the customer columns."""
+    from temporalscope_ray.stages.join import equi_join
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal"]).map_batches(
+        lambda t: t.rename_columns(["o_custkey", "c_name", "c_acctbal"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).filter(expr="c_acctbal > 5000")
+    return equi_join(orders, cust, "o_custkey", how="left", broadcast=True)
+
+
+def q_hourly_event_stats(sf_dir: str):
+    """Tumbling 1-hour window aggregate via the combiner → one-hash-
+    exchange plan (a day of events at any scale moves blocks×24
+    partial rows, never facts)."""
+    from temporalscope_ray.stages.agg import time_bucket_aggregate
+
+    ev = _events(sf_dir, ("ts", "value"))
+    out = time_bucket_aggregate(
+        ev, "ts", "1h",
+        {"n": (None, "count"), "sum_v": ("value", "sum"), "max_v": ("value", "max")},
+    )
+    return _round_cols(out, ["sum_v"])
+
+
+def q_distinct_users_by_type(sf_dir: str):
+    """Exact COUNT(DISTINCT user_id) per event_type — the exchange
+    moves per-block distinct pairs only."""
+    from temporalscope_ray.stages.agg import grouped_distinct_count
+
+    ev = _events(sf_dir, ("event_type", "user_id"))
+    return grouped_distinct_count(ev, "event_type", "user_id")
+
+
+def q_event_type_pivot(sf_dir: str):
+    """Per-user one-hot event-type count table (crosstab combiner
+    partials through the standard hash-aggregate exchange)."""
+    from temporalscope_ray.stages.agg import pivot_counts
+
+    ev = _events(sf_dir, ("user_id", "event_type"))
+    return pivot_counts(
+        ev, "user_id", "event_type",
+        values=["click", "error", "purchase", "signup", "view"],
+    )
+
+
+def q_value_histogram_events(sf_dir: str):
+    """Fixed-bin histogram: zero shuffle, per-block bincount partials
+    tree-summed on the driver."""
+    from temporalscope_ray.stages.agg import value_histogram
+
+    ev = _events(sf_dir, ("value",))
+    return value_histogram(ev, "value", lo=0.0, hi=500.0, bins=20)
+
+
+def q_cumulative_events_by_user(sf_dir: str):
+    """Per-entity expanding features (cumsum/cummax/row_number) over
+    the (user, ts, event_id) order; the summand is int64 mil so the
+    window-SUM is bit-exact against the oracle."""
+    from temporalscope_ray.stages.window_features import add_cumulative_features
+
+    ev = _events(sf_dir, ("event_id", "ts", "user_id", "value"))
+
+    def to_int(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        mil = np.floor(np.nan_to_num(v, nan=0.0) * 1000.0).astype(np.int64)
+        return t.drop_columns(["value"]).append_column("value_mil", pa.array(mil))
+
+    return add_cumulative_features(
+        ev.map_batches(to_int, batch_format="pyarrow", zero_copy_batch=True),
+        id_col="user_id", time_col="ts", value_cols=["value_mil"],
+        ops=("cumsum", "cummax"), row_number="rn", tiebreak=["event_id"],
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
     return q_flagship("/root/testdata/sf0.001")
@@ -807,6 +898,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_sum_value": q_running_sum_value,
         "row_index_events": q_row_index_events,
         "pack_chunks_docs": q_pack_chunks_docs,
+        "join_orders_customer": q_join_orders_customer,
+        "left_join_orders_customer": q_left_join_orders_customer,
+        "hourly_event_stats": q_hourly_event_stats,
+        "distinct_users_by_type": q_distinct_users_by_type,
+        "event_type_pivot": q_event_type_pivot,
+        "value_histogram_events": q_value_histogram_events,
+        "cumulative_events_by_user": q_cumulative_events_by_user,
     }
 
 
@@ -1315,5 +1413,56 @@ def oracle_sql() -> dict[str, str]:
                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                        // 8192 AS BIGINT) AS chunk_id
             FROM documents
+        """,
+        "join_orders_customer": """
+            SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_acctbal
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        """,
+        "left_join_orders_customer": """
+            SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_acctbal
+            FROM orders LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 5000)
+            ON o_custkey = c_custkey
+        """,
+        "hourly_event_stats": """
+            SELECT CAST(to_timestamp((epoch_us(ts) // 3600000000) * 3600000000 / 1e6)
+                        AS TIMESTAMP) AS bucket_start,
+                   COUNT(*) AS n,
+                   ROUND(SUM(value), 6) AS sum_v,
+                   MAX(value) AS max_v
+            FROM events GROUP BY 1
+        """,
+        "distinct_users_by_type": """
+            SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
+            FROM events GROUP BY 1
+        """,
+        "event_type_pivot": """
+            SELECT user_id,
+                   SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+                   SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+                   SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+                   SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+                   SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+            FROM events GROUP BY 1
+        """,
+        "value_histogram_events": """
+            WITH b AS (
+                SELECT CAST(FLOOR(value / 25.0) AS BIGINT) AS bin
+                FROM events WHERE value >= 0 AND value < 500 AND value IS NOT NULL
+            )
+            SELECT g.bin, g.bin * 25.0 AS bin_lo, COALESCE(c.n, 0) AS count
+            FROM (SELECT UNNEST(RANGE(20)) AS bin) g
+            LEFT JOIN (SELECT bin, COUNT(*) AS n FROM b GROUP BY 1) c USING (bin)
+        """,
+        "cumulative_events_by_user": """
+            SELECT event_id, ts, user_id,
+                   CAST(COALESCE(FLOOR(value * 1000), 0) AS BIGINT) AS value_mil,
+                   CAST(SUM(CAST(COALESCE(FLOOR(value * 1000), 0) AS BIGINT)) OVER w AS BIGINT)
+                       AS value_mil_cumsum,
+                   CAST(MAX(CAST(COALESCE(FLOOR(value * 1000), 0) AS BIGINT)) OVER w AS BIGINT)
+                       AS value_mil_cummax,
+                   ROW_NUMBER() OVER w AS rn
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING)
         """,
     }

@@ -1,0 +1,196 @@
+"""General equi-join (inner / left) — broadcast and bucketed plans.
+
+The reference implements no joins (verified in SURVEY.md §2.4: no
+``join``/``merge`` anywhere under ``/root/reference/src``); its users
+pre-join inputs with pandas/polars before building a ``TimeFrame``. A
+distributed engine must own that step, with the same two physical
+plans every distributed SQL engine picks between:
+
+* **broadcast** — the right side is a dimension table that fits in
+  memory: materialize it ONCE, ship it via ``ray.put`` (one object
+  store copy per node, zero copies per task), and every left batch
+  merges against it inside ``map_batches``. The fact table never
+  shuffles. This is the 100 TB plan whenever the right side is
+  ≲ a few GiB.
+* **bucketed** — both sides are big: schema-align them with a tagged
+  union (``exchange.pad_union``), add ``__bucket__ = hash(key) % B``,
+  and run ONE hash exchange; each bucket splits back into its two
+  sides IN ARROW (so padded nulls never force an int64→float64
+  round-trip — values above 2^53 survive bit-exact) and merges with a
+  vectorized pandas hash join.
+
+Non-key column names must be disjoint between the two sides — the
+engine refuses to guess a suffixing scheme; callers rename first
+(``select_columns`` / ``map_batches`` projection). Key columns must
+share types.
+
+Left-join null semantics: unmatched left rows get typed nulls in the
+right-side columns (pandas merge yields NaN; the Arrow conversion
+restores the right side's nullable types via explicit schema).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from .exchange import SIDE_COL, pad_union
+from .grouped import BUCKET_COL, DEFAULT_NUM_BUCKETS, clamp_concurrency, hash_key_column
+
+_BROADCAST_ROW_LIMIT = 5_000_000
+
+
+def _check_disjoint(left_schema: pa.Schema, right_schema: pa.Schema, on: list[str]) -> None:
+    overlap = (set(left_schema.names) & set(right_schema.names)) - set(on)
+    if overlap:
+        raise ValueError(
+            f"equi_join: non-key columns present on both sides: {sorted(overlap)}; "
+            "rename before joining"
+        )
+
+
+def _to_pandas_nullsafe(t: pa.Table) -> pd.DataFrame:
+    """Arrow → pandas keeping Arrow-backed dtypes: an int64 column
+    containing nulls must NOT round-trip through float64 (values above
+    2^53 — e.g. snowflake-style ids — would be silently corrupted)."""
+    return t.to_pandas(types_mapper=pd.ArrowDtype)
+
+
+def _merge_frames(
+    lf: pd.DataFrame, rf: pd.DataFrame, on: list[str], how: str
+) -> pd.DataFrame:
+    # SQL join semantics: NULL keys never match (pandas merge would
+    # pair NaN with NaN). Dropping null-keyed right rows makes inner
+    # drop null-keyed left rows and left-join pass them through
+    # unmatched — both correct.
+    rf = rf.dropna(subset=on)
+    return lf.merge(rf, on=on, how=how, sort=False)
+
+
+class _BroadcastJoin:
+    """Actor-pool stage: right side pulled from the object store once
+    per actor (``__init__``), merged per batch (``__call__``)."""
+
+    def __init__(self, right_ref, on: Sequence[str], how: str, out_schema: pa.Schema):
+        # right_ref: list of ObjectRefs to Arrow tables (Dataset path —
+        # never converted to pandas on the driver, so nullable int64
+        # keys reach the actor uncorrupted) or one ref to a caller's
+        # pandas frame. Normalized ONCE per actor to Arrow-backed
+        # dtypes so every batch merge is null-safe (_to_pandas_nullsafe).
+        if isinstance(right_ref, list):
+            rt = pa.concat_tables(ray.get(right_ref))
+        else:
+            r = ray.get(right_ref) if not isinstance(right_ref, pd.DataFrame) else right_ref
+            rt = pa.Table.from_pandas(r, preserve_index=False)
+        self.right = _to_pandas_nullsafe(rt)
+        self.on = list(on)
+        self.how = how
+        self.out_schema = out_schema
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lf = _to_pandas_nullsafe(batch)
+        out = _merge_frames(lf, self.right, self.on, self.how)
+        return pa.Table.from_pandas(out, schema=self.out_schema, preserve_index=False)
+
+
+def _out_schema(ls: pa.Schema, rs: pa.Schema, on: list[str], how: str) -> pa.Schema:
+    """Output schema: left columns then right-only columns; for a left
+    join every right-only column becomes nullable (it already is — all
+    Arrow fields here are nullable), and integer right columns must
+    survive the pandas NaN round-trip, so we keep the Arrow types and
+    convert back with an explicit schema."""
+    fields = list(ls)
+    for f in rs:
+        if f.name not in on:
+            fields.append(f)
+    return pa.schema(fields)
+
+
+def equi_join(
+    left: ray.data.Dataset,
+    right: "ray.data.Dataset | pd.DataFrame",
+    on: "str | Sequence[str]",
+    *,
+    how: str = "inner",
+    broadcast: Optional[bool] = None,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+    concurrency: int = 8,
+) -> ray.data.Dataset:
+    """Join ``left`` with ``right`` on equality of ``on`` columns.
+
+    ``how`` ∈ {"inner", "left"}. ``broadcast=None`` auto-selects:
+    a pandas right side always broadcasts; a Dataset right side
+    broadcasts when its count is under ``_BROADCAST_ROW_LIMIT``,
+    otherwise both sides flow through one bucketed hash exchange.
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    if how not in ("inner", "left"):
+        raise ValueError(f"equi_join: how must be 'inner' or 'left', got '{how}'")
+    from ..core import _schema
+
+    ls = _schema(left)
+
+    if isinstance(right, pd.DataFrame):
+        rs = pa.Schema.from_pandas(right, preserve_index=False)
+        _check_disjoint(ls, rs, on)
+        out_schema = _out_schema(ls, rs, on, how)
+        ref = ray.put(right)
+        return left.map_batches(
+            _BroadcastJoin,
+            fn_constructor_args=(ref, on, how, out_schema),
+            batch_format="pyarrow",
+            concurrency=clamp_concurrency(concurrency),
+            num_cpus=1,
+        )
+
+    rs = _schema(right)
+    _check_disjoint(ls, rs, on)
+    for c in on:
+        if ls.field(c).type != rs.field(c).type:
+            raise ValueError(
+                f"equi_join: key '{c}' type mismatch: {ls.field(c).type} vs {rs.field(c).type}"
+            )
+    if broadcast is None:
+        broadcast = right.count() <= _BROADCAST_ROW_LIMIT
+    if broadcast:
+        out_schema = _out_schema(ls, rs, on, how)
+        refs = list(right.to_arrow_refs())
+        return left.map_batches(
+            _BroadcastJoin,
+            fn_constructor_args=(refs, on, how, out_schema),
+            batch_format="pyarrow",
+            concurrency=clamp_concurrency(concurrency),
+            num_cpus=1,
+        )
+
+    # ---- bucketed plan: ONE hash exchange moves both sides ----
+    unioned, left_only, right_only = pad_union(left, right)
+    out_schema = _out_schema(ls, rs, on, how)
+    key = on[0]
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = hash_key_column(t.column(key), num_buckets)
+        return t.append_column(BUCKET_COL, pa.array(b, type=pa.int32()))
+
+    bucketed = unioned.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+
+    left_cols = [c for c in ls.names]
+    right_cols = [c for c in rs.names]
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        side = t.column(SIDE_COL).to_numpy(zero_copy_only=False)
+        lt = t.filter(pa.array(side == 0)).select(left_cols)
+        rt = t.filter(pa.array(side == 1)).select(right_cols)
+        lf, rf = _to_pandas_nullsafe(lt), _to_pandas_nullsafe(rt)
+        out = _merge_frames(lf, rf, on, how)
+        return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
+
+    return (
+        bucketed.groupby(BUCKET_COL)
+        .map_groups(per_bucket, batch_format="pyarrow", num_cpus=2)
+    )

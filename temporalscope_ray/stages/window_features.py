@@ -129,6 +129,48 @@ def add_lag_lead_features(
     return grouped.grouped_ordered_map(ds, id_col, order, fn, num_buckets=num_buckets)
 
 
+def add_cumulative_features(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str,
+    time_col: str,
+    value_cols: Sequence[str] = (),
+    ops: Sequence[str] = ("cumsum",),
+    row_number: Optional[str] = None,
+    num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+    tiebreak: Optional[Sequence[str]] = None,
+) -> ray.data.Dataset:
+    """Per-entity expanding-window features over the ``(id, ts)``
+    order: ``{col}_{op}`` for op ∈ cumsum|cummax|cummin, plus an
+    optional 1-based ``row_number`` column (SQL
+    ``ROW_NUMBER() OVER (PARTITION BY id ORDER BY ts)``).
+
+    Values keep their input dtype — int64 inputs accumulate in int64,
+    so results are bit-exact against a SQL window-SUM oracle (no float
+    association-order noise). One entity-bucket exchange; the cum ops
+    are pandas' Cython grouped kernels over the per-bucket segment ids
+    (never a Python loop per entity).
+    """
+    allowed = {"cumsum", "cummax", "cummin"}
+    bad = set(ops) - allowed
+    if bad:
+        raise ValueError(f"add_cumulative_features: unsupported ops {sorted(bad)}")
+    order = [time_col, *(tiebreak or [])]
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.copy()
+        seg_id = _segment_ids(grouped.entity_segments(g[id_col].to_numpy()))
+        gb = g.groupby(seg_id, sort=False)
+        for col in value_cols:
+            for op in ops:
+                out[f"{col}_{op}"] = gb[col].transform(op)
+        if row_number:
+            out[row_number] = (gb.cumcount() + 1).astype(np.int64)
+        return out
+
+    return grouped.grouped_ordered_map(ds, id_col, order, fn, num_buckets=num_buckets)
+
+
 def add_rolling_features(
     ds: ray.data.Dataset,
     *,

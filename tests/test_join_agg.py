@@ -1,0 +1,180 @@
+"""Unit tests for the general equi-join and wide-aggregate stages."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from temporalscope_ray.stages.agg import (
+    grouped_distinct_count,
+    pivot_counts,
+    time_bucket_aggregate,
+    value_histogram,
+)
+from temporalscope_ray.stages.join import equi_join
+
+
+def _left():
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "k": [1, 2, 2, 3, None, 9_223_372_036_854_775_000],
+                "lv": [10.0, 20.0, 21.0, 30.0, 40.0, 50.0],
+            }
+        )
+    )
+
+
+def _right():
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "k": [1, 2, 4, None, 9_223_372_036_854_775_000],
+                "rv": ["a", "b", "d", "n", "big"],
+            }
+        )
+    )
+
+
+@pytest.mark.parametrize("broadcast", [True, False])
+def test_inner_join_null_keys_never_match(ray_session, broadcast):
+    out = (
+        equi_join(_left(), _right(), "k", how="inner", broadcast=broadcast, num_buckets=4)
+        .to_pandas()
+        .sort_values(["k", "lv"])
+        .reset_index(drop=True)
+    )
+    # null keys on either side match nothing; the 2^63-ish key survives
+    # bit-exact (no float64 round-trip)
+    assert out["k"].tolist() == [1, 2, 2, 9_223_372_036_854_775_000]
+    assert out["rv"].tolist() == ["a", "b", "b", "big"]
+
+
+@pytest.mark.parametrize("broadcast", [True, False])
+def test_left_join_unmatched_rows_get_nulls(ray_session, broadcast):
+    out = (
+        equi_join(_left(), _right(), "k", how="left", broadcast=broadcast, num_buckets=4)
+        .to_pandas()
+        .sort_values(["lv"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == 6  # every left row exactly once (unique right keys)
+    unmatched = out[out["rv"].isna()]
+    assert sorted(unmatched["lv"].tolist()) == [30.0, 40.0]  # k=3 and k=null
+
+
+def test_join_rejects_overlapping_non_key_columns(ray_session):
+    l = ray.data.from_arrow(pa.table({"k": [1], "x": [1.0]}))
+    r = ray.data.from_arrow(pa.table({"k": [1], "x": [2.0]}))
+    with pytest.raises(ValueError, match="non-key columns"):
+        equi_join(l, r, "k")
+
+
+def test_join_rejects_key_type_mismatch(ray_session):
+    l = ray.data.from_arrow(pa.table({"k": pa.array([1], type=pa.int64())}))
+    r = ray.data.from_arrow(
+        pa.table({"k": pa.array([1], type=pa.int32()), "v": [1.0]})
+    )
+    with pytest.raises(ValueError, match="type mismatch"):
+        equi_join(l, r, "k", broadcast=False)
+
+
+def test_join_pandas_right_broadcasts(ray_session):
+    r = pd.DataFrame({"k": [1, 2], "rv": ["a", "b"]})
+    out = equi_join(_left(), r, "k", how="inner").to_pandas()
+    assert sorted(out["rv"].tolist()) == ["a", "b", "b"]
+
+
+def _events_tbl():
+    ts = pa.array(
+        np.arange(10) * 1_800_000_000 + 1_700_000_000_000_000, type=pa.timestamp("us")
+    )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "ts": ts,
+                "g": ["a", "a", "b", "b", "a", None, "b", "a", "b", "a"],
+                "v": [1.0, 2.0, 3.0, None, 5.0, 6.0, 7.0, 8.0, 9.0, 10.0],
+            }
+        )
+    )
+
+
+def test_time_bucket_aggregate_hourly(ray_session):
+    out = (
+        time_bucket_aggregate(
+            _events_tbl(), "ts", "1h", {"n": (None, "count"), "s": ("v", "sum")}
+        )
+        .to_pandas()
+        .sort_values("bucket_start")
+        .reset_index(drop=True)
+    )
+    # 10 half-hour-spaced rows -> 5 hourly buckets of 2 rows each
+    assert out["n"].tolist() == [2, 2, 2, 2, 2]
+    assert out["s"].tolist() == [3.0, 3.0, 11.0, 15.0, 19.0]
+
+
+def test_time_bucket_aggregate_rejects_bad_every(ray_session):
+    with pytest.raises(ValueError, match="cannot parse"):
+        time_bucket_aggregate(_events_tbl(), "ts", "1fortnight", {"n": (None, "count")})
+
+
+def test_grouped_distinct_count_null_semantics(ray_session):
+    # null group key forms a group; null values don't count
+    out = (
+        grouped_distinct_count(_events_tbl(), "g", "v", num_buckets=2)
+        .to_pandas()
+        .sort_values("g", na_position="last")
+        .reset_index(drop=True)
+    )
+    assert out["n_distinct"].tolist() == [5, 3, 1]  # a: 5 non-null, b: 3 non-null, null-g: 1
+
+
+def test_pivot_counts_fixed_values(ray_session):
+    out = (
+        pivot_counts(_events_tbl(), "g", "g", values=["a", "b"], num_buckets=2)
+        .to_pandas()
+        .sort_values("g", na_position="last")
+        .reset_index(drop=True)
+    )
+    assert out["a"].tolist() == [5, 0, 0]
+    assert out["b"].tolist() == [0, 4, 0]
+
+
+def test_value_histogram_bounds_and_nulls(ray_session):
+    t = value_histogram(_events_tbl(), "v", lo=0.0, hi=10.0, bins=5).to_pandas()
+    # values 1..9 (null dropped, 10.0 outside hi) in bins of width 2
+    assert t["count"].sum() == 8
+    assert t["count"].tolist() == [1, 2, 1, 2, 2]
+
+
+def test_cumulative_features_per_entity(ray_session):
+    from temporalscope_ray.stages.window_features import add_cumulative_features
+
+    n = 12
+    ts = pa.array(np.arange(n) * 1_000_000, type=pa.timestamp("us"))
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "id": ["x", "y"] * (n // 2),
+                "ts": ts,
+                "v": np.arange(n, dtype=np.int64),
+            }
+        )
+    )
+    out = (
+        add_cumulative_features(
+            ds, id_col="id", time_col="ts", value_cols=["v"],
+            ops=("cumsum", "cummax", "cummin"), row_number="rn", num_buckets=2,
+        )
+        .to_pandas()
+        .sort_values(["id", "ts"])
+        .reset_index(drop=True)
+    )
+    x = out[out["id"] == "x"]
+    assert x["v_cumsum"].tolist() == np.cumsum(np.arange(0, 12, 2)).tolist()
+    assert x["v_cummax"].tolist() == list(range(0, 12, 2))
+    assert x["v_cummin"].tolist() == [0] * 6
+    assert x["rn"].tolist() == list(range(1, 7))
+    assert out["v_cumsum"].dtype == np.int64  # int stays int (bit-exact)
