@@ -840,6 +840,82 @@ def q_cumulative_events_by_user(sf_dir: str):
     )
 
 
+def q_rolling_median4(sf_dir: str):
+    """Trailing 4-row rolling MEDIAN per entity — the order-statistic
+    window the mean/sum kernels can't fold; rides the same one-exchange
+    bucket plan with pandas' Cython rolling-median kernel."""
+    from temporalscope_ray.stages.window_features import add_rolling_features
+
+    ev = _events(sf_dir, ("event_id", "ts", "user_id", "value"))
+    out = add_rolling_features(
+        ev, id_col="user_id", time_col="ts", value_cols=["value"], window=4,
+        fns=("median",), tiebreak=["event_id"],
+    )
+    return _round_cols(out, ["value_roll_median_4"])
+
+
+def q_value_ranks_by_user(sf_dir: str):
+    """Per-entity RANK / DENSE_RANK / PERCENT_RANK by value — order-free
+    within the entity, so only co-location is required (one exchange)."""
+    from temporalscope_ray.stages.window_features import add_rank_features
+
+    ev = _events(sf_dir, ("event_id", "ts", "user_id", "value"))
+    out = add_rank_features(
+        ev, id_col="user_id", value_col="value",
+        methods=("rank", "dense_rank", "pct_rank"),
+    )
+    return _round_cols(out, ["value_pct_rank"])
+
+
+def q_ewm_value_by_user(sf_dir: str):
+    """Per-entity EWMA (alpha=0.3, adjust=False recursion) over the
+    (ts, event_id) order — zero-leakage smoothing; the oracle is the
+    closed-form weighted sum, so null values are filtered on BOTH
+    sides (pandas would carry the previous EWM through them)."""
+    from temporalscope_ray.stages.window_features import add_ewm_features
+
+    ev = _events(sf_dir, ("event_id", "ts", "user_id", "value")).map_batches(
+        lambda t: t.filter(pa.compute.is_valid(t.column("value"))),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    out = add_ewm_features(
+        ev, id_col="user_id", time_col="ts", value_cols=["value"],
+        alpha=0.3, tiebreak=["event_id"],
+    )
+
+    # floor-quantize to int64 micro-units with a 12-digit offset:
+    # the recursion and the oracle's closed-form sum agree to ~1e-14,
+    # but early-chain EWM values are EXACT 1e-6 decimals (step i has
+    # i+1 decimal digits), so a bare floor(x*1e6) sits on a knife
+    # edge and ROUND's half-rule differs between numpy (half-even)
+    # and DuckDB (half-away). The offset moves every representable
+    # short decimal ~1e-12 micro away from a floor boundary — far
+    # beyond the 1e-14 cross-side noise.
+    def quant(t: pa.Table) -> pa.Table:
+        e = t.column("value_ewm").to_numpy(zero_copy_only=False)
+        micro = np.floor(e * 1e6 + 0.112233445566).astype(np.int64)
+        return t.drop_columns(["value_ewm"]).append_column(
+            "value_ewm_micro", pa.array(micro)
+        )
+
+    return out.map_batches(quant, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_unpivot_lineitem(sf_dir: str):
+    """Wide→long melt of three lineitem measures — stateless zero-copy
+    Arrow gather per batch, zero shuffle."""
+    from temporalscope_ray.stages.reshape import unpivot
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_quantity",
+                        "l_extendedprice", "l_discount"])
+    return unpivot(
+        li, id_cols=["l_orderkey", "l_linenumber"],
+        value_cols=["l_quantity", "l_extendedprice", "l_discount"],
+        var_name="measure", value_name="val",
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
     return q_flagship("/root/testdata/sf0.001")
@@ -905,6 +981,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_pivot": q_event_type_pivot,
         "value_histogram_events": q_value_histogram_events,
         "cumulative_events_by_user": q_cumulative_events_by_user,
+        "rolling_median_4": q_rolling_median4,
+        "value_ranks_by_user": q_value_ranks_by_user,
+        "ewm_value_by_user": q_ewm_value_by_user,
+        "unpivot_lineitem": q_unpivot_lineitem,
     }
 
 
@@ -1464,5 +1544,47 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS UNBOUNDED PRECEDING)
+        """,
+        "rolling_median_4": """
+            SELECT event_id, ts, user_id, value,
+                   ROUND(MEDIAN(value) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id
+                             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+                         6) AS value_roll_median_4
+            FROM events
+        """,
+        "value_ranks_by_user": """
+            SELECT event_id, ts, user_id, value,
+                   RANK() OVER w AS value_rank,
+                   DENSE_RANK() OVER w AS value_dense_rank,
+                   ROUND(PERCENT_RANK() OVER w, 6) AS value_pct_rank
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY value)
+        """,
+        "ewm_value_by_user": """
+            WITH t AS (
+                SELECT event_id, ts, user_id, value,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM events WHERE value IS NOT NULL
+            )
+            SELECT a.event_id, a.ts, a.user_id, a.value,
+                   CAST(FLOOR(SUM(b.value * POWER(0.7, a.rn - b.rn)
+                              * CASE WHEN b.rn = 1 THEN 1.0 ELSE 0.3 END) * 1e6
+                              + 0.112233445566)
+                        AS BIGINT) AS value_ewm_micro
+            FROM t a JOIN t b ON a.user_id = b.user_id AND b.rn <= a.rn
+            GROUP BY a.event_id, a.ts, a.user_id, a.value
+        """,
+        "unpivot_lineitem": """
+            SELECT l_orderkey, l_linenumber,
+                   'l_quantity' AS measure, CAST(l_quantity AS DOUBLE) AS val
+            FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+            FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+            FROM lineitem
         """,
     }

@@ -25,7 +25,7 @@ import ray.data
 
 from . import grouped
 
-_ROLL_FNS = {"mean", "sum", "min", "max", "std", "count"}
+_ROLL_FNS = {"mean", "sum", "min", "max", "std", "count", "median"}
 _FAST_ROLL_FNS = {"mean", "sum", "count"}
 
 
@@ -166,6 +166,91 @@ def add_cumulative_features(
                 out[f"{col}_{op}"] = gb[col].transform(op)
         if row_number:
             out[row_number] = (gb.cumcount() + 1).astype(np.int64)
+        return out
+
+    return grouped.grouped_ordered_map(ds, id_col, order, fn, num_buckets=num_buckets)
+
+
+def add_rank_features(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str,
+    value_col: str,
+    methods: Sequence[str] = ("rank",),
+    num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+) -> ray.data.Dataset:
+    """Per-entity value ranks: ``{col}_rank`` (SQL ``RANK()`` — ties
+    share the min rank, gaps after), ``{col}_dense_rank``,
+    ``{col}_pct_rank`` (SQL ``PERCENT_RANK() = (rank-1)/(n-1)``, 0 for
+    a single-row entity). Rank is order-free within the entity (it
+    depends only on values) so the only requirement is entity
+    co-location — the same one-exchange bucket plan; nulls rank last
+    and keep SQL's behavior of *ranking* (DuckDB ranks NULLS LAST by
+    default).
+
+    All three are pandas' Cython grouped rank kernels — no Python loop
+    per entity.
+    """
+    allowed = {"rank", "dense_rank", "pct_rank"}
+    bad = set(methods) - allowed
+    if bad:
+        raise ValueError(f"add_rank_features: unsupported methods {sorted(bad)}")
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.copy()
+        seg_id = _segment_ids(grouped.entity_segments(g[id_col].to_numpy()))
+        gb = g.groupby(seg_id, sort=False)[value_col]
+        if "rank" in methods or "pct_rank" in methods:
+            r = gb.rank(method="min", na_option="bottom")
+            if "rank" in methods:
+                out[f"{value_col}_rank"] = r.astype(np.int64)
+            if "pct_rank" in methods:
+                n = gb.transform("size").to_numpy(dtype=np.float64)
+                out[f"{value_col}_pct_rank"] = np.where(
+                    n > 1, (r.to_numpy() - 1.0) / np.maximum(n - 1.0, 1.0), 0.0
+                )
+        if "dense_rank" in methods:
+            out[f"{value_col}_dense_rank"] = gb.rank(
+                method="dense", na_option="bottom"
+            ).astype(np.int64)
+        return out
+
+    # order only for determinism of the bucket layout; ranks don't read it
+    return grouped.grouped_ordered_map(ds, id_col, [value_col], fn, num_buckets=num_buckets)
+
+
+def add_ewm_features(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str,
+    time_col: str,
+    value_cols: Sequence[str],
+    alpha: float,
+    num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+    tiebreak: Optional[Sequence[str]] = None,
+) -> ray.data.Dataset:
+    """Per-entity exponentially-weighted moving average over the
+    ``(id, ts)`` order: ``{col}_ewm`` with the recursive
+    ``adjust=False`` definition ``e_1 = v_1;
+    e_i = (1-alpha)·e_{i-1} + alpha·v_i`` — the zero-leakage smoothing
+    feature (reads only the past). NaN observations carry the previous
+    EWM forward (pandas ``ignore_na=False`` decay semantics are NOT
+    used; missing rows simply don't update). One entity-bucket
+    exchange; the kernel is pandas' Cython grouped ewm.
+    """
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError("add_ewm_features: alpha must be in (0, 1]")
+    order = [time_col, *(tiebreak or [])]
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.copy()
+        seg_id = _segment_ids(grouped.entity_segments(g[id_col].to_numpy()))
+        ew = g.groupby(seg_id, sort=False)[list(value_cols)].ewm(
+            alpha=alpha, adjust=False, ignore_na=True
+        ).mean()
+        res = ew.reset_index(level=0, drop=True)
+        for col in value_cols:
+            out[f"{col}_ewm"] = res[col].to_numpy()
         return out
 
     return grouped.grouped_ordered_map(ds, id_col, order, fn, num_buckets=num_buckets)
