@@ -916,6 +916,25 @@ def q_unpivot_lineitem(sf_dir: str):
     )
 
 
+def q_sample3_docs_per_lang(sf_dir: str):
+    """Deterministic per-group cap (≤3 docs per language by md5-hash
+    order) — the 'at most n per domain' corpus-rebalancing move; the
+    k-cap combiner means a hot language moves ≤3 rows per block."""
+    from temporalscope_ray.stages.sampling import sample_per_group
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    return sample_per_group(docs, "lang", "doc_id", n=3, salt="s1")
+
+
+def q_json_extract_props(sf_dir: str):
+    """Top-level scalar JSON field extraction from events.props via a
+    single compiled vectorized regex (no per-row json.loads)."""
+    from temporalscope_ray.stages.text import json_extract_scalar
+
+    ev = _events(sf_dir, ("event_id", "props"))
+    return json_extract_scalar(ev, "props", "k", out_col="k", out_type="int64")
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
     return q_flagship("/root/testdata/sf0.001")
@@ -985,6 +1004,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_ranks_by_user": q_value_ranks_by_user,
         "ewm_value_by_user": q_ewm_value_by_user,
         "unpivot_lineitem": q_unpivot_lineitem,
+        "sample3_docs_per_lang": q_sample3_docs_per_lang,
+        "json_extract_props": q_json_extract_props,
     }
 
 
@@ -1586,5 +1607,17 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
             FROM lineitem
+        """,
+        "sample3_docs_per_lang": """
+            SELECT doc_id, lang, n_chars FROM documents
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY lang
+                ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR) || 's1') DESC,
+                         doc_id) <= 3
+        """,
+        "json_extract_props": """
+            SELECT event_id, props,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events
         """,
     }

@@ -152,3 +152,43 @@ def stratified_sample(
         return batch.filter(pa.array(u.astype(np.uint64) < thr))
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sample_per_group(
+    ds: ray.data.Dataset,
+    group_col: str,
+    key_col: str,
+    *,
+    n: int,
+    salt: str = "",
+    portable: bool = True,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Deterministic per-group cap: keep the ``n`` rows of each group
+    with the LARGEST ``hash(key‖salt)`` — an unbiased reproducible
+    sample (hash order is independent of row order, block layout and
+    parallelism; change ``salt`` to draw a different sample). The
+    standard "at most n documents per domain/language" rebalancing
+    move for web-corpus training data.
+
+    Rides ``group_top_k``'s k-cap combiner, so a hot group moves at
+    most ``n`` rows per block through the one hash exchange — never
+    its full row count. ``portable=True`` keys on md5-lower-64 of the
+    key's decimal string (DuckDB ``md5_number_lower(CAST(key AS
+    VARCHAR) || salt)``), making the exact selection SQL-replayable.
+    """
+    from .grouped import group_top_k
+
+    if n < 1:
+        raise ValueError("sample_per_group: n must be >= 1")
+    hcol = "__smp_hash__"
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        u = _key_units(batch.column(key_col).to_pandas(), salt=salt, portable=portable)
+        return batch.append_column(hcol, pa.array(u.astype(np.uint64)))
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
+    capped = group_top_k(
+        hashed, group_col, hcol, k=n, tiebreak=[key_col], num_buckets=num_buckets
+    )
+    return capped.drop_columns([hcol])

@@ -254,3 +254,59 @@ def tfidf_score(
         return pa.Table.from_pandas(out, preserve_index=False)
 
     return ds.select_columns([id_col, text_col]).map_batches(score, batch_format="pyarrow")
+
+
+def json_extract_scalar(
+    ds: ray.data.Dataset,
+    json_col: str,
+    key: str,
+    *,
+    out_col: str | None = None,
+    out_type: str = "string",
+) -> ray.data.Dataset:
+    """Extract a TOP-LEVEL scalar field from a JSON string column —
+    the metadata-unpacking step of every event/web-corpus pipeline
+    (``props -> {"k": 42}``).
+
+    Vectorized fast path: one compiled regex over the whole column via
+    ``pandas.str.extract`` (C-speed, no per-row json.loads). Honest
+    scope: top-level scalar keys only — strings, numbers, booleans,
+    null; nested objects/arrays and keys containing escaped quotes
+    need a real parser and raise ValueError here rather than silently
+    mis-extracting. Matches SQL ``json_extract_string(col, '$.key')``
+    for that scope. Missing key / null JSON → null.
+
+    ``out_type``: "string" | "int64" | "float64" (numeric casts parse
+    the extracted token; non-numeric tokens become null, like SQL
+    TRY_CAST).
+    """
+    import re as _re
+
+    import pyarrow as pa
+
+    if _re.search(r'[\\"\[\]{}.$]', key):
+        raise ValueError(
+            f"json_extract_scalar: key {key!r} needs a real JSON parser "
+            "(nested paths / special characters are out of scope)"
+        )
+    if out_type not in ("string", "int64", "float64"):
+        raise ValueError(f"json_extract_scalar: unsupported out_type '{out_type}'")
+    out_col = out_col or key
+    # value token: quoted string (no escapes) or bare literal up to , or }
+    pat = _re.compile(r'"' + _re.escape(key) + r'"\s*:\s*(?:"([^"\\]*)"|([^,}\s]+))')
+
+    def extract(batch: pa.Table) -> pa.Table:
+        s = batch.column(json_col).to_pandas().astype("string")
+        m = s.str.extract(pat, expand=True)
+        val = m[0].fillna(m[1])  # quoted group else bare group
+        val = val.where(val != "null")  # JSON null -> SQL NULL
+        if out_type == "string":
+            arr = pa.array(val, type=pa.string())
+        elif out_type == "int64":
+            num = pd.to_numeric(val, errors="coerce")
+            arr = pa.array(num.astype("Int64"), type=pa.int64())
+        else:
+            arr = pa.array(pd.to_numeric(val, errors="coerce"), type=pa.float64())
+        return batch.append_column(out_col, arr)
+
+    return ds.map_batches(extract, batch_format="pyarrow", zero_copy_batch=True)
