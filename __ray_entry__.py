@@ -935,6 +935,30 @@ def q_json_extract_props(sf_dir: str):
     return json_extract_scalar(ev, "props", "k", out_col="k", out_type="int64")
 
 
+def q_top_bigrams(sf_dir: str):
+    """Corpus top-30 token bigrams — n-grams built from ONE exploded
+    token array via shifted-array concat masked at document
+    boundaries (no per-document loop), then the value_counts combiner
+    and term-hash exchange."""
+    from temporalscope_ray.stages.text import top_ngrams
+
+    docs = _read(sf_dir, "documents", columns=["text"])
+    return top_ngrams(docs, "text", n=2, k=30)
+
+
+def q_value_ntile4_by_user(sf_dir: str):
+    """SQL NTILE(4) per entity over the (value, event_id) total order
+    — exact earlier-buckets-get-the-extra-row arithmetic, vectorized
+    across all entities in the bucket at once."""
+    from temporalscope_ray.stages.window_features import add_rank_features
+
+    ev = _events(sf_dir, ("event_id", "user_id", "value"))
+    return add_rank_features(
+        ev, id_col="user_id", value_col="value", methods=(),
+        ntile=4, tiebreak=["event_id"],
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
     return q_flagship("/root/testdata/sf0.001")
@@ -1006,6 +1030,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unpivot_lineitem": q_unpivot_lineitem,
         "sample3_docs_per_lang": q_sample3_docs_per_lang,
         "json_extract_props": q_json_extract_props,
+        "top_bigrams_30": q_top_bigrams,
+        "value_ntile4_by_user": q_value_ntile4_by_user,
     }
 
 
@@ -1618,6 +1644,21 @@ def oracle_sql() -> dict[str, str]:
         "json_extract_props": """
             SELECT event_id, props,
                    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events
+        """,
+        "top_bigrams_30": """
+            WITH t AS (SELECT regexp_extract_all(lower(text), '\\w+') AS toks
+                       FROM documents),
+            g AS (SELECT toks[i] || ' ' || toks[i+1] AS term FROM t
+                  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(toks)-1)) AS i) u
+                  WHERE len(toks) >= 2)
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM g
+            GROUP BY 1 ORDER BY cnt DESC, term LIMIT 30
+        """,
+        "value_ntile4_by_user": """
+            SELECT event_id, user_id, value,
+                   NTILE(4) OVER (PARTITION BY user_id
+                                  ORDER BY value, event_id) AS value_ntile
             FROM events
         """,
     }

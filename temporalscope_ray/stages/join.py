@@ -156,6 +156,9 @@ def equi_join(
                 f"equi_join: key '{c}' type mismatch: {ls.field(c).type} vs {rs.field(c).type}"
             )
     if broadcast is None:
+        # materialize once: count() would otherwise execute the right
+        # plan, and the broadcast refs would execute it a second time
+        right = right.materialize()
         broadcast = right.count() <= _BROADCAST_ROW_LIMIT
     if broadcast:
         out_schema = _out_schema(ls, rs, on, how)

@@ -310,3 +310,51 @@ def json_extract_scalar(
         return batch.append_column(out_col, arr)
 
     return ds.map_batches(extract, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def top_ngrams(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    *,
+    n: int = 2,
+    k: int = 50,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Corpus top-k token n-grams (same portable ``\\w+``-on-lowered
+    tokenization as ``top_terms``; gram = tokens joined by one space).
+    The phrase-level vocabulary probe — boilerplate detection, common
+    collocations, contamination fingerprints.
+
+    Vectorized n-gram construction: tokens are exploded ONCE with
+    their source-row index, then the n-gram of position i is the
+    string-concat of n shifted token arrays, masked where the window
+    crosses a document boundary — no per-document Python loop. Then
+    the standard value_counts combiner → term-hash exchange →
+    vocabulary-sized sort/limit."""
+    import pyarrow as pa
+
+    from .grouped import hash_groupby_aggregate
+
+    if n < 2:
+        raise ValueError("top_ngrams: n must be >= 2 (use top_terms for unigrams)")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col).to_pandas().fillna("").astype(str)
+        toks = s.str.lower().str.findall(r"\w+").explode().dropna()
+        vals = toks.to_numpy(dtype=object)
+        doc = toks.index.to_numpy()
+        m = len(vals) - (n - 1)
+        if m <= 0:
+            return pa.table({"term": pa.array([], type=pa.string()),
+                             "cnt": pa.array([], type=pa.int64())})
+        grams = vals[:m]
+        ok = doc[:m] == doc[n - 1:]
+        for j in range(1, n):
+            grams = grams + " " + vals[j:m + j]
+        counts = pd.Series(grams[ok]).value_counts(sort=False)
+        return pa.table({"term": pa.array(counts.index.astype(str)),
+                         "cnt": pa.array(counts.to_numpy(dtype=np.int64))})
+
+    parts = ds.select_columns([text_col]).map_batches(partial, batch_format="pyarrow")
+    agg = hash_groupby_aggregate(parts, ["term"], {"cnt": ("cnt", "sum")}, num_buckets=num_buckets)
+    return agg.sort(["cnt", "term"], descending=[True, False]).limit(k)

@@ -171,12 +171,28 @@ def add_cumulative_features(
     return grouped.grouped_ordered_map(ds, id_col, order, fn, num_buckets=num_buckets)
 
 
+def _sql_ntile(rn: np.ndarray, n: np.ndarray, b: int) -> np.ndarray:
+    """SQL NTILE(b) from 1-based row numbers ``rn`` and per-row
+    partition sizes ``n`` (both arrays — fully vectorized across all
+    partitions at once): bucket sizes differ by at most one, EARLIER
+    buckets get the extra row (q = n//b, first n%b buckets have q+1
+    rows) — reproduced exactly, not approximated with qcut. Partitions
+    with fewer rows than buckets put row i in bucket i."""
+    q, r = np.divmod(n, b)
+    big = r * (q + 1)
+    qs = np.maximum(q, 1)
+    full = np.where(rn <= big, (rn - 1) // (q + 1) + 1, r + (rn - 1 - big) // qs + 1)
+    return np.where(q == 0, rn, full).astype(np.int64)
+
+
 def add_rank_features(
     ds: ray.data.Dataset,
     *,
     id_col: str,
     value_col: str,
     methods: Sequence[str] = ("rank",),
+    ntile: Optional[int] = None,
+    tiebreak: Optional[Sequence[str]] = None,
     num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
 ) -> ray.data.Dataset:
     """Per-entity value ranks: ``{col}_rank`` (SQL ``RANK()`` — ties
@@ -195,6 +211,11 @@ def add_rank_features(
     bad = set(methods) - allowed
     if bad:
         raise ValueError(f"add_rank_features: unsupported methods {sorted(bad)}")
+    if ntile is not None and ntile < 1:
+        raise ValueError("add_rank_features: ntile must be >= 1")
+    # ntile reads ROW order, so ties need a total order (SQL leaves
+    # tie placement implementation-defined; we pin it with tiebreak)
+    order = [value_col, *(tiebreak or [])]
 
     def fn(g: pd.DataFrame) -> pd.DataFrame:
         out = g.copy()
@@ -213,10 +234,14 @@ def add_rank_features(
             out[f"{value_col}_dense_rank"] = gb.rank(
                 method="dense", na_option="bottom"
             ).astype(np.int64)
+        if ntile is not None:
+            gobj = g.groupby(seg_id, sort=False)
+            rn = (gobj.cumcount() + 1).to_numpy(dtype=np.int64)
+            n = gobj[value_col].transform("size").to_numpy(dtype=np.int64)
+            out[f"{value_col}_ntile"] = _sql_ntile(rn, n, ntile)
         return out
 
-    # order only for determinism of the bucket layout; ranks don't read it
-    return grouped.grouped_ordered_map(ds, id_col, [value_col], fn, num_buckets=num_buckets)
+    return grouped.grouped_ordered_map(ds, id_col, order, fn, num_buckets=num_buckets)
 
 
 def add_ewm_features(

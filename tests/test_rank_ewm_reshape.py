@@ -109,3 +109,53 @@ def test_unpivot_rejects_missing_and_mixed(ray_session):
         unpivot(ds, id_cols=["k"], value_cols=["nope"])
     with pytest.raises(ValueError, match="non-numeric"):
         unpivot(ds, id_cols=["k"], value_cols=["x", "s"])
+
+
+def test_ntile_sql_arithmetic(ray_session):
+    from temporalscope_ray.stages.window_features import _sql_ntile
+
+    # 7 rows, 3 buckets: q=2, r=1 -> sizes [3, 2, 2]
+    rn = np.arange(1, 8, dtype=np.int64)
+    n = np.full(7, 7, dtype=np.int64)
+    assert _sql_ntile(rn, n, 3).tolist() == [1, 1, 1, 2, 2, 3, 3]
+    # fewer rows than buckets: row i -> bucket i
+    rn = np.arange(1, 3, dtype=np.int64)
+    n = np.full(2, 2, dtype=np.int64)
+    assert _sql_ntile(rn, n, 5).tolist() == [1, 2]
+
+
+def test_add_rank_features_ntile(ray_session):
+    from temporalscope_ray.stages.window_features import add_rank_features
+
+    ds = ray.data.from_arrow(
+        pa.table({"id": ["a"] * 5, "k": [1, 2, 3, 4, 5],
+                  "v": [50.0, 10.0, 40.0, 20.0, 30.0]})
+    )
+    out = (
+        add_rank_features(ds, id_col="id", value_col="v", methods=(),
+                          ntile=2, tiebreak=["k"], num_buckets=2)
+        .to_pandas()
+        .sort_values("v")
+        .reset_index(drop=True)
+    )
+    # value order 10,20,30,40,50 -> buckets [1,1,1,2,2] (first gets extra)
+    assert out["v_ntile"].tolist() == [1, 1, 1, 2, 2]
+
+
+def test_top_ngrams_boundaries(ray_session):
+    from temporalscope_ray.stages.text import top_ngrams
+
+    ds = ray.data.from_arrow(
+        pa.table({"text": ["the cat sat", "the cat", "dog", None, ""]})
+    )
+    out = top_ngrams(ds, "text", n=2, k=10).to_pandas()
+    got = dict(zip(out["term"], out["cnt"]))
+    # 'the cat' appears in both docs; no gram crosses documents,
+    # single-token and empty/null docs emit nothing
+    assert got == {"the cat": 2, "cat sat": 1}
+
+    tri = top_ngrams(ds, "text", n=3, k=10).to_pandas()
+    assert dict(zip(tri["term"], tri["cnt"])) == {"the cat sat": 1}
+
+    with pytest.raises(ValueError, match="n must be"):
+        top_ngrams(ds, "text", n=1)
