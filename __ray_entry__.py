@@ -959,6 +959,68 @@ def q_value_ntile4_by_user(sf_dir: str):
     )
 
 
+def _custkey_sides(sf_dir: str):
+    cust = _read(sf_dir, "customer", columns=["c_custkey"]).map_batches(
+        lambda t: t.rename_columns(["custkey"]), batch_format="pyarrow", zero_copy_batch=True
+    )
+    # a strict subset of ordering customers (orderkey & 3 == 0) so the
+    # EXCEPT result is non-trivial
+    ords = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).map_batches(
+        lambda t: t.filter(
+            pa.compute.equal(pa.compute.bit_wise_and(t.column("o_orderkey"), 3), 0)
+        ).select(["o_custkey"]).rename_columns(["custkey"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return cust, ords
+
+
+def q_except_customers(sf_dir: str):
+    """SQL EXCEPT (distinct, null-safe row equality): per-block
+    distinct combiner → one row-digest hash exchange → per-bucket
+    merge-indicator — digest bucketing cannot hot-spot."""
+    from temporalscope_ray.stages.setops import except_distinct
+
+    cust, ords = _custkey_sides(sf_dir)
+    return except_distinct(cust, ords)
+
+
+def q_intersect_customers(sf_dir: str):
+    """SQL INTERSECT on the same plan as EXCEPT."""
+    from temporalscope_ray.stages.setops import intersect_distinct
+
+    cust, ords = _custkey_sides(sf_dir)
+    return intersect_distinct(cust, ords)
+
+
+def q_explode_embeddings(sf_dir: str):
+    """UNNEST WITH ORDINALITY of the embedding list column — pure
+    Arrow offsets arithmetic per batch (flatten + index-take), zero
+    shuffle; 32k rows in, 32k×d rows out at sf0.001."""
+    from temporalscope_ray.stages.reshape import explode_list
+
+    emb = _read(sf_dir, "embeddings").select_columns(["vec_id", "embedding"])
+    out = explode_list(emb, "embedding", idx_col="dim", value_name="component")
+
+    def r(t: pa.Table) -> pa.Table:
+        c = t.column("component").to_numpy(zero_copy_only=False).astype(np.float64)
+        return t.drop_columns(["component"]).append_column(
+            "component", pa.array(np.round(c, 6))
+        )
+
+    return out.map_batches(r, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_value_quantiles_by_type(sf_dir: str):
+    """Exact per-group p50/p90 (linear interpolation = SQL
+    quantile_cont): quantiles are holistic, so the one exchange moves
+    the projected (key, value) pairs, never full rows."""
+    from temporalscope_ray.stages.agg import grouped_quantile
+
+    ev = _events(sf_dir, ("event_type", "value"))
+    out = grouped_quantile(ev, "event_type", "value", q=[0.5, 0.9])
+    return _round_cols(out, ["value_p50", "value_p90"])
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
     return q_flagship("/root/testdata/sf0.001")
@@ -1032,6 +1094,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_extract_props": q_json_extract_props,
         "top_bigrams_30": q_top_bigrams,
         "value_ntile4_by_user": q_value_ntile4_by_user,
+        "except_customers": q_except_customers,
+        "intersect_customers": q_intersect_customers,
+        "explode_embeddings": q_explode_embeddings,
+        "value_quantiles_by_type": q_value_quantiles_by_type,
     }
 
 
@@ -1660,5 +1726,27 @@ def oracle_sql() -> dict[str, str]:
                    NTILE(4) OVER (PARTITION BY user_id
                                   ORDER BY value, event_id) AS value_ntile
             FROM events
+        """,
+        "except_customers": """
+            SELECT c_custkey AS custkey FROM customer
+            EXCEPT
+            SELECT o_custkey FROM orders WHERE o_orderkey & 3 = 0
+        """,
+        "intersect_customers": """
+            SELECT c_custkey AS custkey FROM customer
+            INTERSECT
+            SELECT o_custkey FROM orders WHERE o_orderkey & 3 = 0
+        """,
+        "explode_embeddings": """
+            SELECT vec_id, u.i - 1 AS dim,
+                   ROUND(CAST(embedding[u.i] AS DOUBLE), 6) AS component
+            FROM embeddings
+            CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) u
+        """,
+        "value_quantiles_by_type": """
+            SELECT event_type,
+                   ROUND(quantile_cont(value, 0.5), 6) AS value_p50,
+                   ROUND(quantile_cont(value, 0.9), 6) AS value_p90
+            FROM events GROUP BY 1
         """,
     }

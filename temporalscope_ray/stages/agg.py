@@ -24,7 +24,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from .grouped import BUCKET_COL, DEFAULT_NUM_BUCKETS, hash_groupby_aggregate, hash_key_column
+from .grouped import BUCKET_COL, DEFAULT_NUM_BUCKETS, hash_groupby_aggregate, hash_key_column, with_bucket
 
 _US = {"s": 1_000_000, "min": 60_000_000, "h": 3_600_000_000, "d": 86_400_000_000}
 
@@ -216,3 +216,49 @@ def value_histogram(
     return pa.table(
         {"bin": np.arange(bins, dtype=np.int64), "bin_lo": bin_lo, "count": total}
     )
+
+
+def grouped_quantile(
+    ds: ray.data.Dataset,
+    keys: "str | Sequence[str]",
+    value_col: str,
+    *,
+    q: "float | Sequence[float]",
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+) -> ray.data.Dataset:
+    """Exact per-group quantiles with linear interpolation — numpy's
+    default method, identical to SQL ``quantile_cont`` / ``MEDIAN``.
+
+    Quantiles are holistic (not algebraic), so unlike the
+    combiner-able aggregates this op must co-locate each group's
+    values: one hash exchange of the PROJECTED ``(keys, value)``
+    pairs (never the full rows), then a vectorized per-bucket pandas
+    groupby-quantile. Nulls are dropped per group (SQL aggregate
+    semantics); an all-null group yields null. For
+    monitoring-grade percentiles at extreme cardinality a mergeable
+    sketch is cheaper — this is deliberately the exact path (same
+    contract as ``stats.exact_quantiles`` for the global case).
+
+    Output: one row per group with ``{value_col}_p{percent}`` columns.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    qs = [q] if isinstance(q, (int, float)) else list(q)
+    if any(not (0.0 <= x <= 1.0) for x in qs):
+        raise ValueError("grouped_quantile: q values must be in [0, 1]")
+
+    def col_name(x: float) -> str:
+        pct = round(float(x) * 100, 6)
+        s = f"{pct:g}".replace(".", "_")
+        return f"{value_col}_p{s}"
+
+    proj = ds.select_columns([*keys, value_col])
+    bucketed = with_bucket(proj, keys[0], num_buckets)
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        df = t.drop_columns([BUCKET_COL]).to_pandas()
+        gb = df.groupby(keys, sort=False, dropna=False)[value_col]
+        pieces = {col_name(x): gb.quantile(x) for x in qs}
+        out = pd.DataFrame(pieces).reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return bucketed.groupby(BUCKET_COL).map_groups(per_bucket, batch_format="pyarrow")

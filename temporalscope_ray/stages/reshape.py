@@ -80,3 +80,53 @@ def unpivot(
         return pa.table(cols)
 
     return ds.map_batches(melt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def explode_list(
+    ds: ray.data.Dataset,
+    list_col: str,
+    *,
+    idx_col: str = "idx",
+    value_name: str = "value",
+    keep_cols: Sequence[str] | None = None,
+) -> ray.data.Dataset:
+    """UNNEST a ``list<T>`` column WITH ORDINALITY: each input row
+    yields one output row per element — ``(*keep_cols,
+    idx_col=0-based position, value_name=element)``. Empty and null
+    lists yield no rows (SQL UNNEST semantics).
+
+    Pure Arrow per batch: the element buffer comes out via
+    ``flatten()`` (no element copies), parents are index-taken with
+    repeat counts from the list offsets, positions are one arange
+    minus the repeated offsets. Zero shuffle.
+    """
+    from ..core import _schema
+
+    schema = _schema(ds)
+    if list_col not in schema.names:
+        raise ValueError(f"explode_list: column '{list_col}' not in dataset")
+    if not pa.types.is_list(schema.field(list_col).type) and not pa.types.is_large_list(
+        schema.field(list_col).type
+    ):
+        raise ValueError(
+            f"explode_list: column '{list_col}' is {schema.field(list_col).type}, not a list"
+        )
+    keep = [c for c in (keep_cols if keep_cols is not None else schema.names) if c != list_col]
+
+    def ex(t: pa.Table) -> pa.Table:
+        arr = t.column(list_col).combine_chunks()
+        lens = arr.value_lengths().to_numpy(zero_copy_only=False)
+        lens = np.where(np.isnan(lens.astype(np.float64)), 0, lens).astype(np.int64)
+        parent = np.repeat(np.arange(t.num_rows, dtype=np.int64), lens)
+        # element position within its list: arange over the flat buffer
+        # minus each element's list start
+        starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        pos = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(starts, lens)
+        flat = arr.flatten()
+        take = pa.array(parent)
+        cols = {c: t.column(c).take(take) for c in keep}
+        cols[idx_col] = pa.array(pos)
+        cols[value_name] = flat
+        return pa.table(cols)
+
+    return ds.map_batches(ex, batch_format="pyarrow", zero_copy_batch=True)

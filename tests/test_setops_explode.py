@@ -1,0 +1,83 @@
+"""Unit tests for set operations, list explode, grouped quantiles."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from temporalscope_ray.stages.agg import grouped_quantile
+from temporalscope_ray.stages.reshape import explode_list
+from temporalscope_ray.stages.setops import except_distinct, intersect_distinct
+
+
+def test_setops_distinct_and_null_safe(ray_session):
+    l = ray.data.from_arrow(
+        pa.table({"a": [1, 1, 2, 3, None], "b": ["x", "x", "y", "z", None]})
+    )
+    r = ray.data.from_arrow(pa.table({"a": [2, None], "b": ["y", None]}))
+    ex = (
+        except_distinct(l, r, num_buckets=4)
+        .to_pandas()
+        .sort_values("a")
+        .reset_index(drop=True)
+    )
+    # duplicates collapse; (2,y) and the all-null row are null-safe-equal
+    assert ex["a"].tolist() == [1, 3]
+    it = intersect_distinct(l, r, num_buckets=4).to_pandas()
+    assert len(it) == 2
+    assert set(it["b"].dropna()) == {"y"}
+    assert it["a"].isna().sum() == 1  # the all-null row intersects
+
+
+def test_setops_reject_schema_mismatch(ray_session):
+    l = ray.data.from_arrow(pa.table({"a": [1]}))
+    r = ray.data.from_arrow(pa.table({"b": [1]}))
+    with pytest.raises(ValueError, match="schemas must match"):
+        except_distinct(l, r)
+
+
+def test_explode_list_ordinality_and_empty(ray_session):
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": [1, 2, 3, 4],
+                "v": pa.array([[10.0, 11.0], [], None, [42.0]],
+                              type=pa.list_(pa.float64())),
+            }
+        )
+    )
+    out = (
+        explode_list(ds, "v", idx_col="i", value_name="x")
+        .to_pandas()
+        .sort_values(["k", "i"])
+        .reset_index(drop=True)
+    )
+    assert out["k"].tolist() == [1, 1, 4]  # empty + null lists emit nothing
+    assert out["i"].tolist() == [0, 1, 0]
+    assert out["x"].tolist() == [10.0, 11.0, 42.0]
+
+
+def test_explode_list_rejects_non_list(ray_session):
+    ds = ray.data.from_arrow(pa.table({"k": [1]}))
+    with pytest.raises(ValueError, match="not a list"):
+        explode_list(ds, "k")
+
+
+def test_grouped_quantile_matches_numpy(ray_session):
+    rng = np.random.default_rng(5)
+    g = np.repeat(["a", "b"], 50)
+    v = rng.normal(size=100)
+    v[3] = np.nan  # nulls dropped per group
+    ds = ray.data.from_arrow(pa.table({"g": g, "v": v}))
+    out = (
+        grouped_quantile(ds, "g", "v", q=0.5, num_buckets=4)
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    exp_a = np.nanquantile(v[:50], 0.5)
+    exp_b = np.nanquantile(v[50:], 0.5)
+    assert out["v_p50"].tolist() == pytest.approx([exp_a, exp_b])
+    with pytest.raises(ValueError, match="must be in"):
+        grouped_quantile(ds, "g", "v", q=1.5)
