@@ -188,6 +188,18 @@ def q_asof_latest_order_tol(sf_dir: str):
                      right_cols=["o_totalprice"], tolerance=pd.Timedelta(days=7))
 
 
+def q_asof_next_order(sf_dir: str):
+    """direction='forward' as-of: each event reads the NEXT order
+    state at-or-after its timestamp (the look-ahead labeling join —
+    deliberate future access, the mirror of the zero-leakage backward
+    default)."""
+    from temporalscope_ray.stages.asof import asof_join
+
+    ev = _events(sf_dir, ("event_id", "ts", "user_id", "value"))
+    return asof_join(ev, _order_state(sf_dir), on="ts", by="user_id", broadcast=True,
+                     right_cols=["o_totalprice"], direction="forward")
+
+
 def q_asof_bucketed(sf_dir: str):
     from temporalscope_ray.stages.asof import asof_join
 
@@ -776,6 +788,33 @@ def q_left_join_orders_customer(sf_dir: str):
     return equi_join(orders, cust, "o_custkey", how="left", broadcast=True)
 
 
+def q_full_join_orders_customer(sf_dir: str):
+    """Bucketed FULL OUTER equi-join: orders restricted to odd order
+    keys × customers with acctbal > 5000 — both sides contribute
+    unmatched rows with typed nulls on the other side."""
+    from temporalscope_ray.stages.join import equi_join
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"]).map_batches(
+        lambda t: t.filter(
+            pa.compute.equal(pa.compute.bit_wise_and(t.column("o_orderkey"), 7), 0)
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal"]).map_batches(
+        lambda t: t.rename_columns(["o_custkey", "c_name", "c_acctbal"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).filter(expr="c_acctbal > 5000")
+    out = equi_join(orders, cust, "o_custkey", how="full", broadcast=False)
+
+    # nullable-int columns (unmatched rows) compare driver-side as
+    # float64 — cast on BOTH sides so the value hash sees one type
+    def f64(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("o_orderkey")
+        return t.set_column(i, "o_orderkey", t.column("o_orderkey").cast(pa.float64()))
+
+    return out.map_batches(f64, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_hourly_event_stats(sf_dir: str):
     """Tumbling 1-hour window aggregate via the combiner → one-hash-
     exchange plan (a day of events at any scale moves blocks×24
@@ -1036,6 +1075,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_stats_30min": q_session_stats,
         "asof_latest_order": q_asof_latest_order,
         "asof_latest_order_tol": q_asof_latest_order_tol,
+        "asof_next_order": q_asof_next_order,
         "asof_bucketed": q_asof_bucketed,
         "global_shift_lead1": q_global_shift,
         "null_counts_events": q_null_counts,
@@ -1081,6 +1121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_chunks_docs": q_pack_chunks_docs,
         "join_orders_customer": q_join_orders_customer,
         "left_join_orders_customer": q_left_join_orders_customer,
+        "full_join_orders_customer": q_full_join_orders_customer,
         "hourly_event_stats": q_hourly_event_stats,
         "distinct_users_by_type": q_distinct_users_by_type,
         "event_type_pivot": q_event_type_pivot,
@@ -1259,6 +1300,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.event_id, e.ts, e.user_id, e.value, os.o_totalprice
             FROM events e ASOF LEFT JOIN ({order_state}) os
               ON e.user_id = os.user_id AND e.ts >= os.ots
+        """,
+        "asof_next_order": f"""
+            SELECT e.event_id, e.ts, e.user_id, e.value, os.o_totalprice
+            FROM events e ASOF LEFT JOIN ({order_state}) os
+              ON e.user_id = os.user_id AND e.ts <= os.ots
         """,
         "global_shift_lead1": """
             SELECT * FROM (
@@ -1615,6 +1661,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_acctbal
             FROM orders LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 5000)
             ON o_custkey = c_custkey
+        """,
+        "full_join_orders_customer": """
+            SELECT CAST(o_orderkey AS DOUBLE) AS o_orderkey,
+                   COALESCE(o.o_custkey, c.c_custkey) AS o_custkey,
+                   o_totalprice, c_name, c_acctbal
+            FROM (SELECT * FROM orders WHERE o_orderkey & 7 = 0) o
+            FULL JOIN (SELECT * FROM customer WHERE c_acctbal > 5000) c
+              ON o.o_custkey = c.c_custkey
         """,
         "hourly_event_stats": """
             SELECT CAST(to_timestamp((epoch_us(ts) // 3600000000) * 3600000000 / 1e6)

@@ -67,9 +67,15 @@ def _merge_frames(
     # SQL join semantics: NULL keys never match (pandas merge would
     # pair NaN with NaN). Dropping null-keyed right rows makes inner
     # drop null-keyed left rows and left-join pass them through
-    # unmatched — both correct.
+    # unmatched — both correct. A FULL join must instead KEEP
+    # null-keyed right rows as unmatched output rows, so they are
+    # split off before the merge and appended after.
+    rnull = rf[rf[on].isna().any(axis=1)] if how == "full" else None
     rf = rf.dropna(subset=on)
-    return lf.merge(rf, on=on, how=how, sort=False)
+    out = lf.merge(rf, on=on, how="outer" if how == "full" else how, sort=False)
+    if rnull is not None and len(rnull):
+        out = pd.concat([out, rnull.reindex(columns=out.columns)], ignore_index=True)
+    return out
 
 
 class _BroadcastJoin:
@@ -95,7 +101,12 @@ class _BroadcastJoin:
     def __call__(self, batch: pa.Table) -> pa.Table:
         lf = _to_pandas_nullsafe(batch)
         out = _merge_frames(lf, self.right, self.on, self.how)
-        return pa.Table.from_pandas(out, schema=self.out_schema, preserve_index=False)
+        # strip the pandas metadata from_pandas embeds: a downstream
+        # cast would otherwise be silently undone when to_pandas
+        # replays the recorded dtypes over the new Arrow types
+        return pa.Table.from_pandas(
+            out, schema=self.out_schema, preserve_index=False
+        ).replace_schema_metadata(None)
 
 
 def _out_schema(ls: pa.Schema, rs: pa.Schema, on: list[str], how: str) -> pa.Schema:
@@ -123,19 +134,30 @@ def equi_join(
 ) -> ray.data.Dataset:
     """Join ``left`` with ``right`` on equality of ``on`` columns.
 
-    ``how`` ∈ {"inner", "left"}. ``broadcast=None`` auto-selects:
-    a pandas right side always broadcasts; a Dataset right side
-    broadcasts when its count is under ``_BROADCAST_ROW_LIMIT``,
-    otherwise both sides flow through one bucketed hash exchange.
+    ``how`` ∈ {"inner", "left", "full"}. ``broadcast=None``
+    auto-selects: a pandas right side always broadcasts; a Dataset
+    right side broadcasts when its count is under
+    ``_BROADCAST_ROW_LIMIT``, otherwise both sides flow through one
+    bucketed hash exchange. Full outer is bucketed-only (a broadcast
+    task cannot know which right rows every OTHER task matched).
     """
     on = [on] if isinstance(on, str) else list(on)
-    if how not in ("inner", "left"):
-        raise ValueError(f"equi_join: how must be 'inner' or 'left', got '{how}'")
+    if how not in ("inner", "left", "full"):
+        raise ValueError(f"equi_join: how must be 'inner', 'left' or 'full', got '{how}'")
+    if how == "full" and broadcast:
+        raise ValueError(
+            "equi_join: full outer join requires the bucketed plan "
+            "(broadcast tasks cannot track right-side rows unmatched across batches)"
+        )
     from ..core import _schema
 
     ls = _schema(left)
 
     if isinstance(right, pd.DataFrame):
+        if how == "full":
+            raise ValueError(
+                "equi_join: full outer join needs a Dataset right side (bucketed plan)"
+            )
         rs = pa.Schema.from_pandas(right, preserve_index=False)
         _check_disjoint(ls, rs, on)
         out_schema = _out_schema(ls, rs, on, how)
@@ -156,10 +178,13 @@ def equi_join(
                 f"equi_join: key '{c}' type mismatch: {ls.field(c).type} vs {rs.field(c).type}"
             )
     if broadcast is None:
-        # materialize once: count() would otherwise execute the right
-        # plan, and the broadcast refs would execute it a second time
-        right = right.materialize()
-        broadcast = right.count() <= _BROADCAST_ROW_LIMIT
+        if how == "full":
+            broadcast = False
+        else:
+            # materialize once: count() would otherwise execute the right
+            # plan, and the broadcast refs would execute it a second time
+            right = right.materialize()
+            broadcast = right.count() <= _BROADCAST_ROW_LIMIT
     if broadcast:
         out_schema = _out_schema(ls, rs, on, how)
         refs = list(right.to_arrow_refs())
@@ -191,7 +216,10 @@ def equi_join(
         rt = t.filter(pa.array(side == 1)).select(right_cols)
         lf, rf = _to_pandas_nullsafe(lt), _to_pandas_nullsafe(rt)
         out = _merge_frames(lf, rf, on, how)
-        return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
+        # metadata stripped for the same reason as the broadcast path
+        return pa.Table.from_pandas(
+            out, schema=out_schema, preserve_index=False
+        ).replace_schema_metadata(None)
 
     return (
         bucketed.groupby(BUCKET_COL)

@@ -178,3 +178,22 @@ def test_cumulative_features_per_entity(ray_session):
     assert x["v_cummin"].tolist() == [0] * 6
     assert x["rn"].tolist() == list(range(1, 7))
     assert out["v_cumsum"].dtype == np.int64  # int stays int (bit-exact)
+
+
+def test_full_join_both_sides_unmatched(ray_session):
+    out = (
+        equi_join(_left(), _right(), "k", how="full", broadcast=False, num_buckets=4)
+        .to_pandas()
+    )
+    # matched: k=1 (1 left row), k=2 (2 left rows), big key (1) -> 4
+    # left-unmatched: k=3, k=null -> 2 ; right-unmatched: k=4, k=null -> 2
+    assert len(out) == 8
+    assert out[out["lv"].isna()]["rv"].sort_values().tolist() == ["d", "n"]
+    assert sorted(out[out["rv"].isna()]["lv"].tolist()) == [30.0, 40.0]
+
+
+def test_full_join_rejects_broadcast_paths(ray_session):
+    with pytest.raises(ValueError, match="full outer"):
+        equi_join(_left(), _right(), "k", how="full", broadcast=True)
+    with pytest.raises(ValueError, match="Dataset right side"):
+        equi_join(_left(), pd.DataFrame({"k": [1], "rv": ["a"]}), "k", how="full")
