@@ -1060,6 +1060,28 @@ def q_value_quantiles_by_type(sf_dir: str):
     return _round_cols(out, ["value_p50", "value_p90"])
 
 
+def q_dup_clusters_chain(sf_dir: str):
+    """Duplicate-cluster labeling: connected components (distributed
+    min-label propagation — one bucketed join + one combiner
+    groupby-min per round, driver fixpoint on the strictly-decreasing
+    label sum) over a deterministic pair graph linking doc_id to
+    doc_id-1 when n_chars % 5 == 0, which yields real multi-hop
+    chains; cluster_id = min doc id reachable. The oracle is DuckDB's
+    recursive-CTE transitive closure."""
+    from temporalscope_ray.stages.graph import connected_components
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def mk_pairs(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        n = t.column("n_chars").to_numpy(zero_copy_only=False)
+        m = (n % 5 == 0) & (d > 0)
+        return pa.table({"id_a": pa.array(d[m]), "id_b": pa.array(d[m] - 1)})
+
+    pairs = docs.map_batches(mk_pairs, batch_format="pyarrow", zero_copy_batch=True)
+    return connected_components(pairs)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
     return q_flagship("/root/testdata/sf0.001")
@@ -1139,6 +1161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "intersect_customers": q_intersect_customers,
         "explode_embeddings": q_explode_embeddings,
         "value_quantiles_by_type": q_value_quantiles_by_type,
+        "dup_clusters_chain": q_dup_clusters_chain,
     }
 
 
@@ -1802,5 +1825,18 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(quantile_cont(value, 0.5), 6) AS value_p50,
                    ROUND(quantile_cont(value, 0.9), 6) AS value_p90
             FROM events GROUP BY 1
+        """,
+        "dup_clusters_chain": """
+            WITH RECURSIVE
+            p AS (SELECT doc_id AS id_a, doc_id - 1 AS id_b FROM documents
+                  WHERE n_chars % 5 = 0 AND doc_id > 0),
+            e AS (SELECT id_a AS a, id_b AS b FROM p
+                  UNION SELECT id_b, id_a FROM p),
+            cc(id, lab) AS (
+                SELECT a, a FROM e
+                UNION
+                SELECT e.b, cc.lab FROM cc JOIN e ON cc.id = e.a
+            )
+            SELECT id, CAST(MIN(lab) AS BIGINT) AS cluster_id FROM cc GROUP BY id
         """,
     }

@@ -1,0 +1,145 @@
+"""Connected components over an edge list — duplicate-cluster
+labeling for the near-dup dedup family.
+
+The dedup operators emit candidate/verified PAIRS (``dedup.py``); what
+a curation pipeline actually wants downstream is the CLUSTER: every
+document labeled with its duplicate-group id (= the smallest doc id
+reachable through pair links), so one canonical doc per cluster can be
+kept, cluster sizes audited, and transitive chains (A~B, B~C but A≁C
+directly) handled correctly — one-hop dropping breaks exactly there.
+
+Algorithm: distributed min-label propagation. The vertex set is the
+ids that appear in pairs — the DUPLICATE subset of the corpus, orders
+of magnitude smaller than the corpus itself (singletons never enter
+the graph; callers treat absent ids as their own cluster). Each
+iteration: every vertex takes the min of its own label and its
+neighbors' labels — one bucketed equi-join (labels onto edge sources)
+plus one combiner-style groupby-min, then a cheap driver fixpoint
+check on sum(label), which strictly decreases until convergence.
+Iterations needed = graph diameter; near-dup clusters are shallow
+(stars/short chains), so this converges in a handful of rounds —
+``max_iters`` fails loud rather than looping forever on a pathological
+chain (for which a large-star/small-star contraction would be the
+upgrade path).
+
+The per-iteration ``materialize()`` pins the CURRENT label table (the
+small vertex set) — without it each round would lazily re-execute the
+whole chain of previous rounds.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from .grouped import DEFAULT_NUM_BUCKETS, hash_groupby_aggregate
+
+
+def connected_components(
+    pairs: ray.data.Dataset,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    out_id: str = "id",
+    out_label: str = "cluster_id",
+    max_iters: int = 30,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+) -> ray.data.Dataset:
+    """Label every id appearing in ``pairs`` with the min id of its
+    connected component. Returns ``(out_id, out_label)``, one row per
+    distinct vertex. Raises RuntimeError if ``max_iters`` rounds don't
+    converge (diameter larger than max_iters)."""
+    from .join import equi_join
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        a = t.column(id_a)
+        b = t.column(id_b)
+        return pa.table({
+            "src": pa.concat_arrays([a.combine_chunks(), b.combine_chunks()]),
+            "dst": pa.concat_arrays([b.combine_chunks(), a.combine_chunks()]),
+        })
+
+    edges = pairs.select_columns([id_a, id_b]).map_batches(
+        to_edges, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    # initial label = own id (min over self ∪ neighbors of the 0-hop set)
+    labels = hash_groupby_aggregate(
+        edges, ["src"], {"label": ("src", "min")}, num_buckets=num_buckets
+    ).materialize()
+    # the vertex set is the dup subset of the corpus — when it fits the
+    # object store, each round's two label lookups run as broadcast
+    # lookups against the pinned label blocks (plain TASKS over a
+    # closure of object refs: no exchange, no actor-pool startup per
+    # round) and only the final groupby-min shuffles
+    bcast = labels.count() < 5_000_000
+
+    def lookup_stage(src_ds, refs, in_col, out_col):
+        """(in_col, ...) rows -> (src=out-col rows, label=label(in_col));
+        rows whose in_col has no label emit nothing (inner semantics)."""
+
+        def fn(t: pa.Table) -> pa.Table:
+            import pandas as _pd
+
+            tabs = [x.replace_schema_metadata(None) for x in ray.get(refs)]
+            tabs = [x for x in tabs if x.num_columns > 0]
+            lab = pa.concat_tables(tabs).to_pandas()
+            m = _pd.Series(
+                lab["label"].to_numpy(), index=lab["src"].to_numpy()
+            )
+            keys = t.column(in_col).to_numpy(zero_copy_only=False)
+            looked = m.reindex(keys)
+            ok = ~looked.isna().to_numpy()
+            return pa.table({
+                "src": pa.array(t.column(out_col).to_numpy(zero_copy_only=False)[ok]),
+                "label": pa.array(looked.to_numpy()[ok].astype(np.int64)),
+            })
+
+        return src_ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+    prev_sum = None
+    for _ in range(max_iters):
+        if bcast:
+            refs = list(labels.to_arrow_refs())
+            # neighbor labels: edge (src, dst) contributes label(src) to dst
+            contrib = lookup_stage(edges, refs, "src", "dst")
+            # pointer jumping: contribute label(label(id)) to id — a
+            # path's min floods 2^round hops per round (O(log diameter))
+            as_key = labels.map_batches(
+                lambda t: pa.table({"orig": t.column("src"), "key": t.column("label")}),
+                batch_format="pyarrow", zero_copy_batch=True,
+            )
+            shortcut = lookup_stage(as_key, refs, "key", "orig")
+        else:
+            contrib = equi_join(
+                edges, labels, "src", how="inner", broadcast=False, num_buckets=num_buckets
+            ).map_batches(
+                lambda t: pa.table({"src": t.column("dst"), "label": t.column("label")}),
+                batch_format="pyarrow", zero_copy_batch=True,
+            )
+            as_key = labels.map_batches(
+                lambda t: pa.table({"orig": t.column("src"), "src": t.column("label")}),
+                batch_format="pyarrow", zero_copy_batch=True,
+            )
+            shortcut = equi_join(
+                as_key, labels, "src", how="inner", broadcast=False, num_buckets=num_buckets
+            ).map_batches(
+                lambda t: pa.table({"src": t.column("orig"), "label": t.column("label")}),
+                batch_format="pyarrow", zero_copy_batch=True,
+            )
+        labels = hash_groupby_aggregate(
+            labels.union(contrib).union(shortcut), ["src"], {"label": ("label", "min")},
+            num_buckets=num_buckets,
+        ).materialize()
+        cur_sum = labels.sum("label")
+        if cur_sum == prev_sum:
+            return labels.map_batches(
+                lambda t: t.rename_columns([out_id, out_label]),
+                batch_format="pyarrow", zero_copy_batch=True,
+            )
+        prev_sum = cur_sum
+    raise RuntimeError(
+        f"connected_components: no fixpoint after {max_iters} iterations "
+        "(component diameter exceeds max_iters; raise it or contract the graph)"
+    )

@@ -82,14 +82,26 @@ class _BroadcastJoin:
     """Actor-pool stage: right side pulled from the object store once
     per actor (``__init__``), merged per batch (``__call__``)."""
 
-    def __init__(self, right_ref, on: Sequence[str], how: str, out_schema: pa.Schema):
+    def __init__(
+        self,
+        right_ref,
+        on: Sequence[str],
+        how: str,
+        out_schema: pa.Schema,
+        right_schema: "pa.Schema | None" = None,
+    ):
         # right_ref: list of ObjectRefs to Arrow tables (Dataset path —
         # never converted to pandas on the driver, so nullable int64
         # keys reach the actor uncorrupted) or one ref to a caller's
         # pandas frame. Normalized ONCE per actor to Arrow-backed
         # dtypes so every batch merge is null-safe (_to_pandas_nullsafe).
         if isinstance(right_ref, list):
-            rt = pa.concat_tables(ray.get(right_ref))
+            # strip per-block schema metadata (from_pandas leftovers)
+            # and drop schema-less EMPTY blocks (e.g. from empty
+            # groupby buckets) — concat_tables needs identical schemas
+            tabs = [t.replace_schema_metadata(None) for t in ray.get(right_ref)]
+            tabs = [t for t in tabs if t.num_columns > 0]
+            rt = pa.concat_tables(tabs) if tabs else pa.schema(right_schema).empty_table()
         else:
             r = ray.get(right_ref) if not isinstance(right_ref, pd.DataFrame) else right_ref
             rt = pa.Table.from_pandas(r, preserve_index=False)
@@ -190,7 +202,7 @@ def equi_join(
         refs = list(right.to_arrow_refs())
         return left.map_batches(
             _BroadcastJoin,
-            fn_constructor_args=(refs, on, how, out_schema),
+            fn_constructor_args=(refs, on, how, out_schema, rs),
             batch_format="pyarrow",
             concurrency=clamp_concurrency(concurrency),
             num_cpus=1,
