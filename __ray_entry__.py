@@ -1082,6 +1082,27 @@ def q_dup_clusters_chain(sf_dir: str):
     return connected_components(pairs)
 
 
+def q_contaminated_docs(sf_dir: str):
+    """Eval-set decontamination probe: even-id docs sharing any
+    5-token shingle with the odd-id 'reference' half. Both corpora
+    reduce to distinct shingle hashes per block; ONE hash exchange
+    co-locates matches (text never moves); md5-portable hashing so
+    the exact hash arithmetic replays in SQL."""
+    from temporalscope_ray.stages.dedup import contaminated_ids
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def par(keep):
+        def f(t: pa.Table) -> pa.Table:
+            d = t.column("doc_id").to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(d % 2 == keep))
+        return f
+
+    corpus = docs.map_batches(par(0), batch_format="pyarrow", zero_copy_batch=True)
+    reference = docs.map_batches(par(1), batch_format="pyarrow", zero_copy_batch=True)
+    return contaminated_ids(corpus, reference, portable=True, shingle_k=5)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
     return q_flagship("/root/testdata/sf0.001")
@@ -1162,6 +1183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "explode_embeddings": q_explode_embeddings,
         "value_quantiles_by_type": q_value_quantiles_by_type,
         "dup_clusters_chain": q_dup_clusters_chain,
+        "contaminated_docs": q_contaminated_docs,
     }
 
 
@@ -1838,5 +1860,22 @@ def oracle_sql() -> dict[str, str]:
                 SELECT e.b, cc.lab FROM cc JOIN e ON cc.id = e.a
             )
             SELECT id, CAST(MIN(lab) AS BIGINT) AS cluster_id FROM cc GROUP BY id
+        """,
+        "contaminated_docs": """
+            WITH ta AS (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS t
+                        FROM documents WHERE doc_id % 2 = 0),
+            tb AS (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS t
+                   FROM documents WHERE doc_id % 2 = 1),
+            ha AS (SELECT doc_id, md5_number_lower(array_to_string(t[i : i + 4], ' ')) AS h
+                   FROM ta CROSS JOIN LATERAL (SELECT unnest(generate_series(1,
+                        CASE WHEN len(t) = 0 THEN 0
+                             WHEN len(t) < 5 THEN 1
+                             ELSE len(t) - 4 END)) AS i) g),
+            hb AS (SELECT DISTINCT md5_number_lower(array_to_string(t[i : i + 4], ' ')) AS h
+                   FROM tb CROSS JOIN LATERAL (SELECT unnest(generate_series(1,
+                        CASE WHEN len(t) = 0 THEN 0
+                             WHEN len(t) < 5 THEN 1
+                             ELSE len(t) - 4 END)) AS i) g)
+            SELECT DISTINCT doc_id FROM ha WHERE h IN (SELECT h FROM hb)
         """,
     }

@@ -663,3 +663,97 @@ def embedding_dedup(
 
     dropped = pairs.map_batches(verify, batch_format="pandas")
     return _anti_join_dropped(ds, dropped, id_col)
+
+
+def contaminated_ids(
+    corpus: ray.data.Dataset,
+    reference: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    portable: bool = False,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Decontamination probe: ids of ``corpus`` documents sharing at
+    least one ``shingle_k``-token shingle with ANY ``reference``
+    document (the eval-set leakage check every pre-training pipeline
+    runs before training).
+
+    Shape: both corpora reduce per block to their distinct shingle
+    hashes (reference drops ids entirely — its hash SET is all that
+    matters), then ONE hash exchange on the shingle hash co-locates
+    matches; per bucket a vectorized isin emits the matched corpus
+    ids, and a final combiner distinct dedups ids matched in several
+    buckets. Nothing ever moves text; the exchange carries only
+    (hash, id) / (hash) rows. ``portable=True`` hashes shingles with
+    md5-lower-64, replayable in SQL via
+    ``md5_number_lower(array_to_string(tokens[i:i+k-1], ' '))``.
+    """
+    token_re = re.compile(r"\w+")
+    from ..core import _schema
+
+    id_type = _schema(corpus).field(id_col).type
+    SIDE_COL = "__side__"
+    row_schema = pa.schema([("__h__", pa.uint64()), (id_col, id_type), (SIDE_COL, pa.int8())])
+
+    def corpus_hashes(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        out_h, out_id = [], []
+        for i, txt in enumerate(texts):
+            hs = shingle_hashes(txt or "", shingle_k, token_re, portable)
+            if len(hs):
+                hs = np.unique(hs)
+                out_h.append(hs)
+                out_id.append(np.full(len(hs), ids[i], dtype=ids.dtype))
+        h = np.concatenate(out_h) if out_h else np.array([], dtype=np.uint64)
+        i = np.concatenate(out_id) if out_id else np.array([], dtype=np.int64)
+        df = pd.DataFrame({"__h__": h, id_col: i}).drop_duplicates()
+        n = len(df)
+        return pa.table({
+            "__h__": pa.array(df["__h__"].to_numpy(), type=pa.uint64()),
+            id_col: pa.array(df[id_col].to_numpy()).cast(id_type),
+            SIDE_COL: pa.array(np.zeros(n, dtype=np.int8)),
+        }, schema=row_schema)
+
+    def ref_hashes(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        hs = [shingle_hashes(t or "", shingle_k, token_re, portable) for t in texts]
+        hs = [h for h in hs if len(h)]
+        flat = np.unique(np.concatenate(hs)) if hs else np.array([], dtype=np.uint64)
+        return pa.table({
+            "__h__": pa.array(flat, type=pa.uint64()),
+            id_col: pa.nulls(len(flat), type=id_type),
+            SIDE_COL: pa.array(np.ones(len(flat), dtype=np.int8)),
+        }, schema=row_schema)
+
+    ch = corpus.select_columns([id_col, text_col]).map_batches(
+        corpus_hashes, batch_format="pyarrow"
+    )
+    rh = reference.select_columns([text_col]).map_batches(ref_hashes, batch_format="pyarrow")
+
+    from .grouped import BUCKET_COL, hash_groupby_aggregate, hash_key_column
+
+    unioned = ch.union(rh)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = hash_key_column(t.column("__h__"), num_buckets)
+        return t.append_column(BUCKET_COL, pa.array(b, type=pa.int32()))
+
+    bucketed = unioned.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        side = t.column(SIDE_COL).to_numpy(zero_copy_only=False)
+        h = t.column("__h__").to_numpy(zero_copy_only=False)
+        ids = t.column(id_col)
+        ref_set = h[side == 1]
+        corp = side == 0
+        hit = corp & np.isin(h, ref_set)
+        return pa.table({id_col: ids.filter(pa.array(hit))})
+
+    matched = bucketed.groupby(BUCKET_COL).map_groups(per_bucket, batch_format="pyarrow")
+    distinct = hash_groupby_aggregate(
+        matched, [id_col], {"__n__": (None, "count")}, num_buckets=32
+    )
+    return distinct.select_columns([id_col])

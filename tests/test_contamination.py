@@ -1,0 +1,44 @@
+"""Unit tests for the cross-corpus contamination probe."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from temporalscope_ray.stages.dedup import contaminated_ids
+
+
+def _corpora():
+    corpus = ray.data.from_arrow(pa.table({
+        "doc_id": [0, 2, 4, 6],
+        "text": [
+            "the quick brown fox jumps over the lazy dog",   # shares 5-gram with ref
+            "completely unrelated text about distributed engines here",
+            "short",                                          # < k tokens: whole-doc shingle
+            None,                                             # null text: no shingles
+        ],
+    }))
+    reference = ray.data.from_arrow(pa.table({
+        "doc_id": [1, 3],
+        "text": [
+            "see the quick brown fox jumps over a fence",     # shares the 5-gram
+            "short",                                          # whole-doc match for doc 4
+        ],
+    }))
+    return corpus, reference
+
+
+@pytest.mark.parametrize("portable", [False, True])
+def test_contamination_detects_shared_shingles(ray_session, portable):
+    corpus, reference = _corpora()
+    out = contaminated_ids(corpus, reference, portable=portable, shingle_k=5,
+                           num_buckets=4).to_pandas()
+    assert sorted(out["doc_id"]) == [0, 4]
+
+
+def test_contamination_empty_reference(ray_session):
+    corpus, _ = _corpora()
+    empty = ray.data.from_arrow(pa.table({"doc_id": pa.array([], type=pa.int64()),
+                                          "text": pa.array([], type=pa.string())}))
+    out = contaminated_ids(corpus, empty, num_buckets=4).to_pandas()
+    assert len(out) == 0
