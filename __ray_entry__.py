@@ -1103,6 +1103,39 @@ def q_contaminated_docs(sf_dir: str):
     return contaminated_ids(corpus, reference, portable=True, shingle_k=5)
 
 
+def q_parse_datetime_strings(sf_dir: str):
+    """M3 string→datetime cascade under oracle: events.ts is rendered
+    to ISO strings (a format the Arrow fast path handles) and to
+    '%m/%d/%Y %H:%M:%S' strings (a strptime-chain format), parsed back
+    with convert_column_to_datetime_type, and both must reproduce the
+    second-truncated timestamp DuckDB computes."""
+    from temporalscope_ray.core import convert_column_to_datetime_type
+
+    ev = _events(sf_dir, ("event_id", "ts"))
+
+    def stringify(t: pa.Table) -> pa.Table:
+        s = t.column("ts").to_pandas().dt.floor("s")
+        iso = s.dt.strftime("%Y-%m-%dT%H:%M:%S")
+        us = s.dt.strftime("%m/%d/%Y %H:%M:%S")
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "iso_str": pa.array(iso, type=pa.string()),
+            "us_str": pa.array(us, type=pa.string()),
+        })
+
+    strs = ev.map_batches(stringify, batch_format="pyarrow", zero_copy_batch=True)
+    parsed = convert_column_to_datetime_type(strs, "iso_str")
+    parsed = convert_column_to_datetime_type(parsed, "us_str")
+    return parsed.map_batches(
+        lambda t: pa.table({
+            "event_id": t.column("event_id"),
+            "ts_iso": t.column("iso_str"),
+            "ts_us": t.column("us_str"),
+        }),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
     return q_flagship("/root/testdata/sf0.001")
@@ -1184,6 +1217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles_by_type": q_value_quantiles_by_type,
         "dup_clusters_chain": q_dup_clusters_chain,
         "contaminated_docs": q_contaminated_docs,
+        "parse_datetime_strings": q_parse_datetime_strings,
     }
 
 
@@ -1877,5 +1911,11 @@ def oracle_sql() -> dict[str, str]:
                              WHEN len(t) < 5 THEN 1
                              ELSE len(t) - 4 END)) AS i) g)
             SELECT DISTINCT doc_id FROM ha WHERE h IN (SELECT h FROM hb)
+        """,
+        "parse_datetime_strings": """
+            SELECT event_id,
+                   date_trunc('second', ts) AS ts_iso,
+                   date_trunc('second', ts) AS ts_us
+            FROM events
         """,
     }
