@@ -1136,6 +1136,45 @@ def q_parse_datetime_strings(sf_dir: str):
     )
 
 
+def q_robust_value_by_user(sf_dir: str):
+    """Per-entity robust scaling (median/IQR): holistic quantile stats
+    via one projected-pair exchange, then a broadcast apply — the fact
+    table never shuffles."""
+    from temporalscope_ray.stages.stats import robust_scale_per_group
+
+    ev = _events(sf_dir, ("event_id", "user_id", "value"))
+    out = robust_scale_per_group(ev, "user_id", "value")
+
+    # offset-floor micro quantization (same rationale as the EWM
+    # gate): (v-med)/IQR often lands on dyadic rationals, exactly at
+    # ROUND's half boundary where numpy (half-even) and DuckDB
+    # (half-away) disagree
+    def quant(t: pa.Table) -> pa.Table:
+        r = t.column("value_robust").to_numpy(zero_copy_only=False)
+        micro = np.floor(r * 1e6 + 0.112233445566)
+        mask = np.isnan(micro)
+        out_i = pa.array(np.where(mask, 0, micro).astype(np.int64), mask=mask)
+        return t.drop_columns(["value_robust"]).append_column(
+            "value_robust_micro", out_i
+        )
+
+    return out.map_batches(quant, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_hopping_hourly_15min(sf_dir: str):
+    """Overlapping sliding windows (1h length, 15min hop): bounded ×4
+    replication of combiner partials, one exchange — the streaming
+    HOP operator as a batch transform."""
+    from temporalscope_ray.stages.agg import hopping_window_aggregate
+
+    ev = _events(sf_dir, ("ts", "value"))
+    out = hopping_window_aggregate(
+        ev, "ts", window="1h", hop="15min",
+        aggs={"n": (None, "count"), "sum_v": ("value", "sum")},
+    )
+    return _round_cols(out, ["sum_v"])
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
     return q_flagship("/root/testdata/sf0.001")
@@ -1218,6 +1257,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_clusters_chain": q_dup_clusters_chain,
         "contaminated_docs": q_contaminated_docs,
         "parse_datetime_strings": q_parse_datetime_strings,
+        "robust_value_by_user": q_robust_value_by_user,
+        "hopping_hourly_15min": q_hopping_hourly_15min,
     }
 
 
@@ -1917,5 +1958,31 @@ def oracle_sql() -> dict[str, str]:
                    date_trunc('second', ts) AS ts_iso,
                    date_trunc('second', ts) AS ts_us
             FROM events
+        """,
+        "robust_value_by_user": """
+            WITH s AS (
+                SELECT user_id,
+                       quantile_cont(value, 0.25) AS q25,
+                       quantile_cont(value, 0.50) AS q50,
+                       quantile_cont(value, 0.75) AS q75
+                FROM events GROUP BY 1
+            )
+            SELECT e.event_id, e.user_id, e.value,
+                   CAST(FLOOR((e.value - s.q50) / NULLIF(s.q75 - s.q25, 0) * 1e6
+                              + 0.112233445566) AS BIGINT)
+                       AS value_robust_micro
+            FROM events e LEFT JOIN s USING (user_id)
+        """,
+        "hopping_hourly_15min": """
+            WITH r AS (
+                SELECT value,
+                       CAST(to_timestamp(((epoch_us(ts) // 900000000) * 900000000
+                                          - o.j * 900000000) / 1e6) AS TIMESTAMP)
+                           AS window_start
+                FROM events
+                CROSS JOIN LATERAL (SELECT unnest(range(4)) AS j) o
+            )
+            SELECT window_start, COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_v
+            FROM r GROUP BY 1
         """,
     }

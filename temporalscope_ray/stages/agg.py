@@ -262,3 +262,68 @@ def grouped_quantile(
         return pa.Table.from_pandas(out, preserve_index=False)
 
     return bucketed.groupby(BUCKET_COL).map_groups(per_bucket, batch_format="pyarrow")
+
+
+def hopping_window_aggregate(
+    ds: ray.data.Dataset,
+    ts_col: str,
+    *,
+    window: "str | int",
+    hop: "str | int",
+    aggs: dict,
+    by: Optional[Sequence[str]] = None,
+    bucket_col: str = "window_start",
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+) -> ray.data.Dataset:
+    """Hopping (overlapping sliding) window aggregate: windows of
+    length ``window`` starting every ``hop`` (``window % hop == 0``);
+    each row contributes to ``window/hop`` windows. The streaming-SQL
+    ``HOP``/sliding-window operator, as a batch transform.
+
+    A stateless projection REPLICATES each row once per covering
+    window (a bounded ×window/hop blowup of combiner partials, never
+    of shuffled facts — the per-block combiner inside
+    ``hash_groupby_aggregate`` still reduces each (block, window) to
+    one partial row before the single exchange). Windows are emitted
+    only where data exists (no empty-window densification — match the
+    oracle with an INNER lateral).
+
+    ``aggs`` as in ``hash_groupby_aggregate``; ``window``/``hop`` as
+    in ``time_bucket_aggregate`` (e.g. "1h", "15min").
+    """
+    w = _parse_every(window)
+    h = _parse_every(hop)
+    if w % h != 0:
+        raise ValueError("hopping_window_aggregate: window must be a multiple of hop")
+    k = w // h
+    by = list(by or [])
+
+    def replicate(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column(ts_col), pa.int64()).to_numpy(zero_copy_only=False)
+        n = len(us)
+        # covering window starts: latest = floor(ts/hop)*hop, then k-1
+        # earlier hops (those with start > ts - window)
+        latest = (us // h) * h
+        idx = np.repeat(np.arange(n, dtype=np.int64), k)
+        offs = np.tile(np.arange(k, dtype=np.int64) * h, n)
+        starts = np.repeat(latest, k) - offs
+        take = pa.array(idx)
+        out = pa.table({c: t.column(c).take(take) for c in t.column_names})
+        return out.append_column(
+            bucket_col, pa.array(starts).cast(pa.timestamp("us"))
+        )
+
+    tagged = ds.map_batches(replicate, batch_format="pyarrow", zero_copy_batch=True)
+    return hash_groupby_aggregate(tagged, [bucket_col, *by], aggs, num_buckets=num_buckets)
+
+
+def _parse_every(every: "str | int") -> int:
+    if isinstance(every, str):
+        for unit in sorted(_US, key=len, reverse=True):
+            if every.endswith(unit):
+                return int(every[: -len(unit)]) * _US[unit]
+        raise ValueError(f"cannot parse time width '{every}'")
+    width = int(every)
+    if width <= 0:
+        raise ValueError("time width must be positive")
+    return width

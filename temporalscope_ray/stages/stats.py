@@ -130,3 +130,57 @@ def exact_quantiles(
     for r, part in zip(uniq, splits[1:]):
         vals[r] = part.limit(1).take(1)[0][col]
     return pd.DataFrame({"q": qs, "value": [vals[r] for r in ranks]})
+
+
+def robust_scale_per_group(
+    ds: ray.data.Dataset,
+    id_col: str,
+    value_col: str,
+    *,
+    out_col: str | None = None,
+    stats: "ray.data.Dataset | pd.DataFrame | None" = None,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Outlier-resistant per-group normalization:
+    ``(v - median_group) / IQR_group`` with IQR = p75 − p25 (linear
+    interpolation, SQL ``quantile_cont``); NaN where IQR == 0 —
+    mirrors ``/ NULLIF(q75 - q25, 0)``. The robust sibling of
+    ``zscore_per_entity`` for heavy-tailed features (web-corpus
+    quality scores, token counts) where mean/std are dominated by the
+    tail.
+
+    Quantiles are holistic, so the stats pass is one projected-pair
+    exchange (``agg.grouped_quantile``); the per-group (median, IQR)
+    table — one small row per group — then broadcasts via ``ray.put``
+    and the fact table never shuffles. Pass ``stats`` (from the TRAIN
+    split) to apply train-fit scaling to val/test, the leakage-safe
+    form.
+    """
+    from .agg import grouped_quantile
+
+    out_col = out_col or f"{value_col}_robust"
+    if stats is None:
+        stats = grouped_quantile(
+            ds, id_col, value_col, q=[0.25, 0.5, 0.75], num_buckets=num_buckets
+        )
+    stats_df = stats.to_pandas() if isinstance(stats, ray.data.Dataset) else stats
+    p25 = f"{value_col}_p25"
+    p50 = f"{value_col}_p50"
+    p75 = f"{value_col}_p75"
+    lookup = stats_df.set_index(id_col)[[p25, p50, p75]]
+    ref = ray.put(lookup)
+
+    def apply(batch: pd.DataFrame) -> pd.DataFrame:
+        lk: pd.DataFrame = ray.get(ref)
+        med = batch[id_col].map(lk[p50]).to_numpy(dtype=np.float64)
+        iqr = (batch[id_col].map(lk[p75]) - batch[id_col].map(lk[p25])).to_numpy(
+            dtype=np.float64
+        )
+        v = batch[value_col].to_numpy(dtype=np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            r = np.where(iqr > 0, (v - med) / iqr, np.nan)
+        out = batch.copy()
+        out[out_col] = r
+        return out
+
+    return ds.map_batches(apply, batch_format="pandas")

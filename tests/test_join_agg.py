@@ -197,3 +197,25 @@ def test_full_join_rejects_broadcast_paths(ray_session):
         equi_join(_left(), _right(), "k", how="full", broadcast=True)
     with pytest.raises(ValueError, match="Dataset right side"):
         equi_join(_left(), pd.DataFrame({"k": [1], "rv": ["a"]}), "k", how="full")
+
+
+def test_hopping_window_aggregate(ray_session):
+    from temporalscope_ray.stages.agg import hopping_window_aggregate
+
+    out = (
+        hopping_window_aggregate(
+            _events_tbl(), "ts", window="1h", hop="30min",
+            aggs={"n": (None, "count")},
+        )
+        .to_pandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    # rows at 30min spacing, 1h windows hopping 30min: every row is in
+    # 2 windows; interior windows hold 2 rows
+    assert out["n"].sum() == 20
+    assert out["n"].max() == 2
+
+    with pytest.raises(ValueError, match="multiple of hop"):
+        hopping_window_aggregate(_events_tbl(), "ts", window="1h", hop="7min",
+                                 aggs={"n": (None, "count")})

@@ -81,3 +81,23 @@ def test_grouped_quantile_matches_numpy(ray_session):
     assert out["v_p50"].tolist() == pytest.approx([exp_a, exp_b])
     with pytest.raises(ValueError, match="must be in"):
         grouped_quantile(ds, "g", "v", q=1.5)
+
+
+def test_robust_scale_per_group(ray_session):
+    from temporalscope_ray.stages.stats import robust_scale_per_group
+
+    g = np.repeat(["a", "b"], 5)
+    v = np.array([1.0, 2.0, 3.0, 4.0, 100.0,   # heavy tail in 'a'
+                  7.0, 7.0, 7.0, 7.0, 7.0])    # zero IQR in 'b'
+    ds = ray.data.from_arrow(pa.table({"g": g, "v": v}))
+    out = (
+        robust_scale_per_group(ds, "g", "v", num_buckets=2)
+        .to_pandas()
+        .sort_values(["g", "v"])
+        .reset_index(drop=True)
+    )
+    a = out[out["g"] == "a"]
+    med, iqr = 3.0, np.quantile(v[:5], 0.75) - np.quantile(v[:5], 0.25)
+    assert a["v_robust"].tolist() == pytest.approx(((np.sort(v[:5]) - med) / iqr).tolist())
+    # zero IQR -> NaN, mirroring SQL NULLIF
+    assert out[out["g"] == "b"]["v_robust"].isna().all()
