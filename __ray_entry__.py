@@ -1175,6 +1175,24 @@ def q_hopping_hourly_15min(sf_dir: str):
     return _round_cols(out, ["sum_v"])
 
 
+def q_sink_roundtrip_events(sf_dir: str):
+    """S4 sink under oracle: events written through the resumable
+    partitioned sink (one parquet partition + lineage record per
+    entity bucket, atomic publish) and read back must reproduce the
+    source table exactly."""
+    import shutil
+
+    from temporalscope_ray.state.lineage import run_partitioned
+
+    out_dir = f"/tmp/tsray_gate_sink_{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ev = _events(sf_dir, ("event_id", "ts", "user_id", "value"))
+    run_partitioned(ev, key="user_id", out_dir=out_dir, num_buckets=8)
+    # read only the bucket partitions ("_lineage/" holds JSON records);
+    # drop the hive-partition column the reader derives from bucket=NNNN
+    return ray.data.read_parquet(out_dir, file_extensions=["parquet"]).drop_columns(["bucket"])
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
     return q_flagship("/root/testdata/sf0.001")
@@ -1259,6 +1277,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parse_datetime_strings": q_parse_datetime_strings,
         "robust_value_by_user": q_robust_value_by_user,
         "hopping_hourly_15min": q_hopping_hourly_15min,
+        "sink_roundtrip_events": q_sink_roundtrip_events,
     }
 
 
@@ -1984,5 +2003,8 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT window_start, COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_v
             FROM r GROUP BY 1
+        """,
+        "sink_roundtrip_events": """
+            SELECT event_id, ts, user_id, value FROM events
         """,
     }
