@@ -1193,6 +1193,20 @@ def q_sink_roundtrip_events(sf_dir: str):
     return ray.data.read_parquet(out_dir, file_extensions=["parquet"]).drop_columns(["bucket"])
 
 
+def q_gopher_quality_docs(sf_dir: str):
+    """Gopher-style word-repetition quality filter: per-document
+    distinct/top-word/dup-word/top-bigram fractions (exact integer-ratio
+    doubles, bit-matching the SQL oracle) plus the keep gate."""
+    from temporalscope_ray.stages.text import add_repetition_stats
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = add_repetition_stats(docs, concurrency=(1, 2))
+    return out.select_columns(
+        ["doc_id", "n_words", "distinct_word_frac", "top_word_frac",
+         "dup_word_frac", "top_bigram_frac", "keep"]
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
     return q_flagship("/root/testdata/sf0.001")
@@ -1278,6 +1292,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robust_value_by_user": q_robust_value_by_user,
         "hopping_hourly_15min": q_hopping_hourly_15min,
         "sink_roundtrip_events": q_sink_roundtrip_events,
+        "gopher_quality_docs": q_gopher_quality_docs,
     }
 
 
@@ -2006,5 +2021,51 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sink_roundtrip_events": """
             SELECT event_id, ts, user_id, value FROM events
+        """,
+        # Gopher-style repetition quality signals. Tokenizer parity: the
+        # Ray stage uses Python \\w+ over lowered text; documents are
+        # ASCII-only so RE2 \\w+ in DuckDB matches identically. Fractions
+        # are exact IEEE divisions of integer counts on both sides.
+        "gopher_quality_docs": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '\w+')) AS w,
+                       generate_subscripts(regexp_extract_all(lower(text), '\w+'), 1) AS pos
+                FROM documents
+            ),
+            wc AS (
+                SELECT doc_id, w, COUNT(*) AS c FROM toks GROUP BY doc_id, w
+            ),
+            agg AS (
+                SELECT doc_id, SUM(c) AS n_words, COUNT(*) AS n_distinct,
+                       MAX(c) AS top_c,
+                       SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_occ
+                FROM wc GROUP BY doc_id
+            ),
+            bg AS (
+                SELECT doc_id,
+                       w || ' ' || LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+                FROM toks
+            ),
+            bgc AS (
+                SELECT doc_id, g, COUNT(*) AS c FROM bg WHERE g IS NOT NULL GROUP BY doc_id, g
+            ),
+            bga AS (
+                SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_bc FROM bgc GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(a.n_words, 0) AS n_words,
+                   CAST(a.n_distinct AS DOUBLE) / a.n_words AS distinct_word_frac,
+                   CAST(a.top_c AS DOUBLE) / a.n_words AS top_word_frac,
+                   CAST(a.dup_occ AS DOUBLE) / a.n_words AS dup_word_frac,
+                   CAST(b.top_bc AS DOUBLE) / b.n_bigrams AS top_bigram_frac,
+                   COALESCE(
+                       CAST(a.top_c AS DOUBLE) / a.n_words <= 0.10
+                       AND CAST(a.dup_occ AS DOUBLE) / a.n_words <= 0.85
+                       AND NOT (CAST(b.top_bc AS DOUBLE) / b.n_bigrams > 0.20),
+                       FALSE) AS keep
+            FROM documents d
+            LEFT JOIN agg a USING (doc_id)
+            LEFT JOIN bga b USING (doc_id)
         """,
     }

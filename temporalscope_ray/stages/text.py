@@ -136,6 +136,120 @@ class Fingerprint:
         return batch
 
 
+class RepetitionStats:
+    """Gopher-style word-repetition quality signals per document —
+    the standard web-corpus repetition filter family (Rae et al. 2021,
+    "Scaling Language Models", Table A1): documents dominated by a few
+    repeated words/phrases are boilerplate or spam.
+
+    Tokenization is the engine-wide portable convention (``\\w+`` over
+    lowered text). Adds:
+
+    - ``n_words``            token count
+    - ``distinct_word_frac`` distinct words / words
+    - ``top_word_frac``      occurrences of the most common word / words
+    - ``dup_word_frac``      fraction of word occurrences whose word
+      appears more than once in the document
+    - ``top_bigram_frac``    occurrences of the most common adjacent
+      word pair / (words - 1)
+    - ``keep``               boolean quality gate (thresholds are
+      constructor parameters; a doc with zero words is never kept)
+
+    Fractions are exact IEEE divisions of integer counts (no rounding)
+    so they bit-match a SQL oracle computing the same ratios; a doc
+    with zero words (or < 2 for bigrams) gets null fractions, matching
+    SQL NULL. Fully vectorized: tokens are exploded once per batch,
+    per-(doc, word) counts come from one ``np.unique`` over a combined
+    int64 key, bigrams from shifted-array concat masked at document
+    boundaries — no per-document Python loop. Runs as an actor pool so
+    the regex compiles once per actor.
+    """
+
+    def __init__(
+        self,
+        text_col: str = "text",
+        *,
+        max_top_word_frac: float = 0.10,
+        max_dup_word_frac: float = 0.85,
+        max_top_bigram_frac: float = 0.20,
+    ):
+        self.text_col = text_col
+        self.max_top_word_frac = max_top_word_frac
+        self.max_dup_word_frac = max_dup_word_frac
+        self.max_top_bigram_frac = max_top_bigram_frac
+        self.token_re = re.compile(r"\w+")
+
+    @staticmethod
+    def _per_doc_counts(doc: np.ndarray, codes: np.ndarray, n_rows: int):
+        """(rows-aligned) total, distinct, max-count, dup-occurrence
+        arrays from exploded (doc_index, token_code) pairs."""
+        total = np.bincount(doc, minlength=n_rows).astype(np.int64)
+        if len(doc) == 0:
+            z = np.zeros(n_rows, dtype=np.int64)
+            return total, z, z.copy(), z.copy()
+        vocab = np.int64(codes.max()) + 1
+        key = doc.astype(np.int64) * vocab + codes
+        uk, counts = np.unique(key, return_counts=True)
+        udoc = (uk // vocab).astype(np.int64)
+        distinct = np.bincount(udoc, minlength=n_rows).astype(np.int64)
+        top = np.zeros(n_rows, dtype=np.int64)
+        np.maximum.at(top, udoc, counts)
+        dup = np.bincount(
+            udoc, weights=np.where(counts > 1, counts, 0), minlength=n_rows
+        ).astype(np.int64)
+        return total, distinct, top, dup
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        n_rows = len(batch)
+        s = batch[self.text_col].fillna("").astype(str)
+        toks = s.str.lower().str.findall(self.token_re).explode().dropna()
+        doc = toks.index.to_numpy(dtype=np.int64)
+        vals = toks.to_numpy(dtype=object)
+        codes = pd.factorize(vals)[0] if len(vals) else np.array([], dtype=np.int64)
+        n_words, n_distinct, top_c, dup_occ = self._per_doc_counts(doc, codes, n_rows)
+
+        # adjacent bigrams: shifted-array concat, masked at doc boundaries
+        m = len(vals) - 1
+        if m > 0:
+            ok = doc[:m] == doc[1:]
+            grams = (vals[:m] + " " + vals[1:])[ok]
+            gdoc = doc[:m][ok]
+            gcodes = pd.factorize(grams)[0] if len(grams) else np.array([], dtype=np.int64)
+            n_bigrams, _, top_bc, _ = self._per_doc_counts(gdoc, gcodes, n_rows)
+        else:
+            n_bigrams = np.zeros(n_rows, dtype=np.int64)
+            top_bc = np.zeros(n_rows, dtype=np.int64)
+
+        def frac(num, den):
+            return np.divide(
+                num.astype(np.float64), den.astype(np.float64),
+                out=np.full(n_rows, np.nan), where=den > 0,
+            )
+
+        batch["n_words"] = n_words
+        batch["distinct_word_frac"] = frac(n_distinct, n_words)
+        batch["top_word_frac"] = frac(top_c, n_words)
+        batch["dup_word_frac"] = frac(dup_occ, n_words)
+        batch["top_bigram_frac"] = frac(top_bc, n_bigrams)
+        # NaN comparisons are False in numpy == SQL COALESCE(cond, FALSE)
+        with np.errstate(invalid="ignore"):
+            batch["keep"] = (
+                (batch["top_word_frac"].to_numpy() <= self.max_top_word_frac)
+                & (batch["dup_word_frac"].to_numpy() <= self.max_dup_word_frac)
+                & ~(batch["top_bigram_frac"].to_numpy() > self.max_top_bigram_frac)
+            )
+        return batch
+
+
+def add_repetition_stats(
+    ds: ray.data.Dataset, text_col: str = "text", *, concurrency=8, batch_size=4096, **thresholds
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        RepetitionStats, batch_format="pandas", concurrency=clamp_concurrency(concurrency),
+        batch_size=batch_size, fn_constructor_args=(text_col,), fn_constructor_kwargs=thresholds,
+    )
+
+
 def add_text_stats(ds: ray.data.Dataset, text_col: str = "text", *, concurrency=8, batch_size=4096) -> ray.data.Dataset:
     return ds.map_batches(
         TextStats, batch_format="pandas", concurrency=clamp_concurrency(concurrency), batch_size=batch_size,

@@ -208,3 +208,47 @@ def test_embedding_dedup_empty_input():
                                                "embedding": pd.Series([], dtype=object)}))
     out = embedding_dedup(empty, emb_col="embedding", id_col="vec_id")
     assert out.count() == 0
+
+
+def test_repetition_stats_gopher_signals():
+    """Gopher repetition filter: exact integer-ratio fractions, NaN
+    fractions for token-starved docs, and the keep gate's NaN-is-False
+    semantics (matching the SQL oracle's COALESCE(cond, FALSE))."""
+    from temporalscope_ray.stages.text import add_repetition_stats
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "spam spam spam spam ham",          # top word 4/5, dup 4/5
+            "a b c d e f g h i j k",            # 11 distinct words
+            "",                                  # zero tokens
+            "word",                              # one token, no bigrams
+        ],
+    })
+    out = (
+        add_repetition_stats(ray.data.from_pandas(df), concurrency=1)
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    assert out.loc[0, "n_words"] == 5
+    assert out.loc[0, "top_word_frac"] == pytest.approx(4 / 5)
+    assert out.loc[0, "dup_word_frac"] == pytest.approx(4 / 5)
+    assert out.loc[0, "distinct_word_frac"] == pytest.approx(2 / 5)
+    # "spam spam" appears 3 times among 4 bigrams
+    assert out.loc[0, "top_bigram_frac"] == pytest.approx(3 / 4)
+    assert not out.loc[0, "keep"]
+
+    assert out.loc[1, "n_words"] == 11
+    assert out.loc[1, "distinct_word_frac"] == 1.0
+    assert out.loc[1, "top_word_frac"] == pytest.approx(1 / 11)
+    assert out.loc[1, "dup_word_frac"] == 0.0
+    assert out.loc[1, "top_bigram_frac"] == pytest.approx(1 / 10)
+    assert bool(out.loc[1, "keep"])
+
+    assert out.loc[2, "n_words"] == 0
+    assert np.isnan(out.loc[2, "top_word_frac"])
+    assert not out.loc[2, "keep"]  # zero-word doc never kept
+
+    assert out.loc[3, "n_words"] == 1
+    assert np.isnan(out.loc[3, "top_bigram_frac"])
+    assert out.loc[3, "top_word_frac"] == 1.0
+    assert not out.loc[3, "keep"]  # fails the top-word gate
