@@ -561,6 +561,36 @@ def q_minhash_kept_docs(sf_dir: str):
     ).select_columns(["doc_id"])
 
 
+def q_phash_dedup_events(sf_dir: str):
+    """Perceptual-hash near-dup dedup (the north-rule image table's
+    ``phash:int64`` column) under a FULL value oracle: a deterministic
+    64-bit hash derived from the events view (md5-lower-64 of the user
+    id, low 4 bits XOR-perturbed by the event id — so same-user rows
+    sit at Hamming distance 0–4, straddling the threshold), thinned to
+    ``event_id % 3 == 0`` so the SQL brute-force pair scan stays small.
+    4×16-bit chunk banding is pigeonhole-exact at threshold 3, so the
+    kept set must EQUAL DuckDB's global
+    ``NOT EXISTS(smaller id with bit_count(xor(h_i,h_j)) <= 3)``."""
+    from temporalscope_ray.stages.dedup import _md5_lower64, phash_dedup
+
+    ev = _events(sf_dir, ("event_id", "user_id"))
+
+    def mk(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["event_id"] % 3 == 0]
+        h = _md5_lower64([str(u) for u in b["user_id"].tolist()])
+        noise = (b["event_id"].to_numpy() % 16).astype(np.uint64)
+        return pd.DataFrame({
+            "event_id": b["event_id"].to_numpy(),
+            "phash": (h ^ noise).view(np.int64),
+        })
+
+    hashed = ev.map_batches(mk, batch_format="pandas")
+    return phash_dedup(
+        hashed, hash_col="phash", id_col="event_id", hamming_threshold=3,
+        concurrency=(1, 2), num_buckets=16,
+    ).select_columns(["event_id"])
+
+
 def q_image_pipeline(sf_dir: str):
     """attach="partitioned": the gate exercises the 100 TB co-partitioned
     feature-attach path (broadcast disabled); broadcast-vs-partitioned
@@ -1240,6 +1270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "backfill_ffill": q_backfill,
         "expand_targets_h3": q_expand_targets,
         "minhash_kept_docs": q_minhash_kept_docs,
+        "phash_dedup_events": q_phash_dedup_events,
         "image_pipeline": q_image_pipeline,
         "audio_pipeline": q_audio_pipeline,
         "video_pipeline": q_video_pipeline,
@@ -1653,6 +1684,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "knn_lsh_10": _lsh_oracle_sql(),
         "minhash_kept_docs": _minhash_oracle_sql(),
+        # brute-force global pair scan; exact because 4x16 chunk banding
+        # is pigeonhole-complete at Hamming threshold 3
+        "phash_dedup_events": """
+            WITH t AS (
+              SELECT event_id,
+                     xor(md5_number_lower(user_id::VARCHAR),
+                         (event_id % 16)::UBIGINT) AS h
+              FROM events WHERE event_id % 3 = 0
+            )
+            SELECT event_id FROM t t1
+            WHERE NOT EXISTS (
+              SELECT 1 FROM t t2
+              WHERE t2.event_id < t1.event_id
+                AND bit_count(xor(t1.h, t2.h)) <= 3
+            )
+        """,
         "jaccard_kept_docs": f"""
             WITH toks AS ({_SQL_TOKS}),
             sh AS (

@@ -494,6 +494,19 @@ def simhash_dedup(
         SimHasher, batch_format="pandas", concurrency=clamp_concurrency(concurrency),
         fn_constructor_args=(text_col, id_col, portable),
     )
+    dropped = _dropped_hamming(exploded, id_col=id_col, threshold=hamming_threshold,
+                               num_buckets=num_buckets)
+    return _anti_join_dropped(ds, dropped, id_col)
+
+
+def _dropped_hamming(
+    exploded: ray.data.Dataset, *, id_col: str, threshold: int, num_buckets: int
+) -> ray.data.Dataset:
+    """Shared verify for 64-bit-hash chunk banding (simhash / phash):
+    within each fine (chunk_id, chunk_val) group, a row drops iff a
+    smaller-id row is within ``threshold`` Hamming distance of its full
+    64-bit hash. Fine groups ride a hash-coarsened bucket shuffle and
+    are verified vectorized (byte-table popcount, row-blocked)."""
     group_cols = ["chunk_id", "chunk_val"]
     bucketed = _coarse_bucketed(exploded, group_cols, num_buckets)
 
@@ -505,15 +518,59 @@ def simhash_dedup(
             sub = sub.sort_values(id_col)
             sims = sub["simhash"].to_numpy().astype(np.int64).view(np.uint64)
             ids = sub[id_col].to_numpy()
-            d = _hamming_le(sims, hamming_threshold)
+            d = _hamming_le(sims, threshold)
             if d.any():
                 out.append(ids[d])
-        vals = np.concatenate(out) if out else np.array([], dtype=np.int64)
+        # empty slice of the source column keeps the id dtype stable
+        # across buckets (string ids would otherwise flip to int64)
+        vals = np.concatenate(out) if out else g[id_col].to_numpy()[:0]
         return pd.DataFrame({id_col: np.unique(vals)})
 
-    dropped = bucketed.groupby("__gbucket__").map_groups(
+    return bucketed.groupby("__gbucket__").map_groups(
         lambda g: bucket_dropped(g.drop(columns=["__gbucket__"])), batch_format="pandas"
     )
+
+
+def _explode_hash_chunks(batch: pd.DataFrame, hash_col: str, id_col: str) -> pd.DataFrame:
+    """4×16-bit chunk rows from a precomputed int64 64-bit hash column,
+    fully vectorized (null hashes emit no rows — they always survive)."""
+    mask = batch[hash_col].notna().to_numpy()
+    h64 = batch.loc[mask, hash_col].to_numpy().astype(np.int64)
+    hu = h64.view(np.uint64)
+    n = len(hu)
+    shifts = np.tile(np.arange(4, dtype=np.uint64) * np.uint64(16), n)
+    return pd.DataFrame({
+        id_col: np.repeat(batch.loc[mask, id_col].to_numpy(), 4),
+        "chunk_id": np.tile(np.arange(4, dtype=np.int8), n),
+        "chunk_val": ((np.repeat(hu, 4) >> shifts) & np.uint64(0xFFFF)).astype(np.int32),
+        "simhash": np.repeat(h64, 4),
+    })
+
+
+def phash_dedup(
+    ds: ray.data.Dataset,
+    *,
+    hash_col: str = "phash",
+    id_col: str = "image_id",
+    hamming_threshold: int = 3,
+    concurrency=8,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Near-duplicate removal on a precomputed 64-bit perceptual-hash
+    column (the north-rule image table's ``phash:int64``): 4×16-bit
+    chunk banding (pigeonhole-exact for ``hamming_threshold`` ≤ 3) +
+    vectorized in-bucket Hamming verify; keeps the smallest id of each
+    near-dup neighborhood. The image payload (``bytes``) never enters
+    the exchange — only (id, chunk, hash) rows move, ~40 bytes/row at
+    any payload size. Hot phash clusters (many images sharing a chunk)
+    stay within one fine group and are verified by one vectorized
+    popcount block scan rather than per-pair Python."""
+    # stateless task-pool explode — the streaming executor sizes it
+    exploded = ds.select_columns([id_col, hash_col]).map_batches(
+        lambda b: _explode_hash_chunks(b, hash_col, id_col), batch_format="pandas",
+    )
+    dropped = _dropped_hamming(exploded, id_col=id_col, threshold=hamming_threshold,
+                               num_buckets=num_buckets)
     return _anti_join_dropped(ds, dropped, id_col)
 
 

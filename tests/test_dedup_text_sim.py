@@ -252,3 +252,53 @@ def test_repetition_stats_gopher_signals():
     assert np.isnan(out.loc[3, "top_bigram_frac"])
     assert out.loc[3, "top_word_frac"] == 1.0
     assert not out.loc[3, "keep"]  # fails the top-word gate
+
+
+def test_phash_dedup_planted_hamming():
+    """int64-hash near-dup: banding is pigeonhole-exact at threshold 3,
+    so kept set must equal the brute-force numpy oracle; covers bit-63
+    (negative int64) hashes, a null hash (always survives), and the
+    distance-3/4 boundary."""
+    from temporalscope_ray.stages.dedup import phash_dedup
+
+    def signed(u):  # unsigned-64 bit pattern -> int64 value
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    base = 0x0123456789ABCDEF
+    neg_u = 0xFEDCBA9876543210  # bit 63 set -> negative int64
+    rows = pd.DataFrame({
+        "img": [f"k{i}" for i in range(7)],
+        "phash": pd.array([
+            signed(base),                        # k0 survivor
+            signed(base ^ 0b1),                  # k1: dist 1 from k0 -> dropped
+            signed(base ^ 0b11110),              # k2: dist 4 from k0 -> kept
+            signed(neg_u),                       # k3 survivor (negative)
+            signed(neg_u ^ (1 << 63) ^ 0b11),    # k4: dist 3 from k3 -> dropped
+            None,                                # k5: null hash survives
+            signed(base ^ 0b11110),              # k6: dist 0 from k2 -> dropped
+        ], dtype="Int64"),
+    })
+    out = phash_dedup(ray.data.from_pandas(rows), hash_col="phash", id_col="img",
+                      hamming_threshold=3, concurrency=1).to_pandas()
+    assert set(out["img"]) == {"k0", "k2", "k3", "k5"}
+
+    # brute-force oracle on the synthetic clustered image table
+    from temporalscope_ray import synth
+    path = synth.materialize_image_table("/tmp/tsray_phash_test", 120, num_entities=12)
+    import ray.data as rd
+    full = rd.read_parquet(path, columns=["image_id", "ts", "phash"]).to_pandas()
+    full["img_key"] = full["image_id"] + "@" + full["ts"].astype("int64").astype(str)
+    h = full.sort_values("img_key")["phash"].to_numpy().astype(np.int64).view(np.uint64)
+    keys = full.sort_values("img_key")["img_key"].to_numpy()
+    pop = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+    x = h[:, None] ^ h[None, :]
+    ham = pop[x.view(np.uint8).reshape(len(h), len(h), 8)].sum(axis=2)
+    lower = np.tril(ham <= 3, k=-1).any(axis=1)
+    expected = set(keys[~lower])
+    got = phash_dedup(
+        rd.read_parquet(path, columns=["image_id", "ts", "phash"]).map_batches(
+            lambda b: b.assign(img_key=b["image_id"] + "@" + b["ts"].astype("int64").astype(str)),
+            batch_format="pandas"),
+        hash_col="phash", id_col="img_key", hamming_threshold=3, concurrency=2,
+    ).to_pandas()
+    assert set(got["img_key"]) == expected
