@@ -561,6 +561,61 @@ def q_minhash_kept_docs(sf_dir: str):
     ).select_columns(["doc_id"])
 
 
+def q_pii_redact_docs(sf_dir: str):
+    """PII detection + redaction under a FULL value oracle: the shared
+    RE2-compatible pattern list (email / phone / IPv4, applied
+    sequentially) is replayed by DuckDB ``regexp_extract_all`` /
+    ``regexp_replace('g')``. Deterministic PII is injected into every
+    third document (both sides build the identical string) so the
+    counts and replacements actually fire; the other docs gate the
+    zero-match path."""
+    from temporalscope_ray.stages.text import add_pii_redaction
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def inject(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["text"].fillna("")
+        d = b["doc_id"]
+        extra = (
+            " reach user" + d.astype(str) + "@mail.example.com or 555-123-"
+            + (d % 10000).map("{:04d}".format)
+            + " from 10." + (d % 256).astype(str) + ".0.1"
+        )
+        return pd.DataFrame({
+            "doc_id": d.to_numpy(),
+            "text": np.where(d.to_numpy() % 3 == 0, t + extra, t),
+        })
+
+    out = add_pii_redaction(docs.map_batches(inject, batch_format="pandas"),
+                            concurrency=(1, 2))
+    return out.select_columns(["doc_id", "n_email", "n_phone", "n_ipv4", "text_redacted"])
+
+
+def q_line_dedup_docs(sf_dir: str):
+    """Corpus-level C4 line dedup under a FULL value oracle: documents
+    are deterministically re-lined (8-token lines — both sides build
+    identical lines from '\\S+' tokens), then every line survives only
+    at its first (doc_id, line_idx) occurrence corpus-wide and docs are
+    reassembled; DuckDB replays via ROW_NUMBER over (line) + string_agg."""
+    import re as _re
+
+    from temporalscope_ray.stages.dedup import line_dedup
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    tok_re = _re.compile(r"\S+")
+
+    def to_lines(b: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for t in b["text"].fillna(""):
+            toks = tok_re.findall(t)
+            out.append("\n".join(" ".join(toks[j:j + 8]) for j in range(0, len(toks), 8)))
+        return pd.DataFrame({"doc_id": b["doc_id"].to_numpy(),
+                             "text": np.array(out, dtype=object)})
+
+    lined = docs.map_batches(to_lines, batch_format="pandas")
+    return line_dedup(lined, text_col="text", id_col="doc_id", num_buckets=16)
+
+
 def q_phash_dedup_events(sf_dir: str):
     """Perceptual-hash near-dup dedup (the north-rule image table's
     ``phash:int64`` column) under a FULL value oracle: a deterministic
@@ -1271,6 +1326,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "expand_targets_h3": q_expand_targets,
         "minhash_kept_docs": q_minhash_kept_docs,
         "phash_dedup_events": q_phash_dedup_events,
+        "pii_redact_docs": q_pii_redact_docs,
+        "line_dedup_docs": q_line_dedup_docs,
         "image_pipeline": q_image_pipeline,
         "audio_pipeline": q_audio_pipeline,
         "video_pipeline": q_video_pipeline,
@@ -1684,6 +1741,58 @@ def oracle_sql() -> dict[str, str]:
         """,
         "knn_lsh_10": _lsh_oracle_sql(),
         "minhash_kept_docs": _minhash_oracle_sql(),
+        # sequential count-then-redact per pattern; RE2 == Python re on
+        # this pattern subset (classes, bounded repeats, \b only)
+        "pii_redact_docs": r"""
+            WITH inj AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0 THEN
+                       coalesce(text, '') || ' reach user' || doc_id ||
+                       '@mail.example.com or 555-123-' ||
+                       lpad((doc_id % 10000)::VARCHAR, 4, '0') ||
+                       ' from 10.' || (doc_id % 256) || '.0.1'
+                     ELSE coalesce(text, '') END AS t0
+              FROM documents),
+            s1 AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+                     regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+              FROM inj),
+            s2 AS (
+              SELECT doc_id, n_email,
+                     len(regexp_extract_all(t1, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS n_phone,
+                     regexp_replace(t1, '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS t2
+              FROM s1),
+            s3 AS (
+              SELECT doc_id, n_email, n_phone,
+                     len(regexp_extract_all(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+                     regexp_replace(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t3
+              FROM s2)
+            SELECT doc_id, n_email, n_phone, n_ipv4, t3 AS text_redacted FROM s3
+        """,
+        # same 8-token re-lining on both sides, then first-(doc,line_idx)
+        # occurrence per line corpus-wide, reassembled in line order
+        "line_dedup_docs": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(coalesce(text, ''), '\S+') AS t
+              FROM documents),
+            docs2 AS (
+              SELECT doc_id,
+                     coalesce((SELECT string_agg(array_to_string(t[i : i + 7], ' '), chr(10) ORDER BY i)
+                               FROM (SELECT unnest(generate_series(1, len(t), 8)) AS i)), '') AS text
+              FROM toks),
+            lines AS (
+              SELECT doc_id,
+                     unnest(string_split(text, chr(10))) AS line,
+                     generate_subscripts(string_split(text, chr(10)), 1) AS line_idx
+              FROM docs2),
+            ranked AS (
+              SELECT doc_id, line_idx, line,
+                     ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, line_idx) AS rn
+              FROM lines)
+            SELECT doc_id, string_agg(line, chr(10) ORDER BY line_idx) AS text
+            FROM ranked WHERE rn = 1 GROUP BY doc_id
+        """,
         # brute-force global pair scan; exact because 4x16 chunk banding
         # is pigeonhole-complete at Hamming threshold 3
         "phash_dedup_events": """

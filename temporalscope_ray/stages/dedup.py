@@ -814,3 +814,72 @@ def contaminated_ids(
         matched, [id_col], {"__n__": (None, "count")}, num_buckets=32
     )
     return distinct.select_columns([id_col])
+
+
+# ---------------------------------------------------------------------------
+# corpus-level line dedup (the C4 preprocessing rule)
+# ---------------------------------------------------------------------------
+
+def line_dedup(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Corpus-level duplicate-line removal (the C4 rule: every line is
+    kept only at its FIRST occurrence across the whole corpus, ordered
+    by ``(id, line_idx)``); documents are reassembled from their
+    surviving lines and documents with zero surviving lines drop.
+
+    Shape: two exchanges, each moving the text exactly ONCE (never
+    ×bands). Pass 1 explodes documents to ``(id, line_idx, line)``
+    rows and hash-coarsens on the line string, so every occurrence of
+    one line lands wholly in one bucket and the global first-occurrence
+    rule is decided locally by one vectorized ``duplicated`` scan —
+    line equality is exact (grouped on the string inside the bucket),
+    not hash-equality, so hash collisions cannot merge distinct lines.
+    Pass 2 re-buckets survivors by document id and stitches each
+    document back in ``line_idx`` order. No driver-side state at any
+    point; a pathological line duplicated across the whole corpus is
+    one in-bucket group handled by a single C-speed scan."""
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        s = b[text_col].fillna("")
+        lines = s.str.split(sep)
+        n = lines.str.len().to_numpy()
+        tot = int(n.sum())
+        starts = np.repeat(np.cumsum(n) - n, n)
+        flat = (
+            np.concatenate([np.asarray(ls, dtype=object) for ls in lines])
+            if tot else np.array([], dtype=object)
+        )
+        return pd.DataFrame({
+            id_col: np.repeat(b[id_col].to_numpy(), n),
+            "line_idx": (np.arange(tot) - starts).astype(np.int64),
+            "line": flat,
+        })
+
+    exploded = ds.select_columns([id_col, text_col]).map_batches(
+        explode, batch_format="pandas"
+    )
+    by_line = _coarse_bucketed(exploded, ["line"], num_buckets)
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_col, "line_idx"], kind="mergesort")
+        return g.loc[~g.duplicated("line"), [id_col, "line_idx", "line"]]
+
+    kept = by_line.groupby("__gbucket__").map_groups(
+        lambda g: keep_first(g.drop(columns=["__gbucket__"])), batch_format="pandas"
+    )
+    by_doc = _coarse_bucketed(kept, [id_col], num_buckets)
+
+    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_col, "line_idx"], kind="mergesort")
+        agg = g.groupby(id_col, sort=False)["line"].agg(sep.join)
+        return pd.DataFrame({id_col: agg.index.to_numpy(), text_col: agg.to_numpy()})
+
+    return by_doc.groupby("__gbucket__").map_groups(
+        lambda g: reassemble(g.drop(columns=["__gbucket__"])), batch_format="pandas"
+    )

@@ -472,3 +472,53 @@ def top_ngrams(
     parts = ds.select_columns([text_col]).map_batches(partial, batch_format="pyarrow")
     agg = hash_groupby_aggregate(parts, ["term"], {"cnt": ("cnt", "sum")}, num_buckets=num_buckets)
     return agg.sort(["cnt", "term"], descending=[True, False]).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction
+# ---------------------------------------------------------------------------
+
+# Patterns valid (and identical in semantics) in both Python re and RE2
+# (DuckDB): character classes + bounded repeats + \b only — no
+# lookaround, no backreferences — so a SQL engine replays the exact
+# counts and replacements. Applied SEQUENTIALLY in this order; each
+# pattern counts and redacts over the output of the previous one.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+class PIIRedactor:
+    """Actor-pool stage: per-document PII match counts (``n_email,
+    n_phone, n_ipv4``) and a fully redacted ``text_redacted`` column.
+    Patterns compile ONCE per actor; every operation is a vectorized
+    pandas ``.str`` kernel over the batch (C-speed regex loop, no
+    per-document Python). Sequential count-then-replace per pattern
+    makes the output a pure function of the text, independent of batch
+    or block boundaries."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.compiled = [(name, re.compile(pat), tok) for name, pat, tok in PII_PATTERNS]
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[self.text_col].fillna("")
+        out = batch.copy()
+        for name, pat, tok in self.compiled:
+            out[f"n_{name}"] = s.str.count(pat).astype(np.int64)
+            s = s.str.replace(pat, tok, regex=True)
+        out["text_redacted"] = s
+        return out
+
+
+def add_pii_redaction(
+    ds: ray.data.Dataset, text_col: str = "text", *, concurrency=8, batch_size=4096
+) -> ray.data.Dataset:
+    from .grouped import clamp_concurrency
+
+    return ds.map_batches(
+        PIIRedactor, batch_format="pandas", batch_size=batch_size,
+        concurrency=clamp_concurrency(concurrency), fn_constructor_args=(text_col,),
+    )

@@ -302,3 +302,45 @@ def test_phash_dedup_planted_hamming():
         hash_col="phash", id_col="img_key", hamming_threshold=3, concurrency=2,
     ).to_pandas()
     assert set(got["img_key"]) == expected
+
+
+def test_line_dedup_corpus_first_occurrence():
+    """C4 line rule: a line survives only at its first (doc_id, line_idx)
+    occurrence corpus-wide; docs reassemble in order; all-dup docs drop."""
+    from temporalscope_ray.stages.dedup import line_dedup
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "alpha\nbeta\ngamma",
+            "beta\ndelta",          # beta dropped (doc 0 owns it)
+            "alpha\nbeta",          # fully duplicate -> doc vanishes
+            "",                     # '' line is first here -> survives
+        ],
+    })
+    out = (
+        line_dedup(ray.data.from_pandas(df), text_col="text", id_col="doc_id", num_buckets=4)
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    assert list(out.index) == [0, 1, 3]
+    assert out.loc[0, "text"] == "alpha\nbeta\ngamma"
+    assert out.loc[1, "text"] == "delta"
+    assert out.loc[3, "text"] == ""
+
+
+def test_pii_redaction_counts_and_text():
+    from temporalscope_ray.stages.text import add_pii_redaction
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": [
+            "mail a.b+c@x-y.example.org and 10.0.0.1 plus 555-123-4567",
+            "no pii here",
+            None,
+        ],
+    })
+    out = add_pii_redaction(ray.data.from_pandas(df), concurrency=1).to_pandas().set_index("doc_id")
+    assert out.loc[0, "n_email"] == 1 and out.loc[0, "n_phone"] == 1 and out.loc[0, "n_ipv4"] == 1
+    assert out.loc[0, "text_redacted"] == "mail <EMAIL> and <IP> plus <PHONE>"
+    assert out.loc[1, "n_email"] == 0 and out.loc[1, "text_redacted"] == "no pii here"
+    assert out.loc[2, "text_redacted"] == ""
