@@ -119,7 +119,11 @@ def _coarse_bucketed(exploded: ray.data.Dataset, group_cols: Sequence[str], num_
     def add_bucket(t: pa.Table) -> pa.Table:
         df_keys = t.select(group_cols).to_pandas()
         h = pd.util.hash_pandas_object(df_keys, index=False).to_numpy()
-        return t.append_column("__gbucket__", pa.array((h % np.uint64(num_buckets)).astype(np.int32)))
+        out = t.append_column("__gbucket__", pa.array((h % np.uint64(num_buckets)).astype(np.int32)))
+        # strip from_pandas schema metadata: blocks from pandas and
+        # pyarrow producers would otherwise reach the sort with
+        # "different" schemas (and the unhashable-metadata warning)
+        return out.replace_schema_metadata(None)
 
     return exploded.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
 
