@@ -561,6 +561,18 @@ def q_minhash_kept_docs(sf_dir: str):
     ).select_columns(["doc_id"])
 
 
+def q_ngram_lm_docs(sf_dir: str):
+    """Corpus bigram-LM quality scores (add-0.5 smoothing against the
+    corpus's own counts). Distributed end-to-end: two combiner count
+    exchanges, two bucketed equi-joins, one per-doc combiner average —
+    the vocabulary never touches the driver. Scores round to 6dp on
+    both sides (log2 ulp + summation-order noise is ~1e-13)."""
+    from temporalscope_ray.stages.text import ngram_lm_scores
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ngram_lm_scores(docs, num_buckets=16)
+
+
 def q_pii_redact_docs(sf_dir: str):
     """PII detection + redaction under a FULL value oracle: the shared
     RE2-compatible pattern list (email / phone / IPv4, applied
@@ -1327,6 +1339,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_kept_docs": q_minhash_kept_docs,
         "phash_dedup_events": q_phash_dedup_events,
         "pii_redact_docs": q_pii_redact_docs,
+        "ngram_lm_docs": q_ngram_lm_docs,
         "line_dedup_docs": q_line_dedup_docs,
         "image_pipeline": q_image_pipeline,
         "audio_pipeline": q_audio_pipeline,
@@ -1741,6 +1754,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "knn_lsh_10": _lsh_oracle_sql(),
         "minhash_kept_docs": _minhash_oracle_sql(),
+        # corpus bigram LM with add-0.5 smoothing; docs with <2 tokens
+        # have no bigram positions and are absent on both sides
+        "ngram_lm_docs": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '\w+')) AS w,
+                     generate_subscripts(regexp_extract_all(lower(text), '\w+'), 1) AS pos
+              FROM documents),
+            big AS (
+              SELECT a.doc_id, a.w AS w1, a.w || ' ' || b.w AS gram
+              FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+            cb AS (SELECT gram, COUNT(*) AS nb FROM big GROUP BY gram),
+            cu AS (SELECT w, COUNT(*) AS nu FROM toks GROUP BY w),
+            v AS (SELECT COUNT(*) AS vocab FROM cu),
+            scored AS (
+              SELECT big.doc_id,
+                     log2((cb.nb + 0.5) / (cu.nu + 0.5 * v.vocab)) AS lp
+              FROM big JOIN cb USING (gram) JOIN cu ON big.w1 = cu.w CROSS JOIN v)
+            SELECT doc_id, COUNT(*) AS n_bigrams, ROUND(AVG(lp), 6) AS lm_score
+            FROM scored GROUP BY doc_id
+        """,
         # sequential count-then-redact per pattern; RE2 == Python re on
         # this pattern subset (classes, bounded repeats, \b only)
         "pii_redact_docs": r"""

@@ -522,3 +522,108 @@ def add_pii_redaction(
         PIIRedactor, batch_format="pandas", batch_size=batch_size,
         concurrency=clamp_concurrency(concurrency), fn_constructor_args=(text_col,),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus n-gram language-model quality scoring (KenLM-style signal)
+# ---------------------------------------------------------------------------
+
+def _explode_bigrams(b: pd.DataFrame, text_col: str, id_col: str) -> pd.DataFrame:
+    """(doc_id, w1, bigram) rows from adjacent token pairs — shifted-array
+    concat masked at document boundaries, no per-document loop. Tokens
+    are ``\\w+`` over lowered text (ASCII parity with DuckDB's RE2)."""
+    toks = b[text_col].fillna("").str.lower().str.findall(r"\w+")
+    n = toks.str.len().to_numpy()
+    tot = int(n.sum())
+    if tot == 0:
+        return pd.DataFrame({id_col: b[id_col].to_numpy()[:0],
+                             "w1": np.array([], dtype=object),
+                             "gram": np.array([], dtype=object)})
+    flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+    doc_idx = np.repeat(np.arange(len(b)), n)
+    ok = doc_idx[:-1] == doc_idx[1:]          # adjacent pair within one doc
+    w1 = flat[:-1][ok]
+    return pd.DataFrame({
+        id_col: b[id_col].to_numpy()[doc_idx[:-1][ok]],
+        "w1": w1,
+        "gram": w1 + " " + flat[1:][ok],
+    })
+
+
+def ngram_lm_scores(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    add_k: float = 0.5,
+    num_buckets: int = 32,
+    round_to: int = 6,
+) -> ray.data.Dataset:
+    """Per-document bigram language-model score over the corpus's OWN
+    statistics (the classic pretraining quality signal: gibberish and
+    boilerplate score low against the corpus LM):
+    ``lm_score = avg over positions of log2 P(w_i | w_{i-1})`` with
+    add-k smoothing ``P = (c(w1 w2) + k) / (c(w1) + k*V)``.
+
+    Fully distributed — the vocabulary is NEVER materialized on the
+    driver (only the scalar ``V``): bigram/unigram counts reduce via
+    the combiner hash exchange; scoring joins the position rows to both
+    count tables through the bucketed equi-join; the per-doc average is
+    one more combiner exchange. Documents with < 2 tokens emit no rows
+    (no bigram positions), matching the SQL oracle's join semantics.
+    """
+    from .grouped import hash_groupby_aggregate
+    from .join import equi_join
+
+    def _unigrams(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b[text_col].fillna("").str.lower().str.findall(r"\w+")
+        tot = int(toks.str.len().sum())
+        flat = (np.concatenate([np.asarray(t, dtype=object) for t in toks])
+                if tot else np.array([], dtype=object))
+        counts = pd.Series(flat).value_counts(sort=False) if tot else pd.Series([], dtype=np.int64)
+        return pd.DataFrame({"w1": counts.index.astype(object), "nu": counts.to_numpy(dtype=np.int64)})
+
+    def _bigram_partials(b: pd.DataFrame) -> pd.DataFrame:
+        big = _explode_bigrams(b, text_col, id_col)
+        counts = big["gram"].value_counts(sort=False)
+        return pd.DataFrame({"gram": counts.index.astype(object), "nb": counts.to_numpy(dtype=np.int64)})
+
+    narrow = ds.select_columns([id_col, text_col])
+    cu = hash_groupby_aggregate(
+        narrow.map_batches(_unigrams, batch_format="pandas"),
+        ["w1"], {"nu": ("nu", "sum")}, num_buckets=num_buckets,
+    )
+    cb = hash_groupby_aggregate(
+        narrow.map_batches(_bigram_partials, batch_format="pandas"),
+        ["gram"], {"nb": ("nb", "sum")}, num_buckets=num_buckets,
+    )
+    vocab = cu.count()  # the only driver-side value: one scalar
+
+    positions = narrow.map_batches(
+        lambda b: _explode_bigrams(b, text_col, id_col), batch_format="pandas"
+    )
+    joined = equi_join(
+        equi_join(positions, cb, "gram", how="left", broadcast=False, num_buckets=num_buckets),
+        cu, "w1", how="left", broadcast=False, num_buckets=num_buckets,
+    )
+
+    def _logp(b: pd.DataFrame) -> pd.DataFrame:
+        nb = b["nb"].fillna(0).to_numpy(dtype=np.float64)
+        nu = b["nu"].fillna(0).to_numpy(dtype=np.float64)
+        return pd.DataFrame({
+            id_col: b[id_col].to_numpy(),
+            "lp": np.log2((nb + add_k) / (nu + add_k * vocab)),
+        })
+
+    per_doc = hash_groupby_aggregate(
+        joined.map_batches(_logp, batch_format="pandas"),
+        [id_col], {"n_bigrams": (None, "count"), "lm_score": ("lp", "mean")},
+        num_buckets=num_buckets,
+    )
+
+    def _round(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return t.set_column(t.schema.get_field_index("lm_score"), "lm_score",
+                            pc.round(t.column("lm_score"), ndigits=round_to))
+
+    return per_doc.map_batches(_round, batch_format="pyarrow", zero_copy_batch=True)

@@ -344,3 +344,16 @@ def test_pii_redaction_counts_and_text():
     assert out.loc[0, "text_redacted"] == "mail <EMAIL> and <IP> plus <PHONE>"
     assert out.loc[1, "n_email"] == 0 and out.loc[1, "text_redacted"] == "no pii here"
     assert out.loc[2, "text_redacted"] == ""
+
+
+def test_ngram_lm_scores_hand_computed():
+    """Tiny corpus checked against hand arithmetic: V=2, add-k=0.5;
+    docs with < 2 tokens emit no row."""
+    from temporalscope_ray.stages.text import ngram_lm_scores
+
+    df = pd.DataFrame({"doc_id": [0, 1], "text": ["a b a", "a"]})
+    out = ngram_lm_scores(ray.data.from_pandas(df), num_buckets=4).to_pandas().set_index("doc_id")
+    assert list(out.index) == [0]
+    assert out.loc[0, "n_bigrams"] == 2
+    expected = (np.log2((1 + 0.5) / (3 + 0.5 * 2)) + np.log2((1 + 0.5) / (1 + 0.5 * 2))) / 2
+    assert out.loc[0, "lm_score"] == pytest.approx(round(expected, 6), abs=1e-6)
