@@ -561,6 +561,17 @@ def q_minhash_kept_docs(sf_dir: str):
     ).select_columns(["doc_id"])
 
 
+def q_curation_pipeline(sf_dir: str):
+    """Curation flagship (PII redact → Gopher gate → MinHash dedup) —
+    a composition of three individually-green stages under ONE composed
+    DuckDB oracle. ``portable=True`` so the MinHash leg is
+    SQL-replayable."""
+    from temporalscope_ray.pipelines.curation import curate_documents
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return curate_documents(docs, concurrency=(1, 2), portable=True)
+
+
 def q_ngram_lm_docs(sf_dir: str):
     """Corpus bigram-LM quality scores (add-0.5 smoothing against the
     corpus's own counts). Distributed end-to-end: two combiner count
@@ -1340,6 +1351,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phash_dedup_events": q_phash_dedup_events,
         "pii_redact_docs": q_pii_redact_docs,
         "ngram_lm_docs": q_ngram_lm_docs,
+        "curation_pipeline": q_curation_pipeline,
         "line_dedup_docs": q_line_dedup_docs,
         "image_pipeline": q_image_pipeline,
         "audio_pipeline": q_audio_pipeline,
@@ -1446,20 +1458,30 @@ _SQL_SHINGLE_IDX = (
 )
 
 
-def _minhash_oracle_sql() -> str:
+def _minhash_oracle_sql(src: str = "documents") -> str:
     """minhash_kept_docs oracle: full algorithm replication in SQL.
     The permutation parameters are data-independent (seed 7), embedded
     as HUGEINT literals; shingle hashes are md5_number_lower of the
     space-joined token window (the engine's portable mode); the
     (a*x)%2^64%p wrap mirrors numpy's uint64 overflow exactly (probed);
     bands compare as ordered 4-value lists (the engine compares band
-    hashes — equality is identical up to ~2^-61 collisions)."""
+    hashes — equality is identical up to ~2^-61 collisions).
+    ``src`` lets a composed oracle (curation pipeline) feed a CTE
+    instead of the raw documents view."""
+    return f"""
+        WITH {_minhash_ctes(src)}
+        SELECT doc_id FROM {src} WHERE doc_id NOT IN (SELECT id_b FROM dropped)
+    """
+
+
+def _minhash_ctes(src: str) -> str:
+    """The MinHash replication as a bare CTE list (``toks`` …
+    ``dropped``) reading from ``src`` — embeddable in a larger WITH."""
     rng = np.random.default_rng(7)
     a = rng.integers(1, _P61, size=64, dtype=np.uint64)
     b = rng.integers(0, _P61, size=64, dtype=np.uint64)
     perm_rows = ", ".join(f"({j}, {int(a[j])}::HUGEINT, {int(b[j])}::HUGEINT)" for j in range(64))
-    return f"""
-        WITH toks AS ({_SQL_TOKS}),
+    return f"""toks AS ({_SQL_TOKS.replace("FROM documents", "FROM " + src)}),
         sh AS (
           SELECT doc_id, md5_number_lower(array_to_string(t[i : i + 4], ' ')) AS h
           FROM toks {_SQL_SHINGLE_IDX}),
@@ -1475,8 +1497,54 @@ def _minhash_oracle_sql() -> str:
         dropped AS (
           SELECT DISTINCT b2.doc_id AS id_b
           FROM bands a2 JOIN bands b2
-            ON a2.band_id = b2.band_id AND a2.bsig = b2.bsig AND a2.doc_id < b2.doc_id)
-        SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id_b FROM dropped)
+            ON a2.band_id = b2.band_id AND a2.bsig = b2.bsig AND a2.doc_id < b2.doc_id)"""
+
+
+def _curation_oracle_sql() -> str:
+    """Composed oracle for the curation flagship: PII-redact →
+    Gopher-repetition keep gate → MinHash near-dup dedup, each stage
+    the EXACT SQL already proven green standalone, chained through
+    CTEs. The final kept set carries the redacted text."""
+    pii = """
+        red AS (
+          SELECT doc_id,
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(coalesce(text, ''),
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                     '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g'),
+                   '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS text
+          FROM documents),
+    """
+    gopher = """
+        gt AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text), '\\w+')) AS w,
+                 generate_subscripts(regexp_extract_all(lower(text), '\\w+'), 1) AS pos
+          FROM red),
+        gwc AS (SELECT doc_id, w, COUNT(*) AS c FROM gt GROUP BY doc_id, w),
+        gagg AS (
+          SELECT doc_id, SUM(c) AS n_words, MAX(c) AS top_c,
+                 SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_occ
+          FROM gwc GROUP BY doc_id),
+        gbg AS (
+          SELECT doc_id, w || ' ' || LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+          FROM gt),
+        gbgc AS (SELECT doc_id, g, COUNT(*) AS c FROM gbg WHERE g IS NOT NULL GROUP BY doc_id, g),
+        gbga AS (SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_bc FROM gbgc GROUP BY doc_id),
+        kept_gate AS (
+          SELECT r.doc_id, r.text
+          FROM red r LEFT JOIN gagg a USING (doc_id) LEFT JOIN gbga b USING (doc_id)
+          WHERE COALESCE(
+            CAST(a.top_c AS DOUBLE) / a.n_words <= 0.10
+            AND CAST(a.dup_occ AS DOUBLE) / a.n_words <= 0.85
+            AND NOT (CAST(b.top_bc AS DOUBLE) / b.n_bigrams > 0.20), FALSE)),
+    """
+    return f"""
+        WITH {pii} {gopher} {_minhash_ctes("kept_gate")}
+        SELECT k.doc_id, k.text
+        FROM kept_gate k
+        WHERE k.doc_id NOT IN (SELECT id_b FROM dropped)
     """
 
 
@@ -1754,6 +1822,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "knn_lsh_10": _lsh_oracle_sql(),
         "minhash_kept_docs": _minhash_oracle_sql(),
+        "curation_pipeline": _curation_oracle_sql(),
         # corpus bigram LM with add-0.5 smoothing; docs with <2 tokens
         # have no bigram positions and are absent on both sides
         "ngram_lm_docs": r"""
