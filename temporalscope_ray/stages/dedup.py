@@ -1,5 +1,7 @@
 """Deduplication family for web-scale corpora: exact, MinHash+LSH,
-SimHash, n-gram Jaccard, embedding-cosine near-dup.
+SimHash, perceptual-hash (phash), n-gram Jaccard, embedding-cosine
+near-dup, plus corpus-level line dedup (the C4 rule) and the
+cross-corpus contamination probe.
 
 Canonical semantics (direct-pair, deterministic, order-free): a row is
 DROPPED iff some verified duplicate partner with a SMALLER ``id_col``

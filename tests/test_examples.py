@@ -26,6 +26,7 @@ def _run(name: str) -> None:
     "02_single_step_target_shifting.py",
     "03_data_quality_checks.py",
     "04_end_to_end_health_monitoring.py",
+    "05_corpus_curation.py",
 ])
 def test_example_runs(name, capsys):
     _run(name)
