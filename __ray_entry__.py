@@ -756,6 +756,17 @@ def q_stratified_sample_docs(sf_dir: str):
                              rates=SAMPLE_RATES, default_rate=SAMPLE_DEFAULT_RATE)
 
 
+def q_shuffle_docs(sf_dir: str):
+    """Reproducible epoch shuffle: every document with its global
+    post-shuffle position (md5-keyed total order — identical at any
+    parallelism; the position column makes the permutation order-free
+    and SQL-auditable)."""
+    from temporalscope_ray.stages.sampling import deterministic_shuffle
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+    return deterministic_shuffle(docs, "doc_id", salt="epoch0", pos_col="shuffle_pos")
+
+
 def q_zscore_by_user(sf_dir: str):
     """Per-entity standardization of the value series (population std;
     NaN where an entity's std is 0)."""
@@ -1369,6 +1380,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_10": q_knn_ivf,
         "hash_split_docs": q_hash_split_docs,
         "stratified_sample_docs": q_stratified_sample_docs,
+        "shuffle_docs": q_shuffle_docs,
         "zscore_by_user": q_zscore_by_user,
         "value_quantiles": q_value_quantiles,
         "top_terms_50": q_top_terms,
@@ -1974,6 +1986,13 @@ def oracle_sql() -> dict[str, str]:
                   (CASE lang WHEN 'en' THEN {_rate_thr('en')}::UBIGINT
                              WHEN 'fr' THEN {_rate_thr('fr')}::UBIGINT
                              ELSE {_rate_thr(None)}::UBIGINT END)
+        """,
+        "shuffle_docs": """
+            SELECT doc_id,
+                   CAST(row_number() OVER (
+                        ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR) || 'epoch0'),
+                                 doc_id) - 1 AS BIGINT) AS shuffle_pos
+            FROM documents
         """,
         "zscore_by_user": """
             SELECT e.event_id, e.user_id, e.value,

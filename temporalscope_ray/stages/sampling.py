@@ -192,3 +192,53 @@ def sample_per_group(
         hashed, group_col, hcol, k=n, tiebreak=[key_col], num_buckets=num_buckets
     )
     return capped.drop_columns([hcol])
+
+def deterministic_shuffle(
+    ds: ray.data.Dataset,
+    key_col: str,
+    *,
+    salt: str = "",
+    portable: bool = True,
+    pos_col: Optional[str] = None,
+) -> ray.data.Dataset:
+    """Reproducible global shuffle for training order: rows are totally
+    ordered by ``hash(key‖salt)`` (ties broken by the key itself, so the
+    order is unique whenever ``key_col`` is). Same key + same salt =
+    same permutation at ANY parallelism, block layout, or re-run;
+    change ``salt`` per epoch to draw a fresh permutation.
+
+    Scale shape: ONE range-partitioned sort whose sort key is uniform
+    over [0, 2^64) — the partitions are balanced by construction (no
+    skew regardless of how hot any natural key is), which is exactly
+    the shuffle you want at 100 TB; nothing corpus-sized ever touches
+    the driver.
+
+    ``pos_col``: when set, the post-shuffle position is MATERIALIZED as
+    a 0-based int64 column (via the two-pass block-offset scan —
+    O(blocks) driver traffic), making the permutation order-free,
+    sink-stable, and SQL-auditable: with ``portable=True`` it equals
+    DuckDB's ``row_number() OVER (ORDER BY md5_number_lower(CAST(key AS
+    VARCHAR) || salt), key) - 1``. When ``pos_col`` is None the rows
+    are returned in shuffle order instead, with ``preserve_order`` set
+    on the returned plan's own context so consumption observes it
+    (global DataContext untouched).
+
+    The reference has no shuffle operator (single-frame library); this
+    is part of the training-data plumbing family (split / stratified /
+    per-group sample) a large-scale pipeline needs.
+    """
+    shuf = "__shuffle_u64__"
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        u = _key_units(batch.column(key_col).to_pandas(), salt=salt, portable=portable)
+        return batch.append_column(shuf, pa.array(u.astype(np.uint64)))
+
+    keyed = ds.map_batches(add_key, batch_format="pyarrow", zero_copy_batch=True)
+    if pos_col is not None:
+        from .scan import with_global_index
+
+        out = with_global_index(keyed, order_by=[shuf, key_col], out_col=pos_col)
+        return out.drop_columns([shuf])
+    out = keyed.sort([shuf, key_col]).drop_columns([shuf])
+    out.context.execution_options.preserve_order = True
+    return out

@@ -265,3 +265,55 @@ def test_group_top_k_keeps_null_group():
                        "v": [5.0, 4.0, 3.0, 2.0, 1.0]})
     got = group_top_k(ray.data.from_pandas(df), "uid", "v", k=2, tiebreak=["eid"]).to_pandas()
     assert len(got[got["uid"].isna()]) == 2  # null key is a group, not dropped
+
+
+def test_deterministic_shuffle_positions_parallelism_independent():
+    """The permutation is a bijection onto [0, n) and identical at any
+    block layout; a different salt draws a different permutation."""
+    df = _docs(1200)
+    a = sampling.deterministic_shuffle(
+        ray.data.from_pandas(df).repartition(3), "doc_id", salt="e0", pos_col="pos"
+    ).to_pandas()
+    b = sampling.deterministic_shuffle(
+        ray.data.from_pandas(df).repartition(11), "doc_id", salt="e0", pos_col="pos"
+    ).to_pandas()
+    assert sorted(a["pos"]) == list(range(len(df)))
+    merged = a.merge(b, on="doc_id", suffixes=("_a", "_b"))
+    assert (merged["pos_a"] == merged["pos_b"]).all()
+    c = sampling.deterministic_shuffle(
+        ray.data.from_pandas(df), "doc_id", salt="e1", pos_col="pos"
+    ).to_pandas()
+    m2 = a.merge(c, on="doc_id", suffixes=("_a", "_c"))
+    assert (m2["pos_a"] != m2["pos_c"]).any()
+
+
+def test_deterministic_shuffle_matches_oracle_order():
+    """portable=True replays DuckDB's row_number() OVER (ORDER BY
+    md5_number_lower(key || salt), key) exactly."""
+    import duckdb
+
+    df = _docs(800)
+    mine = sampling.deterministic_shuffle(
+        ray.data.from_pandas(df).repartition(5), "doc_id", salt="s", pos_col="pos"
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    oracle = duckdb.sql("""
+        SELECT doc_id,
+               CAST(row_number() OVER (
+                    ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR) || 's'),
+                             doc_id) - 1 AS BIGINT) AS pos
+        FROM df ORDER BY doc_id
+    """).df()
+    assert (mine["pos"].to_numpy() == oracle["pos"].to_numpy()).all()
+
+
+def test_deterministic_shuffle_ordered_consumption():
+    """pos_col=None returns rows IN shuffle order (plan-scoped
+    preserve_order), matching the pos_col ranking."""
+    df = _docs(600)
+    ordered = sampling.deterministic_shuffle(
+        ray.data.from_pandas(df).repartition(4), "doc_id", salt="e0"
+    ).to_pandas()
+    ranked = sampling.deterministic_shuffle(
+        ray.data.from_pandas(df), "doc_id", salt="e0", pos_col="pos"
+    ).to_pandas().sort_values("pos")
+    assert list(ordered["doc_id"]) == list(ranked["doc_id"])
