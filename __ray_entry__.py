@@ -767,6 +767,24 @@ def q_shuffle_docs(sf_dir: str):
     return deterministic_shuffle(docs, "doc_id", salt="epoch0", pos_col="shuffle_pos")
 
 
+def q_sample_k_docs(sf_dir: str):
+    """Exactly-100 deterministic uniform sample (largest md5(key||'eval')
+    wins) — held-out eval-set selection; k-cap combiner, no global sort."""
+    from temporalscope_ray.stages.sampling import sample_k
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    return sample_k(docs, "doc_id", k=100, salt="eval")
+
+
+def q_normalize_text_docs(sf_dir: str):
+    """Canonical curation normalization: lowercase + collapse ASCII
+    whitespace runs + trim — pure Arrow kernels, zero shuffle."""
+    from temporalscope_ray.stages.text import normalize_text
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return normalize_text(docs, "text", out_col="norm_text").drop_columns(["text"])
+
+
 def q_zscore_by_user(sf_dir: str):
     """Per-entity standardization of the value series (population std;
     NaN where an entity's std is 0)."""
@@ -1381,6 +1399,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_split_docs": q_hash_split_docs,
         "stratified_sample_docs": q_stratified_sample_docs,
         "shuffle_docs": q_shuffle_docs,
+        "sample_k_docs": q_sample_k_docs,
+        "normalize_text_docs": q_normalize_text_docs,
         "zscore_by_user": q_zscore_by_user,
         "value_quantiles": q_value_quantiles,
         "top_terms_50": q_top_terms,
@@ -1992,6 +2012,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (
                         ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR) || 'epoch0'),
                                  doc_id) - 1 AS BIGINT) AS shuffle_pos
+            FROM documents
+        """,
+        "sample_k_docs": """
+            SELECT doc_id, lang FROM documents
+            ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR) || 'eval') DESC, doc_id
+            LIMIT 100
+        """,
+        "normalize_text_docs": """
+            SELECT doc_id,
+                   trim(regexp_replace(lower(text), '[ \\t\\r\\n\\f\\v]+', ' ', 'g')) AS norm_text
             FROM documents
         """,
         "zscore_by_user": """

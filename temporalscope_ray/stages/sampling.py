@@ -242,3 +242,36 @@ def deterministic_shuffle(
     out = keyed.sort([shuf, key_col]).drop_columns([shuf])
     out.context.execution_options.preserve_order = True
     return out
+
+def sample_k(
+    ds: ray.data.Dataset,
+    key_col: str,
+    *,
+    k: int,
+    salt: str = "",
+    portable: bool = True,
+) -> ray.data.Dataset:
+    """Exactly-``k`` uniform deterministic sample: the ``k`` rows with
+    the LARGEST ``hash(key‖salt)`` (ties by key asc). Hash order is a
+    pre-committed random order, so this is an unbiased global sample —
+    the standard held-out-eval-set selection — reproducible at any
+    parallelism and SQL-replayable (``ORDER BY md5_number_lower(...)
+    DESC, key LIMIT k``).
+
+    No global sort: rides ``group_top_k``'s k-cap combiner under a
+    constant group, so each block contributes at most ``k`` rows to
+    ONE exchange (k × blocks rows total moved — for an eval-set k this
+    is KBs at any corpus size).
+    """
+    from .grouped import group_top_k
+
+    g, hcol = "__smpk_g__", "__smpk_hash__"
+
+    def add_cols(batch: pa.Table) -> pa.Table:
+        u = _key_units(batch.column(key_col).to_pandas(), salt=salt, portable=portable)
+        batch = batch.append_column(hcol, pa.array(u.astype(np.uint64)))
+        return batch.append_column(g, pa.array(np.zeros(batch.num_rows, dtype=np.int8)))
+
+    keyed = ds.map_batches(add_cols, batch_format="pyarrow", zero_copy_batch=True)
+    out = group_top_k(keyed, g, hcol, k=k, tiebreak=[key_col], num_buckets=1)
+    return out.drop_columns([g, hcol])

@@ -627,3 +627,34 @@ def ngram_lm_scores(
                             pc.round(t.column("lm_score"), ndigits=round_to))
 
     return per_doc.map_batches(_round, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def normalize_text(
+    ds: ray.data.Dataset, text_col: str = "text", *, out_col: str | None = None
+) -> ray.data.Dataset:
+    """Canonical text normalization for curation: lowercase, collapse
+    every run of ASCII whitespace to one space, strip the boundary
+    space. Pure Arrow kernels (utf8_lower + replace_substring_regex +
+    utf8_trim) — zero-copy batches, zero shuffle, no Python per row.
+
+    The whitespace class is written out explicitly (``[ \\t\\r\\n\\f\\v]``)
+    rather than ``\\s`` so the engine (Python re semantics in Arrow's
+    RE2) and the DuckDB oracle (RE2, ASCII ``\\s``) agree byte-for-byte
+    even on non-ASCII whitespace, which stays untouched in both. Null
+    text stays null (SQL semantics). Equivalent oracle expression:
+    ``trim(regexp_replace(lower(text), '[ \\t\\r\\n\\f\\v]+', ' ', 'g'))``.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    dst = out_col or text_col
+
+    def norm(batch: pa.Table) -> pa.Table:
+        col = pc.utf8_lower(batch.column(text_col))
+        col = pc.replace_substring_regex(col, pattern="[ \t\r\n\f\v]+", replacement=" ")
+        col = pc.utf8_trim(col, characters=" ")
+        if dst in batch.column_names:
+            return batch.set_column(batch.schema.get_field_index(dst), dst, col)
+        return batch.append_column(dst, col)
+
+    return ds.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)

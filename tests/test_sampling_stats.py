@@ -317,3 +317,39 @@ def test_deterministic_shuffle_ordered_consumption():
         ray.data.from_pandas(df), "doc_id", salt="e0", pos_col="pos"
     ).to_pandas().sort_values("pos")
     assert list(ordered["doc_id"]) == list(ranked["doc_id"])
+
+
+def test_sample_k_exact_size_and_parallelism_independent():
+    df = _docs(1500)
+    a = sampling.sample_k(ray.data.from_pandas(df).repartition(2), "doc_id",
+                          k=64, salt="e").to_pandas()
+    b = sampling.sample_k(ray.data.from_pandas(df).repartition(17), "doc_id",
+                          k=64, salt="e").to_pandas()
+    assert len(a) == 64 and set(a["doc_id"]) == set(b["doc_id"])
+    # matches the SQL selection rule exactly
+    import duckdb
+    oracle = duckdb.sql("""
+        SELECT doc_id FROM df
+        ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR) || 'e') DESC, doc_id
+        LIMIT 64
+    """).df()
+    assert set(a["doc_id"]) == set(oracle["doc_id"])
+
+
+def test_normalize_text_matches_sql_rule():
+    import duckdb
+    from temporalscope_ray.stages.text import normalize_text
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["  Hello\t\tWORLD \n", "a\r\nb\fc\vd", None, "NoChange"],
+    })
+    mine = normalize_text(ray.data.from_pandas(df), "text", out_col="norm") \
+        .to_pandas().sort_values("doc_id")
+    oracle = duckdb.sql("""
+        SELECT doc_id,
+               trim(regexp_replace(lower(text), '[ \\t\\r\\n\\f\\v]+', ' ', 'g')) AS norm
+        FROM df ORDER BY doc_id
+    """).df()
+    assert list(mine["norm"].fillna("<null>")) == list(oracle["norm"].fillna("<null>"))
+    assert mine.loc[mine["doc_id"] == 1, "norm"].iloc[0] == "hello world"
