@@ -785,6 +785,16 @@ def q_normalize_text_docs(sf_dir: str):
     return normalize_text(docs, "text", out_col="norm_text").drop_columns(["text"])
 
 
+def q_temperature_resample_docs(sf_dir: str):
+    """Language rebalancing at temperature alpha=0.3 (heads shrink,
+    tails keep rate 1.0); rates derived from corpus counts via one
+    combiner exchange, decision integer-exact per row."""
+    from temporalscope_ray.stages.sampling import temperature_resample
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    return temperature_resample(docs, "doc_id", "lang", alpha=0.3, salt="tmp")
+
+
 def q_zscore_by_user(sf_dir: str):
     """Per-entity standardization of the value series (population std;
     NaN where an entity's std is 0)."""
@@ -1400,6 +1410,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample_docs": q_stratified_sample_docs,
         "shuffle_docs": q_shuffle_docs,
         "sample_k_docs": q_sample_k_docs,
+        "temperature_resample_docs": q_temperature_resample_docs,
         "normalize_text_docs": q_normalize_text_docs,
         "zscore_by_user": q_zscore_by_user,
         "value_quantiles": q_value_quantiles,
@@ -2023,6 +2034,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    trim(regexp_replace(lower(text), '[ \\t\\r\\n\\f\\v]+', ' ', 'g')) AS norm_text
             FROM documents
+        """,
+        # rates are RE-DERIVED from the oracle's own counts (not copied
+        # from the engine); the 10^6 integer decision grid makes every
+        # per-row keep/drop replayable bit-for-bit
+        "temperature_resample_docs": """
+            WITH cnt AS (SELECT lang, COUNT(*)::DOUBLE AS c FROM documents GROUP BY lang),
+                 w AS (SELECT lang, POWER(c / (SELECT SUM(c) FROM cnt), 0.3 - 1.0) AS w FROM cnt),
+                 r AS (SELECT lang, CAST(ROUND(w / (SELECT MAX(w) FROM w) * 1000000, 0) AS BIGINT) AS rate_int FROM w)
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN r USING (lang)
+            WHERE CAST(md5_number_lower(CAST(d.doc_id AS VARCHAR) || 'tmp') % 1000000 AS BIGINT)
+                  < r.rate_int
         """,
         "zscore_by_user": """
             SELECT e.event_id, e.user_id, e.value,

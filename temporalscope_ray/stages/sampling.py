@@ -275,3 +275,53 @@ def sample_k(
     keyed = ds.map_batches(add_cols, batch_format="pyarrow", zero_copy_batch=True)
     out = group_top_k(keyed, g, hcol, k=k, tiebreak=[key_col], num_buckets=1)
     return out.drop_columns([g, hcol])
+
+def temperature_resample(
+    ds: ray.data.Dataset,
+    key_col: str,
+    strata_col: str,
+    *,
+    alpha: float = 0.3,
+    salt: str = "",
+    portable: bool = True,
+    num_buckets: int = 16,
+) -> ray.data.Dataset:
+    """Temperature-based stratum rebalancing (the multilingual-corpus
+    move: sample languages ∝ p^alpha instead of p, so head languages
+    shrink and tail languages keep everything). Per-stratum keep rate
+    is ``(p_l^(alpha-1)) / max_l(p_l^(alpha-1))`` — the largest stratum
+    is downsampled hardest, the smallest keeps rate 1.0.
+
+    Distributed shape: ONE combiner count exchange reduces the corpus
+    to vocab-sized ``(stratum, count)`` rows (the only thing the driver
+    ever sees); rates are broadcast and the keep decision is a zero-
+    shuffle vectorized filter. The decision is integer-exact —
+    ``hash(key‖salt) % 10^6 < round(rate · 10^6)`` — so with
+    ``portable=True`` a SQL engine can recompute the rates from its own
+    counts AND replay every per-row decision (see the
+    ``temperature_resample_docs`` oracle: rates are derived in SQL, not
+    copied from the engine; 6-dp rate quantization absorbs pow/division
+    ulp differences between numpy and the SQL engine).
+    """
+    from .grouped import hash_groupby_aggregate
+
+    cnt = hash_groupby_aggregate(
+        ds.select_columns([strata_col]), [strata_col], {"c": (strata_col, "count")},
+        num_buckets=min(num_buckets, 4),
+    ).to_pandas()  # vocab-sized: one row per stratum
+    c = cnt["c"].to_numpy(dtype=np.float64)
+    w = (c / c.sum()) ** (alpha - 1.0)
+    rate_int = np.floor(w / w.max() * 1_000_000 + 0.5).astype(np.int64)
+    rates = dict(zip(cnt[strata_col], (int(r) for r in rate_int)))
+    ref = ray.put(rates)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        r = ray.get(ref)
+        u = _key_units(batch.column(key_col).to_pandas(), salt=salt, portable=portable)
+        thr = (
+            pd.Series(batch.column(strata_col).to_pandas())
+            .map(r).fillna(0).to_numpy(dtype=np.int64)
+        )
+        return batch.filter(pa.array((u % np.uint64(1_000_000)).astype(np.int64) < thr))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)

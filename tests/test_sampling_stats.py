@@ -353,3 +353,34 @@ def test_normalize_text_matches_sql_rule():
     """).df()
     assert list(mine["norm"].fillna("<null>")) == list(oracle["norm"].fillna("<null>"))
     assert mine.loc[mine["doc_id"] == 1, "norm"].iloc[0] == "hello world"
+
+
+def test_temperature_resample_rebalances_and_matches_sql():
+    """alpha<1 shrinks the head stratum hardest; smallest stratum keeps
+    rate 1.0; every per-row decision replays in SQL from SQL's own
+    counts."""
+    import duckdb
+
+    df = _docs(4000, seed=7)  # en ~60%, fr/de ~20% each
+    out = sampling.temperature_resample(
+        ray.data.from_pandas(df).repartition(6), "doc_id", "lang",
+        alpha=0.3, salt="t"
+    ).to_pandas()
+    oracle = duckdb.sql("""
+        WITH cnt AS (SELECT lang, COUNT(*)::DOUBLE AS c FROM df GROUP BY lang),
+             w AS (SELECT lang, POWER(c / (SELECT SUM(c) FROM cnt), 0.3 - 1.0) AS w FROM cnt),
+             r AS (SELECT lang, CAST(ROUND(w / (SELECT MAX(w) FROM w) * 1000000, 0) AS BIGINT) AS rate_int FROM w)
+        SELECT d.doc_id FROM df d JOIN r USING (lang)
+        WHERE CAST(md5_number_lower(CAST(d.doc_id AS VARCHAR) || 't') % 1000000 AS BIGINT) < r.rate_int
+    """).df()
+    assert set(out["doc_id"]) == set(oracle["doc_id"])
+    # head shrinks, tail survives whole
+    before = df["lang"].value_counts()
+    after = out["lang"].value_counts()
+    smallest = before.idxmin()
+    assert after[smallest] == before[smallest]            # rate 1.0 stratum
+    assert after["en"] / before["en"] < after[smallest] / before[smallest]
+    # post-sample shares are closer to uniform than before
+    pre = (before / before.sum()).max()
+    post = (after / after.sum()).max()
+    assert post < pre
