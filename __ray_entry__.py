@@ -795,6 +795,25 @@ def q_temperature_resample_docs(sf_dir: str):
     return temperature_resample(docs, "doc_id", "lang", alpha=0.3, salt="tmp")
 
 
+def q_interarrival_by_user(sf_dir: str):
+    """Per-user microseconds since the previous event (null on each
+    user's first) — exact int64 diffs, surfaced as double for the gate."""
+    from temporalscope_ray.stages.window_features import add_interarrival
+
+    ev = _events(sf_dir, ("event_id", "ts", "user_id"))
+    out = add_interarrival(ev, id_col="user_id", time_col="ts", tiebreak=["event_id"])
+    return _round_cols(out, ["interarrival_us"])
+
+
+def q_target_encode_events(sf_dir: str):
+    """Smoothed mean-target encoding of event_type (m=20 shrink toward
+    the global mean) — the high-cardinality categorical feature."""
+    from temporalscope_ray.stages.stats import target_encode
+
+    ev = _events(sf_dir, ("event_id", "event_type", "value"))
+    return target_encode(ev, "event_type", "value", smoothing=20.0)
+
+
 def q_zscore_by_user(sf_dir: str):
     """Per-entity standardization of the value series (population std;
     NaN where an entity's std is 0)."""
@@ -1411,6 +1430,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_docs": q_shuffle_docs,
         "sample_k_docs": q_sample_k_docs,
         "temperature_resample_docs": q_temperature_resample_docs,
+        "interarrival_by_user": q_interarrival_by_user,
+        "target_encode_events": q_target_encode_events,
         "normalize_text_docs": q_normalize_text_docs,
         "zscore_by_user": q_zscore_by_user,
         "value_quantiles": q_value_quantiles,
@@ -2034,6 +2055,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    trim(regexp_replace(lower(text), '[ \\t\\r\\n\\f\\v]+', ' ', 'g')) AS norm_text
             FROM documents
+        """,
+        "interarrival_by_user": """
+            SELECT event_id, ts, user_id,
+                   CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE)
+                     AS interarrival_us
+            FROM events
+        """,
+        "target_encode_events": """
+            WITH s AS (SELECT event_type, SUM(value) AS s, COUNT(value) AS c
+                       FROM events GROUP BY event_type)
+            SELECT e.event_id, e.event_type, e.value,
+                   ROUND((s.s + 20.0 * (SELECT SUM(s) FROM s) / (SELECT SUM(c) FROM s))
+                         / (s.c + 20.0), 6) AS value_te
+            FROM events e JOIN s USING (event_type)
         """,
         # rates are RE-DERIVED from the oracle's own counts (not copied
         # from the engine); the 10^6 integer decision grid makes every

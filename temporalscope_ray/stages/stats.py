@@ -184,3 +184,50 @@ def robust_scale_per_group(
         return out
 
     return ds.map_batches(apply, batch_format="pandas")
+
+def target_encode(
+    ds: ray.data.Dataset,
+    cat_col: str,
+    target_col: str,
+    *,
+    smoothing: float = 20.0,
+    out_col: str | None = None,
+    round_to: int | None = 6,
+) -> ray.data.Dataset:
+    """Smoothed target (mean) encoding — the classic high-cardinality
+    categorical feature: ``enc(cat) = (Σ_cat target + m·global_mean) /
+    (n_cat + m)``, shrinking rare categories toward the global mean.
+
+    Same two-pass zero-fact-shuffle shape as ``zscore_per_entity``:
+    a combiner (Σ, n) exchange reduces the facts to one row per
+    category; the global mean comes from THOSE vocab-sized partials
+    (Σ of sums / Σ of counts — never a second pass over the facts);
+    the encoding table is broadcast and applied vectorized. A category
+    with no non-null targets encodes null (SQL semantics). ``round_to``
+    quantizes the encoding so SQL replay is immune to float
+    summation-order ulp (the oracle derives everything from its own
+    SUM/COUNT — see ``target_encode_events``).
+    """
+    stats = hash_groupby_aggregate(
+        ds.select_columns([cat_col, target_col]),
+        [cat_col],
+        {"__s__": (target_col, "sum"), "__c__": (target_col, "count")},
+    ).to_pandas()  # vocab-sized
+    c = stats["__c__"].to_numpy(dtype=np.float64)
+    s = stats["__s__"].to_numpy(dtype=np.float64)
+    gm = s.sum() / c.sum()
+    enc = (s + smoothing * gm) / (c + smoothing)
+    enc = np.where(c > 0, enc, np.nan)
+    if round_to is not None:
+        enc = np.round(enc, round_to)
+    table = dict(zip(stats[cat_col], enc))
+    ref = ray.put(table)
+    dst = out_col or f"{target_col}_te"
+
+    def apply(df: pd.DataFrame) -> pd.DataFrame:
+        t = ray.get(ref)
+        out = df.copy()
+        out[dst] = df[cat_col].map(t).astype(np.float64)
+        return out
+
+    return ds.map_batches(apply, batch_format="pandas")

@@ -920,3 +920,38 @@ def session_stats(
         return out
 
     return grouped.grouped_ordered_map(ds, id_col, [time_col, *(tiebreak or [])], fn, num_buckets=num_buckets)
+
+
+def add_interarrival(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str,
+    time_col: str,
+    out_col: str = "interarrival_us",
+    tiebreak: Optional[Sequence[str]] = None,
+    num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+) -> ray.data.Dataset:
+    """Per-entity inter-arrival time: microseconds since the entity's
+    previous event (null on each entity's first row) — the canonical
+    activity-cadence feature. Exact int64 arithmetic end to end, so the
+    SQL replay (``ts_us - lag(ts_us) OVER (PARTITION BY id ORDER BY
+    time, tiebreak)``) matches bit-for-bit. One bucket exchange, same
+    as every windowed feature."""
+    order = [time_col, *(tiebreak or [])]
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.copy()
+        ts = g[time_col].to_numpy()
+        ts_us = ts.astype("datetime64[us]").astype(np.int64) if np.issubdtype(
+            ts.dtype, np.datetime64) else ts.astype(np.int64)
+        segs = grouped.entity_segments(g[id_col].to_numpy())
+        d = np.empty(len(g), dtype=np.int64)
+        d[1:] = ts_us[1:] - ts_us[:-1]
+        d[0] = 0
+        first = np.zeros(len(g), dtype=bool)
+        first[segs[:-1]] = True
+        out[out_col] = pd.array(np.where(first, 0, d), dtype="Int64")
+        out.loc[first, out_col] = pd.NA
+        return out
+
+    return grouped.grouped_ordered_map(ds, id_col, order, fn, num_buckets=num_buckets)

@@ -190,3 +190,42 @@ def test_chunked_hot_entity_matches_unchunked():
     cold = add_temporal_features_auto(ds, num_buckets=8, hot_min_rows=10_000, **kw).to_pandas()
     d = cold.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(a[sorted(a.columns)], d[sorted(d.columns)], check_dtype=False)
+
+
+def test_interarrival_matches_pandas_diff():
+    from temporalscope_ray.stages.window_features import add_interarrival
+
+    df = events_df(n_per=20)
+    out = sorted_out(add_interarrival(
+        ray.data.from_pandas(df).repartition(4), id_col="user_id", time_col="ts"
+    ))
+    exp = (df.sort_values(["user_id", "ts"])
+             .groupby("user_id")["ts"].diff().dt.total_seconds() * 1_000_000)
+    mine = out["interarrival_us"].astype("Float64").to_numpy(dtype=np.float64, na_value=np.nan)
+    assert np.allclose(mine, exp.to_numpy(), equal_nan=True)
+    # first row of every entity is null
+    firsts = out.groupby("user_id").head(1)["interarrival_us"]
+    assert firsts.isna().all()
+
+
+def test_target_encode_shrinks_rare_categories():
+    from temporalscope_ray.stages.stats import target_encode
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({
+        "cat": ["big"] * 1000 + ["rare"] * 3,
+        "y": np.concatenate([rng.normal(10.0, 1, 1000), [100.0, 100.0, 100.0]]),
+    })
+    out = target_encode(ray.data.from_pandas(df).repartition(3), "cat", "y",
+                        smoothing=20.0).to_pandas()
+    gm = df["y"].mean()
+    enc_big = out.loc[out["cat"] == "big", "y_te"].iloc[0]
+    enc_rare = out.loc[out["cat"] == "rare", "y_te"].iloc[0]
+    # big category ~ its own mean; rare category pulled strongly toward global
+    assert abs(enc_big - df[df.cat == "big"]["y"].mean()) < 0.05
+    assert abs(enc_rare - 100.0) > abs(enc_rare - gm)
+    # deterministic across block layouts
+    out2 = target_encode(ray.data.from_pandas(df).repartition(11), "cat", "y",
+                         smoothing=20.0).to_pandas()
+    m = out.merge(out2, on=["cat", "y"])
+    assert (m["y_te_x"] == m["y_te_y"]).all()
