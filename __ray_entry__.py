@@ -814,6 +814,34 @@ def q_target_encode_events(sf_dir: str):
     return target_encode(ev, "event_type", "value", smoothing=20.0)
 
 
+def q_freq_encode_events(sf_dir: str):
+    """Frequency (count) encoding of event_type — exact int64."""
+    from temporalscope_ray.stages.stats import frequency_encode
+
+    ev = _events(sf_dir, ("event_id", "event_type"))
+    return frequency_encode(ev, "event_type")
+
+
+def q_value_bins_events(sf_dir: str):
+    """Equal-width 10-bin discretization of events.value over the global
+    [min,max]; boundary expression shared verbatim with the oracle so
+    bins are IEEE-bit-exact. Null values bin to null (surfaced as
+    double for the gate)."""
+    from temporalscope_ray.stages.stats import equal_width_bin
+
+    ev = _events(sf_dir, ("event_id", "value"))
+    return _round_cols(equal_width_bin(ev, "value", k=10), ["value_bin"])
+
+
+def q_cross_type_user_events(sf_dir: str):
+    """Hashing-trick feature cross of (event_type, user_id) into 10^6
+    bins — md5-exact in SQL."""
+    from temporalscope_ray.stages.stats import feature_cross
+
+    ev = _events(sf_dir, ("event_id", "event_type", "user_id"))
+    return feature_cross(ev, ["event_type", "user_id"], out_col="type_user_cross")
+
+
 def q_zscore_by_user(sf_dir: str):
     """Per-entity standardization of the value series (population std;
     NaN where an entity's std is 0)."""
@@ -1432,6 +1460,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temperature_resample_docs": q_temperature_resample_docs,
         "interarrival_by_user": q_interarrival_by_user,
         "target_encode_events": q_target_encode_events,
+        "freq_encode_events": q_freq_encode_events,
+        "value_bins_events": q_value_bins_events,
+        "cross_type_user_events": q_cross_type_user_events,
         "normalize_text_docs": q_normalize_text_docs,
         "zscore_by_user": q_zscore_by_user,
         "value_quantiles": q_value_quantiles,
@@ -2070,6 +2101,28 @@ def oracle_sql() -> dict[str, str]:
                    ROUND((s.s + 20.0 * (SELECT SUM(s) FROM s) / (SELECT SUM(c) FROM s))
                          / (s.c + 20.0), 6) AS value_te
             FROM events e JOIN s USING (event_type)
+        """,
+        "freq_encode_events": """
+            SELECT e.event_id, e.event_type, c.c AS event_type_freq
+            FROM events e JOIN (SELECT event_type, COUNT(*) AS c
+                                FROM events GROUP BY event_type) c USING (event_type)
+        """,
+        # binning boundary expression is written IDENTICALLY here and in
+        # equal_width_bin (same op order), so IEEE determinism makes every
+        # assignment bit-exact with no rounding tolerance
+        "value_bins_events": """
+            WITH m AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events)
+            SELECT event_id, value,
+                   CASE WHEN value IS NULL THEN NULL
+                        ELSE CAST(LEAST(FLOOR((value - m.lo) * 10 / (m.hi - m.lo)), 9) AS DOUBLE)
+                   END AS value_bin
+            FROM events, m
+        """,
+        "cross_type_user_events": """
+            SELECT event_id, event_type, user_id,
+                   CAST(md5_number_lower(event_type || '#' || CAST(user_id AS VARCHAR))
+                        % 1000000 AS BIGINT) AS type_user_cross
+            FROM events
         """,
         # rates are RE-DERIVED from the oracle's own counts (not copied
         # from the engine); the 10^6 integer decision grid makes every

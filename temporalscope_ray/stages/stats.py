@@ -231,3 +231,86 @@ def target_encode(
         return out
 
     return ds.map_batches(apply, batch_format="pandas")
+
+def frequency_encode(
+    ds: ray.data.Dataset, cat_col: str, *, out_col: str | None = None
+) -> ray.data.Dataset:
+    """Frequency (count) encoding: each row gets its category's total
+    row count — the cheap high-cardinality signal that often matches
+    target encoding. One combiner count exchange to a vocab-sized
+    table, broadcast, exact int64 (SQL replay is a COUNT(*) join)."""
+    cnt = hash_groupby_aggregate(
+        ds.select_columns([cat_col]), [cat_col], {"__c__": (None, "count")},
+    ).to_pandas()
+    table = dict(zip(cnt[cat_col], cnt["__c__"].astype(np.int64)))
+    ref = ray.put(table)
+    dst = out_col or f"{cat_col}_freq"
+
+    def apply(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out[dst] = df[cat_col].map(ray.get(ref)).astype("Int64")
+        return out
+
+    return ds.map_batches(apply, batch_format="pandas")
+
+
+def equal_width_bin(
+    ds: ray.data.Dataset, col: str, *, k: int, out_col: str | None = None
+) -> ray.data.Dataset:
+    """Equal-width discretization into ``k`` bins over the global
+    [min, max]: ``bin = min(floor((x - lo) * k / (hi - lo)), k - 1)``.
+    The boundary expression is written identically here and in the SQL
+    oracle, so IEEE determinism makes every bin assignment bit-exact —
+    no rounding tolerance needed. Min/max come from one tree-reduce
+    (O(blocks) to the driver); the binning pass is zero-shuffle. Null
+    and NaN values bin to null."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from ray.data.aggregate import Max, Min
+
+    agg = ds.aggregate(Min(col), Max(col))
+    lo, hi = float(agg[f"min({col})"]), float(agg[f"max({col})"])
+    dst = out_col or f"{col}_bin"
+
+    def apply(batch: pa.Table) -> pa.Table:
+        x = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        with np.errstate(invalid="ignore"):
+            b = np.floor((x - lo) * k / (hi - lo)) if hi > lo else np.zeros(len(x))
+        b = np.minimum(b, k - 1)
+        out = pd.array(np.nan_to_num(b, nan=0).astype(np.int64), dtype="Int64")
+        out[np.isnan(x)] = pd.NA
+        return batch.append_column(dst, pa.array(out))
+
+    return ds.map_batches(apply, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def feature_cross(
+    ds: ray.data.Dataset,
+    cols: Sequence[str],
+    *,
+    num_bins: int = 1_000_000,
+    out_col: str = "cross",
+    sep: str = "#",
+) -> ray.data.Dataset:
+    """Hashing-trick feature cross: ``md5_lower64(a ‖ sep ‖ b ‖ ...) %
+    num_bins`` — the classic bounded-cardinality interaction feature.
+    Zero shuffle, vectorized, SQL-replayable bit-for-bit
+    (``md5_number_lower(CAST(a AS VARCHAR) || sep || ...) % D``). Any
+    null input yields a null cross (SQL ``||`` semantics)."""
+    from ..stages.dedup import _md5_lower64
+
+    cols = list(cols)
+
+    def apply(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        bad = df[cols].isna().any(axis=1).to_numpy()
+        key = df[cols[0]].astype(str)
+        for c in cols[1:]:
+            key = key + sep + df[c].astype(str)
+        h = _md5_lower64(key.tolist()) % np.uint64(num_bins)
+        res = pd.array(h.astype(np.int64), dtype="Int64")
+        res[bad] = pd.NA
+        out[out_col] = res
+        return out
+
+    return ds.map_batches(apply, batch_format="pandas")

@@ -384,3 +384,32 @@ def test_temperature_resample_rebalances_and_matches_sql():
     pre = (before / before.sum()).max()
     post = (after / after.sum()).max()
     assert post < pre
+
+
+def test_frequency_encode_exact_counts():
+    df = _docs(900)
+    out = stats.frequency_encode(ray.data.from_pandas(df).repartition(5),
+                                 "lang").to_pandas()
+    vc = df["lang"].value_counts()
+    assert (out["lang_freq"] == out["lang"].map(vc)).all()
+
+
+def test_equal_width_bin_bounds_and_nulls():
+    df = pd.DataFrame({"x": [0.0, 0.999, 1.0, 5.0, 9.999, 10.0, np.nan]})
+    out = stats.equal_width_bin(ray.data.from_pandas(df).repartition(2),
+                                "x", k=10).to_pandas().sort_values("x")
+    got = out["x_bin"].tolist()
+    assert got[:6] == [0, 0, 1, 5, 9, 9]   # max value clamps to k-1
+    assert pd.isna(out.loc[out["x"].isna(), "x_bin"]).all()
+
+
+def test_feature_cross_deterministic_and_bounded():
+    df = pd.DataFrame({"a": ["x", "y", None], "b": [1, 2, 3]})
+    out = stats.feature_cross(ray.data.from_pandas(df), ["a", "b"],
+                              num_bins=100, out_col="c").to_pandas()
+    assert out["c"].dropna().between(0, 99).all()
+    assert pd.isna(out.loc[out["a"].isna(), "c"]).all()
+    out2 = stats.feature_cross(ray.data.from_pandas(df).repartition(3),
+                               ["a", "b"], num_bins=100, out_col="c").to_pandas()
+    m = out.dropna().merge(out2.dropna(), on=["a", "b"])
+    assert (m["c_x"] == m["c_y"]).all()
