@@ -842,6 +842,25 @@ def q_cross_type_user_events(sf_dir: str):
     return feature_cross(ev, ["event_type", "user_id"], out_col="type_user_cross")
 
 
+def q_rolling_autocorr_by_user(sf_dir: str):
+    """Per-user trailing 8-row Pearson autocorrelation of value vs its
+    lag-1 — the co-movement / regime feature. Composed: lag stage then
+    rolling-corr stage, both on the entity-bucket exchange."""
+    from temporalscope_ray.stages.window_features import (
+        add_lag_lead_features,
+        add_rolling_corr,
+    )
+
+    ev = _events(sf_dir, ("event_id", "ts", "user_id", "value"))
+    lagged = add_lag_lead_features(ev, id_col="user_id", time_col="ts",
+                                   value_cols=["value"], lags=[1], leads=[],
+                                   tiebreak=["event_id"])
+    out = add_rolling_corr(lagged, id_col="user_id", time_col="ts",
+                           x_col="value", y_col="value_lag_1", window=8,
+                           out_col="autocorr", tiebreak=["event_id"])
+    return _round_cols(out, ["autocorr"])
+
+
 def q_zscore_by_user(sf_dir: str):
     """Per-entity standardization of the value series (population std;
     NaN where an entity's std is 0)."""
@@ -1463,6 +1482,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "freq_encode_events": q_freq_encode_events,
         "value_bins_events": q_value_bins_events,
         "cross_type_user_events": q_cross_type_user_events,
+        "rolling_autocorr_by_user": q_rolling_autocorr_by_user,
         "normalize_text_docs": q_normalize_text_docs,
         "zscore_by_user": q_zscore_by_user,
         "value_quantiles": q_value_quantiles,
@@ -2123,6 +2143,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(md5_number_lower(event_type || '#' || CAST(user_id AS VARCHAR))
                         % 1000000 AS BIGINT) AS type_user_cross
             FROM events
+        """,
+        # pairwise-complete CORR over the trailing 8-row frame; 6dp
+        # rounding reconciles DuckDB's incremental-merge covariance with
+        # the engine's closed-form rolling sums
+        "rolling_autocorr_by_user": """
+            WITH l AS (SELECT event_id, user_id, ts, value,
+                              LAG(value) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id) AS value_lag_1
+                       FROM events)
+            SELECT event_id, user_id, ts, value, value_lag_1,
+                   ROUND(CORR(value, value_lag_1) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 7 PRECEDING AND CURRENT ROW), 6) AS autocorr
+            FROM l
         """,
         # rates are RE-DERIVED from the oracle's own counts (not copied
         # from the engine); the 10^6 integer decision grid makes every

@@ -955,3 +955,56 @@ def add_interarrival(
         return out
 
     return grouped.grouped_ordered_map(ds, id_col, order, fn, num_buckets=num_buckets)
+
+
+def add_rolling_corr(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str,
+    time_col: str,
+    x_col: str,
+    y_col: str,
+    window: int,
+    out_col: Optional[str] = None,
+    tiebreak: Optional[Sequence[str]] = None,
+    num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+) -> ray.data.Dataset:
+    """Trailing rolling Pearson correlation of two columns per entity
+    (``ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW``) — the
+    co-movement feature. SQL ``CORR() OVER`` semantics: a window pair
+    counts only when BOTH values are non-null; fewer than 2 pairs or a
+    zero-variance side yields null.
+
+    Vectorized over whole buckets: five shared-mask rolling sums via
+    the one-cumsum segment kernel (no per-window loop), then the closed
+    form ``(nΣxy − ΣxΣy)/√((nΣx²−(Σx)²)(nΣy²−(Σy)²))``. Consumers
+    should quantize (the gate rounds to 6dp) — the oracle's
+    incremental-merge covariance and this closed form agree only to
+    ulp-level."""
+    order = [time_col, *(tiebreak or [])]
+    dst = out_col or f"{x_col}_{y_col}_corr_{window}"
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.copy()
+        x = g[x_col].to_numpy(dtype=np.float64)
+        y = g[y_col].to_numpy(dtype=np.float64)
+        valid = ~np.isnan(x) & ~np.isnan(y)
+        a = np.where(valid, x, np.nan)
+        b = np.where(valid, y, np.nan)
+        segs = grouped.entity_segments(g[id_col].to_numpy())
+        seg_start = np.repeat(segs[:-1], np.diff(segs))
+        sx, n = _seg_rolling(a, seg_start, window, 1)
+        sy, _ = _seg_rolling(b, seg_start, window, 1)
+        sxy, _ = _seg_rolling(a * b, seg_start, window, 1)
+        sxx, _ = _seg_rolling(a * a, seg_start, window, 1)
+        syy, _ = _seg_rolling(b * b, seg_start, window, 1)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cov = n * sxy - sx * sy
+            vx = n * sxx - sx * sx
+            vy = n * syy - sy * sy
+            corr = np.where((n >= 2) & (vx > 0) & (vy > 0),
+                            cov / np.sqrt(vx * vy), np.nan)
+        out[dst] = corr
+        return out
+
+    return grouped.grouped_ordered_map(ds, id_col, order, fn, num_buckets=num_buckets)

@@ -229,3 +229,27 @@ def test_target_encode_shrinks_rare_categories():
                          smoothing=20.0).to_pandas()
     m = out.merge(out2, on=["cat", "y"])
     assert (m["y_te_x"] == m["y_te_y"]).all()
+
+
+def test_rolling_corr_matches_pandas_pairwise():
+    from temporalscope_ray.stages.window_features import add_rolling_corr
+
+    df = events_df(n_per=30)
+    df["value2"] = df["value"].to_numpy()[::-1] + np.linspace(0, 1, len(df))
+    # plant nulls on both sides
+    df.loc[df.index[::7], "value"] = np.nan
+    df.loc[df.index[::11], "value2"] = np.nan
+    out = sorted_out(add_rolling_corr(
+        ray.data.from_pandas(df).repartition(4), id_col="user_id",
+        time_col="ts", x_col="value", y_col="value2", window=5, out_col="c"))
+    # reference: per-row pairwise-complete corr over the trailing frame
+    ref = df.sort_values(["user_id", "ts"]).reset_index(drop=True)
+    exp = np.full(len(ref), np.nan)
+    for uid, g in ref.groupby("user_id"):
+        idx = g.index.to_numpy()
+        for j, i in enumerate(idx):
+            w = g.iloc[max(0, j - 4): j + 1]
+            pair = w[["value", "value2"]].dropna()
+            if len(pair) >= 2 and pair["value"].nunique() > 1 and pair["value2"].nunique() > 1:
+                exp[i] = np.corrcoef(pair["value"], pair["value2"])[0, 1]
+    assert np.allclose(out["c"].to_numpy(), exp, equal_nan=True, atol=1e-9)
