@@ -861,6 +861,18 @@ def q_rolling_autocorr_by_user(sf_dir: str):
     return _round_cols(out, ["autocorr"])
 
 
+def q_session_features_30min(sf_dir: str):
+    """Session-relative features (0-based position in session, exact
+    microseconds since session start) in the same bucket pass as
+    sessionization."""
+    import pandas as pd
+    from temporalscope_ray.stages.window_features import add_session_features
+
+    ev = _events(sf_dir, ("event_id", "ts", "user_id"))
+    return add_session_features(ev, id_col="user_id", time_col="ts",
+                                gap=pd.Timedelta("30min"), tiebreak=["event_id"])
+
+
 def q_zscore_by_user(sf_dir: str):
     """Per-entity standardization of the value series (population std;
     NaN where an entity's std is 0)."""
@@ -1483,6 +1495,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_bins_events": q_value_bins_events,
         "cross_type_user_events": q_cross_type_user_events,
         "rolling_autocorr_by_user": q_rolling_autocorr_by_user,
+        "session_features_30min": q_session_features_30min,
         "normalize_text_docs": q_normalize_text_docs,
         "zscore_by_user": q_zscore_by_user,
         "value_quantiles": q_value_quantiles,
@@ -1711,6 +1724,22 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT *, CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                                       > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
                   FROM events)
+        """,
+        "session_features_30min": """
+            WITH s AS (
+              SELECT event_id, ts, user_id,
+                     CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+              FROM (SELECT *, CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                                        > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+                    FROM events))
+            SELECT event_id, ts, user_id, session_id,
+                   CAST(row_number() OVER (PARTITION BY user_id, session_id
+                                           ORDER BY ts, event_id) - 1 AS BIGINT) AS session_pos,
+                   epoch_us(ts) - first_value(epoch_us(ts)) OVER (
+                        PARTITION BY user_id, session_id ORDER BY ts, event_id)
+                     AS since_session_start_us
+            FROM s
         """,
         "session_stats_30min": """
             SELECT user_id, session_id, COUNT(*) AS n_events,

@@ -1008,3 +1008,46 @@ def add_rolling_corr(
         return out
 
     return grouped.grouped_ordered_map(ds, id_col, order, fn, num_buckets=num_buckets)
+
+
+def add_session_features(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str,
+    time_col: str,
+    gap: pd.Timedelta | float | int,
+    session_col: str = "session_id",
+    pos_col: str = "session_pos",
+    since_col: str = "since_session_start_us",
+    num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+    tiebreak: Optional[Sequence[str]] = None,
+) -> ray.data.Dataset:
+    """Session-RELATIVE features in the same single bucket pass as
+    sessionization: the 0-based position within the session and the
+    exact int64 microseconds since the session's first event — the
+    engagement-depth features every behavioral model wants. SQL replay:
+    ``row_number() OVER (PARTITION BY id, session ...) - 1`` and
+    ``epoch_us(ts) - first_value(epoch_us(ts)) OVER (...)``."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.copy()
+        ts = g[time_col].to_numpy()
+        segs = grouped.entity_segments(g[id_col].to_numpy())
+        sid = _seg_session_ids(ts, segs, gap)
+        out[session_col] = sid
+        # session boundaries: entity change OR session index change
+        n = len(g)
+        start = np.zeros(n, dtype=bool)
+        start[0] = True
+        start[segs[1:-1]] = True
+        start[1:] |= sid[1:] != sid[:-1]
+        sess_start_idx = np.maximum.accumulate(np.where(start, np.arange(n), -1))
+        out[pos_col] = np.arange(n, dtype=np.int64) - sess_start_idx
+        ts_us = ts.astype("datetime64[us]").astype(np.int64) if np.issubdtype(
+            ts.dtype, np.datetime64) else ts.astype(np.int64)
+        out[since_col] = ts_us - ts_us[sess_start_idx]
+        return out
+
+    return grouped.grouped_ordered_map(
+        ds, id_col, [time_col, *(tiebreak or [])], fn, num_buckets=num_buckets
+    )

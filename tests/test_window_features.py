@@ -253,3 +253,22 @@ def test_rolling_corr_matches_pandas_pairwise():
             if len(pair) >= 2 and pair["value"].nunique() > 1 and pair["value2"].nunique() > 1:
                 exp[i] = np.corrcoef(pair["value"], pair["value2"])[0, 1]
     assert np.allclose(out["c"].to_numpy(), exp, equal_nan=True, atol=1e-9)
+
+
+def test_session_features_position_and_elapsed():
+    from temporalscope_ray.stages.window_features import add_session_features
+
+    df = events_df(n_per=25)
+    out = sorted_out(add_session_features(
+        ray.data.from_pandas(df).repartition(3), id_col="user_id",
+        time_col="ts", gap=pd.Timedelta("30min")))
+    # reference via pandas
+    ref = df.sort_values(["user_id", "ts"]).reset_index(drop=True)
+    brk = (ref.groupby("user_id")["ts"].diff() > pd.Timedelta("30min")).astype(int)
+    ref["sid"] = brk.groupby(ref["user_id"]).cumsum()
+    ref["pos"] = ref.groupby(["user_id", "sid"]).cumcount()
+    first_ts = ref.groupby(["user_id", "sid"])["ts"].transform("first")
+    ref["since"] = (ref["ts"] - first_ts).dt.total_seconds() * 1_000_000
+    assert (out["session_id"].to_numpy() == ref["sid"].to_numpy()).all()
+    assert (out["session_pos"].to_numpy() == ref["pos"].to_numpy()).all()
+    assert np.allclose(out["since_session_start_us"].to_numpy(), ref["since"].to_numpy())
