@@ -873,6 +873,15 @@ def q_session_features_30min(sf_dir: str):
                                 gap=pd.Timedelta("30min"), tiebreak=["event_id"])
 
 
+def q_calendar_features_events(sf_dir: str):
+    """Cyclical hour/day-of-week encodings + weekend flag over events.ts
+    — zero shuffle; trig is bit-exact vs SQL (probed), no rounding."""
+    from temporalscope_ray.stages.window_features import add_calendar_features
+
+    ev = _events(sf_dir, ("event_id", "ts"))
+    return add_calendar_features(ev, time_col="ts")
+
+
 def q_zscore_by_user(sf_dir: str):
     """Per-entity standardization of the value series (population std;
     NaN where an entity's std is 0)."""
@@ -1496,6 +1505,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cross_type_user_events": q_cross_type_user_events,
         "rolling_autocorr_by_user": q_rolling_autocorr_by_user,
         "session_features_30min": q_session_features_30min,
+        "calendar_features_events": q_calendar_features_events,
         "normalize_text_docs": q_normalize_text_docs,
         "zscore_by_user": q_zscore_by_user,
         "value_quantiles": q_value_quantiles,
@@ -1724,6 +1734,17 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT *, CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                                       > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
                   FROM events)
+        """,
+        "calendar_features_events": """
+            SELECT event_id, ts,
+                   CAST(extract(hour FROM ts) AS BIGINT) AS hour,
+                   CAST(isodow(ts) AS BIGINT) AS dow,
+                   sin(2.0 * pi() * extract(hour FROM ts) / 24.0) AS hour_sin,
+                   cos(2.0 * pi() * extract(hour FROM ts) / 24.0) AS hour_cos,
+                   sin(2.0 * pi() * isodow(ts) / 7.0) AS dow_sin,
+                   cos(2.0 * pi() * isodow(ts) / 7.0) AS dow_cos,
+                   CAST(isodow(ts) >= 6 AS BIGINT) AS is_weekend
+            FROM events
         """,
         "session_features_30min": """
             WITH s AS (

@@ -1051,3 +1051,36 @@ def add_session_features(
     return grouped.grouped_ordered_map(
         ds, id_col, [time_col, *(tiebreak or [])], fn, num_buckets=num_buckets
     )
+
+
+def add_calendar_features(
+    ds: ray.data.Dataset,
+    *,
+    time_col: str,
+    prefix: str = "",
+) -> ray.data.Dataset:
+    """Cyclical calendar encodings — the standard temporal feature set:
+    hour-of-day and day-of-week as sin/cos pairs (so midnight≈23:59 and
+    Sunday≈Monday are close in feature space), plus the raw hour/dow
+    ints and a weekend flag. Zero shuffle, one vectorized pass; numpy
+    and SQL trig agree bit-for-bit on these grid inputs (both libm
+    doubles — probed), so the gate needs no rounding."""
+    hr = f"{prefix}hour"
+    dw = f"{prefix}dow"
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        t = pd.DatetimeIndex(df[time_col])
+        hour = t.hour.to_numpy(dtype=np.float64)
+        # ISO day-of-week 1=Mon..7=Sun (DuckDB isodow)
+        dow = (t.dayofweek.to_numpy(dtype=np.int64) + 1).astype(np.float64)
+        out[hr] = hour.astype(np.int64)
+        out[dw] = dow.astype(np.int64)
+        out[f"{hr}_sin"] = np.sin(2.0 * np.pi * hour / 24.0)
+        out[f"{hr}_cos"] = np.cos(2.0 * np.pi * hour / 24.0)
+        out[f"{dw}_sin"] = np.sin(2.0 * np.pi * dow / 7.0)
+        out[f"{dw}_cos"] = np.cos(2.0 * np.pi * dow / 7.0)
+        out[f"{prefix}is_weekend"] = (dow >= 6.0).astype(np.int64)
+        return out
+
+    return ds.map_batches(fn, batch_format="pandas")

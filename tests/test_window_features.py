@@ -272,3 +272,20 @@ def test_session_features_position_and_elapsed():
     assert (out["session_id"].to_numpy() == ref["sid"].to_numpy()).all()
     assert (out["session_pos"].to_numpy() == ref["pos"].to_numpy()).all()
     assert np.allclose(out["since_session_start_us"].to_numpy(), ref["since"].to_numpy())
+
+
+def test_calendar_features_cyclical_closure():
+    from temporalscope_ray.stages.window_features import add_calendar_features
+
+    df = pd.DataFrame({"ts": pd.date_range("2023-01-01", periods=200, freq="37min")})
+    out = add_calendar_features(ray.data.from_pandas(df), time_col="ts").to_pandas()
+    # sin^2+cos^2 == 1, hour/dow ranges, weekend flag consistency
+    assert np.allclose(out["hour_sin"] ** 2 + out["hour_cos"] ** 2, 1.0)
+    assert out["hour"].between(0, 23).all() and out["dow"].between(1, 7).all()
+    assert (out["is_weekend"] == (out["dow"] >= 6).astype(int)).all()
+    # cyclical closeness: hour 23 and hour 0 nearer than hour 12
+    import math
+    d = lambda h1, h2: math.hypot(
+        math.sin(2 * math.pi * h1 / 24) - math.sin(2 * math.pi * h2 / 24),
+        math.cos(2 * math.pi * h1 / 24) - math.cos(2 * math.pi * h2 / 24))
+    assert d(23, 0) < d(12, 0)
