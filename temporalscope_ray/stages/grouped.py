@@ -77,7 +77,12 @@ def with_bucket(
 
     def add(batch: pa.Table) -> pa.Table:
         b = hash_key_column(batch.column(key), num_buckets)
-        return batch.append_column(BUCKET_COL, pa.array(b, type=pa.int32()))
+        out = batch.append_column(BUCKET_COL, pa.array(b, type=pa.int32()))
+        # strip pandas schema metadata: blocks arriving from from_pandas
+        # vs pure-Arrow paths otherwise reach the exchange sort with
+        # unequal (and unhashable) schemas, disabling Ray's schema dedup
+        # and forcing its mixed-schema fallback in every reduce task
+        return out.replace_schema_metadata(None)
 
     return ds.map_batches(add, batch_format="pyarrow", zero_copy_batch=True)
 

@@ -27,6 +27,7 @@ def _run(name: str) -> None:
     "03_data_quality_checks.py",
     "04_end_to_end_health_monitoring.py",
     "05_corpus_curation.py",
+    "06_feature_engineering.py",
 ])
 def test_example_runs(name, capsys):
     _run(name)
