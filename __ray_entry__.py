@@ -882,6 +882,27 @@ def q_calendar_features_events(sf_dir: str):
     return add_calendar_features(ev, time_col="ts")
 
 
+def q_training_mix_docs(sf_dir: str):
+    """The full training-mix prep pass, composed end to end:
+    temperature resample (alpha=0.5 language rebalance) → deterministic
+    train split → epoch shuffle with materialized position →
+    token-budget sequence packing. Only the shuffle sorts; every other
+    stage is a combiner exchange or a zero-shuffle filter."""
+    from temporalscope_ray.stages.sampling import (
+        deterministic_shuffle,
+        hash_split,
+        temperature_resample,
+    )
+    from temporalscope_ray.stages.scan import pack_by_budget
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    mixed = temperature_resample(docs, "doc_id", "lang", alpha=0.5, salt="mix")
+    train = hash_split(mixed, "doc_id", SPLIT_FRACTIONS)["train"]
+    shuffled = deterministic_shuffle(train, "doc_id", salt="epoch0", pos_col="pos")
+    return pack_by_budget(shuffled, order_by=["pos"], token_col="n_chars",
+                          capacity=4096)
+
+
 def q_zscore_by_user(sf_dir: str):
     """Per-entity standardization of the value series (population std;
     NaN where an entity's std is 0)."""
@@ -1506,6 +1527,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_autocorr_by_user": q_rolling_autocorr_by_user,
         "session_features_30min": q_session_features_30min,
         "calendar_features_events": q_calendar_features_events,
+        "training_mix_docs": q_training_mix_docs,
         "normalize_text_docs": q_normalize_text_docs,
         "zscore_by_user": q_zscore_by_user,
         "value_quantiles": q_value_quantiles,
@@ -2219,6 +2241,32 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN r USING (lang)
             WHERE CAST(md5_number_lower(CAST(d.doc_id AS VARCHAR) || 'tmp') % 1000000 AS BIGINT)
                   < r.rate_int
+        """,
+        # the composed training-mix pass: each CTE is the already-proven
+        # oracle of one stage, chained (resample -> train split -> epoch
+        # shuffle -> token-budget packing)
+        "training_mix_docs": f"""
+            WITH cnt AS (SELECT lang, COUNT(*)::DOUBLE AS c FROM documents GROUP BY lang),
+                 w AS (SELECT lang, POWER(c / (SELECT SUM(c) FROM cnt), 0.5 - 1.0) AS w FROM cnt),
+                 r AS (SELECT lang, CAST(ROUND(w / (SELECT MAX(w) FROM w) * 1000000, 0) AS BIGINT) AS rate_int FROM w),
+                 mixed AS (
+                   SELECT d.doc_id, d.lang, d.n_chars
+                   FROM documents d JOIN r USING (lang)
+                   WHERE CAST(md5_number_lower(CAST(d.doc_id AS VARCHAR) || 'mix') % 1000000 AS BIGINT)
+                         < r.rate_int),
+                 train AS (
+                   SELECT * FROM mixed
+                   WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) < {_split_bounds[0][1]}::UBIGINT),
+                 shuf AS (
+                   SELECT *, CAST(row_number() OVER (
+                        ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR) || 'epoch0'),
+                                 doc_id) - 1 AS BIGINT) AS pos
+                   FROM train)
+            SELECT doc_id, lang, n_chars, pos,
+                   CAST(COALESCE(SUM(n_chars) OVER (ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       // 4096 AS BIGINT) AS chunk_id
+            FROM shuf
         """,
         "zscore_by_user": """
             SELECT e.event_id, e.user_id, e.value,
