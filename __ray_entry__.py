@@ -882,6 +882,15 @@ def q_calendar_features_events(sf_dir: str):
     return add_calendar_features(ev, time_col="ts")
 
 
+def q_minmax_by_user(sf_dir: str):
+    """Per-user min-max scaling of value to [0,1] (NaN for constant
+    users) — train-fit-able like the other scalers."""
+    from temporalscope_ray.stages.stats import minmax_scale_per_group
+
+    ev = _events(sf_dir, ("event_id", "user_id", "value"))
+    return minmax_scale_per_group(ev, "user_id", "value")
+
+
 def q_training_mix_docs(sf_dir: str):
     """The full training-mix prep pass, composed end to end:
     temperature resample (alpha=0.5 language rebalance) → deterministic
@@ -1528,6 +1537,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_features_30min": q_session_features_30min,
         "calendar_features_events": q_calendar_features_events,
         "training_mix_docs": q_training_mix_docs,
+        "minmax_by_user": q_minmax_by_user,
         "normalize_text_docs": q_normalize_text_docs,
         "zscore_by_user": q_zscore_by_user,
         "value_quantiles": q_value_quantiles,
@@ -2267,6 +2277,13 @@ def oracle_sql() -> dict[str, str]:
                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                        // 4096 AS BIGINT) AS chunk_id
             FROM shuf
+        """,
+        "minmax_by_user": """
+            SELECT e.event_id, e.user_id, e.value,
+                   ROUND((e.value - s.lo) / NULLIF(s.hi - s.lo, 0), 6) AS value_mm
+            FROM events e JOIN (
+              SELECT user_id, MIN(value) AS lo, MAX(value) AS hi
+              FROM events GROUP BY user_id) s USING (user_id)
         """,
         "zscore_by_user": """
             SELECT e.event_id, e.user_id, e.value,

@@ -314,3 +314,41 @@ def feature_cross(
         return out
 
     return ds.map_batches(apply, batch_format="pandas")
+
+def minmax_scale_per_group(
+    ds: ray.data.Dataset,
+    id_col: str,
+    value_col: str,
+    *,
+    out_col: str | None = None,
+    stats: "ray.data.Dataset | pd.DataFrame | None" = None,
+    round_to: int | None = 6,
+) -> ray.data.Dataset:
+    """Per-group min-max scaling to [0, 1]: ``(v - min_g) / (max_g -
+    min_g)``, NaN where the group is constant (mirrors ``/ NULLIF(max -
+    min, 0)``) — completes the scaler family (zscore / robust / minmax).
+    Same two-pass zero-fact-shuffle shape: a combiner min/max exchange
+    to one small row per group, broadcast, vectorized apply. Pass
+    ``stats`` (from the TRAIN split) for leakage-safe val/test scaling."""
+    out_col = out_col or f"{value_col}_mm"
+    if stats is None:
+        stats = hash_groupby_aggregate(
+            ds.select_columns([id_col, value_col]), [id_col],
+            {"__lo__": (value_col, "min"), "__hi__": (value_col, "max")},
+        )
+    stats_df = stats.to_pandas() if isinstance(stats, ray.data.Dataset) else stats
+    lookup = stats_df.set_index(id_col)[["__lo__", "__hi__"]]
+    ref = ray.put(lookup)
+
+    def apply(batch: pd.DataFrame) -> pd.DataFrame:
+        lk: pd.DataFrame = ray.get(ref)
+        lo = batch[id_col].map(lk["__lo__"]).to_numpy(dtype=np.float64)
+        hi = batch[id_col].map(lk["__hi__"]).to_numpy(dtype=np.float64)
+        v = batch[value_col].to_numpy(dtype=np.float64)
+        out = batch.copy()
+        with np.errstate(invalid="ignore", divide="ignore"):
+            scaled = np.where(hi > lo, (v - lo) / (hi - lo), np.nan)
+        out[out_col] = np.round(scaled, round_to) if round_to is not None else scaled
+        return out
+
+    return ds.map_batches(apply, batch_format="pandas")

@@ -413,3 +413,24 @@ def test_feature_cross_deterministic_and_bounded():
                                ["a", "b"], num_bins=100, out_col="c").to_pandas()
     m = out.dropna().merge(out2.dropna(), on=["a", "b"])
     assert (m["c_x"] == m["c_y"]).all()
+
+
+def test_minmax_scale_per_group_and_train_fit():
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({
+        "g": np.repeat([1, 2, 3], 50),
+        "v": np.concatenate([rng.normal(0, 1, 50), rng.normal(5, 2, 50),
+                             np.full(50, 7.0)]),  # group 3 constant
+    })
+    out = stats.minmax_scale_per_group(
+        ray.data.from_pandas(df).repartition(4), "g", "v").to_pandas()
+    for g in (1, 2):
+        sub = out[out["g"] == g]
+        assert np.isclose(sub["v_mm"].min(), 0) and np.isclose(sub["v_mm"].max(), 1)
+    assert out.loc[out["g"] == 3, "v_mm"].isna().all()  # constant group -> NaN
+    # train-fit apply: scaling val data with train stats
+    train_stats = pd.DataFrame({"g": [1], "__lo__": [0.0], "__hi__": [2.0]})
+    val = pd.DataFrame({"g": [1, 1], "v": [1.0, 4.0]})
+    applied = stats.minmax_scale_per_group(
+        ray.data.from_pandas(val), "g", "v", stats=train_stats).to_pandas()
+    assert list(applied["v_mm"]) == [0.5, 2.0]  # out-of-range extrapolates, not clipped
