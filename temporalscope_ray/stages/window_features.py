@@ -936,7 +936,14 @@ def add_interarrival(
     activity-cadence feature. Exact int64 arithmetic end to end, so the
     SQL replay (``ts_us - lag(ts_us) OVER (PARTITION BY id ORDER BY
     time, tiebreak)``) matches bit-for-bit. One bucket exchange, same
-    as every windowed feature."""
+    as every windowed feature.
+
+    Hot-entity note: like the other ``grouped_ordered_map`` consumers,
+    a single entity larger than a bucket target serializes its task;
+    for phash-skewed data route through the chunked overflow path —
+    inter-arrival is exactly ``ts − lag₁(ts)``, so
+    ``add_temporal_features_auto(lags=[1], value_cols=[ts_us])`` plus a
+    subtraction reproduces it with boundary carry."""
     order = [time_col, *(tiebreak or [])]
 
     def fn(g: pd.DataFrame) -> pd.DataFrame:
@@ -1027,7 +1034,14 @@ def add_session_features(
     exact int64 microseconds since the session's first event — the
     engagement-depth features every behavioral model wants. SQL replay:
     ``row_number() OVER (PARTITION BY id, session ...) - 1`` and
-    ``epoch_us(ts) - first_value(epoch_us(ts)) OVER (...)``."""
+    ``epoch_us(ts) - first_value(epoch_us(ts)) OVER (...)``.
+
+    Hot-entity note: session position/elapsed are prefix quantities, so
+    a bucket-overflowing entity needs the chunked boundary-carry path
+    (carry = last chunk's session id, internal break count and last
+    ts — the same carry ``add_temporal_features_chunked`` threads for
+    ``session_gap``); with entity sizes below the bucket target this
+    single-exchange form is the cheaper plan."""
 
     def fn(g: pd.DataFrame) -> pd.DataFrame:
         out = g.copy()
