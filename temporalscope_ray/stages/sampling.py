@@ -243,6 +243,7 @@ def deterministic_shuffle(
     out.context.execution_options.preserve_order = True
     return out
 
+
 def sample_k(
     ds: ray.data.Dataset,
     key_col: str,
@@ -275,6 +276,7 @@ def sample_k(
     keyed = ds.map_batches(add_cols, batch_format="pyarrow", zero_copy_batch=True)
     out = group_top_k(keyed, g, hcol, k=k, tiebreak=[key_col], num_buckets=1)
     return out.drop_columns([g, hcol])
+
 
 def temperature_resample(
     ds: ray.data.Dataset,

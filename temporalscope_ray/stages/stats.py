@@ -185,6 +185,7 @@ def robust_scale_per_group(
 
     return ds.map_batches(apply, batch_format="pandas")
 
+
 def target_encode(
     ds: ray.data.Dataset,
     cat_col: str,
@@ -231,6 +232,7 @@ def target_encode(
         return out
 
     return ds.map_batches(apply, batch_format="pandas")
+
 
 def frequency_encode(
     ds: ray.data.Dataset, cat_col: str, *, out_col: str | None = None
@@ -314,6 +316,7 @@ def feature_cross(
         return out
 
     return ds.map_batches(apply, batch_format="pandas")
+
 
 def minmax_scale_per_group(
     ds: ray.data.Dataset,

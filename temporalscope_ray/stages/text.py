@@ -528,6 +528,7 @@ def add_pii_redaction(
 # corpus n-gram language-model quality scoring (KenLM-style signal)
 # ---------------------------------------------------------------------------
 
+
 def _explode_bigrams(b: pd.DataFrame, text_col: str, id_col: str) -> pd.DataFrame:
     """(doc_id, w1, bigram) rows from adjacent token pairs — shifted-array
     concat masked at document boundaries, no per-document loop. Tokens

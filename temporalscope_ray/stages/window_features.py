@@ -35,6 +35,7 @@ _FAST_ROLL_FNS = {"mean", "sum", "count"}
 # pandas groupby.rolling was measured as a 15 s straggler task)
 # ---------------------------------------------------------------------------
 
+
 def _segment_ids(segs: np.ndarray) -> np.ndarray:
     """Row -> segment ordinal, from entity_segments offsets."""
     lens = np.diff(segs)
