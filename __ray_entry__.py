@@ -891,6 +891,18 @@ def q_minmax_by_user(sf_dir: str):
     return minmax_scale_per_group(ev, "user_id", "value")
 
 
+def q_source_filter_docs(sf_dir: str):
+    """Domain-level curation: keep documents only from sources whose
+    MEAN distinct-word fraction clears 0.5 (doc scoring shuffle-free,
+    one combiner rollup, broadcast verdict) — the C4 drop-bad-domains
+    move at corpus scale."""
+    from temporalscope_ray.stages.text import source_quality_filter
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    out = source_quality_filter(docs, min_mean=0.5)
+    return out.drop_columns(["text"])
+
+
 def q_training_mix_docs(sf_dir: str):
     """The full training-mix prep pass, composed end to end:
     temperature resample (alpha=0.5 language rebalance) → deterministic
@@ -1538,6 +1550,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "calendar_features_events": q_calendar_features_events,
         "training_mix_docs": q_training_mix_docs,
         "minmax_by_user": q_minmax_by_user,
+        "source_filter_docs": q_source_filter_docs,
         "normalize_text_docs": q_normalize_text_docs,
         "zscore_by_user": q_zscore_by_user,
         "value_quantiles": q_value_quantiles,
@@ -2277,6 +2290,25 @@ def oracle_sql() -> dict[str, str]:
                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                        // 4096 AS BIGINT) AS chunk_id
             FROM shuf
+        """,
+        # doc scores -> per-source AVG rounded to 6dp on BOTH sides
+        # before the threshold, so summation-order ulp cannot flip a
+        # source verdict
+        "source_filter_docs": r"""
+            WITH toks AS (
+                SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS w
+                FROM documents),
+            wc AS (SELECT doc_id, w, COUNT(*) AS c FROM toks GROUP BY doc_id, w),
+            agg AS (SELECT doc_id, SUM(c) AS n_words, COUNT(*) AS n_distinct
+                    FROM wc GROUP BY doc_id),
+            src AS (
+                SELECT d.source,
+                       ROUND(AVG(CAST(a.n_distinct AS DOUBLE) / a.n_words), 6) AS m
+                FROM documents d LEFT JOIN agg a USING (doc_id)
+                GROUP BY d.source)
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN src USING (source)
+            WHERE src.m >= 0.5
         """,
         "minmax_by_user": """
             SELECT e.event_id, e.user_id, e.value,

@@ -659,3 +659,53 @@ def normalize_text(
         return batch.append_column(dst, col)
 
     return ds.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def source_quality_filter(
+    ds: ray.data.Dataset,
+    *,
+    group_col: str = "source",
+    text_col: str = "text",
+    metric: str = "distinct_word_frac",
+    min_mean: float = 0.5,
+    round_to: int = 6,
+    concurrency=8,
+) -> ray.data.Dataset:
+    """Source/domain-level quality gate (the C4 move: drop whole
+    domains whose documents are on average boilerplate, not just the
+    individual bad documents): score every document with the Gopher
+    repetition signals, roll the chosen ``metric`` up to a per-source
+    mean, and keep only documents from sources whose mean clears
+    ``min_mean``.
+
+    Distributed shape: the doc scoring pass is shuffle-free (actor
+    pool); ONE combiner mean exchange reduces the corpus to one row per
+    source; the verdict set (domain-vocabulary-sized) broadcasts and
+    the final keep is a zero-shuffle filter. The mean is quantized to
+    ``round_to`` decimals on BOTH the engine and oracle side before the
+    threshold comparison, so summation-order ulp cannot flip a verdict.
+    """
+    from .grouped import hash_groupby_aggregate
+    import ray
+
+    scored = add_repetition_stats(
+        ds.select_columns([group_col, text_col]), text_col, concurrency=concurrency
+    )
+    per_source = hash_groupby_aggregate(
+        scored.select_columns([group_col, metric]), [group_col],
+        {"__m__": (metric, "mean")}, num_buckets=4,
+    ).to_pandas()
+    m = np.round(per_source["__m__"].to_numpy(dtype=np.float64), round_to)
+    good = set(per_source.loc[m >= min_mean, group_col])
+    ref = ray.put(good)
+
+    def keep(batch: "pa.Table") -> "pa.Table":
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        g = ray.get(ref)
+        mask = pc.is_in(batch.column(group_col),
+                        value_set=pa.array(sorted(g), type=batch.schema.field(group_col).type))
+        return batch.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)

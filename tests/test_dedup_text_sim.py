@@ -357,3 +357,21 @@ def test_ngram_lm_scores_hand_computed():
     assert out.loc[0, "n_bigrams"] == 2
     expected = (np.log2((1 + 0.5) / (3 + 0.5 * 2)) + np.log2((1 + 0.5) / (1 + 0.5 * 2))) / 2
     assert out.loc[0, "lm_score"] == pytest.approx(round(expected, 6), abs=1e-6)
+
+
+def test_source_quality_filter_drops_bad_domains():
+    from temporalscope_ray.stages.text import source_quality_filter
+    import ray.data
+
+    # srcA: prose; srcB: heavy repetition (low distinct-word fraction)
+    docs = pd.DataFrame({
+        "doc_id": range(8),
+        "source": ["A"] * 4 + ["B"] * 4,
+        "text": ["the quick brown fox jumps over a lazy dog near the old river bank today"] * 4
+        + ["spam spam spam spam spam spam spam spam spam spam"] * 4,
+    })
+    out = source_quality_filter(
+        ray.data.from_pandas(docs), min_mean=0.5, concurrency=1
+    ).to_pandas()
+    assert set(out["source"]) == {"A"}
+    assert len(out) == 4
