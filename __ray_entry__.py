@@ -903,6 +903,15 @@ def q_source_filter_docs(sf_dir: str):
     return out.drop_columns(["text"])
 
 
+def q_chunk_docs(sf_dir: str):
+    """Context-window chunking: 48-token chunks with 8-token overlap
+    per document — zero shuffle, list-slice-exact in SQL."""
+    from temporalscope_ray.stages.text import chunk_documents
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return chunk_documents(docs, chunk_tokens=48, overlap=8)
+
+
 def q_training_mix_docs(sf_dir: str):
     """The full training-mix prep pass, composed end to end:
     temperature resample (alpha=0.5 language rebalance) → deterministic
@@ -1551,6 +1560,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_mix_docs": q_training_mix_docs,
         "minmax_by_user": q_minmax_by_user,
         "source_filter_docs": q_source_filter_docs,
+        "chunk_docs": q_chunk_docs,
         "normalize_text_docs": q_normalize_text_docs,
         "zscore_by_user": q_zscore_by_user,
         "value_quantiles": q_value_quantiles,
@@ -2290,6 +2300,22 @@ def oracle_sql() -> dict[str, str]:
                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                        // 4096 AS BIGINT) AS chunk_id
             FROM shuf
+        """,
+        # W=48, stride=40; DuckDB list slice is 1-based inclusive, so
+        # 0-based token window [c*40, min(c*40+48, n)) maps to
+        # toks[c*40+1 : least(c*40+48, n)]
+        "chunk_docs": r"""
+            WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+                       FROM documents),
+                 n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+                 c AS (SELECT doc_id, toks, n,
+                              unnest(range(0, CASE WHEN n <= 48 THEN 1
+                                   ELSE 1 + CAST(ceil((n - 48) / 40.0) AS BIGINT) END)) AS chunk_idx
+                       FROM n)
+            SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+                   array_to_string(toks[chunk_idx * 40 + 1 : least(chunk_idx * 40 + 48, n)], ' ')
+                     AS chunk_text
+            FROM c
         """,
         # doc scores -> per-source AVG rounded to 6dp on BOTH sides
         # before the threshold, so summation-order ulp cannot flip a

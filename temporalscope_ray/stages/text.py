@@ -709,3 +709,59 @@ def source_quality_filter(
         return batch.filter(mask)
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def chunk_documents(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 0,
+    out_text_col: str = "chunk_text",
+) -> ray.data.Dataset:
+    """Context-window chunking: split each document into whitespace-token
+    chunks of ``chunk_tokens`` with ``overlap`` tokens carried between
+    consecutive chunks (stride = chunk_tokens − overlap) — the standard
+    long-document preparation for embedding / pre-training pipelines.
+    Chunk text is the space-joined token slice (normalized whitespace —
+    chunkers re-join tokens), so the output is SQL-replayable via list
+    slicing: ``array_to_string(toks[c·stride+1 : least(c·stride+W, n)],
+    ' ')``. Empty/null documents emit no chunks.
+
+    Zero shuffle — a pure per-batch flat map; chunk-count arithmetic is
+    vectorized across the batch, the only per-item work is the C-speed
+    ``' '.join`` per OUTPUT chunk (never per token)."""
+    if chunk_tokens < 1:
+        raise ValueError("chunk_tokens must be >= 1")
+    if not (0 <= overlap < chunk_tokens):
+        raise ValueError("overlap must satisfy 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    import pyarrow as pa
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[text_col].fillna("")
+        toks = s.str.findall(r"\S+")
+        n = toks.str.len().to_numpy(dtype=np.int64)
+        n_chunks = np.where(
+            n == 0, 0,
+            np.where(n <= chunk_tokens, 1,
+                     1 + np.ceil((n - chunk_tokens) / float(stride)).astype(np.int64)),
+        ).astype(np.int64)
+        total = int(n_chunks.sum())
+        doc_pos = np.repeat(np.arange(len(batch), dtype=np.int64), n_chunks)
+        offs = np.concatenate(([0], np.cumsum(n_chunks)[:-1]))
+        chunk_idx = np.arange(total, dtype=np.int64) - np.repeat(offs, n_chunks)
+        tok_lists = toks.to_numpy(dtype=object)
+        ids = batch[id_col].to_numpy()
+        texts = [
+            " ".join(tok_lists[d][c * stride: c * stride + chunk_tokens])
+            for d, c in zip(doc_pos, chunk_idx)
+        ]
+        return pd.DataFrame({
+            id_col: ids[doc_pos],
+            "chunk_idx": chunk_idx,
+            out_text_col: pd.array(texts, dtype="string"),
+        })
+
+    return ds.map_batches(explode, batch_format="pandas")

@@ -375,3 +375,25 @@ def test_source_quality_filter_drops_bad_domains():
     ).to_pandas()
     assert set(out["source"]) == {"A"}
     assert len(out) == 4
+
+
+def test_chunk_documents_overlap_and_reconstruction():
+    from temporalscope_ray.stages.text import chunk_documents
+    import ray.data
+
+    words = [f"w{i}" for i in range(100)]
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [" ".join(words), " ".join(words[:10]), "", None],
+    })
+    out = chunk_documents(ray.data.from_pandas(docs), chunk_tokens=32,
+                          overlap=8).to_pandas().sort_values(["doc_id", "chunk_idx"])
+    # doc 1: stride 24 -> chunks at 0,24,48,72 (last covers 72..99)
+    d1 = out[out["doc_id"] == 1]
+    assert list(d1["chunk_idx"]) == [0, 1, 2, 3]
+    assert d1.iloc[0]["chunk_text"].split() == words[0:32]
+    assert d1.iloc[1]["chunk_text"].split() == words[24:56]   # 8-token overlap
+    assert d1.iloc[3]["chunk_text"].split() == words[72:100]  # short tail kept
+    # short doc -> one chunk; empty/null docs -> no chunks
+    assert list(out[out["doc_id"] == 2]["chunk_text"]) == [" ".join(words[:10])]
+    assert not set(out["doc_id"]) & {3, 4}
