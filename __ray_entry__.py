@@ -903,6 +903,17 @@ def q_source_filter_docs(sf_dir: str):
     return out.drop_columns(["text"])
 
 
+def q_resample_1h_by_user(sf_dir: str):
+    """Regularized per-user series: hourly grid from first to last event
+    carrying the latest value at or before each grid point (duplicate
+    (user, ts) collapse to MAX — the as-of state convention)."""
+    from temporalscope_ray.stages.window_features import resample_ffill
+
+    ev = _events(sf_dir, ("user_id", "ts", "value"))
+    return resample_ffill(ev, id_col="user_id", time_col="ts",
+                          value_col="value", freq="1h")
+
+
 def q_chunk_docs(sf_dir: str):
     """Context-window chunking: 48-token chunks with 8-token overlap
     per document — zero shuffle, list-slice-exact in SQL."""
@@ -1561,6 +1572,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minmax_by_user": q_minmax_by_user,
         "source_filter_docs": q_source_filter_docs,
         "chunk_docs": q_chunk_docs,
+        "resample_1h_by_user": q_resample_1h_by_user,
         "normalize_text_docs": q_normalize_text_docs,
         "zscore_by_user": q_zscore_by_user,
         "value_quantiles": q_value_quantiles,
@@ -2300,6 +2312,17 @@ def oracle_sql() -> dict[str, str]:
                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                        // 4096 AS BIGINT) AS chunk_id
             FROM shuf
+        """,
+        "resample_1h_by_user": """
+            WITH st AS (SELECT user_id, ts, MAX(value) AS v
+                        FROM events GROUP BY user_id, ts),
+                 b AS (SELECT user_id, MIN(ts) AS lo, MAX(ts) AS hi
+                       FROM events GROUP BY user_id),
+                 grid AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS ts
+                          FROM b)
+            SELECT g.user_id, g.ts, s.v AS value
+            FROM grid g ASOF LEFT JOIN st s
+              ON g.user_id = s.user_id AND g.ts >= s.ts
         """,
         # W=48, stride=40; DuckDB list slice is 1-based inclusive, so
         # 0-based token window [c*40, min(c*40+48, n)) maps to

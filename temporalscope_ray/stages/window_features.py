@@ -1099,3 +1099,70 @@ def add_calendar_features(
         return out
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+def resample_ffill(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str,
+    time_col: str,
+    value_col: str,
+    freq: pd.Timedelta | str,
+    num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+) -> ray.data.Dataset:
+    """Regularize an irregular series: per entity, emit a fixed-``freq``
+    time grid from the entity's first to last event (inclusive, like
+    SQL ``generate_series``) carrying the value of the latest event at
+    or before each grid point — the constructive counterpart of the
+    validator's equidistant checks, and the standard prep before
+    fixed-step sequence models. Duplicate ``(id, ts)`` pairs collapse
+    to their MAX value first (the as-of state convention, so the result
+    is deterministic and matches a SQL ``ASOF JOIN`` on the grid).
+
+    One bucket exchange; grid generation and the fill are vectorized
+    (per-entity arange via offsets + one searchsorted over the sorted
+    state — no per-grid-point loop)."""
+    step = pd.Timedelta(freq)
+    step_us = np.int64(step.value // 1000)
+    if step_us <= 0:
+        raise ValueError("freq must be a positive timedelta")
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        # collapse duplicate (id, ts) to MAX(value) — deterministic state
+        st = g.groupby([id_col, time_col], sort=False)[value_col].max().reset_index()
+        st = st.sort_values([id_col, time_col], kind="mergesort")
+        ids = st[id_col].to_numpy()
+        ts_us = st[time_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        vals = st[value_col].to_numpy(dtype=np.float64)
+        segs = grouped.entity_segments(ids)
+        lo = ts_us[segs[:-1]]
+        hi = ts_us[segs[1:] - 1]
+        n_pts = ((hi - lo) // step_us + 1).astype(np.int64)
+        total = int(n_pts.sum())
+        ent = np.repeat(np.arange(len(n_pts), dtype=np.int64), n_pts)
+        offs = np.concatenate(([0], np.cumsum(n_pts)[:-1]))
+        local = np.arange(total, dtype=np.int64) - np.repeat(offs, n_pts)
+        gts = np.repeat(lo, n_pts) + local * step_us
+        # per-entity ffill: ONE global searchsorted serves every entity
+        # at once by lifting each entity's RELATIVE times (bounded by
+        # its own duration) into a disjoint key range: key = ent·span +
+        # (t − lo[ent]). span is the longest duration + step, so ranges
+        # never overlap; relative keys keep ent·span inside int64 for
+        # any realistic bucket (guarded).
+        ent_of_state = np.repeat(np.arange(len(n_pts), dtype=np.int64), np.diff(segs))
+        span = np.int64((hi - lo).max()) + step_us + 1
+        if len(n_pts) * int(span) >= 2**62:
+            raise ValueError(
+                "resample_ffill: entity-count × duration exceeds the key "
+                "space — lower num_buckets or resample coarser")
+        key_state = ent_of_state * span + (ts_us - lo[ent_of_state])
+        key_grid = ent * span + local * step_us
+        pos = np.searchsorted(key_state, key_grid, side="right") - 1
+        out = pd.DataFrame({
+            id_col: ids[segs[:-1]][ent],
+            time_col: gts.astype("datetime64[us]"),
+            value_col: vals[pos],
+        })
+        return out
+
+    return grouped.grouped_ordered_map(ds, id_col, [time_col], fn, num_buckets=num_buckets)

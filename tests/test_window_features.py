@@ -289,3 +289,24 @@ def test_calendar_features_cyclical_closure():
         math.sin(2 * math.pi * h1 / 24) - math.sin(2 * math.pi * h2 / 24),
         math.cos(2 * math.pi * h1 / 24) - math.cos(2 * math.pi * h2 / 24))
     assert d(23, 0) < d(12, 0)
+
+
+def test_resample_ffill_grid_and_carry():
+    from temporalscope_ray.stages.window_features import resample_ffill
+
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 2, 2],
+        "ts": pd.to_datetime(["2023-01-01 00:00", "2023-01-01 00:07",
+                              "2023-01-01 00:31", "2023-01-01 10:00",
+                              "2023-01-01 10:00"]),  # user 2: duplicate ts
+        "value": [1.0, 2.0, 3.0, 5.0, 9.0],
+    })
+    out = sorted_out(resample_ffill(
+        ray.data.from_pandas(df).repartition(2), id_col="user_id",
+        time_col="ts", value_col="value", freq="10min"))
+    u1 = out[out["user_id"] == 1]
+    # grid 00:00,00:10,00:20,00:30 (inclusive end only if exact multiple; 00:31 not)
+    assert list(u1["ts"].dt.strftime("%H:%M")) == ["00:00", "00:10", "00:20", "00:30"]
+    assert list(u1["value"]) == [1.0, 2.0, 2.0, 2.0]  # 00:31 event after last grid pt
+    u2 = out[out["user_id"] == 2]
+    assert len(u2) == 1 and u2["value"].iloc[0] == 9.0  # dup ts -> MAX
