@@ -26,7 +26,20 @@ import ray.data
 from . import grouped
 
 _ROLL_FNS = {"mean", "sum", "min", "max", "std", "count", "median"}
-_FAST_ROLL_FNS = {"mean", "sum", "count"}
+_FAST_ROLL_FNS = {"mean", "sum", "count", "std"}
+
+
+def _seg_rolling_std(v, sx, sxx, cnt, min_periods: int) -> np.ndarray:
+    """Sample std (ddof=1, pandas/SQL STDDEV convention) from the shared
+    rolling sums — closed form ``(Σx² − (Σx)²/n)/(n−1)`` clipped at 0
+    (the naive form can go a few ulp negative where pandas' stable
+    update would give exactly 0); consumers round, so the ulp-level
+    difference from pandas is immaterial. < 2 observations → NaN."""
+    with np.errstate(invalid="ignore", divide="ignore"):
+        var = (sxx - sx * sx / cnt) / (cnt - 1)
+        out = np.sqrt(np.clip(var, 0, None))
+    out[cnt < max(min_periods, 2)] = np.nan
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -318,7 +331,16 @@ def add_rolling_features(
                     out[f"{col}_roll_mean_{window}"] = np.where(cnt > 0, s / np.maximum(cnt, 1), np.nan)
                 if "count" in fast:
                     out[f"{col}_roll_count_{window}"] = cnt
-        if slow:  # min/max/std fall back to pandas rolling
+                if "std" in fast:
+                    # std is shift-invariant: centering by the batch mean
+                    # kills the (Σx²−(Σx)²/n) cancellation that costs
+                    # digits when window-std ≪ batch mean
+                    nv = np.count_nonzero(~np.isnan(v))
+                    vc = v - (np.nansum(v) / nv) if nv else v
+                    sc, _ = _seg_rolling(vc, seg_start, window, min_periods)
+                    sxxc, _ = _seg_rolling(vc * vc, seg_start, window, min_periods)
+                    out[f"{col}_roll_std_{window}"] = _seg_rolling_std(vc, sc, sxxc, cnt, min_periods)
+        if slow:  # min/max fall back to pandas rolling
             roll = g.groupby(id_col, sort=False)[list(value_cols)].rolling(window, min_periods=min_periods)
             for f in sorted(slow):
                 res = getattr(roll, f)().reset_index(level=0, drop=True)
@@ -552,6 +574,12 @@ def _flagship_kernel(
                         out[f"{col}_roll_mean_{w}"] = np.where(cnt > 0, s / np.maximum(cnt, 1), np.nan)
                     if "count" in fast:
                         out[f"{col}_roll_count_{w}"] = cnt
+                    if "std" in fast:
+                        nv = np.count_nonzero(~np.isnan(v))
+                        vc = v - (np.nansum(v) / nv) if nv else v
+                        sc, _ = _seg_rolling(vc, seg_start, w)
+                        sxxc, _ = _seg_rolling(vc * vc, seg_start, w)
+                        out[f"{col}_roll_std_{w}"] = _seg_rolling_std(vc, sc, sxxc, cnt, 1)
             if slow:
                 roll = g.groupby(id_col, sort=False)[list(value_cols)].rolling(w, min_periods=1)
                 for f in sorted(slow):
