@@ -26,7 +26,23 @@ import ray.data
 from . import grouped
 
 _ROLL_FNS = {"mean", "sum", "min", "max", "std", "count", "median"}
-_FAST_ROLL_FNS = {"mean", "sum", "count", "std"}
+_FAST_ROLL_FNS = {"mean", "sum", "count", "std", "min", "max"}
+# min/max go vectorized only while window·n passes beat a deque; above
+# this the pandas fallback wins
+_MINMAX_FAST_MAX_WINDOW = 32
+
+
+def _seg_rolling_minmax(v: np.ndarray, seg_id: np.ndarray, window: int, fn: str) -> np.ndarray:
+    """Trailing rolling min/max as ``window`` shifted fmin/fmax passes —
+    segment-safe (shift never crosses entities) and NaN-correct
+    (``fmax(NaN, x) = x``: a window is NaN only when every observation
+    is, pandas ``min_periods=1`` semantics). O(n·window) vectorized,
+    which beats the per-group pandas deque for small windows."""
+    op = np.fmax if fn == "max" else np.fmin
+    out = v.astype(np.float64, copy=True)
+    for j in range(1, window):
+        out = op(out, _seg_shift(v, seg_id, j))
+    return out
 
 
 def _seg_rolling_std(v, sx, sxx, cnt, min_periods: int) -> np.ndarray:
@@ -320,7 +336,10 @@ def add_rolling_features(
         segs = grouped.entity_segments(g[id_col].to_numpy())
         seg_start = np.repeat(segs[:-1], np.diff(segs))
         fast = set(fns) & _FAST_ROLL_FNS
-        slow = set(fns) - _FAST_ROLL_FNS
+        if window > _MINMAX_FAST_MAX_WINDOW or min_periods > 1:
+            fast -= {"min", "max"}  # deque / min_periods masking beat the shifted passes
+        slow = set(fns) - fast
+        seg_id = _segment_ids(segs) if {"min", "max"} & fast else None
         for col in value_cols:
             v = g[col].to_numpy(dtype=np.float64)
             if fast:
@@ -340,7 +359,10 @@ def add_rolling_features(
                     sc, _ = _seg_rolling(vc, seg_start, window, min_periods)
                     sxxc, _ = _seg_rolling(vc * vc, seg_start, window, min_periods)
                     out[f"{col}_roll_std_{window}"] = _seg_rolling_std(vc, sc, sxxc, cnt, min_periods)
-        if slow:  # min/max fall back to pandas rolling
+                for f in ("min", "max"):
+                    if f in fast:
+                        out[f"{col}_roll_{f}_{window}"] = _seg_rolling_minmax(v, seg_id, window, f)
+        if slow:  # large-window min/max fall back to pandas rolling
             roll = g.groupby(id_col, sort=False)[list(value_cols)].rolling(window, min_periods=min_periods)
             for f in sorted(slow):
                 res = getattr(roll, f)().reset_index(level=0, drop=True)
@@ -550,8 +572,9 @@ def _flagship_kernel(
     lags, leads = list(lags), list(leads)
     windows = list(rolling_windows)
 
-    fast = set(rolling_fns) & _FAST_ROLL_FNS
-    slow = set(rolling_fns) - _FAST_ROLL_FNS
+    fast = set(rolling_fns) & (_FAST_ROLL_FNS - {"min", "max"})
+    mm = set(rolling_fns) & {"min", "max"}
+    slow_base = set(rolling_fns) - fast - mm
 
     def fn(g: pd.DataFrame) -> pd.DataFrame:
         out = g.copy()
@@ -580,6 +603,10 @@ def _flagship_kernel(
                         sc, _ = _seg_rolling(vc, seg_start, w)
                         sxxc, _ = _seg_rolling(vc * vc, seg_start, w)
                         out[f"{col}_roll_std_{w}"] = _seg_rolling_std(vc, sc, sxxc, cnt, 1)
+                if mm and w <= _MINMAX_FAST_MAX_WINDOW:
+                    for f in sorted(mm):
+                        out[f"{col}_roll_{f}_{w}"] = _seg_rolling_minmax(v, seg_id, w, f)
+            slow = slow_base | (mm if w > _MINMAX_FAST_MAX_WINDOW else set())
             if slow:
                 roll = g.groupby(id_col, sort=False)[list(value_cols)].rolling(w, min_periods=1)
                 for f in sorted(slow):
@@ -761,8 +788,12 @@ def add_temporal_features_chunked(
             offsets[(ent, c)] = offs[c]
     carry_ref = _ray.put((carries, offsets))
 
-    fast = set(rolling_fns) & _FAST_ROLL_FNS
-    slow = set(rolling_fns) - _FAST_ROLL_FNS
+    # pass2 emits only sum/mean/count from the cumsum kernel; everything
+    # else (std/min/max/median) takes the pd.Series fallback — chunk
+    # frames are bounded (~chunk_target_rows), so the fallback is cheap
+    # here, and this keeps the emit list and the split in one place
+    fast = set(rolling_fns) & {"sum", "mean", "count"}
+    slow = set(rolling_fns) - fast
 
     # --- pass 2: recompute with carries, emit own rows only ---
     def pass2(g: pd.DataFrame) -> pd.DataFrame:

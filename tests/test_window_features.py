@@ -162,7 +162,7 @@ def test_chunked_hot_entity_matches_unchunked():
     ds = ray.data.from_pandas(df).repartition(6)
     kw = dict(
         id_col="user_id", time_col="ts", value_cols=["value"], lags=[1, 2], leads=[1],
-        rolling_windows=[4], rolling_fns=("mean", "sum", "max"), session_gap=pd.Timedelta("2h"),
+        rolling_windows=[4], rolling_fns=("mean", "sum", "max", "std"), session_gap=pd.Timedelta("2h"),
         label_shift={"value_col": "value", "n": 1, "out_col": "value_shift_1"},
         tiebreak=["event_id"],
     )
@@ -310,3 +310,18 @@ def test_resample_ffill_grid_and_carry():
     assert list(u1["value"]) == [1.0, 2.0, 2.0, 2.0]  # 00:31 event after last grid pt
     u2 = out[out["user_id"] == 2]
     assert len(u2) == 1 and u2["value"].iloc[0] == 9.0  # dup ts -> MAX
+
+
+def test_rolling_minmax_kernel_matches_pandas():
+    """The shifted-fmax kernel must equal pandas rolling min/max with
+    NaNs present, across entity boundaries."""
+    df = events_df(n_per=40)
+    df.loc[df.index[::5], "value"] = np.nan
+    out = sorted_out(add_rolling_features(
+        ray.data.from_pandas(df).repartition(3), id_col="user_id",
+        time_col="ts", value_cols=["value"], window=6, fns=("min", "max")))
+    ref = df.sort_values(["user_id", "ts"]).reset_index(drop=True)
+    grp = ref.groupby("user_id")["value"].rolling(6, min_periods=1)
+    for f in ("min", "max"):
+        exp = getattr(grp, f)().reset_index(level=0, drop=True).to_numpy()
+        assert np.allclose(out[f"value_roll_{f}_6"].to_numpy(), exp, equal_nan=True)
