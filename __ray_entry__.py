@@ -923,6 +923,16 @@ def q_chunk_docs(sf_dir: str):
     return chunk_documents(docs, chunk_tokens=48, overlap=8)
 
 
+def q_approx_distinct_users(sf_dir: str):
+    """KMV sketch (k=16) of distinct users per event type — the
+    bounded-exchange cardinality path; md5-deterministic, so the SQL
+    oracle replays the exact estimate."""
+    from temporalscope_ray.stages.agg import approx_distinct_kmv
+
+    ev = _events(sf_dir, ("event_type", "user_id"))
+    return approx_distinct_kmv(ev, "event_type", "user_id", k=16)
+
+
 def q_training_mix_docs(sf_dir: str):
     """The full training-mix prep pass, composed end to end:
     temperature resample (alpha=0.5 language rebalance) → deterministic
@@ -1573,6 +1583,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_filter_docs": q_source_filter_docs,
         "chunk_docs": q_chunk_docs,
         "resample_1h_by_user": q_resample_1h_by_user,
+        "approx_distinct_users": q_approx_distinct_users,
         "normalize_text_docs": q_normalize_text_docs,
         "zscore_by_user": q_zscore_by_user,
         "value_quantiles": q_value_quantiles,
@@ -2312,6 +2323,23 @@ def oracle_sql() -> dict[str, str]:
                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                        // 4096 AS BIGINT) AS chunk_id
             FROM shuf
+        """,
+        # KMV: k-th smallest md5 per group; same float expression as the
+        # engine ((k-1)·2^64 / h_k) so the estimate replays bit-for-bit
+        "approx_distinct_users": """
+            WITH h AS (SELECT DISTINCT event_type,
+                              md5_number_lower(CAST(user_id AS VARCHAR)) AS hv
+                       FROM events),
+                 r AS (SELECT event_type, hv,
+                              row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+                              COUNT(*) OVER (PARTITION BY event_type) AS n
+                       FROM h)
+            SELECT event_type,
+                   CASE WHEN MAX(n) < 16 THEN CAST(MAX(n) AS DOUBLE)
+                        ELSE ROUND(15.0 * 18446744073709551616.0
+                                   / CAST(MAX(CASE WHEN rn = 16 THEN hv END) AS DOUBLE), 6)
+                   END AS approx_distinct
+            FROM r GROUP BY event_type
         """,
         "resample_1h_by_user": """
             WITH st AS (SELECT user_id, ts, MAX(value) AS v

@@ -327,3 +327,59 @@ def _parse_every(every: "str | int") -> int:
     if width <= 0:
         raise ValueError("time width must be positive")
     return width
+
+
+def approx_distinct_kmv(
+    ds: ray.data.Dataset,
+    group_col: str,
+    key_col: str,
+    *,
+    k: int = 256,
+    round_to: int = 6,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+) -> ray.data.Dataset:
+    """Approximate per-group distinct count via the K-Minimum-Values
+    sketch: keep each group's ``k`` smallest ``md5(key)`` values;
+    fewer than ``k`` collected means the count is EXACT, otherwise
+    ``(k−1)·2⁶⁴ / h_k`` estimates it (standard KMV, ±~1/√k relative
+    error). The exact grouped distinct (``grouped_distinct_count``)
+    exchanges every distinct pair; this sketch caps the exchange at
+    ``k × blocks`` rows per group no matter the cardinality — the
+    monitoring-grade path at 100 TB.
+
+    Because the hash is md5 (not a seeded process hash), the sketch is
+    DETERMINISTIC: the same inputs give the same estimate on any
+    cluster, and a SQL engine replays it bit-for-bit
+    (``row_number() OVER (ORDER BY md5_number_lower(...))`` to h_k,
+    same float expression — see the ``approx_distinct_users`` oracle).
+    """
+    from .dedup import _md5_lower64
+
+    if k < 2:
+        raise ValueError("k must be >= 2")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[[group_col, key_col]].drop_duplicates()
+        h = _md5_lower64(d[key_col].astype(str).tolist())
+        p = pd.DataFrame({group_col: d[group_col].to_numpy(), "__h__": h})
+        p = p.drop_duplicates().sort_values([group_col, "__h__"], kind="mergesort")
+        return p.groupby(group_col, sort=False).head(k)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[[group_col, "__h__"]].drop_duplicates().sort_values(
+            [group_col, "__h__"], kind="mergesort")
+        capped = d.groupby(group_col, sort=False).head(k)
+        gb = capped.groupby(group_col, sort=False)["__h__"]
+        n = gb.size()
+        kth = gb.max()  # k-th smallest of the capped set
+        est = np.where(
+            n < k, n.astype(np.float64),
+            np.round((k - 1) * 2.0 ** 64 / kth.to_numpy(dtype=np.float64), round_to),
+        )
+        return pd.DataFrame({group_col: n.index.to_numpy(), "approx_distinct": est})
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    bucketed = with_bucket(parts, group_col, num_buckets)
+    return bucketed.groupby(BUCKET_COL).map_groups(
+        lambda g: final(g.drop(columns=[BUCKET_COL])), batch_format="pandas"
+    )

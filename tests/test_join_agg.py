@@ -219,3 +219,28 @@ def test_hopping_window_aggregate(ray_session):
     with pytest.raises(ValueError, match="multiple of hop"):
         hopping_window_aggregate(_events_tbl(), "ts", window="1h", hop="7min",
                                  aggs={"n": (None, "count")})
+
+
+def test_approx_distinct_kmv_accuracy_and_determinism():
+    from temporalscope_ray.stages.agg import approx_distinct_kmv
+
+    rng = np.random.default_rng(11)
+    n = 30_000
+    df = pd.DataFrame({
+        "g": np.repeat(["a", "b"], n // 2),
+        "key": np.concatenate([
+            rng.integers(0, 5_000, n // 2),     # ~5000 distinct
+            rng.integers(0, 40, n // 2),        # 40 distinct (< k: exact)
+        ]),
+    })
+    out = approx_distinct_kmv(ray.data.from_pandas(df).repartition(6),
+                              "g", "key", k=256).to_pandas().set_index("g")
+    exact = df.groupby("g")["key"].nunique()
+    # group below k is EXACT; group above k within ~4/sqrt(k)
+    assert out.loc["b", "approx_distinct"] == exact["b"]
+    rel = abs(out.loc["a", "approx_distinct"] - exact["a"]) / exact["a"]
+    assert rel < 4 / np.sqrt(256), rel
+    # deterministic across block layouts
+    out2 = approx_distinct_kmv(ray.data.from_pandas(df).repartition(17),
+                               "g", "key", k=256).to_pandas().set_index("g")
+    assert (out["approx_distinct"] == out2["approx_distinct"]).all()
