@@ -923,6 +923,31 @@ def q_chunk_docs(sf_dir: str):
     return chunk_documents(docs, chunk_tokens=48, overlap=8)
 
 
+def q_phash_clusters_events(sf_dir: str):
+    """Image near-dup CLUSTER labeling: verified phash Hamming pairs
+    (chunk banding, pigeonhole-exact at threshold 3) fed into
+    distributed connected components; cluster_id = min reachable id.
+    Same deterministic md5-derived phash column as phash_dedup_events."""
+    from temporalscope_ray.stages.dedup import _md5_lower64, hamming_pairs
+    from temporalscope_ray.stages.graph import connected_components
+
+    ev = _events(sf_dir, ("event_id", "user_id"))
+
+    def mk(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["event_id"] % 3 == 0]
+        h = _md5_lower64([str(u) for u in b["user_id"].tolist()])
+        noise = (b["event_id"].to_numpy() % 16).astype(np.uint64)
+        return pd.DataFrame({
+            "event_id": b["event_id"].to_numpy(),
+            "phash": (h ^ noise).view(np.int64),
+        })
+
+    hashed = ev.map_batches(mk, batch_format="pandas")
+    pairs = hamming_pairs(hashed, hash_col="phash", id_col="event_id",
+                          threshold=3, num_buckets=16)
+    return connected_components(pairs, num_buckets=16)
+
+
 def q_approx_distinct_users(sf_dir: str):
     """KMV sketch (k=16) of distinct users per event type — the
     bounded-exchange cardinality path; md5-deterministic, so the SQL
@@ -1584,6 +1609,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_docs": q_chunk_docs,
         "resample_1h_by_user": q_resample_1h_by_user,
         "approx_distinct_users": q_approx_distinct_users,
+        "phash_clusters_events": q_phash_clusters_events,
         "normalize_text_docs": q_normalize_text_docs,
         "zscore_by_user": q_zscore_by_user,
         "value_quantiles": q_value_quantiles,
@@ -2323,6 +2349,25 @@ def oracle_sql() -> dict[str, str]:
                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                        // 4096 AS BIGINT) AS chunk_id
             FROM shuf
+        """,
+        "phash_clusters_events": """
+            WITH RECURSIVE
+            t AS (SELECT event_id,
+                         xor(md5_number_lower(user_id::VARCHAR),
+                             (event_id % 16)::UBIGINT) AS h
+                  FROM events WHERE event_id % 3 = 0),
+            p AS (SELECT t1.event_id AS id_a, t2.event_id AS id_b
+                  FROM t t1 JOIN t t2
+                    ON t1.event_id < t2.event_id
+                   AND bit_count(xor(t1.h, t2.h)) <= 3),
+            e AS (SELECT id_a AS a, id_b AS b FROM p
+                  UNION SELECT id_b, id_a FROM p),
+            cc(id, lab) AS (
+                SELECT a, a FROM e
+                UNION
+                SELECT e.b, cc.lab FROM cc JOIN e ON cc.id = e.a
+            )
+            SELECT id, CAST(MIN(lab) AS BIGINT) AS cluster_id FROM cc GROUP BY id
         """,
         # KMV: k-th smallest md5 per group; same float expression as the
         # engine ((k-1)·2^64 / h_k) so the estimate replays bit-for-bit

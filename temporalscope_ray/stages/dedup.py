@@ -889,3 +889,67 @@ def line_dedup(
     return by_doc.groupby("__gbucket__").map_groups(
         lambda g: reassemble(g.drop(columns=["__gbucket__"])), batch_format="pandas"
     )
+
+
+def _hamming_pairs_le(sims: np.ndarray, ids: np.ndarray, threshold: int, block: int = 512):
+    """All (id_a < id_b) pairs within ``threshold`` Hamming distance,
+    for id-sorted uint64 hashes — the pair-emitting sibling of
+    ``_hamming_le`` (same byte-table popcount, same row blocking)."""
+    m = len(sims)
+    out_a, out_b = [], []
+    for s in range(0, m, block):
+        e = min(s + block, m)
+        x = sims[s:e, None] ^ sims[None, :]
+        ham = _POP8[x.view(np.uint8).reshape(e - s, m, 8)].sum(axis=2)
+        close = (ham <= threshold) & (np.arange(m)[None, :] < np.arange(s, e)[:, None])
+        ii, jj = np.nonzero(close)
+        out_a.append(ids[jj])          # j < i and ids ascending -> id_a < id_b
+        out_b.append(ids[s + ii])
+    if not out_a:
+        return ids[:0], ids[:0]
+    return np.concatenate(out_a), np.concatenate(out_b)
+
+
+def hamming_pairs(
+    ds: ray.data.Dataset,
+    *,
+    hash_col: str,
+    id_col: str,
+    threshold: int = 3,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Verified near-duplicate PAIRS on a 64-bit hash column (phash /
+    simhash): the same 4×16-bit chunk banding + in-bucket vectorized
+    verify as the dedup operators, but emitting the ``(id_a, id_b)``
+    edge list instead of dropping rows — the input to duplicate-cluster
+    labeling (``graph.connected_components``). Pigeonhole-exact for
+    ``threshold`` ≤ 3. A pair sharing several chunks may be emitted by
+    several buckets; edges are deduped within a bucket and consumers
+    (min-label propagation) are duplicate-edge-tolerant."""
+    group_cols = ["chunk_id", "chunk_val"]
+    exploded = ds.select_columns([id_col, hash_col]).map_batches(
+        lambda b: _explode_hash_chunks(b, hash_col, id_col), batch_format="pandas",
+    )
+    bucketed = _coarse_bucketed(exploded, group_cols, num_buckets)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = g.groupby(group_cols, sort=False)[id_col].transform("size")
+        g2 = g[sizes >= 2]
+        acc_a, acc_b = [], []
+        for _, sub in g2.groupby(group_cols, sort=False):
+            sub = sub.sort_values(id_col)
+            a, b = _hamming_pairs_le(
+                sub["simhash"].to_numpy().astype(np.int64).view(np.uint64),
+                sub[id_col].to_numpy(), threshold)
+            acc_a.append(a)
+            acc_b.append(b)
+        empty = g[id_col].to_numpy()[:0]
+        out = pd.DataFrame({
+            "id_a": np.concatenate(acc_a) if acc_a else empty,
+            "id_b": np.concatenate(acc_b) if acc_b else empty,
+        })
+        return out.drop_duplicates(ignore_index=True)
+
+    return bucketed.groupby("__gbucket__").map_groups(
+        lambda g: bucket_pairs(g.drop(columns=["__gbucket__"])), batch_format="pandas"
+    )

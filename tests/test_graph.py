@@ -1,6 +1,7 @@
 """Unit tests for connected-components duplicate clustering."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 import ray.data
@@ -36,3 +37,23 @@ def test_max_iters_fails_loud(ray_session):
     )
     with pytest.raises(RuntimeError, match="no fixpoint"):
         connected_components(pairs, num_buckets=2, max_iters=2)
+
+
+def test_hamming_pairs_vs_bruteforce():
+    from temporalscope_ray.stages.dedup import hamming_pairs
+    import itertools
+
+    rng = np.random.default_rng(3)
+    n = 300
+    # clustered hashes: 30 bases, members perturbed in <=3 low bits
+    bases = rng.integers(0, 2**63, 30, dtype=np.int64)
+    h = bases[rng.integers(0, 30, n)] ^ rng.integers(0, 8, n).astype(np.int64)
+    df = pd.DataFrame({"id": np.arange(n, dtype=np.int64), "h": h})
+    out = hamming_pairs(ray.data.from_pandas(df).repartition(4),
+                        hash_col="h", id_col="id", threshold=3,
+                        num_buckets=8).to_pandas().drop_duplicates()
+    got = set(zip(out["id_a"], out["id_b"]))
+    hu = h.astype(np.int64).view(np.uint64)
+    exp = {(a, b) for a, b in itertools.combinations(range(n), 2)
+           if bin(int(hu[a] ^ hu[b])).count("1") <= 3}
+    assert got == exp
