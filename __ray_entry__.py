@@ -805,6 +805,16 @@ def q_interarrival_by_user(sf_dir: str):
     return _round_cols(out, ["interarrival_us"])
 
 
+def q_time_to_next_by_user(sf_dir: str):
+    """Per-user microseconds to the NEXT event (null on each user's
+    last) — the time-to-event label; exact int64, surfaced as double."""
+    from temporalscope_ray.stages.window_features import add_time_to_next
+
+    ev = _events(sf_dir, ("event_id", "ts", "user_id"))
+    out = add_time_to_next(ev, id_col="user_id", time_col="ts", tiebreak=["event_id"])
+    return _round_cols(out, ["time_to_next_us"])
+
+
 def q_target_encode_events(sf_dir: str):
     """Smoothed mean-target encoding of event_type (m=20 shrink toward
     the global mean) — the high-cardinality categorical feature."""
@@ -1596,6 +1606,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_k_docs": q_sample_k_docs,
         "temperature_resample_docs": q_temperature_resample_docs,
         "interarrival_by_user": q_interarrival_by_user,
+        "time_to_next_by_user": q_time_to_next_by_user,
         "target_encode_events": q_target_encode_events,
         "freq_encode_events": q_freq_encode_events,
         "value_bins_events": q_value_bins_events,
@@ -2266,6 +2277,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER (
                         PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE)
                      AS interarrival_us
+            FROM events
+        """,
+        "time_to_next_by_user": """
+            SELECT event_id, ts, user_id,
+                   CAST(lead(epoch_us(ts)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id) - epoch_us(ts)
+                        AS DOUBLE) AS time_to_next_us
             FROM events
         """,
         "target_encode_events": """

@@ -1024,6 +1024,40 @@ def add_interarrival(
     return grouped.grouped_ordered_map(ds, id_col, order, fn, num_buckets=num_buckets)
 
 
+def add_time_to_next(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str,
+    time_col: str,
+    out_col: str = "time_to_next_us",
+    tiebreak: Optional[Sequence[str]] = None,
+    num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+) -> ray.data.Dataset:
+    """Lead-side cadence: microseconds until the entity's NEXT event
+    (null on each entity's last row) — the churn / time-to-event label
+    construction. Exact int64; SQL replay ``lead(ts_us) OVER (...) -
+    ts_us``. NOTE: unlike every feature here, this column reads the
+    FUTURE — it is a LABEL, never an input feature at its own row."""
+    order = [time_col, *(tiebreak or [])]
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.copy()
+        ts = g[time_col].to_numpy()
+        ts_us = ts.astype("datetime64[us]").astype(np.int64) if np.issubdtype(
+            ts.dtype, np.datetime64) else ts.astype(np.int64)
+        segs = grouped.entity_segments(g[id_col].to_numpy())
+        d = np.empty(len(g), dtype=np.int64)
+        d[:-1] = ts_us[1:] - ts_us[:-1]
+        d[-1] = 0
+        last = np.zeros(len(g), dtype=bool)
+        last[segs[1:] - 1] = True
+        out[out_col] = pd.array(np.where(last, 0, d), dtype="Int64")
+        out.loc[last, out_col] = pd.NA
+        return out
+
+    return grouped.grouped_ordered_map(ds, id_col, order, fn, num_buckets=num_buckets)
+
+
 def add_rolling_corr(
     ds: ray.data.Dataset,
     *,

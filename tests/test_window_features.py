@@ -325,3 +325,19 @@ def test_rolling_minmax_kernel_matches_pandas():
     for f in ("min", "max"):
         exp = getattr(grp, f)().reset_index(level=0, drop=True).to_numpy()
         assert np.allclose(out[f"value_roll_{f}_6"].to_numpy(), exp, equal_nan=True)
+
+
+def test_time_to_next_is_lead_of_interarrival():
+    from temporalscope_ray.stages.window_features import add_interarrival, add_time_to_next
+
+    df = events_df(n_per=15)
+    nxt = sorted_out(add_time_to_next(
+        ray.data.from_pandas(df).repartition(3), id_col="user_id", time_col="ts"))
+    arr = sorted_out(add_interarrival(
+        ray.data.from_pandas(df), id_col="user_id", time_col="ts"))
+    # time_to_next at row i == interarrival at row i+1 (same entity)
+    for uid in df["user_id"].unique():
+        a = nxt[nxt["user_id"] == uid]["time_to_next_us"].to_numpy()
+        b = arr[arr["user_id"] == uid]["interarrival_us"].to_numpy()
+        assert (a[:-1] == b[1:]).all()
+        assert pd.isna(nxt[nxt["user_id"] == uid]["time_to_next_us"].iloc[-1])
