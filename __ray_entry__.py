@@ -76,9 +76,17 @@ def _events(sf_dir: str, columns=("event_id", "ts", "user_id", "event_type", "va
 
 
 def _round_cols(ds: ray.data.Dataset, cols: list[str], ndigits: int = 6) -> ray.data.Dataset:
+    """Quantize float columns HALF-AWAY-FROM-ZERO — the SQL ROUND rule
+    (np.round is banker's: an expanding mean over a power-of-two count
+    of 2-decimal values lands on an exact half at the 6th decimal and
+    the two rules split)."""
+    scale = 10.0 ** ndigits
+
     def r(batch: pd.DataFrame) -> pd.DataFrame:
         for c in cols:
-            batch[c] = np.round(batch[c].astype(np.float64), ndigits)
+            x = batch[c].astype(np.float64).to_numpy()
+            with np.errstate(invalid="ignore"):
+                batch[c] = np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
         return batch
 
     return ds.map_batches(r, batch_format="pandas")
@@ -813,6 +821,44 @@ def q_time_to_next_by_user(sf_dir: str):
     ev = _events(sf_dir, ("event_id", "ts", "user_id"))
     out = add_time_to_next(ev, id_col="user_id", time_col="ts", tiebreak=["event_id"])
     return _round_cols(out, ["time_to_next_us"])
+
+
+def q_expanding_stats_by_user(sf_dir: str):
+    """Per-user expanding mean/std of value (entire past incl. self) —
+    the leakage-safe running profile."""
+    from temporalscope_ray.stages.window_features import add_expanding_features
+
+    ev = _events(sf_dir, ("event_id", "ts", "user_id", "value"))
+
+    # the MEAN gate is integer-exact by construction: value has 2
+    # decimals, so the operator runs on a cents int column whose
+    # per-entity cumsum is exact in float64 — both engines then perform
+    # the SAME single division, bit-identical regardless of summation
+    # order (DuckDB's windowed SUM is segment-tree ordered; a float
+    # fold can never bit-match it, and dyadic expanding means sit
+    # exactly on every quantization boundary). The float mean path is
+    # pytest-gated vs pandas; std (centered closed form) gates at 6dp.
+    def add_cents(b: pd.DataFrame) -> pd.DataFrame:
+        v = b["value"].to_numpy(dtype=np.float64)
+        c = np.rint(v * 100.0)
+        b["cents"] = np.where(np.isnan(v), np.nan, c)
+        return b
+
+    out = add_expanding_features(ev.map_batches(add_cents, batch_format="pandas"),
+                                 id_col="user_id", time_col="ts",
+                                 value_cols=["cents", "value"], fns=("mean", "std"),
+                                 tiebreak=["event_id"])
+
+    def q(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["value_exp_mean"] = batch["cents_exp_mean"].to_numpy() / 100.0
+        x = batch["value_exp_std"].astype(np.float64).to_numpy()
+        with np.errstate(invalid="ignore"):
+            batch["value_exp_std"] = np.floor(x * 1e6 + 0.25) / 1e6
+        return batch.drop(columns=["cents", "cents_exp_mean", "cents_exp_std",
+                                   "value_exp_mean"], errors="ignore").assign(
+            value_exp_mean=batch["value_exp_mean"])
+
+    return out.map_batches(q, batch_format="pandas")
 
 
 def q_target_encode_events(sf_dir: str):
@@ -1607,6 +1653,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temperature_resample_docs": q_temperature_resample_docs,
         "interarrival_by_user": q_interarrival_by_user,
         "time_to_next_by_user": q_time_to_next_by_user,
+        "expanding_stats_by_user": q_expanding_stats_by_user,
         "target_encode_events": q_target_encode_events,
         "freq_encode_events": q_freq_encode_events,
         "value_bins_events": q_value_bins_events,
@@ -2278,6 +2325,15 @@ def oracle_sql() -> dict[str, str]:
                         PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE)
                      AS interarrival_us
             FROM events
+        """,
+        "expanding_stats_by_user": """
+            SELECT event_id, ts, user_id, value,
+                   CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) OVER w AS DOUBLE)
+                     / COUNT(value) OVER w / 100.0 AS value_exp_mean,
+                   FLOOR(STDDEV_SAMP(value) OVER w * 1000000 + 0.25) / 1000000 AS value_exp_std
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING)
         """,
         "time_to_next_by_user": """
             SELECT event_id, ts, user_id,

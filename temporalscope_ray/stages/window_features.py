@@ -1259,3 +1259,58 @@ def resample_ffill(
         return out
 
     return grouped.grouped_ordered_map(ds, id_col, [time_col], fn, num_buckets=num_buckets)
+
+
+def add_expanding_features(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str,
+    time_col: str,
+    value_cols: Sequence[str],
+    fns: Sequence[str] = ("mean",),
+    tiebreak: Optional[Sequence[str]] = None,
+    num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+) -> ray.data.Dataset:
+    """Per-entity EXPANDING statistics over the ``(id, ts)`` order —
+    ``{col}_exp_mean`` / ``{col}_exp_std`` (sample std, null below 2
+    observations): every row summarizes its entity's entire past
+    including itself, the leakage-safe running-profile feature.
+    One cumsum pass per statistic (NaN-skipping), centered by the batch
+    mean for the std so cancellation never costs digits; SQL replay is
+    ``AVG/STDDEV_SAMP(...) OVER (PARTITION BY id ORDER BY ... ROWS
+    UNBOUNDED PRECEDING)``."""
+    allowed = {"mean", "std"}
+    bad = set(fns) - allowed
+    if bad:
+        raise ValueError(f"add_expanding_features: unsupported fns {sorted(bad)}")
+    order = [time_col, *(tiebreak or [])]
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.copy()
+        segs = grouped.entity_segments(g[id_col].to_numpy())
+        seg_id = _segment_ids(segs)
+        n_rows = len(g)
+        for col in value_cols:
+            v = g[col].to_numpy(dtype=np.float64)
+            valid = ~np.isnan(v)
+            # SEQUENTIAL per-entity prefix sums (Cython grouped cumsum),
+            # not csum[i]−csum[entity_start]: the global-cumsum
+            # subtraction differs from a SQL engine's in-partition
+            # running accumulation by an ulp, which any fixed rounding
+            # grid eventually straddles on dyadic means
+            sdf = pd.DataFrame({"s": np.where(valid, v, 0.0), "n": valid.astype(np.int64)})
+            gb = sdf.groupby(seg_id, sort=False)
+            sx = gb["s"].cumsum().to_numpy()
+            cnt = gb["n"].cumsum().to_numpy().astype(np.float64)
+            if "mean" in fns:
+                out[f"{col}_exp_mean"] = np.where(cnt > 0, sx / np.maximum(cnt, 1), np.nan)
+            if "std" in fns:
+                nv = int(valid.sum())
+                vc = v - (np.nansum(v) / nv) if nv else v
+                seg_start = np.repeat(segs[:-1], np.diff(segs))
+                sc, _ = _seg_rolling(vc, seg_start, n_rows or 1, 1)
+                sxxc, _ = _seg_rolling(vc * vc, seg_start, n_rows or 1, 1)
+                out[f"{col}_exp_std"] = _seg_rolling_std(vc, sc, sxxc, cnt, 1)
+        return out
+
+    return grouped.grouped_ordered_map(ds, id_col, order, fn, num_buckets=num_buckets)

@@ -341,3 +341,19 @@ def test_time_to_next_is_lead_of_interarrival():
         b = arr[arr["user_id"] == uid]["interarrival_us"].to_numpy()
         assert (a[:-1] == b[1:]).all()
         assert pd.isna(nxt[nxt["user_id"] == uid]["time_to_next_us"].iloc[-1])
+
+
+def test_expanding_features_match_pandas():
+    from temporalscope_ray.stages.window_features import add_expanding_features
+
+    df = events_df(n_per=25)
+    df.loc[df.index[::6], "value"] = np.nan
+    out = sorted_out(add_expanding_features(
+        ray.data.from_pandas(df).repartition(3), id_col="user_id",
+        time_col="ts", value_cols=["value"], fns=("mean", "std")))
+    ref = df.sort_values(["user_id", "ts"]).reset_index(drop=True)
+    g = ref.groupby("user_id")["value"].expanding()
+    exp_mean = g.mean().reset_index(level=0, drop=True).to_numpy()
+    exp_std = g.std().reset_index(level=0, drop=True).to_numpy()
+    assert np.allclose(out["value_exp_mean"].to_numpy(), exp_mean, equal_nan=True, atol=1e-9)
+    assert np.allclose(out["value_exp_std"].to_numpy(), exp_std, equal_nan=True, atol=1e-9)
