@@ -823,6 +823,19 @@ def q_time_to_next_by_user(sf_dir: str):
     return _round_cols(out, ["time_to_next_us"])
 
 
+def q_session_conversion_30min(sf_dir: str):
+    """Per (user, 30-min session): did a purchase follow a view within
+    the session — the funnel-conversion rollup, one bucket pass."""
+    from temporalscope_ray.stages.window_features import session_conversion
+
+    ev = _events(sf_dir, ("event_id", "ts", "user_id", "event_type"))
+    import pandas as pd
+    return session_conversion(ev, id_col="user_id", time_col="ts",
+                              type_col="event_type", from_type="view",
+                              to_type="purchase", gap=pd.Timedelta("30min"),
+                              tiebreak=["event_id"])
+
+
 def q_expanding_stats_by_user(sf_dir: str):
     """Per-user expanding mean/std of value (entire past incl. self) —
     the leakage-safe running profile."""
@@ -1654,6 +1667,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interarrival_by_user": q_interarrival_by_user,
         "time_to_next_by_user": q_time_to_next_by_user,
         "expanding_stats_by_user": q_expanding_stats_by_user,
+        "session_conversion_30min": q_session_conversion_30min,
         "target_encode_events": q_target_encode_events,
         "freq_encode_events": q_freq_encode_events,
         "value_bins_events": q_value_bins_events,
@@ -2325,6 +2339,24 @@ def oracle_sql() -> dict[str, str]:
                         PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE)
                      AS interarrival_us
             FROM events
+        """,
+        "session_conversion_30min": """
+            WITH s AS (
+              SELECT event_id, ts, user_id, event_type,
+                     CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+              FROM (SELECT *, CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                                        > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+                    FROM events)),
+            f AS (
+              SELECT *, MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY user_id, session_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS saw_from
+              FROM s)
+            SELECT user_id, session_id, COUNT(*) AS n_events,
+                   CAST(MAX(CASE WHEN event_type = 'purchase' AND saw_from = 1
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS converted
+            FROM f GROUP BY user_id, session_id
         """,
         "expanding_stats_by_user": """
             SELECT event_id, ts, user_id, value,

@@ -1314,3 +1314,58 @@ def add_expanding_features(
         return out
 
     return grouped.grouped_ordered_map(ds, id_col, order, fn, num_buckets=num_buckets)
+
+
+def session_conversion(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str,
+    time_col: str,
+    type_col: str,
+    from_type: str,
+    to_type: str,
+    gap: pd.Timedelta | float | int,
+    num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+    tiebreak: Optional[Sequence[str]] = None,
+) -> ray.data.Dataset:
+    """Within-session funnel: one row per (entity, session) with
+    ``n_events`` and ``converted`` = 1 iff a ``to_type`` event occurs at
+    or after some ``from_type`` event in the SAME session (event order =
+    ``(time, tiebreak)``) — the view→purchase conversion measure,
+    computed in the same single bucket pass as sessionization.
+
+    Vectorized: saw-``from`` is a running maximum reset at session
+    starts (mirroring SQL ``MAX(...) OVER (... ROWS UNBOUNDED
+    PRECEDING)``), conversion rows are one boolean AND, and the
+    per-session rollup is a grouped any()."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g[time_col].to_numpy()
+        segs = grouped.entity_segments(g[id_col].to_numpy())
+        sid = _seg_session_ids(ts, segs, gap)
+        n = len(g)
+        start = np.zeros(n, dtype=bool)
+        if n:
+            start[0] = True
+            start[segs[1:-1]] = True
+            start[1:] |= sid[1:] != sid[:-1]
+        # running "saw from_type" with session resets: segmented cummax
+        from_mask = (g[type_col].to_numpy() == from_type).astype(np.int64)
+        sess_ord = np.cumsum(start) - 1                   # global session ordinal
+        saw_from = pd.Series(from_mask).groupby(sess_ord).cummax().to_numpy()
+        conv_row = (g[type_col].to_numpy() == to_type) & (saw_from > 0)
+        roll = pd.DataFrame({
+            id_col: g[id_col].to_numpy(),
+            "session_id": sid,
+            "__conv__": conv_row.astype(np.int64),
+        })
+        out = roll.groupby([id_col, "session_id"], sort=False).agg(
+            n_events=("__conv__", "size"), converted=("__conv__", "max")
+        ).reset_index()
+        out["n_events"] = out["n_events"].astype(np.int64)
+        out["converted"] = out["converted"].astype(np.int64)
+        return out
+
+    return grouped.grouped_ordered_map(
+        ds, id_col, [time_col, *(tiebreak or [])], fn, num_buckets=num_buckets
+    )

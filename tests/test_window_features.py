@@ -357,3 +357,27 @@ def test_expanding_features_match_pandas():
     exp_std = g.std().reset_index(level=0, drop=True).to_numpy()
     assert np.allclose(out["value_exp_mean"].to_numpy(), exp_mean, equal_nan=True, atol=1e-9)
     assert np.allclose(out["value_exp_std"].to_numpy(), exp_std, equal_nan=True, atol=1e-9)
+
+
+def test_session_conversion_order_sensitivity():
+    from temporalscope_ray.stages.window_features import session_conversion
+
+    base = pd.Timestamp("2023-01-01")
+    rows = [
+        # user 1, session 0: view then purchase -> converted
+        {"user_id": 1, "ts": base, "event_type": "view"},
+        {"user_id": 1, "ts": base + pd.Timedelta("5min"), "event_type": "purchase"},
+        # user 1, session 1 (2h later): purchase BEFORE view -> not converted
+        {"user_id": 1, "ts": base + pd.Timedelta("3h"), "event_type": "purchase"},
+        {"user_id": 1, "ts": base + pd.Timedelta("3h 5min"), "event_type": "view"},
+        # user 2: view only -> not converted
+        {"user_id": 2, "ts": base, "event_type": "view"},
+    ]
+    df = pd.DataFrame(rows)
+    out = session_conversion(
+        ray.data.from_pandas(df).repartition(2), id_col="user_id",
+        time_col="ts", type_col="event_type", from_type="view",
+        to_type="purchase", gap=pd.Timedelta("30min"),
+    ).to_pandas().sort_values(["user_id", "session_id"]).reset_index(drop=True)
+    assert out["converted"].tolist() == [1, 0, 0]
+    assert out["n_events"].tolist() == [2, 2, 1]
