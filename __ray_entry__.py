@@ -823,6 +823,15 @@ def q_time_to_next_by_user(sf_dir: str):
     return _round_cols(out, ["time_to_next_us"])
 
 
+def q_cohort_retention_weekly(sf_dir: str):
+    """Weekly cohort retention in long form: distinct users per
+    (first-activity week, week offset)."""
+    from temporalscope_ray.stages.agg import cohort_retention
+
+    ev = _events(sf_dir, ("user_id", "ts"))
+    return cohort_retention(ev, id_col="user_id", time_col="ts")
+
+
 def q_session_conversion_30min(sf_dir: str):
     """Per (user, 30-min session): did a purchase follow a view within
     the session — the funnel-conversion rollup, one bucket pass."""
@@ -1668,6 +1677,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "time_to_next_by_user": q_time_to_next_by_user,
         "expanding_stats_by_user": q_expanding_stats_by_user,
         "session_conversion_30min": q_session_conversion_30min,
+        "cohort_retention_weekly": q_cohort_retention_weekly,
         "target_encode_events": q_target_encode_events,
         "freq_encode_events": q_freq_encode_events,
         "value_bins_events": q_value_bins_events,
@@ -2339,6 +2349,17 @@ def oracle_sql() -> dict[str, str]:
                         PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE)
                      AS interarrival_us
             FROM events
+        """,
+        "cohort_retention_weekly": """
+            WITH f AS (SELECT user_id, MIN(ts) AS fts FROM events GROUP BY user_id),
+                 t AS (SELECT e.user_id,
+                              epoch_us(f.fts) // 604800000000 AS cohort,
+                              epoch_us(e.ts) // 604800000000
+                                - epoch_us(f.fts) // 604800000000 AS period_offset
+                       FROM events e JOIN f USING (user_id))
+            SELECT cohort, period_offset,
+                   COUNT(DISTINCT user_id) AS n_users
+            FROM t GROUP BY cohort, period_offset
         """,
         "session_conversion_30min": """
             WITH s AS (

@@ -383,3 +383,49 @@ def approx_distinct_kmv(
     return bucketed.groupby(BUCKET_COL).map_groups(
         lambda g: final(g.drop(columns=[BUCKET_COL])), batch_format="pandas"
     )
+
+
+def cohort_retention(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str,
+    time_col: str,
+    period_us: int = 7 * 86_400_000_000,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+) -> ray.data.Dataset:
+    """Cohort retention rollup: assign every entity to the period of its
+    FIRST event (cohort), then count distinct entities active at each
+    ``(cohort, offset)`` — the classic week-0/week-N retention matrix in
+    long form.
+
+    Scale shape: one combiner ``min(ts)`` exchange reduces the facts to
+    one row per entity (the cohort table, entity-sized — broadcast via
+    ``ray.put``; beyond broadcast scale use the bucketed equi-join
+    instead), the fact pass tags each event with ``(cohort, offset)``
+    zero-shuffle, and the distinct-entity count per cell rides the
+    distinct-pair combiner (``grouped_distinct_count``)."""
+    firsts = hash_groupby_aggregate(
+        ds.select_columns([id_col, time_col]), [id_col],
+        {"__first__": (time_col, "min")},
+    ).to_pandas()
+    f_us = firsts["__first__"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    cohort = dict(zip(firsts[id_col], (f_us // period_us).astype(np.int64)))
+    import ray
+    ref = ray.put(cohort)
+    p_us = np.int64(period_us)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(ref)
+        ts_us = df[time_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        coh = df[id_col].map(c).to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            "cohort": coh,
+            "period_offset": (ts_us // p_us) - coh,
+        })
+
+    tagged = ds.select_columns([id_col, time_col]).map_batches(tag, batch_format="pandas")
+    return grouped_distinct_count(
+        tagged, ["cohort", "period_offset"], id_col, out_col="n_users",
+        num_buckets=num_buckets,
+    )

@@ -244,3 +244,33 @@ def test_approx_distinct_kmv_accuracy_and_determinism():
     out2 = approx_distinct_kmv(ray.data.from_pandas(df).repartition(17),
                                "g", "key", k=256).to_pandas().set_index("g")
     assert (out["approx_distinct"] == out2["approx_distinct"]).all()
+
+
+def test_cohort_retention_matches_pandas():
+    from temporalscope_ray.stages.agg import cohort_retention
+
+    rng = np.random.default_rng(4)
+    n = 2000
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 60, n),
+        "ts": pd.Timestamp("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 35 * 86400, n), unit="s"),
+    })
+    out = cohort_retention(ray.data.from_pandas(df).repartition(5),
+                           id_col="user_id", time_col="ts").to_pandas()
+    wk = 7 * 86_400_000_000
+    us = df["ts"].astype("datetime64[us]").astype(np.int64)
+    first = us.groupby(df["user_id"]).transform("min")
+    ref = pd.DataFrame({
+        "user_id": df["user_id"],
+        "cohort": first // wk,
+        "period_offset": us // wk - first // wk,
+    }).groupby(["cohort", "period_offset"])["user_id"].nunique().reset_index(name="n_users")
+    m = out.merge(ref, on=["cohort", "period_offset"], suffixes=("", "_ref"), how="outer")
+    assert m["n_users"].notna().all() and m["n_users_ref"].notna().all()
+    assert (m["n_users"] == m["n_users_ref"]).all()
+    # week-0 cell of each cohort contains every cohort member
+    w0 = out[out["period_offset"] == 0].set_index("cohort")["n_users"]
+    cohort_sizes = pd.DataFrame({"u": df["user_id"], "c": first // wk}) \
+        .drop_duplicates().groupby("c")["u"].nunique()
+    assert (w0.sort_index() == cohort_sizes.sort_index()).all()
