@@ -823,6 +823,22 @@ def q_time_to_next_by_user(sf_dir: str):
     return _round_cols(out, ["time_to_next_us"])
 
 
+def q_rolling_slope_by_user(sf_dir: str):
+    """Per-user trailing 8-row regression slope of value vs time
+    (units/hour) — the local-trend feature."""
+    from temporalscope_ray.stages.window_features import add_rolling_slope
+
+    ev = _events(sf_dir, ("event_id", "ts", "user_id", "value"))
+    out = add_rolling_slope(ev, id_col="user_id", time_col="ts",
+                            value_col="value", window=8, per="h",
+                            out_col="value_slope_8", tiebreak=["event_id"])
+    # units/hour slopes reach 1e3–1e4, so the gate quantizes at 2dp
+    # (magnitude-aware: a 6dp grid on 1e4-scale floats is finer than
+    # cross-engine float agreement); the operator's time-variance floor
+    # already nulls the ill-conditioned windows on both sides
+    return _round_cols(out, ["value_slope_8"], ndigits=2)
+
+
 def q_cohort_retention_weekly(sf_dir: str):
     """Weekly cohort retention in long form: distinct users per
     (first-activity week, week offset)."""
@@ -1678,6 +1694,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "expanding_stats_by_user": q_expanding_stats_by_user,
         "session_conversion_30min": q_session_conversion_30min,
         "cohort_retention_weekly": q_cohort_retention_weekly,
+        "rolling_slope_by_user": q_rolling_slope_by_user,
         "target_encode_events": q_target_encode_events,
         "freq_encode_events": q_freq_encode_events,
         "value_bins_events": q_value_bins_events,
@@ -2349,6 +2366,30 @@ def oracle_sql() -> dict[str, str]:
                         PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE)
                      AS interarrival_us
             FROM events
+        """,
+        # x centered on a fixed epoch so the SQL denominator keeps its
+        # digits; den = n·Σx²−(Σx)² is shift-invariant, so the 0.01 h²
+        # conditioning floor matches the engine's exactly
+        "rolling_slope_by_user": """
+            WITH b AS (
+              SELECT event_id, ts, user_id, value,
+                     CASE WHEN value IS NOT NULL
+                          THEN (epoch_us(ts) - epoch_us(TIMESTAMP '2023-01-01'))
+                               / 3600000000.0 END AS xh
+              FROM events),
+            w AS (
+              SELECT event_id, ts, user_id, value,
+                     COUNT(value) OVER win AS n,
+                     SUM(xh) OVER win AS sx,
+                     SUM(xh * xh) OVER win AS sxx,
+                     REGR_SLOPE(value, xh) OVER win AS sl
+              FROM b
+              WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))
+            SELECT event_id, ts, user_id, value,
+                   ROUND(CASE WHEN n >= 2 AND n * sxx - sx * sx >= 0.01
+                              THEN sl END, 2) AS value_slope_8
+            FROM w
         """,
         "cohort_retention_weekly": """
             WITH f AS (SELECT user_id, MIN(ts) AS fts FROM events GROUP BY user_id),

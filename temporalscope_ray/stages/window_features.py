@@ -1369,3 +1369,64 @@ def session_conversion(
     return grouped.grouped_ordered_map(
         ds, id_col, [time_col, *(tiebreak or [])], fn, num_buckets=num_buckets
     )
+
+
+def add_rolling_slope(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str,
+    time_col: str,
+    value_col: str,
+    window: int,
+    per: str = "h",
+    min_time_var: float = 0.01,
+    out_col: Optional[str] = None,
+    tiebreak: Optional[Sequence[str]] = None,
+    num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+) -> ray.data.Dataset:
+    """Trailing rolling REGRESSION SLOPE of the value against time per
+    entity (value units per ``per`` ∈ s|min|h|d) — the local-trend
+    feature. SQL ``REGR_SLOPE(y, x) OVER`` semantics: pairs where the
+    value is null are excluded; fewer than 2 pairs or zero time
+    variance yields null. Same five shared-mask rolling sums as
+    ``add_rolling_corr`` (slope is shift-invariant in both arguments,
+    so x and y are centered by their batch means to keep the closed
+    form ``(nΣxy − ΣxΣy)/(nΣx² − (Σx)²)`` numerically clean —
+    epoch-scale x would otherwise lose every digit to cancellation).
+
+    ``min_time_var``: windows whose denominator ``n·Σx² − (Σx)² =
+    n²·Var(x)`` (in ``per``² units; shift-invariant, so any engine
+    computes the same quantity) falls below this floor yield null — a
+    slope fit on near-coincident timestamps is numerically meaningless
+    (two events a minute apart extrapolated to units/hour), and it is
+    exactly where independent float implementations diverge."""
+    scale = {"s": 1e6, "min": 6e7, "h": 3.6e9, "d": 8.64e10}[per]
+    order = [time_col, *(tiebreak or [])]
+    dst = out_col or f"{value_col}_slope_{window}"
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.copy()
+        ts = g[time_col].to_numpy()
+        ts_us = ts.astype("datetime64[us]").astype(np.float64) if np.issubdtype(
+            ts.dtype, np.datetime64) else ts.astype(np.float64)
+        x = ts_us / scale
+        y = g[value_col].to_numpy(dtype=np.float64)
+        valid = ~np.isnan(y)
+        nx = int(valid.sum())
+        xm = x - (x[valid].sum() / nx if nx else 0.0)
+        ym = y - (np.nansum(y) / nx if nx else 0.0)
+        a = np.where(valid, xm, np.nan)
+        b = np.where(valid, ym, np.nan)
+        segs = grouped.entity_segments(g[id_col].to_numpy())
+        seg_start = np.repeat(segs[:-1], np.diff(segs))
+        sx, n = _seg_rolling(a, seg_start, window, 1)
+        sy, _ = _seg_rolling(b, seg_start, window, 1)
+        sxy, _ = _seg_rolling(a * b, seg_start, window, 1)
+        sxx, _ = _seg_rolling(a * a, seg_start, window, 1)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            num = n * sxy - sx * sy
+            den = n * sxx - sx * sx
+            out[dst] = np.where((n >= 2) & (den >= min_time_var), num / den, np.nan)
+        return out
+
+    return grouped.grouped_ordered_map(ds, id_col, order, fn, num_buckets=num_buckets)

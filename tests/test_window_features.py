@@ -381,3 +381,25 @@ def test_session_conversion_order_sensitivity():
     ).to_pandas().sort_values(["user_id", "session_id"]).reset_index(drop=True)
     assert out["converted"].tolist() == [1, 0, 0]
     assert out["n_events"].tolist() == [2, 2, 1]
+
+
+def test_rolling_slope_matches_polyfit():
+    from temporalscope_ray.stages.window_features import add_rolling_slope
+
+    df = events_df(n_per=30)
+    df["value"] = df["value"] + np.linspace(0, 5, len(df))  # add real trend
+    out = sorted_out(add_rolling_slope(
+        ray.data.from_pandas(df).repartition(3), id_col="user_id",
+        time_col="ts", value_col="value", window=6, per="h", out_col="sl"))
+    ref = df.sort_values(["user_id", "ts"]).reset_index(drop=True)
+    exp = np.full(len(ref), np.nan)
+    for uid, g in ref.groupby("user_id"):
+        idx = g.index.to_numpy()
+        xs = g["ts"].astype("datetime64[us]").astype(np.int64).to_numpy() / 3.6e9
+        ys = g["value"].to_numpy()
+        for j, i in enumerate(idx):
+            lo = max(0, j - 5)
+            x, y = xs[lo:j + 1], ys[lo:j + 1]
+            if len(x) >= 2 and (len(x) * (x**2).sum() - x.sum()**2) >= 0.01:
+                exp[i] = np.polyfit(x - x.mean(), y, 1)[0]
+    assert np.allclose(out["sl"].to_numpy(), exp, equal_nan=True, atol=1e-6)
