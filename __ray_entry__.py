@@ -839,6 +839,17 @@ def q_rolling_slope_by_user(sf_dir: str):
     return _round_cols(out, ["value_slope_8"], ndigits=2)
 
 
+def q_event_transitions(sf_dir: str):
+    """Corpus-wide event-type transition counts (Markov matrix, long
+    form) — in-order lag per user inside one bucket pass, combiner
+    counts, tiny type² final aggregate."""
+    from temporalscope_ray.stages.agg import transition_counts
+
+    ev = _events(sf_dir, ("event_id", "ts", "user_id", "event_type"))
+    return transition_counts(ev, id_col="user_id", time_col="ts",
+                             type_col="event_type", tiebreak=["event_id"])
+
+
 def q_cohort_retention_weekly(sf_dir: str):
     """Weekly cohort retention in long form: distinct users per
     (first-activity week, week offset)."""
@@ -1695,6 +1706,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_conversion_30min": q_session_conversion_30min,
         "cohort_retention_weekly": q_cohort_retention_weekly,
         "rolling_slope_by_user": q_rolling_slope_by_user,
+        "event_transitions": q_event_transitions,
         "target_encode_events": q_target_encode_events,
         "freq_encode_events": q_freq_encode_events,
         "value_bins_events": q_value_bins_events,
@@ -2390,6 +2402,15 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CASE WHEN n >= 2 AND n * sxx - sx * sx >= 0.01
                               THEN sl END, 2) AS value_slope_8
             FROM w
+        """,
+        "event_transitions": """
+            WITH l AS (SELECT user_id, event_type,
+                              LAG(event_type) OVER (PARTITION BY user_id
+                                                    ORDER BY ts, event_id) AS prev_type
+                       FROM events)
+            SELECT prev_type, event_type AS cur_type, COUNT(*) AS n
+            FROM l WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, cur_type
         """,
         "cohort_retention_weekly": """
             WITH f AS (SELECT user_id, MIN(ts) AS fts FROM events GROUP BY user_id),

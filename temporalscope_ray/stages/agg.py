@@ -429,3 +429,48 @@ def cohort_retention(
         tagged, ["cohort", "period_offset"], id_col, out_col="n_users",
         num_buckets=num_buckets,
     )
+
+
+def transition_counts(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str,
+    time_col: str,
+    type_col: str,
+    tiebreak: Optional[Sequence[str]] = None,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+) -> ray.data.Dataset:
+    """Corpus-wide event-type transition counts: how often ``prev_type →
+    type`` occurs consecutively within an entity's timeline (the Markov
+    transition matrix behavioral models and anomaly detectors start
+    from). Each entity's first event has no predecessor and emits
+    nothing.
+
+    One entity-bucket exchange computes the in-order lag, each bucket
+    reduces to per-(prev, cur) partial counts (combiner), and one tiny
+    type²-sized hash aggregate merges them."""
+    from .grouped import grouped_ordered_map
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        from .grouped import entity_segments
+
+        t = g[type_col].to_numpy()
+        n = len(g)
+        prev = np.empty(n, dtype=object)
+        prev[1:] = t[:-1]
+        prev[0] = None
+        segs = entity_segments(g[id_col].to_numpy())
+        first = np.zeros(n, dtype=bool)
+        first[segs[:-1]] = True
+        keep = ~first
+        out = pd.DataFrame({"prev_type": prev[keep], "cur_type": t[keep]})
+        return out.groupby(["prev_type", "cur_type"], sort=False).size() \
+            .reset_index(name="n")
+
+    partials = grouped_ordered_map(
+        ds.select_columns([id_col, time_col, type_col, *(tiebreak or [])]),
+        id_col, [time_col, *(tiebreak or [])], fn, num_buckets=num_buckets,
+    )
+    return hash_groupby_aggregate(
+        partials, ["prev_type", "cur_type"], {"n": ("n", "sum")}, num_buckets=4,
+    )

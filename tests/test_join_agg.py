@@ -274,3 +274,25 @@ def test_cohort_retention_matches_pandas():
     cohort_sizes = pd.DataFrame({"u": df["user_id"], "c": first // wk}) \
         .drop_duplicates().groupby("c")["u"].nunique()
     assert (w0.sort_index() == cohort_sizes.sort_index()).all()
+
+
+def test_transition_counts_matches_pandas():
+    from temporalscope_ray.stages.agg import transition_counts
+
+    rng = np.random.default_rng(8)
+    n = 3000
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 40, n),
+        "ts": pd.Timestamp("2024-02-01") + pd.to_timedelta(rng.permutation(n) * 61, unit="s"),
+        "event_type": rng.choice(["a", "b", "c"], n),
+    })
+    out = transition_counts(ray.data.from_pandas(df).repartition(5),
+                            id_col="user_id", time_col="ts",
+                            type_col="event_type").to_pandas()
+    ref = df.sort_values(["user_id", "ts"])
+    ref["prev"] = ref.groupby("user_id")["event_type"].shift(1)
+    exp = ref.dropna(subset=["prev"]).groupby(["prev", "event_type"]).size()
+    got = out.set_index(["prev_type", "cur_type"])["n"]
+    assert int(got.sum()) == int(exp.sum())
+    for k, v in exp.items():
+        assert got[k] == v
