@@ -839,6 +839,16 @@ def q_rolling_slope_by_user(sf_dir: str):
     return _round_cols(out, ["value_slope_8"], ndigits=2)
 
 
+def q_value_drift_psi(sf_dir: str):
+    """Population Stability Index of events.value between the first and
+    second half of the time range — the drift monitor; one tree-reduce
+    + one zero-shuffle counting pass."""
+    from temporalscope_ray.stages.stats import population_stability
+
+    ev = _events(sf_dir, ("ts", "value"))
+    return population_stability(ev, "value", "ts", bins=10)
+
+
 def q_event_transitions(sf_dir: str):
     """Corpus-wide event-type transition counts (Markov matrix, long
     form) — in-order lag per user inside one bucket pass, combiner
@@ -1707,6 +1717,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention_weekly": q_cohort_retention_weekly,
         "rolling_slope_by_user": q_rolling_slope_by_user,
         "event_transitions": q_event_transitions,
+        "value_drift_psi": q_value_drift_psi,
         "target_encode_events": q_target_encode_events,
         "freq_encode_events": q_freq_encode_events,
         "value_bins_events": q_value_bins_events,
@@ -2402,6 +2413,26 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CASE WHEN n >= 2 AND n * sxx - sx * sx >= 0.01
                               THEN sl END, 2) AS value_slope_8
             FROM w
+        """,
+        # shared bin expression with value_bins_events; +0.5 Laplace
+        # smoothing keeps empty bins finite and the arithmetic mirrored
+        "value_drift_psi": """
+            WITH m AS (SELECT MIN(value) AS lo, MAX(value) AS hi,
+                              (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS cut
+                       FROM events),
+            t AS (SELECT CASE WHEN epoch_us(ts) > m.cut THEN 1 ELSE 0 END AS side,
+                         CAST(LEAST(FLOOR((value - m.lo) * 10 / (m.hi - m.lo)), 9) AS BIGINT) AS b
+                  FROM events, m WHERE value IS NOT NULL),
+            c AS (SELECT b, SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS n0,
+                         SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS n1
+                  FROM t GROUP BY b),
+            g AS (SELECT gs.b, COALESCE(c.n0, 0) AS n0, COALESCE(c.n1, 0) AS n1
+                  FROM (SELECT unnest(range(0, 10)) AS b) gs LEFT JOIN c USING (b)),
+            tot AS (SELECT SUM(n0)::DOUBLE AS t0, SUM(n1)::DOUBLE AS t1 FROM g)
+            SELECT ROUND(SUM(((n0 + 0.5) / (t0 + 5.0) - (n1 + 0.5) / (t1 + 5.0))
+                         * ln(((n0 + 0.5) / (t0 + 5.0)) / ((n1 + 0.5) / (t1 + 5.0)))), 6) AS psi,
+                   CAST(MAX(t0) AS BIGINT) AS n_ref, CAST(MAX(t1) AS BIGINT) AS n_cur
+            FROM g, tot
         """,
         "event_transitions": """
             WITH l AS (SELECT user_id, event_type,

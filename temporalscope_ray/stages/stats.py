@@ -355,3 +355,64 @@ def minmax_scale_per_group(
         return out
 
     return ds.map_batches(apply, batch_format="pandas")
+
+
+def population_stability(
+    ds: ray.data.Dataset,
+    value_col: str,
+    time_col: str,
+    *,
+    bins: int = 10,
+    round_to: int = 6,
+) -> pd.DataFrame:
+    """Population Stability Index of ``value_col`` between the FIRST and
+    SECOND half of the time range (split at the midpoint of
+    [min ts, max ts]) — the standard drift monitor for features and
+    labels. PSI = Σ (p−q)·ln(p/q) over ``bins`` equal-width bins of the
+    global [min, max], with +0.5 Laplace smoothing per bin so empty
+    bins stay finite AND the whole computation is SQL-replayable
+    (shared bin expression with ``equal_width_bin``; integer counts are
+    exact, the final 10-term float sum rounds at ``round_to``).
+
+    Scale shape: one tree-reduce for the four extrema, then ONE
+    zero-shuffle pass reducing every block to ≤ 2×bins count rows;
+    only those partials reach the driver. Returns a 1-row DataFrame
+    ``(psi, n_ref, n_cur)`` — a scalar monitoring result, not a
+    Dataset."""
+    from ray.data.aggregate import Max, Min
+
+    agg = ds.aggregate(Min(value_col), Max(value_col), Min(time_col), Max(time_col))
+    lo, hi = float(agg[f"min({value_col})"]), float(agg[f"max({value_col})"])
+    t_lo = pd.Timestamp(agg[f"min({time_col})"]).value // 1000
+    t_hi = pd.Timestamp(agg[f"max({time_col})"]).value // 1000
+    cut = (t_lo + t_hi) // 2
+    k = bins
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[value_col].to_numpy(dtype=np.float64)
+        ok = ~np.isnan(v)
+        ts_us = df[time_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        side = (ts_us > cut).astype(np.int64)
+        with np.errstate(invalid="ignore"):
+            b = np.floor((v - lo) * k / (hi - lo)) if hi > lo else np.zeros(len(v))
+        b = np.minimum(b, k - 1)
+        key = side[ok] * k + b[ok].astype(np.int64)
+        cnt = np.bincount(key, minlength=2 * k)
+        return pd.DataFrame({"key": np.arange(2 * k), "n": cnt.astype(np.int64)})
+
+    parts = ds.select_columns([value_col, time_col]).map_batches(
+        partial, batch_format="pandas").to_pandas()
+    tot = parts.groupby("key")["n"].sum()
+    n0 = tot.reindex(range(k), fill_value=0).to_numpy(dtype=np.float64)
+    n1 = tot.reindex(range(k, 2 * k), fill_value=0).to_numpy(dtype=np.float64)
+    t0, t1 = n0.sum(), n1.sum()
+    p = (n0 + 0.5) / (t0 + 0.5 * k)
+    q = (n1 + 0.5) / (t1 + 0.5 * k)
+    psi = float(np.sum((p - q) * np.log(p / q)))
+    scale = 10.0 ** round_to
+    psi_q = np.sign(psi) * np.floor(abs(psi) * scale + 0.5) / scale  # SQL ROUND rule
+    return pd.DataFrame({
+        "psi": [psi_q],
+        "n_ref": [np.int64(t0)],
+        "n_cur": [np.int64(t1)],
+    })

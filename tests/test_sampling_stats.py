@@ -434,3 +434,22 @@ def test_minmax_scale_per_group_and_train_fit():
     applied = stats.minmax_scale_per_group(
         ray.data.from_pandas(val), "g", "v", stats=train_stats).to_pandas()
     assert list(applied["v_mm"]) == [0.5, 2.0]  # out-of-range extrapolates, not clipped
+
+
+def test_population_stability_detects_drift():
+    rng = np.random.default_rng(2)
+    n = 4000
+    ts = pd.Timestamp("2024-01-01") + pd.to_timedelta(np.arange(n) * 60, unit="s")
+    stable = pd.DataFrame({"ts": ts, "v": rng.normal(10, 2, n)})
+    shifted = pd.DataFrame({"ts": ts, "v": np.concatenate([
+        rng.normal(10, 2, n // 2), rng.normal(16, 2, n // 2)])})
+    psi_stable = stats.population_stability(
+        ray.data.from_pandas(stable).repartition(4), "v", "ts")["psi"].iloc[0]
+    psi_shift = stats.population_stability(
+        ray.data.from_pandas(shifted).repartition(4), "v", "ts")["psi"].iloc[0]
+    assert psi_stable < 0.05          # same distribution: negligible PSI
+    assert psi_shift > 0.5            # mean shift: strong drift signal
+    # deterministic across block layouts
+    psi2 = stats.population_stability(
+        ray.data.from_pandas(shifted).repartition(13), "v", "ts")["psi"].iloc[0]
+    assert psi2 == psi_shift
