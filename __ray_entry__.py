@@ -839,6 +839,15 @@ def q_rolling_slope_by_user(sf_dir: str):
     return _round_cols(out, ["value_slope_8"], ndigits=2)
 
 
+def q_label_centroids(sf_dir: str):
+    """Per-label mean embedding (class centroids) in long form —
+    combiner vector sums, vectors never shuffle."""
+    from temporalscope_ray.stages.linalg import group_mean_embedding
+
+    emb = _read(sf_dir, "embeddings", columns=["label", "embedding"])
+    return group_mean_embedding(emb, "label")
+
+
 def q_value_drift_psi(sf_dir: str):
     """Population Stability Index of events.value between the first and
     second half of the time range — the drift monitor; one tree-reduce
@@ -1718,6 +1727,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_slope_by_user": q_rolling_slope_by_user,
         "event_transitions": q_event_transitions,
         "value_drift_psi": q_value_drift_psi,
+        "label_centroids": q_label_centroids,
         "target_encode_events": q_target_encode_events,
         "freq_encode_events": q_freq_encode_events,
         "value_bins_events": q_value_bins_events,
@@ -2413,6 +2423,14 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CASE WHEN n >= 2 AND n * sxx - sx * sx >= 0.01
                               THEN sl END, 2) AS value_slope_8
             FROM w
+        """,
+        "label_centroids": """
+            WITH u AS (SELECT label, unnest(embedding) AS e,
+                              generate_subscripts(embedding, 1) AS dim1
+                       FROM embeddings)
+            SELECT label, CAST(dim1 - 1 AS BIGINT) AS dim,
+                   ROUND(AVG(e), 6) AS mean_val
+            FROM u GROUP BY label, dim1
         """,
         # shared bin expression with value_bins_events; +0.5 Laplace
         # smoothing keeps empty bins finite and the arithmetic mirrored

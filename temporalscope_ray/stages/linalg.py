@@ -103,3 +103,59 @@ def pca_project(
         return batch.append_column(out_col, pa.array(list(y)))
 
     return ds.map_batches(apply, batch_format="pyarrow")
+
+
+def group_mean_embedding(
+    ds: ray.data.Dataset,
+    group_col: str,
+    emb_col: str = "embedding",
+    *,
+    round_to: int | None = 6,
+    num_buckets: int = 8,
+) -> ray.data.Dataset:
+    """Mean-pooled embedding per group (class centroids — the prototype
+    vectors for nearest-centroid classification, dedup seeding, or
+    retrieval calibration), emitted in LONG form ``(group, dim,
+    mean_val)`` so the result is order-free and SQL-auditable
+    (``AVG(e) GROUP BY label, ordinality``).
+
+    Pure combiner shape: each block reduces to one ``(group, Σvec, n)``
+    partial — O(groups × d) per block regardless of rows — and the
+    partials merge through one hash exchange; vectors themselves never
+    shuffle."""
+    def partial(batch: pa.Table) -> pa.Table:
+        x = _stack(batch, emb_col)
+        g = batch.column(group_col).to_pandas().to_numpy()
+        df = pd.DataFrame(x)
+        df["__g__"] = g
+        agg = df.groupby("__g__", sort=False).agg(["sum", "count"])
+        sums = agg.xs("sum", axis=1, level=1)
+        cnt = agg.xs("count", axis=1, level=1).iloc[:, 0]
+        out = pd.DataFrame({group_col: sums.index.to_numpy()})
+        for j in range(x.shape[1]):
+            out[f"__s{j}__"] = sums[j].to_numpy()
+        out["__n__"] = cnt.to_numpy().astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    first = ds.limit(1).to_pandas()
+    d = len(first[emb_col].iloc[0])
+    parts = ds.select_columns([group_col, emb_col]).map_batches(partial, batch_format="pyarrow")
+    aggs = {f"__s{j}__": (f"__s{j}__", "sum") for j in range(d)}
+    aggs["__n__"] = ("__n__", "sum")
+    merged = hash_groupby_aggregate(parts, [group_col], aggs, num_buckets=num_buckets)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["__n__"].to_numpy(dtype=np.float64)
+        rows = []
+        for j in range(d):
+            m = df[f"__s{j}__"].to_numpy(dtype=np.float64) / n
+            if round_to is not None:
+                m = np.sign(m) * np.floor(np.abs(m) * 10.0 ** round_to + 0.5) / 10.0 ** round_to
+            rows.append(pd.DataFrame({
+                group_col: df[group_col].to_numpy(),
+                "dim": np.full(len(df), j, dtype=np.int64),
+                "mean_val": m,
+            }))
+        return pd.concat(rows, ignore_index=True)
+
+    return merged.map_batches(finish, batch_format="pandas")

@@ -453,3 +453,19 @@ def test_population_stability_detects_drift():
     psi2 = stats.population_stability(
         ray.data.from_pandas(shifted).repartition(13), "v", "ts")["psi"].iloc[0]
     assert psi2 == psi_shift
+
+
+def test_group_mean_embedding_matches_numpy():
+    from temporalscope_ray.stages.linalg import group_mean_embedding
+
+    rng = np.random.default_rng(6)
+    n, d = 600, 8
+    emb = rng.normal(size=(n, d)).astype(np.float32)
+    lab = rng.integers(0, 3, n)
+    df = pd.DataFrame({"label": lab, "embedding": list(emb)})
+    out = group_mean_embedding(ray.data.from_pandas(df).repartition(4),
+                               "label", round_to=None).to_pandas()
+    for g in range(3):
+        ref = emb[lab == g].astype(np.float64).mean(axis=0)
+        got = out[out["label"] == g].sort_values("dim")["mean_val"].to_numpy()
+        assert np.allclose(got, ref, atol=1e-9)
