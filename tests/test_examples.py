@@ -28,6 +28,7 @@ def _run(name: str) -> None:
     "04_end_to_end_health_monitoring.py",
     "05_corpus_curation.py",
     "06_feature_engineering.py",
+    "07_behavioral_analytics.py",
 ])
 def test_example_runs(name, capsys):
     _run(name)
