@@ -839,6 +839,18 @@ def q_rolling_slope_by_user(sf_dir: str):
     return _round_cols(out, ["value_slope_8"], ndigits=2)
 
 
+def q_anomaly_flags_by_user(sf_dir: str):
+    """Trailing 8-row z-score anomaly flag per user (k=3; null where the
+    window has no std; exact int flag surfaced as double for the gate)."""
+    from temporalscope_ray.stages.window_features import add_anomaly_flag
+
+    ev = _events(sf_dir, ("event_id", "ts", "user_id", "value"))
+    out = add_anomaly_flag(ev, id_col="user_id", time_col="ts",
+                           value_col="value", window=8, k=3.0,
+                           tiebreak=["event_id"])
+    return _round_cols(out, ["is_anomaly"])
+
+
 def q_label_centroids(sf_dir: str):
     """Per-label mean embedding (class centroids) in long form —
     combiner vector sums, vectors never shuffle."""
@@ -1728,6 +1740,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": q_event_transitions,
         "value_drift_psi": q_value_drift_psi,
         "label_centroids": q_label_centroids,
+        "anomaly_flags_by_user": q_anomaly_flags_by_user,
         "target_encode_events": q_target_encode_events,
         "freq_encode_events": q_freq_encode_events,
         "value_bins_events": q_value_bins_events,
@@ -2423,6 +2436,19 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CASE WHEN n >= 2 AND n * sxx - sx * sx >= 0.01
                               THEN sl END, 2) AS value_slope_8
             FROM w
+        """,
+        # PRIOR-window stats (current row excluded): an inclusive window
+        # caps the extreme point's own z at (n-1)/sqrt(n) < 3
+        "anomaly_flags_by_user": """
+            SELECT event_id, ts, user_id, value,
+                   CAST(CASE WHEN value IS NULL OR STDDEV_SAMP(value) OVER w IS NULL
+                             THEN NULL
+                             WHEN ABS(value - AVG(value) OVER w)
+                                  > 3.0 * STDDEV_SAMP(value) OVER w THEN 1
+                             ELSE 0 END AS DOUBLE) AS is_anomaly
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING)
         """,
         "label_centroids": """
             WITH u AS (SELECT label, unnest(embedding) AS e,

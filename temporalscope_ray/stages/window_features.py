@@ -1430,3 +1430,52 @@ def add_rolling_slope(
         return out
 
     return grouped.grouped_ordered_map(ds, id_col, order, fn, num_buckets=num_buckets)
+
+
+def add_anomaly_flag(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str,
+    time_col: str,
+    value_col: str,
+    window: int,
+    k: float = 3.0,
+    out_col: str = "is_anomaly",
+    tiebreak: Optional[Sequence[str]] = None,
+    num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+) -> ray.data.Dataset:
+    """Rolling z-score anomaly flag: 1 iff ``|x − mean_prior| >
+    k·std_prior`` where the statistics come from the PRIOR ``window``
+    rows of the same entity (``ROWS BETWEEN window PRECEDING AND 1
+    PRECEDING``) — the current row must be excluded, because an
+    inclusive window self-masks: with sample std the extreme point's
+    own z-score is capped at ``(n−1)/√n`` (≈2.47 for n=8), so an
+    inclusive k=3 detector can mathematically NEVER fire. Null where
+    the prior window has no defined std (entity firsts, singleton
+    history). Composition of the gated rolling kernels + one per-entity
+    shift + one vectorized compare — still a single bucket exchange."""
+    feats = add_rolling_features(
+        ds, id_col=id_col, time_col=time_col, value_cols=[value_col],
+        window=window, fns=("mean", "std"), num_buckets=num_buckets,
+        tiebreak=tiebreak,
+    )
+    m, s = f"{value_col}_roll_mean_{window}", f"{value_col}_roll_std_{window}"
+    order = [time_col, *(tiebreak or [])]
+
+    def flag(g: pd.DataFrame) -> pd.DataFrame:
+        seg_id = _segment_ids(grouped.entity_segments(g[id_col].to_numpy()))
+        x = g[value_col].to_numpy(dtype=np.float64)
+        mu = _seg_shift(g[m].to_numpy(dtype=np.float64), seg_id, 1)
+        sd = _seg_shift(g[s].to_numpy(dtype=np.float64), seg_id, 1)
+        with np.errstate(invalid="ignore"):
+            f = np.abs(x - mu) > k * sd
+        out = g.drop(columns=[m, s])
+        res = pd.array(f.astype(np.int64), dtype="Int64")
+        res[np.isnan(sd) | np.isnan(x)] = pd.NA
+        out[out_col] = res
+        return out
+
+    # the prior-window shift must see entity-complete sorted frames, so
+    # it rides the same grouped pass (feats is already bucket-resident,
+    # but a plain map_batches would see arbitrary block boundaries)
+    return grouped.grouped_ordered_map(feats, id_col, order, flag, num_buckets=num_buckets)

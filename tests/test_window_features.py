@@ -403,3 +403,24 @@ def test_rolling_slope_matches_polyfit():
             if len(x) >= 2 and (len(x) * (x**2).sum() - x.sum()**2) >= 0.01:
                 exp[i] = np.polyfit(x - x.mean(), y, 1)[0]
     assert np.allclose(out["sl"].to_numpy(), exp, equal_nan=True, atol=1e-6)
+
+
+def test_anomaly_flag_catches_planted_spike():
+    from temporalscope_ray.stages.window_features import add_anomaly_flag
+
+    rng = np.random.default_rng(13)
+    n = 200
+    df = pd.DataFrame({
+        "user_id": np.ones(n, dtype=np.int64),
+        "ts": pd.date_range("2024-01-01", periods=n, freq="1min"),
+        "value": rng.normal(10, 0.5, n),
+    })
+    df.loc[150, "value"] = 50.0   # 80-sigma spike
+    out = sorted_out(add_anomaly_flag(
+        ray.data.from_pandas(df).repartition(3), id_col="user_id",
+        time_col="ts", value_col="value", window=8, k=3.0))
+    assert out.loc[150, "is_anomaly"] == 1
+    # quiet region stays quiet and the first row (no std) is null
+    assert pd.isna(out.loc[0, "is_anomaly"])
+    # prior-window sample std has t-tails (n=8): a few percent FP rate
+    assert out.loc[10:100, "is_anomaly"].fillna(0).sum() <= 5
