@@ -851,6 +851,20 @@ def q_anomaly_flags_by_user(sf_dir: str):
     return _round_cols(out, ["is_anomaly"])
 
 
+def q_jaccard_clusters_docs(sf_dir: str):
+    """Text duplicate-cluster labeling: verified exact-Jaccard pairs
+    (LSH candidates + shingle-set verify, threshold 0.7) fed into
+    distributed connected components — the text-modality mirror of
+    phash_clusters_events."""
+    from temporalscope_ray.stages.dedup import jaccard_pairs
+    from temporalscope_ray.stages.graph import connected_components
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = jaccard_pairs(docs, text_col="text", id_col="doc_id",
+                          threshold=0.7, concurrency=2)
+    return connected_components(pairs, num_buckets=16)
+
+
 def q_label_centroids(sf_dir: str):
     """Per-label mean embedding (class centroids) in long form —
     combiner vector sums, vectors never shuffle."""
@@ -1741,6 +1755,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_drift_psi": q_value_drift_psi,
         "label_centroids": q_label_centroids,
         "anomaly_flags_by_user": q_anomaly_flags_by_user,
+        "jaccard_clusters_docs": q_jaccard_clusters_docs,
         "target_encode_events": q_target_encode_events,
         "freq_encode_events": q_freq_encode_events,
         "value_bins_events": q_value_bins_events,
@@ -2449,6 +2464,31 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING)
+        """,
+        "jaccard_clusters_docs": f"""
+            WITH RECURSIVE
+            toks AS ({_SQL_TOKS}),
+            sh AS (
+              SELECT doc_id, array_to_string(t[i : i + 4], ' ') AS s
+              FROM toks {_SQL_SHINGLE_IDX}),
+            dsh AS (SELECT DISTINCT doc_id, s FROM sh),
+            cnt AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+              FROM dsh a JOIN dsh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            p AS (
+              SELECT i.id_a, i.id_b
+              FROM inter i JOIN cnt ca ON ca.doc_id = i.id_a JOIN cnt cb ON cb.doc_id = i.id_b
+              WHERE i.c * 1.0 / (ca.n + cb.n - i.c) >= 0.7),
+            e AS (SELECT id_a AS a, id_b AS b FROM p
+                  UNION SELECT id_b, id_a FROM p),
+            cc(id, lab) AS (
+                SELECT a, a FROM e
+                UNION
+                SELECT e.b, cc.lab FROM cc JOIN e ON cc.id = e.a
+            )
+            SELECT id, CAST(MIN(lab) AS BIGINT) AS cluster_id FROM cc GROUP BY id
         """,
         "label_centroids": """
             WITH u AS (SELECT label, unnest(embedding) AS e,

@@ -953,3 +953,59 @@ def hamming_pairs(
     return bucketed.groupby("__gbucket__").map_groups(
         lambda g: bucket_pairs(g.drop(columns=["__gbucket__"])), batch_format="pandas"
     )
+
+
+def jaccard_pairs(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    shingle_k: int = 5,
+    num_perm: int = 64,
+    bands: int = 16,
+    seed: int = 7,
+    concurrency=8,
+) -> ray.data.Dataset:
+    """Verified near-duplicate PAIRS by exact n-gram Jaccard — the
+    pair-emitting sibling of ``jaccard_dedup`` (identical LSH candidate
+    generation + exact shingle-set verify), feeding duplicate-cluster
+    labeling (``graph.connected_components``) for the TEXT modality
+    the way ``hamming_pairs`` does for the image phash modality."""
+    exploded = _minhash_exploded(
+        ds, text_col=text_col, id_col=id_col, num_perm=num_perm, bands=bands,
+        shingle_k=shingle_k, seed=seed, concurrency=concurrency,
+    )
+    pairs = _candidate_pairs(
+        exploded, id_col=id_col, group_cols=["band_id", "band_hash"]
+    ).materialize()
+    pairs_df = pairs.to_pandas().drop_duplicates(ignore_index=True)
+    if not len(pairs_df):
+        return pairs.limit(0)
+
+    token_re_src = r"\w+"
+
+    def sig_map(b: pd.DataFrame) -> dict:
+        token_re = re.compile(token_re_src)
+        return {
+            i: np.unique(shingle_hashes(t, shingle_k, token_re))
+            for i, t in zip(b[id_col], b[text_col].fillna(""))
+        }
+
+    sig_ref = _payload_map_for_candidates(
+        ds, pairs_df, id_col=id_col, payload_fn=sig_map, payload_cols=[text_col]
+    )
+
+    def verify(b: pd.DataFrame) -> pd.DataFrame:
+        sigs: dict = ray.get(sig_ref)
+        keep = np.zeros(len(b), dtype=bool)
+        for i, (a_id, b_id) in enumerate(zip(b["id_a"], b["id_b"])):
+            sa, sb = sigs.get(a_id), sigs.get(b_id)
+            if sa is None or sb is None or not len(sa) or not len(sb):
+                continue
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            if inter and inter / (len(sa) + len(sb) - inter) >= threshold:
+                keep[i] = True
+        return b[keep]
+
+    return pairs.map_batches(verify, batch_format="pandas")

@@ -57,3 +57,29 @@ def test_hamming_pairs_vs_bruteforce():
     exp = {(a, b) for a, b in itertools.combinations(range(n), 2)
            if bin(int(hu[a] ^ hu[b])).count("1") <= 3}
     assert got == exp
+
+
+def test_jaccard_pairs_transitive_cluster():
+    from temporalscope_ray.stages.dedup import jaccard_pairs
+    from temporalscope_ray.stages.graph import connected_components
+
+    base = ("the quick brown fox jumps over the lazy dog and runs through "
+            "the green field chasing butterflies all afternoon long today")
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 10],
+        "text": [
+            base,
+            base.replace("afternoon", "evening"),           # near-dup of 0
+            base.replace("afternoon", "evening")
+                .replace("butterflies", "fireflies"),        # near-dup of 1
+            "completely different content about distributed systems and "
+            "ray data pipelines processing parquet tables at scale",
+        ],
+    })
+    pairs = jaccard_pairs(ray.data.from_pandas(docs), text_col="text",
+                          id_col="doc_id", threshold=0.5, concurrency=1)
+    labels = connected_components(pairs, num_buckets=4).to_pandas()
+    lab = labels.set_index("id")["cluster_id"]
+    # the 0-1-2 chain collapses to one cluster labeled by its min id
+    assert lab[0] == lab[1] == lab[2] == 0
+    assert 10 not in lab.index  # isolated doc never enters the graph
