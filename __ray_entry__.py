@@ -851,6 +851,15 @@ def q_anomaly_flags_by_user(sf_dir: str):
     return _round_cols(out, ["is_anomaly"])
 
 
+def q_mode_event_type_by_user(sf_dir: str):
+    """Each user's most frequent event type (deterministic ties:
+    count desc then value asc) — the categorical profile feature."""
+    from temporalscope_ray.stages.agg import grouped_mode
+
+    ev = _events(sf_dir, ("user_id", "event_type"))
+    return grouped_mode(ev, "user_id", "event_type")
+
+
 def q_jaccard_clusters_docs(sf_dir: str):
     """Text duplicate-cluster labeling: verified exact-Jaccard pairs
     (LSH candidates + shingle-set verify, threshold 0.7) fed into
@@ -1756,6 +1765,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": q_label_centroids,
         "anomaly_flags_by_user": q_anomaly_flags_by_user,
         "jaccard_clusters_docs": q_jaccard_clusters_docs,
+        "mode_event_type_by_user": q_mode_event_type_by_user,
         "target_encode_events": q_target_encode_events,
         "freq_encode_events": q_freq_encode_events,
         "value_bins_events": q_value_bins_events,
@@ -2464,6 +2474,17 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING)
+        """,
+        "mode_event_type_by_user": """
+            WITH c AS (SELECT user_id, event_type, COUNT(*) AS n
+                       FROM events WHERE event_type IS NOT NULL
+                       GROUP BY user_id, event_type),
+                 r AS (SELECT user_id, event_type, n,
+                              row_number() OVER (PARTITION BY user_id
+                                                 ORDER BY n DESC, event_type) AS rn
+                       FROM c)
+            SELECT user_id, event_type AS mode, n AS mode_count
+            FROM r WHERE rn = 1
         """,
         "jaccard_clusters_docs": f"""
             WITH RECURSIVE

@@ -474,3 +474,44 @@ def transition_counts(
     return hash_groupby_aggregate(
         partials, ["prev_type", "cur_type"], {"n": ("n", "sum")}, num_buckets=4,
     )
+
+
+def grouped_mode(
+    ds: ray.data.Dataset,
+    key: str,
+    value_col: str,
+    *,
+    out_col: str = "mode",
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+) -> ray.data.Dataset:
+    """Most frequent ``value_col`` per ``key`` (deterministic: count
+    desc, then smallest value — SQL ``row_number() OVER (PARTITION BY
+    key ORDER BY cnt DESC, value) = 1``). Null values don't compete;
+    a key whose values are all null emits no row.
+
+    Combiner: per-block (key, value) counts; ONE exchange of those
+    partials (bounded by distinct pairs, never facts); per-bucket merge
+    + argmax."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[[key, value_col]].dropna(subset=[value_col])
+        return d.groupby([key, value_col], sort=False, dropna=False) \
+                .size().reset_index(name="__c__")
+
+    parts = ds.select_columns([key, value_col]).map_batches(partial, batch_format="pandas")
+    merged = hash_groupby_aggregate(
+        parts, [key, value_col], {"__c__": ("__c__", "sum")}, num_buckets=num_buckets,
+    )
+
+    def argmax(df: pd.DataFrame) -> pd.DataFrame:
+        srt = df.sort_values([key, "__c__", value_col],
+                             ascending=[True, False, True], kind="mergesort")
+        top = srt.groupby(key, sort=False, dropna=False).head(1)
+        out = top.rename(columns={value_col: out_col, "__c__": "mode_count"})
+        out["mode_count"] = out["mode_count"].astype(np.int64)
+        return out
+
+    # per-key rows share a bucket (hash on key), so the argmax is local
+    bucketed = with_bucket(merged, key, max(4, num_buckets // 8))
+    return bucketed.groupby(BUCKET_COL).map_groups(
+        lambda g: argmax(g.drop(columns=[BUCKET_COL])), batch_format="pandas"
+    )

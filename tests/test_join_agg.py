@@ -296,3 +296,17 @@ def test_transition_counts_matches_pandas():
     assert int(got.sum()) == int(exp.sum())
     for k, v in exp.items():
         assert got[k] == v
+
+
+def test_grouped_mode_ties_and_nulls():
+    from temporalscope_ray.stages.agg import grouped_mode
+
+    df = pd.DataFrame({
+        "g": [1, 1, 1, 2, 2, 3, 3],
+        "v": ["b", "a", "a", "z", "y", None, None],  # g2: tie -> smallest; g3: all null
+    })
+    out = grouped_mode(ray.data.from_pandas(df).repartition(3), "g", "v") \
+        .to_pandas().set_index("g")
+    assert out.loc[1, "mode"] == "a" and out.loc[1, "mode_count"] == 2
+    assert out.loc[2, "mode"] == "y"          # 1-1 tie broken by value asc
+    assert 3 not in out.index                  # all-null group emits nothing
