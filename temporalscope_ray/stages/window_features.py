@@ -1453,7 +1453,10 @@ def add_anomaly_flag(
     inclusive k=3 detector can mathematically NEVER fire. Null where
     the prior window has no defined std (entity firsts, singleton
     history). Composition of the gated rolling kernels + one per-entity
-    shift + one vectorized compare — still a single bucket exchange."""
+    shift + one vectorized compare. Costs TWO bucket exchanges (the
+    rolling pass, then the shift pass — the shift needs entity-complete
+    sorted frames again); fold the flag into a custom
+    ``grouped_ordered_map`` fn if the extra exchange matters."""
     feats = add_rolling_features(
         ds, id_col=id_col, time_col=time_col, value_cols=[value_col],
         window=window, fns=("mean", "std"), num_buckets=num_buckets,
