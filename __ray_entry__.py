@@ -851,6 +851,15 @@ def q_anomaly_flags_by_user(sf_dir: str):
     return _round_cols(out, ["is_anomaly"])
 
 
+def q_doc_keywords(sf_dir: str):
+    """Per-document keyword (argmax tf·idf term, deterministic ties) —
+    keyword extraction over the corpus."""
+    from temporalscope_ray.stages.text import top_keyword
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return top_keyword(docs)
+
+
 def q_mode_event_type_by_user(sf_dir: str):
     """Each user's most frequent event type (deterministic ties:
     count desc then value asc) — the categorical profile feature."""
@@ -1766,6 +1775,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anomaly_flags_by_user": q_anomaly_flags_by_user,
         "jaccard_clusters_docs": q_jaccard_clusters_docs,
         "mode_event_type_by_user": q_mode_event_type_by_user,
+        "doc_keywords": q_doc_keywords,
         "target_encode_events": q_target_encode_events,
         "freq_encode_events": q_freq_encode_events,
         "value_bins_events": q_value_bins_events,
@@ -2474,6 +2484,22 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING)
+        """,
+        "doc_keywords": """
+            WITH toks AS (
+              SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\w+')) AS term
+              FROM documents),
+            tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+            df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+            n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+            sc AS (SELECT tf.doc_id, tf.term, tf.tf * ln(n.n / df.df) AS s
+                   FROM tf JOIN df USING (term) CROSS JOIN n),
+            r AS (SELECT doc_id, term, s,
+                         row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY s DESC, term) AS rn
+                  FROM sc)
+            SELECT d.doc_id, r.term AS keyword, ROUND(r.s, 6) AS keyword_score
+            FROM documents d LEFT JOIN (SELECT * FROM r WHERE rn = 1) r USING (doc_id)
         """,
         "mode_event_type_by_user": """
             WITH c AS (SELECT user_id, event_type, COUNT(*) AS n

@@ -765,3 +765,60 @@ def chunk_documents(
         })
 
     return ds.map_batches(explode, batch_format="pandas")
+
+
+def top_keyword(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    num_buckets: int = 32,
+    round_to: int | None = 6,
+) -> ray.data.Dataset:
+    """Per-document keyword extraction: the term with the highest
+    ``tf·ln(N/df)`` (ties: highest score then lexicographically smallest
+    term — exact float equality is deterministic because both engines
+    multiply the same two doubles). Same broadcast-idf shape as
+    ``tfidf_score``: token rows never shuffle. Tokenless docs emit a
+    null keyword."""
+    import ray as _ray
+    import pyarrow as pa
+
+    df_tbl = document_frequency(ds, text_col, num_buckets=num_buckets).to_pandas()
+    n_docs = ds.count()
+    idf = pd.Series(
+        np.log(float(n_docs) / df_tbl["df"].to_numpy(dtype=np.float64)),
+        index=df_tbl["term"],
+    )
+    ref = _ray.put(idf)
+
+    def kw(batch: pa.Table) -> pa.Table:
+        idf_s: pd.Series = _ray.get(ref)
+        s = batch.column(text_col).to_pandas().fillna("").astype(str)
+        toks = s.str.lower().str.findall(r"\w+")
+        flat = toks.explode().dropna()
+        out = batch.select([id_col]).to_pandas()
+        if len(flat):
+            tf = (
+                pd.DataFrame({"row": flat.index.to_numpy(), "term": flat.to_numpy()})
+                .groupby(["row", "term"], sort=False).size().reset_index(name="tf")
+            )
+            tf["score"] = tf["tf"].to_numpy(dtype=np.float64) * tf["term"].map(idf_s).to_numpy(dtype=np.float64)
+            best = tf.sort_values(["row", "score", "term"],
+                                  ascending=[True, False, True],
+                                  kind="mergesort").groupby("row", sort=False).head(1)
+            out["keyword"] = pd.Series(best["term"].to_numpy(), index=best["row"].to_numpy()) \
+                .reindex(range(len(out))).astype("string")
+            sc = pd.Series(best["score"].to_numpy(), index=best["row"].to_numpy()) \
+                .reindex(range(len(out))).to_numpy(dtype=np.float64)
+        else:
+            out["keyword"] = pd.array([pd.NA] * len(out), dtype="string")
+            sc = np.full(len(out), np.nan)
+        if round_to is not None:
+            scale = 10.0 ** round_to
+            with np.errstate(invalid="ignore"):
+                sc = np.sign(sc) * np.floor(np.abs(sc) * scale + 0.5) / scale
+        out["keyword_score"] = sc
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return ds.select_columns([id_col, text_col]).map_batches(kw, batch_format="pyarrow")

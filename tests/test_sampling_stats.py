@@ -469,3 +469,21 @@ def test_group_mean_embedding_matches_numpy():
         ref = emb[lab == g].astype(np.float64).mean(axis=0)
         got = out[out["label"] == g].sort_values("dim")["mean_val"].to_numpy()
         assert np.allclose(got, ref, atol=1e-9)
+
+
+def test_top_keyword_prefers_distinctive_terms():
+    from temporalscope_ray.stages.text import top_keyword
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "the the the zebra",                 # tf(the)=3·ln(4/3) < 1·ln(4/1)
+            "the quick the brown the fox",
+            "the end",
+            "",                                  # tokenless -> null keyword
+        ],
+    })
+    out = top_keyword(ray.data.from_pandas(docs)).to_pandas().set_index("doc_id")
+    assert out.loc[1, "keyword"] == "zebra"      # idf beats raw frequency here
+    assert out.loc[2, "keyword"] in {"quick", "brown", "fox"}
+    assert pd.isna(out.loc[4, "keyword"]) and np.isnan(out.loc[4, "keyword_score"])
