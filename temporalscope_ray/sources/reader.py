@@ -82,3 +82,51 @@ def sized_read_parquet(
     if columns is not None:
         kwargs["columns"] = list(columns)
     return ray.data.read_parquet(path, **kwargs)
+
+
+def read_table_auto(
+    path: str,
+    *,
+    columns: Optional[Sequence[str]] = None,
+    time_col: Optional[str] = None,
+    format: Optional[str] = None,
+) -> "ray.data.Dataset":
+    """Format-dispatched table source: Parquet (via the size-aware
+    reader), CSV, and JSON-lines from one entry point — the connector
+    surface a pipeline needs when upstream feeds aren't columnar yet.
+
+    Parquet keeps column pruning at the read. CSV/JSONL cannot prune
+    columns at the scan (row-oriented formats), so ``columns`` becomes
+    a projection immediately after; they also carry no timestamp type,
+    so when ``time_col`` is given the reference's 3-step parse cascade
+    (direct cast → string parse → epoch numeric) normalizes it to
+    ``timestamp[us]`` right behind the read. Extension decides the
+    format unless ``format`` is passed explicitly."""
+    fmt = format
+    if fmt is None:
+        low = path.lower()
+        if low.endswith((".parquet", ".pq")) or os.path.isdir(path):
+            fmt = "parquet"
+        elif low.endswith(".csv"):
+            fmt = "csv"
+        elif low.endswith((".json", ".jsonl", ".ndjson")):
+            fmt = "json"
+        else:
+            raise ValueError(f"read_table_auto: cannot infer format of '{path}'")
+    if fmt == "parquet":
+        ds = sized_read_parquet(path, columns=list(columns) if columns else None)
+    elif fmt == "csv":
+        ds = ray.data.read_csv(path)
+        if columns:
+            ds = ds.select_columns(list(columns))
+    elif fmt == "json":
+        ds = ray.data.read_json(path)
+        if columns:
+            ds = ds.select_columns(list(columns))
+    else:
+        raise ValueError(f"read_table_auto: unsupported format '{fmt}'")
+    if time_col is not None:
+        from ..core import convert_column_to_datetime_type
+
+        ds = convert_column_to_datetime_type(ds, time_col)
+    return ds

@@ -160,3 +160,37 @@ def test_job_cli_end_to_end(tmp_path):
     assert len(back) == 80
     assert {"target_lag_1", "target_roll_mean_4", "session_id", "brightness"} <= set(back.columns)
     assert lin.validate_manifest(out)
+
+
+def test_read_table_auto_csv_jsonl_roundtrip(tmp_path):
+    """CSV and JSONL sources reach the same rows + parsed timestamps as
+    the parquet original (source-format parity)."""
+    import duckdb
+
+    from temporalscope_ray.sources.reader import read_table_auto
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    con = duckdb.connect()
+    df = con.execute(
+        f"SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, user_id, value "
+        f"FROM read_parquet('{src}') LIMIT 500"
+    ).df()
+    csv_p, jsonl_p = str(tmp_path / "ev.csv"), str(tmp_path / "ev.jsonl")
+    df.to_csv(csv_p, index=False)
+    df.to_json(jsonl_p, orient="records", lines=True)
+
+    ref = df.copy()
+    ref["ts"] = pd.to_datetime(ref["ts"]).astype("datetime64[us]")
+    for path in (csv_p, jsonl_p):
+        got = read_table_auto(path, time_col="ts").to_pandas() \
+            .sort_values("event_id").reset_index(drop=True)
+        assert got["ts"].dtype == np.dtype("datetime64[us]") or str(got["ts"].dtype).startswith("datetime64[us")
+        merged = got.merge(ref, on="event_id", suffixes=("", "_ref"))
+        assert len(merged) == 500
+        assert (merged["ts"] == merged["ts_ref"]).all()
+        assert np.allclose(merged["value"].astype(float),
+                           merged["value_ref"].astype(float), equal_nan=True)
+
+    # parquet path keeps column pruning + needs no parsing
+    pq = read_table_auto(src, columns=["event_id", "ts"])
+    assert set(pq.schema().names) == {"event_id", "ts"}
