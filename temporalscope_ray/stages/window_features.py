@@ -49,8 +49,21 @@ def _seg_rolling_std(v, sx, sxx, cnt, min_periods: int) -> np.ndarray:
     """Sample std (ddof=1, pandas/SQL STDDEV convention) from the shared
     rolling sums — closed form ``(Σx² − (Σx)²/n)/(n−1)`` clipped at 0
     (the naive form can go a few ulp negative where pandas' stable
-    update would give exactly 0); consumers round, so the ulp-level
-    difference from pandas is immaterial. < 2 observations → NaN."""
+    update would give exactly 0). < 2 observations → NaN.
+
+    PRECISION CONTRACT: the absolute std error is bounded by
+    ``|offset|·√(2nε)`` where offset is the distance between the
+    window's level and the centering point (callers center by the
+    batch mean, so offset ≤ the batch's own spread). A window whose
+    true std is below that bound reads as cancellation noise — e.g. a
+    constant-zero window in a batch whose mean an extreme outlier
+    dragged to 20 reads ~1.6e-6 instead of 0 (hypothesis-found). No
+    data-independent floor can separate that phantom from a genuine
+    std of the same size, so none is applied; Welford (pandas/SQL)
+    resolves both exactly, and gates that round at fixed decimals rely
+    on window levels staying within a few orders of magnitude of the
+    batch mean — true for the gated tables, asserted by the
+    hypothesis property test against this exact bound."""
     with np.errstate(invalid="ignore", divide="ignore"):
         var = (sxx - sx * sx / cnt) / (cnt - 1)
         out = np.sqrt(np.clip(var, 0, None))

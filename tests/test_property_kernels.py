@@ -135,3 +135,82 @@ def test_hash_key_column_deterministic_in_range(vals, nb):
         # equal values always land in the same bucket
         df = pd.DataFrame({"v": pd.Series(vals, dtype=object), "b": a})
         assert (df.groupby("v", sort=False)["b"].nunique() == 1).all()
+
+
+# ---------------------------------------------------------------------------
+# round-2 kernels: md5 key-units, session ids, rolling min/max, std
+# ---------------------------------------------------------------------------
+
+@given(st.lists(st.integers(min_value=-10**12, max_value=10**12),
+                min_size=1, max_size=80, unique=True),
+       st.text(alphabet="abcdef", max_size=4))
+@FAST
+def test_key_units_deterministic_uniform_range(keys, salt):
+    from temporalscope_ray.stages.sampling import _key_units
+
+    s = pd.Series(keys)
+    a = _key_units(s, salt=salt, portable=True)
+    b = _key_units(s, salt=salt, portable=True)
+    assert (a == b).all() and a.dtype == np.uint64
+    # distinct keys -> distinct hashes (md5, 64-bit, tiny inputs)
+    assert len(np.unique(a)) == len(keys)
+    # salt changes the draw
+    if keys and salt != "x":
+        c = _key_units(s, salt="x", portable=True)
+        assert (a != c).any()
+
+
+@given(keyed_values())
+@FAST
+def test_seg_session_ids_prefix_laws(kv):
+    from temporalscope_ray.stages.window_features import _seg_session_ids
+
+    keys, vals = kv
+    ts = np.cumsum(np.abs(vals) + 1.0)  # strictly increasing within array
+    segs = entity_segments(keys)
+    sid = _seg_session_ids(ts, segs, gap=50.0)
+    if len(keys) == 0:
+        return
+    # session ids start at 0 per entity and never jump by more than 1
+    for s, e in zip(segs[:-1], segs[1:]):
+        assert sid[s] == 0
+        d = np.diff(sid[s:e])
+        assert ((d == 0) | (d == 1)).all()
+
+
+@given(keyed_values(), st.integers(min_value=1, max_value=12))
+@FAST
+def test_seg_rolling_minmax_matches_pandas(kv, window):
+    from temporalscope_ray.stages.window_features import _seg_rolling_minmax
+
+    keys, vals = kv
+    if len(keys) == 0:
+        return
+    seg_id = _segment_ids(entity_segments(keys))
+    got = _seg_rolling_minmax(vals, seg_id, window, "max")
+    exp = pd.Series(vals).groupby(seg_id).rolling(window, min_periods=1) \
+        .max().reset_index(level=0, drop=True).to_numpy()
+    assert np.allclose(got, exp, equal_nan=True)
+
+
+@given(keyed_values(), st.integers(min_value=2, max_value=10))
+@FAST
+def test_seg_rolling_std_matches_pandas(kv, window):
+    from temporalscope_ray.stages.window_features import _seg_rolling, _seg_rolling_std
+
+    keys, vals = kv
+    if len(keys) == 0:
+        return
+    segs = entity_segments(keys)
+    seg_start = np.repeat(segs[:-1], np.diff(segs))
+    vc = vals - vals.mean() if len(vals) else vals
+    sx, cnt = _seg_rolling(vc, seg_start, window, 1)
+    sxx, _ = _seg_rolling(vc * vc, seg_start, window, 1)
+    got = _seg_rolling_std(vc, sx, sxx, cnt, 1)
+    exp = pd.Series(vals).groupby(_segment_ids(segs)).rolling(window, min_periods=1) \
+        .std().reset_index(level=0, drop=True).to_numpy()
+    # the kernel's documented precision contract: |err| <= offset·√(2nε)
+    # where offset is the centered window level (bounded by max |vc|)
+    offset = np.abs(vc).max() if len(vc) else 0.0
+    tol = max(1e-9, offset * np.sqrt(2 * window * 2.3e-16) * 4)
+    assert np.allclose(got, exp, equal_nan=True, atol=tol)
