@@ -1186,6 +1186,16 @@ def q_tfidf_docs(sf_dir: str):
     return _round_cols(tfidf_score(docs, "text", "doc_id"), ["tfidf_sum"])
 
 
+def q_bm25_docs(sf_dir: str):
+    """Per-document Okapi BM25 against a fixed 4-term query — lexical
+    retrieval scoring (two streaming passes, zero shuffles)."""
+    from temporalscope_ray.stages.text import bm25_score
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return bm25_score(docs, "text", "doc_id",
+                      ["hash", "join", "stream", "window"], round_to=6)
+
+
 def q_embedding_cov(sf_dir: str):
     """Upper-triangle population covariance of the embedding column —
     O(d^2)-per-block combiner reduction, never row-count-sized."""
@@ -1828,6 +1838,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_hourly_15min": q_hopping_hourly_15min,
         "sink_roundtrip_events": q_sink_roundtrip_events,
         "gopher_quality_docs": q_gopher_quality_docs,
+        "bm25_docs": q_bm25_docs,
     }
 
 
@@ -3141,5 +3152,31 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN agg a USING (doc_id)
             LEFT JOIN bga b USING (doc_id)
+        """,
+        "bm25_docs": """
+            WITH q AS (SELECT unnest(['hash', 'join', 'stream', 'window']) AS term),
+            toks AS (
+              SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\w+')) AS term
+              FROM documents),
+            dl AS (
+              SELECT d.doc_id, CAST(COUNT(t.term) AS DOUBLE) AS dl
+              FROM documents d LEFT JOIN toks t USING (doc_id) GROUP BY 1),
+            n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+            avgdl AS (SELECT SUM(dl) / (SELECT n FROM n) AS avgdl FROM dl),
+            df AS (
+              SELECT q.term, CAST(COUNT(DISTINCT t.doc_id) AS DOUBLE) AS df
+              FROM q LEFT JOIN toks t ON t.term = q.term GROUP BY 1),
+            tf AS (
+              SELECT t.doc_id, t.term, CAST(COUNT(*) AS DOUBLE) AS tf
+              FROM toks t JOIN q ON t.term = q.term GROUP BY 1, 2),
+            sc AS (
+              SELECT tf.doc_id,
+                     SUM(ln(1 + ((SELECT n FROM n) - df.df + 0.5) / (df.df + 0.5))
+                         * tf.tf * (1.2 + 1.0)
+                         / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+                                           / (SELECT avgdl FROM avgdl)))) AS s
+              FROM tf JOIN df USING (term) JOIN dl USING (doc_id) GROUP BY 1)
+            SELECT d.doc_id, ROUND(COALESCE(sc.s, 0), 6) AS bm25
+            FROM documents d LEFT JOIN sc USING (doc_id)
         """,
     }

@@ -822,3 +822,95 @@ def top_keyword(
         return pa.Table.from_pandas(out, preserve_index=False)
 
     return ds.select_columns([id_col, text_col]).map_batches(kw, batch_format="pyarrow")
+
+
+def bm25_score(
+    ds: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+    query_terms: "list[str]",
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: "int | None" = None,
+) -> ray.data.Dataset:
+    """Per-document Okapi BM25 relevance against a fixed query — the
+    standard lexical retrieval scorer (quality-signal / retrieval-eval
+    step of a training-data pipeline; reference has no retrieval ops,
+    this extends its text surface like tfidf_score does).
+
+    idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5));
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl)).
+
+    Shape: TWO streaming passes, ZERO shuffles. Pass 1 reduces each
+    block to ONE row of partials (row count, token count, per-query-term
+    doc frequency — |Q| is a handful, so the partial table is
+    O(blocks × Q) scalars merged on the driver). Pass 2 scores each doc
+    against the tiny broadcast (idf, avgdl) — token rows never leave
+    their block. Determinism: the per-doc sum runs in fixed
+    ``query_terms`` order, every factor is float64, so the score is
+    bit-stable at any parallelism.
+
+    Tokenization is the engine-wide portable convention (``\\w+`` over
+    lowered text), so the DuckDB oracle replays it exactly. Docs with
+    no query terms score 0.0. avgdl counts ALL docs (tokenless ones
+    contribute dl=0); an empty corpus raises.
+    """
+    import pyarrow as pa
+
+    terms = list(dict.fromkeys(query_terms))  # dedupe, keep order
+    if not terms:
+        raise ValueError("bm25_score: query_terms must be non-empty")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col).to_pandas().fillna("").astype(str)
+        toks = s.str.lower().str.findall(r"\w+")
+        flat = toks.explode().dropna()
+        dfs = []
+        for t in terms:
+            hit = flat[flat == t]
+            dfs.append(int(hit.index.nunique()))
+        return pa.table({
+            "n": pa.array([len(s)], type=pa.int64()),
+            "dl_sum": pa.array([int(flat.notna().sum())], type=pa.int64()),
+            **{f"df_{i}": pa.array([d], type=pa.int64()) for i, d in enumerate(dfs)},
+        })
+
+    parts = ds.select_columns([text_col]).map_batches(partial, batch_format="pyarrow").to_pandas()
+    n_docs = int(parts["n"].sum())
+    if n_docs == 0:
+        raise ValueError("bm25_score: empty corpus")
+    avgdl = float(parts["dl_sum"].sum()) / float(n_docs)
+    idf = np.array(
+        [np.log1p((n_docs - df + 0.5) / (df + 0.5))
+         for df in (int(parts[f"df_{i}"].sum()) for i in range(len(terms)))],
+        dtype=np.float64,
+    )
+
+    k1 = float(k1)
+    b = float(b)
+
+    def score(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col).to_pandas().fillna("").astype(str)
+        toks = s.str.lower().str.findall(r"\w+")
+        flat = toks.explode().dropna()
+        dl = np.zeros(len(s), dtype=np.float64)
+        if len(flat):
+            np.add.at(dl, flat.index.to_numpy(dtype=np.int64), 1.0)
+        denom_norm = k1 * (1.0 - b + b * dl / avgdl)
+        sc = np.zeros(len(s), dtype=np.float64)
+        for i, t in enumerate(terms):  # fixed order => deterministic sum
+            tf = np.zeros(len(s), dtype=np.float64)
+            hit = flat[flat == t]
+            if len(hit):
+                np.add.at(tf, hit.index.to_numpy(dtype=np.int64), 1.0)
+            contrib = idf[i] * tf * (k1 + 1.0) / (tf + denom_norm)
+            sc += np.where(tf > 0.0, contrib, 0.0)
+        if round_to is not None:
+            scale = 10.0 ** round_to
+            sc = np.sign(sc) * np.floor(np.abs(sc) * scale + 0.5) / scale
+        out = batch.select([id_col]).to_pandas()
+        out["bm25"] = sc
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return ds.select_columns([id_col, text_col]).map_batches(score, batch_format="pyarrow")

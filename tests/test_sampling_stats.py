@@ -487,3 +487,41 @@ def test_top_keyword_prefers_distinctive_terms():
     assert out.loc[1, "keyword"] == "zebra"      # idf beats raw frequency here
     assert out.loc[2, "keyword"] in {"quick", "brown", "fox"}
     assert pd.isna(out.loc[4, "keyword"]) and np.isnan(out.loc[4, "keyword_score"])
+
+
+def test_bm25_matches_closed_form_and_parallelism_independent():
+    from temporalscope_ray.stages.text import bm25_score
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["cat dog cat", "dog dog dog fish", "", "bird bird cat dog fish"],
+    })
+    got = bm25_score(ray.data.from_pandas(df), "text", "doc_id", ["cat", "fish"]) \
+        .to_pandas().set_index("doc_id")["bm25"]
+
+    # closed-form reference
+    import math
+    toks = [t.split() for t in df["text"]]
+    n, dls = len(toks), [len(t) for t in toks]
+    avgdl = sum(dls) / n
+    k1, b = 1.2, 0.75
+
+    def ref(d):
+        s = 0.0
+        for term in ["cat", "fish"]:
+            tf = toks[d].count(term)
+            if tf == 0:
+                continue
+            dfreq = sum(term in t for t in toks)
+            idf = math.log1p((n - dfreq + 0.5) / (dfreq + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dls[d] / avgdl))
+        return s
+
+    for i, doc in enumerate([1, 2, 3, 4]):
+        assert got[doc] == pytest.approx(ref(i), abs=1e-12)
+    assert got[3] == 0.0  # empty doc
+
+    # bit-identical at different block layouts (fixed-order summation)
+    got4 = bm25_score(ray.data.from_pandas(df).repartition(4), "text", "doc_id",
+                      ["cat", "fish"]).to_pandas().set_index("doc_id")["bm25"]
+    assert (got.sort_index() == got4.sort_index()).all()
