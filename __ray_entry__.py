@@ -208,6 +208,18 @@ def q_asof_next_order(sf_dir: str):
                      right_cols=["o_totalprice"], direction="forward")
 
 
+def q_asof_nearest_order(sf_dir: str):
+    """direction='nearest' as-of: each event reads the order state
+    CLOSEST in time (either side; ties prefer the backward/past row,
+    the pandas merge_asof rule) — the sensor-alignment join where
+    staleness matters more than leakage."""
+    from temporalscope_ray.stages.asof import asof_join
+
+    ev = _events(sf_dir, ("event_id", "ts", "user_id", "value"))
+    return asof_join(ev, _order_state(sf_dir), on="ts", by="user_id", broadcast=True,
+                     right_cols=["o_totalprice"], direction="nearest")
+
+
 def q_asof_bucketed(sf_dir: str):
     from temporalscope_ray.stages.asof import asof_join
 
@@ -1732,6 +1744,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_latest_order": q_asof_latest_order,
         "asof_latest_order_tol": q_asof_latest_order_tol,
         "asof_next_order": q_asof_next_order,
+        "asof_nearest_order": q_asof_nearest_order,
         "asof_bucketed": q_asof_bucketed,
         "global_shift_lead1": q_global_shift,
         "null_counts_events": q_null_counts,
@@ -2088,6 +2101,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.event_id, e.ts, e.user_id, e.value, os.o_totalprice
             FROM events e ASOF LEFT JOIN ({order_state}) os
               ON e.user_id = os.user_id AND e.ts <= os.ots
+        """,
+        "asof_nearest_order": f"""
+            SELECT event_id, ts, user_id, value, o_totalprice FROM (
+              SELECT e.event_id, e.ts, e.user_id, e.value, os.o_totalprice,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY e.event_id
+                       ORDER BY ABS(epoch_us(e.ts) - epoch_us(os.ots)),
+                                CASE WHEN os.ots <= e.ts THEN 0 ELSE 1 END) AS rn
+              FROM events e LEFT JOIN ({order_state}) os ON e.user_id = os.user_id)
+            WHERE rn = 1
         """,
         "global_shift_lead1": """
             SELECT * FROM (

@@ -169,3 +169,21 @@ def test_range_join_bucketed_matches_broadcast():
     a = a.sort_values(key).reset_index(drop=True)
     b = b.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(a[key], b[key])
+
+
+def test_asof_nearest_tie_prefers_backward():
+    import pandas as pd
+    import ray.data
+
+    from temporalscope_ray.stages.asof import asof_join
+
+    left = pd.DataFrame({"id": [1, 1, 1], "ts": [10, 20, 30], "k": [0, 1, 2]})
+    right = pd.DataFrame({"id": [1, 1, 1, 1], "ts": [5, 15, 25, 35], "v": [1.0, 2.0, 3.0, 4.0]})
+    for broadcast in (True, False):
+        out = asof_join(
+            ray.data.from_pandas(left), ray.data.from_pandas(right),
+            on="ts", by="id", right_cols=["v"], direction="nearest",
+            broadcast=broadcast, num_buckets=2,
+        ).to_pandas().sort_values("k")
+        # every tie (equidistant prior/next) resolves to the PAST row
+        assert out["v"].tolist() == [1.0, 2.0, 3.0], f"broadcast={broadcast}"
