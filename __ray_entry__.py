@@ -872,6 +872,17 @@ def q_doc_keywords(sf_dir: str):
     return top_keyword(docs)
 
 
+def q_moments_by_type(sf_dir: str):
+    """Per-event-type sample skewness and excess kurtosis of value
+    (the distribution-shape profile feature): two combiner exchanges,
+    facts never shuffle; group-mean centering keeps the order-3/4
+    power sums exact, constancy detected via exact min==max."""
+    from temporalscope_ray.stages.stats import grouped_moments
+
+    ev = _events(sf_dir, ("event_type", "value"))
+    return grouped_moments(ev, "event_type", "value")
+
+
 def q_mode_event_type_by_user(sf_dir: str):
     """Each user's most frequent event type (deterministic ties:
     count desc then value asc) — the categorical profile feature."""
@@ -1798,6 +1809,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anomaly_flags_by_user": q_anomaly_flags_by_user,
         "jaccard_clusters_docs": q_jaccard_clusters_docs,
         "mode_event_type_by_user": q_mode_event_type_by_user,
+        "moments_by_type": q_moments_by_type,
         "doc_keywords": q_doc_keywords,
         "target_encode_events": q_target_encode_events,
         "freq_encode_events": q_freq_encode_events,
@@ -2534,6 +2546,12 @@ def oracle_sql() -> dict[str, str]:
                   FROM sc)
             SELECT d.doc_id, r.term AS keyword, ROUND(r.s, 6) AS keyword_score
             FROM documents d LEFT JOIN (SELECT * FROM r WHERE rn = 1) r USING (doc_id)
+        """,
+        "moments_by_type": """
+            SELECT event_type, COUNT(value) AS n,
+                   ROUND(skewness(value), 6) AS skewness,
+                   ROUND(kurtosis(value), 6) AS kurtosis
+            FROM events GROUP BY event_type
         """,
         "mode_event_type_by_user": """
             WITH c AS (SELECT user_id, event_type, COUNT(*) AS n

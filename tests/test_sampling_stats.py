@@ -525,3 +525,44 @@ def test_bm25_matches_closed_form_and_parallelism_independent():
     got4 = bm25_score(ray.data.from_pandas(df).repartition(4), "text", "doc_id",
                       ["cat", "fish"]).to_pandas().set_index("doc_id")["bm25"]
     assert (got.sort_index() == got4.sort_index()).all()
+
+
+def test_grouped_moments_matches_pandas_and_edge_rules(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from temporalscope_ray.stages.stats import grouped_moments
+
+    rng = np.random.default_rng(11)
+    big = pd.DataFrame({
+        "g": rng.integers(0, 4, 3000).astype(str),
+        "v": rng.lognormal(1.0, 0.8, 3000),
+    })
+    got = grouped_moments(ray.data.from_pandas(big).repartition(5), "g", "v") \
+        .to_pandas().sort_values("g").reset_index(drop=True)
+    ref = big.groupby("g")["v"].agg(
+        n="count", skewness="skew", kurtosis=lambda s: s.kurt()).reset_index()
+    for col in ("skewness", "kurtosis"):
+        assert np.allclose(got[col], np.round(ref[col], 6), atol=1e-6)
+    assert (got["n"] == ref["n"]).all()
+
+    # NULL rules: n<3 -> no skew, n<4 -> no kurt, constant group -> both
+    # null (exact min==max detection, not a variance threshold), nulls
+    # in the value column are ignored like SQL aggregates.
+    edge = pd.DataFrame({
+        "g": [1, 1, 2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 4, 5, 5, 5],
+        "v": [1., 2., 5., 5., 5., 1., 2., 3., 4., 7., 7., 7., 8., 1., None, 3.],
+    })
+    out = grouped_moments(ray.data.from_pandas(edge), "g", "v") \
+        .to_pandas().sort_values("g").set_index("g")
+    assert out.loc[1, "n"] == 2 and np.isnan(out.loc[1, "skewness"])
+    assert np.isnan(out.loc[2, "skewness"])  # constant, despite n=3
+    assert out.loc[3, "skewness"] == 0.0 and out.loc[3, "kurtosis"] == -1.2
+    assert out.loc[4, "skewness"] == 2.0 and out.loc[4, "kurtosis"] == 4.0
+    assert out.loc[5, "n"] == 2  # null ignored
+
+    # block-layout determinism (rounded outputs identical at any split)
+    got1 = grouped_moments(ray.data.from_pandas(big), "g", "v") \
+        .to_pandas().sort_values("g").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, got1)
