@@ -883,6 +883,26 @@ def q_moments_by_type(sf_dir: str):
     return grouped_moments(ev, "event_type", "value")
 
 
+def q_revenue_by_nation(sf_dir: str):
+    """TPC-H Q5-shaped star join: revenue per nation where customer and
+    supplier share the nation, one region, an order-date window. Three
+    bucketed fact exchanges (lineitem⋈orders⋈customer⋈supplier — all
+    grow with SF, broadcast would be wrong at 100 TB), fixed-size
+    nation⋈region resolved on the driver, int64 10^-4-dollar units so
+    the rollup is bit-exact against any engine (no rounding)."""
+    from temporalscope_ray.pipelines.starjoin import revenue_by_nation
+
+    return revenue_by_nation(
+        _read(sf_dir, "lineitem",
+              columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]),
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]),
+        _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]),
+        _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]),
+        _read(sf_dir, "nation"), _read(sf_dir, "region"),
+        region_name="ASIA", date_lo="1995-01-01", date_hi="2002-01-01",
+    )
+
+
 def q_mode_event_type_by_user(sf_dir: str):
     """Each user's most frequent event type (deterministic ties:
     count desc then value asc) — the categorical profile feature."""
@@ -1810,6 +1830,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_clusters_docs": q_jaccard_clusters_docs,
         "mode_event_type_by_user": q_mode_event_type_by_user,
         "moments_by_type": q_moments_by_type,
+        "revenue_by_nation": q_revenue_by_nation,
         "doc_keywords": q_doc_keywords,
         "target_encode_events": q_target_encode_events,
         "freq_encode_events": q_freq_encode_events,
@@ -2546,6 +2567,19 @@ def oracle_sql() -> dict[str, str]:
                   FROM sc)
             SELECT d.doc_id, r.term AS keyword, ROUND(r.s, 6) AS keyword_score
             FROM documents d LEFT JOIN (SELECT * FROM r WHERE rn = 1) r USING (doc_id)
+        """,
+        "revenue_by_nation": """
+            SELECT n_name,
+                   SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                       * CAST(round(100 - l_discount*100) AS BIGINT)) / 10000.0 AS revenue
+            FROM lineitem, orders, customer, supplier, nation, region
+            WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o_orderdate <  TIMESTAMP '2002-01-01'
+            GROUP BY n_name
         """,
         "moments_by_type": """
             SELECT event_type, COUNT(value) AS n,

@@ -1,0 +1,123 @@
+"""Star-schema revenue rollup — the TPC-H Q5 shape on Ray Data.
+
+The reference has no joins at all (SURVEY.md §2.4); its users pre-join
+in pandas. A standalone engine must run the canonical warehouse
+pattern end to end: fact ⋈ fact ⋈ dimension chains feeding a grouped
+rollup. This module composes the existing ``equi_join`` physical plans
+into that pipeline with the scale decisions made explicitly:
+
+* ``lineitem ⋈ orders`` and the ``customer`` / ``supplier`` joins are
+  BUCKETED (one hash exchange each) — all three of those tables grow
+  with scale factor, so broadcast would be wrong at 100 TB even though
+  it happens to fit at test scale. ``broadcast=False`` is forced.
+* ``nation ⋈ region`` is a FIXED-size dimension (25 × 5 rows at any
+  scale factor), resolved on the driver to a ``nationkey → n_name``
+  map for the chosen region and applied as a zero-shuffle vectorized
+  filter+map. No exchange.
+* Money is exact: revenue is accumulated as the INT64 number of
+  10⁻⁴-dollar units, ``rint(price·100) · rint(100 − discount·100)``
+  — TPC-H prices and discounts carry exactly two decimals, so the
+  product is exact and every partial sum is an integer. The final
+  division by 10⁴ produces a double bit-identical to any engine that
+  sums the same integers (the DuckDB oracle replays this verbatim —
+  no rounding tolerance anywhere). int64 holds to ~9·10¹⁸ unit-sums
+  per group; at 100 TB (SF ≈ 10⁵) a per-nation sum is ~10¹⁷ — inside
+  range, noted here because a GLOBAL unsalted total would not be.
+
+Column pruning happens at the parquet read (callers pass projected
+datasets); the order-date filter runs before the first exchange so
+only surviving fact rows are hashed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from ..stages.grouped import hash_groupby_aggregate
+from ..stages.join import equi_join
+
+
+def revenue_by_nation(
+    lineitem: ray.data.Dataset,
+    orders: ray.data.Dataset,
+    customer: ray.data.Dataset,
+    supplier: ray.data.Dataset,
+    nation: ray.data.Dataset,
+    region: ray.data.Dataset,
+    *,
+    region_name: str = "ASIA",
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1998-01-01",
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Revenue per nation where customer and supplier share the nation,
+    restricted to one region and an order-date range (TPC-H Q5
+    semantics). Output: ``(n_name, revenue)`` with ``revenue`` a double
+    equal to ``Σ rint(100·price)·rint(100−100·discount) / 10⁴``."""
+    lo = pa.scalar(pd.Timestamp(date_lo), type=pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp(date_hi), type=pa.timestamp("us"))
+
+    def keep_dates(t: pa.Table) -> pa.Table:
+        d = t.column("o_orderdate")
+        t = t.filter(pc.and_(pc.greater_equal(d, lo), pc.less(d, hi)))
+        return t.select(["o_orderkey", "o_custkey"]).rename_columns(
+            ["o_orderkey", "c_custkey"])
+
+    ord_f = orders.map_batches(keep_dates, batch_format="pyarrow", zero_copy_batch=True)
+
+    def to_units(t: pa.Table) -> pa.Table:
+        p = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        d = t.column("l_discount").to_numpy(zero_copy_only=False)
+        rev = np.rint(p * 100.0).astype(np.int64) * np.rint(100.0 - d * 100.0).astype(np.int64)
+        return pa.table({
+            "o_orderkey": t.column("l_orderkey"),
+            "s_suppkey": t.column("l_suppkey"),
+            "rev_e4": pa.array(rev),
+        })
+
+    li = lineitem.map_batches(to_units, batch_format="pyarrow", zero_copy_batch=True)
+
+    # fact ⋈ fact ⋈ fact: three bucketed exchanges, facts never broadcast
+    j = equi_join(li, ord_f, on="o_orderkey", broadcast=False, num_buckets=num_buckets)
+    j = equi_join(
+        j.select_columns(["s_suppkey", "rev_e4", "c_custkey"]),
+        customer.select_columns(["c_custkey", "c_nationkey"]),
+        on="c_custkey", broadcast=False, num_buckets=num_buckets,
+    )
+    j = equi_join(
+        j.select_columns(["s_suppkey", "rev_e4", "c_nationkey"]),
+        supplier.select_columns(["s_suppkey", "s_nationkey"]),
+        on="s_suppkey", broadcast=False, num_buckets=num_buckets,
+    )
+
+    # fixed-size dims on the driver: nationkey -> name for the region
+    nat = nation.select_columns(["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = region.select_columns(["r_regionkey", "r_name"]).to_pandas()
+    keys = reg.loc[reg["r_name"] == region_name, "r_regionkey"]
+    nat = nat[nat["n_regionkey"].isin(set(keys))]
+    name_of = dict(zip(nat["n_nationkey"].astype(np.int64), nat["n_name"]))
+    name_ref = ray.put(name_of)
+
+    def tag_nation(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(name_ref)
+        df = df[df["c_nationkey"] == df["s_nationkey"]]
+        names = df["s_nationkey"].map(m)
+        df = pd.DataFrame({"n_name": names, "rev_e4": df["rev_e4"]})
+        return df[df["n_name"].notna()]
+
+    tagged = j.map_batches(tag_nation, batch_format="pandas")
+    agg = hash_groupby_aggregate(
+        tagged, ["n_name"], {"rev_e4": ("rev_e4", "sum")}, num_buckets=8)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "n_name": df["n_name"],
+            "revenue": df["rev_e4"].to_numpy(dtype=np.int64) / 10000.0,
+        })
+
+    return agg.map_batches(finish, batch_format="pandas")
