@@ -903,6 +903,50 @@ def q_revenue_by_nation(sf_dir: str):
     )
 
 
+def q_winsorize_by_type(sf_dir: str):
+    """Per-event-type winsorization of value at [p05, p95] (exact
+    grouped quantiles, bounds quantized to 6dp so clips compare against
+    bit-identical doubles and the output needs no rounding)."""
+    from temporalscope_ray.stages.stats import winsorize_per_group
+
+    ev = _events(sf_dir, ("event_id", "event_type", "value"))
+    return winsorize_per_group(ev, "event_type", "value",
+                               lower=0.05, upper=0.95)
+
+
+def q_feature_corr_lineitem(sf_dir: str):
+    """Feature-selection screen: Pearson corr of each lineitem numeric
+    feature against extendedprice (pairwise-complete, SQL corr()
+    semantics) — two combiner passes, zero fact shuffle."""
+    from temporalscope_ray.stages.stats import pairwise_corr
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_extendedprice", "l_quantity", "l_discount", "l_tax"])
+    return pairwise_corr(li, "l_extendedprice",
+                         ["l_quantity", "l_discount", "l_tax"])
+
+
+def q_mi_type_value(sf_dir: str):
+    """Mutual information (nats) between event_type and a 10-bin
+    equal-width binning of value — nonlinear feature relevance; one
+    tree-reduce + one tiny combiner count exchange."""
+    from temporalscope_ray.stages.stats import mutual_information
+
+    ev = _events(sf_dir, ("event_type", "value"))
+    return mutual_information(ev, "event_type", "value", bins=10)
+
+
+def q_ks_drift_value(sf_dir: str):
+    """Exact two-sample Kolmogorov-Smirnov statistic of value between
+    the first and second time halves — the sharp drift test beside the
+    binned PSI; distinct-value combiner reduce, one sorted scan, block
+    maxima folded on the driver."""
+    from temporalscope_ray.stages.stats import ks_drift
+
+    ev = _events(sf_dir, ("ts", "value"))
+    return ks_drift(ev, "value", "ts")
+
+
 def q_mode_event_type_by_user(sf_dir: str):
     """Each user's most frequent event type (deterministic ties:
     count desc then value asc) — the categorical profile feature."""
@@ -1831,6 +1875,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mode_event_type_by_user": q_mode_event_type_by_user,
         "moments_by_type": q_moments_by_type,
         "revenue_by_nation": q_revenue_by_nation,
+        "winsorize_by_type": q_winsorize_by_type,
+        "feature_corr_lineitem": q_feature_corr_lineitem,
+        "mi_type_value": q_mi_type_value,
+        "ks_drift_value": q_ks_drift_value,
         "doc_keywords": q_doc_keywords,
         "target_encode_events": q_target_encode_events,
         "freq_encode_events": q_freq_encode_events,
@@ -2567,6 +2615,53 @@ def oracle_sql() -> dict[str, str]:
                   FROM sc)
             SELECT d.doc_id, r.term AS keyword, ROUND(r.s, 6) AS keyword_score
             FROM documents d LEFT JOIN (SELECT * FROM r WHERE rn = 1) r USING (doc_id)
+        """,
+        "feature_corr_lineitem": """
+            SELECT 'l_quantity' AS feature,
+                   regr_count(l_extendedprice, l_quantity) AS n,
+                   ROUND(corr(l_extendedprice, l_quantity), 6) AS corr
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_discount', regr_count(l_extendedprice, l_discount),
+                   ROUND(corr(l_extendedprice, l_discount), 6) FROM lineitem
+            UNION ALL
+            SELECT 'l_tax', regr_count(l_extendedprice, l_tax),
+                   ROUND(corr(l_extendedprice, l_tax), 6) FROM lineitem
+        """,
+        "mi_type_value": """
+            WITH m AS (SELECT MIN(value) lo, MAX(value) hi FROM events),
+            t AS (SELECT event_type c,
+                         CAST(LEAST(FLOOR((value - m.lo) * 10 / (m.hi - m.lo)), 9) AS BIGINT) b
+                  FROM events, m WHERE value IS NOT NULL AND event_type IS NOT NULL),
+            j AS (SELECT c, b, COUNT(*)::DOUBLE n FROM t GROUP BY c, b),
+            tot AS (SELECT SUM(n) t FROM j),
+            mar AS (SELECT n, SUM(n) OVER (PARTITION BY c) ni,
+                           SUM(n) OVER (PARTITION BY b) nj FROM j)
+            SELECT ROUND(SUM((n / t) * ln((n * t) / (ni * nj))), 6) AS mi,
+                   CAST(MAX(t) AS BIGINT) AS n
+            FROM mar, tot
+        """,
+        "ks_drift_value": """
+            WITH m AS (SELECT (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS cut FROM events),
+            s AS (SELECT value v, CASE WHEN epoch_us(ts) > m.cut THEN 1 ELSE 0 END side
+                  FROM events, m WHERE value IS NOT NULL),
+            c AS (SELECT v, SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) a,
+                         SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) b FROM s GROUP BY v),
+            t AS (SELECT SUM(a)::DOUBLE na, SUM(b)::DOUBLE nb FROM c),
+            cum AS (SELECT SUM(a) OVER (ORDER BY v) ca, SUM(b) OVER (ORDER BY v) cb FROM c)
+            SELECT ROUND(MAX(ABS(ca / t.na - cb / t.nb)), 6) AS ks,
+                   CAST(MAX(t.na) AS BIGINT) AS n_ref, CAST(MAX(t.nb) AS BIGINT) AS n_cur
+            FROM cum, t
+        """,
+        "winsorize_by_type": """
+            WITH b AS (SELECT event_type,
+                              ROUND(quantile_cont(value, 0.05), 6) AS lo,
+                              ROUND(quantile_cont(value, 0.95), 6) AS hi
+                       FROM events GROUP BY event_type)
+            SELECT event_id, e.event_type, e.value,
+                   CASE WHEN e.value IS NULL THEN NULL
+                        ELSE GREATEST(LEAST(e.value, b.hi), b.lo) END AS value_wins
+            FROM events e JOIN b USING (event_type)
         """,
         "revenue_by_nation": """
             SELECT n_name,

@@ -519,3 +519,292 @@ def grouped_moments(
         })
 
     return sums.map_batches(finish, batch_format="pandas")
+
+
+def winsorize_per_group(
+    ds: ray.data.Dataset,
+    key_col: str,
+    value_col: str,
+    *,
+    lower: float = 0.05,
+    upper: float = 0.95,
+    out_col: str | None = None,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Per-group winsorization: clip ``value_col`` to the group's
+    ``[q_lower, q_upper]`` exact quantiles — the outlier-robust feature
+    transform (tail shocks stop dominating scale-sensitive models).
+
+    Shape: ``grouped_quantile`` co-locates only the projected
+    ``(key, value)`` pairs for the holistic quantile (one exchange of
+    two columns), the group-vocab-sized bounds table broadcasts via
+    ``ray.put``, and the clip is a zero-shuffle vectorized pass over
+    the untouched fact stream.
+
+    Precision contract: the BOUNDS are quantized to 6 decimals before
+    clipping (half-away-from-zero, the SQL ROUND rule), not the
+    output. numpy/pandas linear interpolation ``(1−g)·a + g·b`` and
+    SQL ``quantile_cont``'s ``a + (b−a)·g`` differ by ulp; quantizing
+    the bound collapses that, after which every comparison is against
+    a bit-identical double and the clipped column needs NO rounding —
+    unclipped rows pass through bit-exact. Null values stay null.
+    """
+    from .agg import grouped_quantile
+
+    bounds = grouped_quantile(
+        ds, key_col, value_col, q=[lower, upper], num_buckets=num_buckets
+    ).to_pandas()  # group-vocab-sized
+    lo_col, hi_col = bounds.columns[1], bounds.columns[2]
+    scale = 1e6
+    lo_q = np.sign(bounds[lo_col]) * np.floor(np.abs(bounds[lo_col]) * scale + 0.5) / scale
+    hi_q = np.sign(bounds[hi_col]) * np.floor(np.abs(bounds[hi_col]) * scale + 0.5) / scale
+    ref = ray.put(pd.DataFrame({key_col: bounds[key_col], "__lo__": lo_q, "__hi__": hi_q}))
+    dst = out_col or f"{value_col}_wins"
+
+    def apply(df: pd.DataFrame) -> pd.DataFrame:
+        m = df[[key_col]].merge(ray.get(ref), on=key_col, how="left")  # keeps row order
+        v = df[value_col].to_numpy(dtype=np.float64)
+        out = df.copy()
+        out[dst] = np.minimum(
+            np.maximum(v, m["__lo__"].to_numpy(np.float64)),
+            m["__hi__"].to_numpy(np.float64),
+        )
+        return out
+
+    return ds.map_batches(apply, batch_format="pandas")
+
+
+def pairwise_corr(
+    ds: ray.data.Dataset,
+    target_col: str,
+    feature_cols: Sequence[str],
+    *,
+    round_to: int | None = 6,
+) -> ray.data.Dataset:
+    """Pearson correlation of each feature against the target — the
+    feature-selection screen. SQL ``corr(x, y)`` semantics: pairwise
+    complete (rows where BOTH are non-null), NULL when ``n < 2`` or
+    either side is constant.
+
+    Two streaming passes over only the projected columns, zero fact
+    shuffle: pass 1 reduces each block to one long-form partial row per
+    feature ``(n, Σx, Σy)`` on the pairwise mask (merged by the
+    combiner exchange into per-feature means); pass 2 reduces centered
+    ``Σcx², Σcy², Σcxcy`` the same way. Centering on the final pairwise
+    means keeps the cross sums from cancellation (corr is scale-free,
+    so the (n−1) factors cancel: r = Σcxcy / √(Σcx²·Σcy²)).
+
+    Output: one row per feature — ``(feature, n, corr)``.
+    """
+    feats = list(feature_cols)
+    proj = ds.select_columns([target_col, *feats])
+
+    def p1(df: pd.DataFrame) -> pd.DataFrame:
+        y = df[target_col].to_numpy(dtype=np.float64)
+        rows = []
+        for f in feats:
+            x = df[f].to_numpy(dtype=np.float64)
+            ok = ~(np.isnan(x) | np.isnan(y))
+            rows.append((f, int(ok.sum()), float(x[ok].sum()), float(y[ok].sum())))
+        return pd.DataFrame(rows, columns=["feature", "__n__", "__sx__", "__sy__"])
+
+    m = hash_groupby_aggregate(
+        proj.map_batches(p1, batch_format="pandas"),
+        ["feature"],
+        {"n": ("__n__", "sum"), "sx": ("__sx__", "sum"), "sy": ("__sy__", "sum")},
+        num_buckets=1,
+    ).to_pandas()  # one row per feature
+    with np.errstate(invalid="ignore", divide="ignore"):
+        mx = dict(zip(m["feature"], m["sx"] / m["n"]))
+        my = dict(zip(m["feature"], m["sy"] / m["n"]))
+    mx_ref, my_ref = ray.put(mx), ray.put(my)
+
+    def p2(df: pd.DataFrame) -> pd.DataFrame:
+        gx, gy = ray.get(mx_ref), ray.get(my_ref)
+        y = df[target_col].to_numpy(dtype=np.float64)
+        rows = []
+        for f in feats:
+            x = df[f].to_numpy(dtype=np.float64)
+            ok = ~(np.isnan(x) | np.isnan(y))
+            cx = x[ok] - gx[f]
+            cy = y[ok] - gy[f]
+            rows.append((f, float((cx * cx).sum()), float((cy * cy).sum()),
+                         float((cx * cy).sum())))
+        return pd.DataFrame(rows, columns=["feature", "__xx__", "__yy__", "__xy__"])
+
+    s = hash_groupby_aggregate(
+        proj.map_batches(p2, batch_format="pandas"),
+        ["feature"],
+        {"xx": ("__xx__", "sum"), "yy": ("__yy__", "sum"), "xy": ("__xy__", "sum")},
+        num_buckets=1,
+    ).to_pandas()
+    s = s.merge(m[["feature", "n"]], on="feature")
+    with np.errstate(invalid="ignore", divide="ignore"):
+        r = s["xy"].to_numpy() / np.sqrt(s["xx"].to_numpy() * s["yy"].to_numpy())
+    n = s["n"].to_numpy()
+    r = np.where((n < 2) | (s["xx"].to_numpy() <= 0) | (s["yy"].to_numpy() <= 0), np.nan, r)
+    if round_to is not None:
+        scale = 10.0 ** round_to
+        with np.errstate(invalid="ignore"):
+            r = np.sign(r) * np.floor(np.abs(r) * scale + 0.5) / scale
+    out = pd.DataFrame({"feature": s["feature"], "n": n.astype(np.int64), "corr": r})
+    return ray.data.from_pandas(out.sort_values("feature").reset_index(drop=True))
+
+
+def mutual_information(
+    ds: ray.data.Dataset,
+    cat_col: str,
+    value_col: str,
+    *,
+    bins: int = 10,
+    round_to: int | None = 6,
+) -> pd.DataFrame:
+    """Mutual information (nats) between a categorical column and an
+    equal-width binning of a numeric column — the nonlinear
+    feature-relevance score PSI/corr can't see.
+
+    One tree-reduce for the value extrema, then ONE combiner count
+    exchange of ``(cat, bin)`` pairs (bounded by |cats|·bins partial
+    rows per block, never facts); the MI sum runs on the driver over
+    the tiny joint table. Rows where either side is null are excluded
+    (SQL aggregate semantics). The bin expression
+    ``least(floor((v−lo)·k/(hi−lo)), k−1)`` is shared verbatim with the
+    oracle so bin ids are IEEE-bit-exact.
+
+    Returns a 1-row DataFrame ``(mi, n)`` — a scalar monitoring/ranking
+    result, not a Dataset.
+    """
+    from ray.data.aggregate import Max, Min
+
+    agg = ds.aggregate(Min(value_col), Max(value_col))
+    lo, hi = float(agg[f"min({value_col})"]), float(agg[f"max({value_col})"])
+    k = bins
+
+    def to_bins(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[value_col].to_numpy(dtype=np.float64)
+        c = df[cat_col]
+        ok = (~np.isnan(v)) & c.notna().to_numpy()
+        with np.errstate(invalid="ignore"):
+            b = np.floor((v - lo) * k / (hi - lo)) if hi > lo else np.zeros(len(v))
+        b = np.minimum(b, k - 1)
+        return pd.DataFrame({cat_col: c[ok], "__bin__": b[ok].astype(np.int64)})
+
+    joint = hash_groupby_aggregate(
+        ds.select_columns([cat_col, value_col]).map_batches(to_bins, batch_format="pandas"),
+        [cat_col, "__bin__"],
+        {"n": (None, "count")},
+        num_buckets=1,
+    ).to_pandas()  # |cats|·bins rows
+    n = joint["n"].to_numpy(dtype=np.float64)
+    total = n.sum()
+    ni = joint.groupby(cat_col)["n"].transform("sum").to_numpy(dtype=np.float64)
+    nj = joint.groupby("__bin__")["n"].transform("sum").to_numpy(dtype=np.float64)
+    mi = float(np.sum((n / total) * np.log((n * total) / (ni * nj)))) if total > 0 else np.nan
+    if round_to is not None and not np.isnan(mi):
+        scale = 10.0 ** round_to
+        mi = np.sign(mi) * np.floor(abs(mi) * scale + 0.5) / scale
+    return pd.DataFrame({"mi": [mi], "n": [np.int64(total)]})
+
+
+def ks_drift(
+    ds: ray.data.Dataset,
+    value_col: str,
+    time_col: str,
+    *,
+    round_to: int | None = 6,
+    num_buckets: int = 32,
+) -> pd.DataFrame:
+    """EXACT two-sample Kolmogorov–Smirnov statistic between the first
+    and second halves of the time range — the sharp drift test next to
+    the binned PSI (KS sees any CDF divergence, PSI only what its 10
+    bins resolve). Same time cut as ``population_stability``:
+    ``(epoch_us(min)+epoch_us(max)) // 2``, side = ts strictly after.
+
+    Distributed exactness without materializing values on the driver:
+
+    1. combiner count exchange reduces the stream to one
+       ``(value, n_before, n_after)`` row per DISTINCT value — ties are
+       collapsed here, so the CDF step at a tied value is evaluated
+       once, after all its rows (the KS definition; a per-row running
+       max would overestimate mid-tie);
+    2. one distributed sort of that distinct table;
+    3. the two-pass block scan of ``scan.global_running_sum``: pass 1
+       ships O(blocks) ``(first_value, Σa, Σb)`` partials to the
+       driver for exclusive offsets, pass 2 computes each block's
+       running CDFs ``(off + cumsum)/n`` and reduces the block to ONE
+       candidate max — the driver folds block maxima.
+
+    All counts are int64; ``ca/na − cb/nb`` is evaluated with the same
+    arithmetic as the SQL oracle, so the statistic is bit-stable at any
+    parallelism. Returns a 1-row DataFrame ``(ks, n_ref, n_cur)``.
+    """
+    from ray.data.aggregate import Max, Min
+
+    agg = ds.aggregate(Min(time_col), Max(time_col))
+    t_lo = pd.Timestamp(agg[f"min({time_col})"]).value // 1000
+    t_hi = pd.Timestamp(agg[f"max({time_col})"]).value // 1000
+    cut = (t_lo + t_hi) // 2
+
+    def sides(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[value_col].to_numpy(dtype=np.float64)
+        ok = ~np.isnan(v)
+        ts_us = df[time_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        after = ts_us > cut
+        return pd.DataFrame({
+            "v": v[ok],
+            "__a__": (~after[ok]).astype(np.int64),
+            "__b__": after[ok].astype(np.int64),
+        })
+
+    per_v = hash_groupby_aggregate(
+        ds.select_columns([value_col, time_col]).map_batches(sides, batch_format="pandas"),
+        ["v"],
+        {"a": ("__a__", "sum"), "b": ("__b__", "sum")},
+        num_buckets=num_buckets,
+    )
+    sorted_ds = per_v.sort("v").materialize()
+
+    def _sig(t: pa.Table) -> str:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        return repr((float(t.column("v")[0].as_py()), t.num_rows,
+                     int(a.sum()), int(b.sum())))
+
+    def part(t: pa.Table) -> pd.DataFrame:
+        if t.num_rows == 0:
+            return pd.DataFrame({"v": pd.Series(dtype=np.float64),
+                                 "__sig__": pd.Series(dtype=object),
+                                 "sa": pd.Series(dtype=np.int64),
+                                 "sb": pd.Series(dtype=np.int64)})
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        return pd.DataFrame({"v": [float(t.column("v")[0].as_py())],
+                             "__sig__": [_sig(t)],
+                             "sa": [int(a.sum())], "sb": [int(b.sum())]})
+
+    parts = sorted_ds.map_batches(part, batch_size=None, batch_format="pyarrow").to_pandas()
+    ordered = parts.sort_values("v", kind="mergesort").reset_index(drop=True)
+    na = float(ordered["sa"].sum())
+    nb = float(ordered["sb"].sum())
+    if na == 0 or nb == 0:
+        return pd.DataFrame({"ks": [np.nan], "n_ref": [np.int64(na)], "n_cur": [np.int64(nb)]})
+    offa = np.concatenate(([0], np.cumsum(ordered["sa"].to_numpy())[:-1]))
+    offb = np.concatenate(([0], np.cumsum(ordered["sb"].to_numpy())[:-1]))
+    off_ref = ray.put(dict(zip(ordered["__sig__"], zip(offa, offb))))
+
+    def block_max(t: pa.Table) -> pd.DataFrame:
+        if t.num_rows == 0:
+            return pd.DataFrame({"d": pd.Series(dtype=np.float64)})
+        oa, ob = ray.get(off_ref)[_sig(t)]
+        ca = np.cumsum(t.column("a").to_numpy(zero_copy_only=False)) + np.int64(oa)
+        cb = np.cumsum(t.column("b").to_numpy(zero_copy_only=False)) + np.int64(ob)
+        d = np.abs(ca / na - cb / nb).max()
+        return pd.DataFrame({"d": [float(d)]})
+
+    dmax = sorted_ds.map_batches(block_max, batch_size=None, batch_format="pyarrow") \
+        .to_pandas()["d"].max()
+    ks = float(dmax)
+    if round_to is not None:
+        scale = 10.0 ** round_to
+        ks = np.sign(ks) * np.floor(abs(ks) * scale + 0.5) / scale
+    return pd.DataFrame({"ks": [ks], "n_ref": [np.int64(na)], "n_cur": [np.int64(nb)]})

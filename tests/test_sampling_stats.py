@@ -566,3 +566,122 @@ def test_grouped_moments_matches_pandas_and_edge_rules(ray_session):
     got1 = grouped_moments(ray.data.from_pandas(big), "g", "v") \
         .to_pandas().sort_values("g").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, got1)
+
+
+def test_winsorize_per_group_clips_to_group_quantiles(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from temporalscope_ray.stages.stats import winsorize_per_group
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "g": rng.integers(0, 3, 500).astype(str),
+        "v": rng.normal(0, 10, 500),
+    })
+    df.loc[7, "v"] = np.nan
+    out = winsorize_per_group(ray.data.from_pandas(df).repartition(4), "g", "v",
+                              lower=0.1, upper=0.9).to_pandas()
+    qs = df.groupby("g")["v"].quantile([0.1, 0.9]).unstack()
+    lo = np.round(out["g"].map(qs[0.1]).to_numpy(np.float64), 6)
+    hi = np.round(out["g"].map(qs[0.9]).to_numpy(np.float64), 6)
+    v = out["v"].to_numpy()
+    w = out["v_wins"].to_numpy()
+    ok = ~np.isnan(v)
+    assert np.allclose(w[ok], np.clip(v[ok], lo[ok], hi[ok]), atol=1e-6)
+    assert np.isnan(w[~ok]).all()                     # nulls stay null
+    inner = ok & (v >= lo) & (v <= hi)
+    assert (w[inner] == v[inner]).all()               # unclipped rows bit-exact
+    assert ((w <= hi) | ~ok).all() and ((w >= lo) | ~ok).all()
+
+
+def test_pairwise_corr_matches_pandas_pairwise(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from temporalscope_ray.stages.stats import pairwise_corr
+
+    rng = np.random.default_rng(21)
+    n = 2000
+    y = rng.normal(5, 2, n)
+    df = pd.DataFrame({
+        "y": y,
+        "f_pos": y * 2 + rng.normal(0, 1, n),     # strong positive
+        "f_noise": rng.normal(0, 1, n),           # ~0
+        "f_const": np.full(n, 3.0),               # constant -> NULL
+        "f_holey": np.where(rng.random(n) < 0.2, np.nan, -y),  # pairwise mask
+    })
+    out = pairwise_corr(ray.data.from_pandas(df).repartition(6), "y",
+                        ["f_pos", "f_noise", "f_const", "f_holey"]) \
+        .to_pandas().set_index("feature")
+    for f in ["f_pos", "f_noise"]:
+        assert out.loc[f, "corr"] == pytest.approx(df["y"].corr(df[f]), abs=1e-6)
+        assert out.loc[f, "n"] == n
+    assert np.isnan(out.loc["f_const", "corr"])
+    m = df["f_holey"].notna()
+    assert out.loc["f_holey", "n"] == int(m.sum())
+    assert out.loc["f_holey", "corr"] == pytest.approx(
+        df.loc[m, "y"].corr(df.loc[m, "f_holey"]), abs=1e-6)
+
+
+def test_mutual_information_separates_dependence(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from temporalscope_ray.stages.stats import mutual_information
+
+    rng = np.random.default_rng(5)
+    n = 4000
+    cats = rng.integers(0, 4, n)
+    indep = pd.DataFrame({"c": cats.astype(str), "v": rng.normal(0, 1, n)})
+    dep = pd.DataFrame({"c": cats.astype(str),
+                        "v": cats * 10.0 + rng.normal(0, 0.1, n)})
+    mi_i = mutual_information(ray.data.from_pandas(indep), "c", "v", bins=8)["mi"][0]
+    mi_d = mutual_information(ray.data.from_pandas(dep), "c", "v", bins=8)["mi"][0]
+    assert mi_i < 0.01                       # independent: near zero
+    # deterministic category->bin mapping: MI == H(category)
+    p = np.bincount(cats) / n
+    h = -(p * np.log(p)).sum()
+    assert mi_d == pytest.approx(h, abs=0.01)
+    # block-layout determinism
+    mi_d4 = mutual_information(ray.data.from_pandas(dep).repartition(7),
+                               "c", "v", bins=8)["mi"][0]
+    assert mi_d == mi_d4
+
+
+def test_ks_drift_exact_vs_brute_force(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from temporalscope_ray.stages.stats import ks_drift
+
+    rng = np.random.default_rng(9)
+    n = 3000
+    ts = pd.date_range("2024-01-01", periods=n, freq="min")
+    cut_us = (ts[0].value // 1000 + ts[-1].value // 1000) // 2
+    after = (ts.values.astype("datetime64[us]").astype(np.int64) > cut_us)
+    v = np.where(after, rng.normal(1.0, 1.0, n), rng.normal(0.0, 1.0, n))
+    # plant a few exact ties across both sides to exercise the tie rule
+    v[0] = v[-1] = 0.5
+    v[1] = v[2] = 0.5
+    df = pd.DataFrame({"ts": ts, "value": v})
+    out = ks_drift(ray.data.from_pandas(df).repartition(5), "value", "ts")
+
+    # brute force on the driver: evaluate the CDF step AFTER each
+    # distinct value's full tie group
+    a = np.sort(v[~after]); b = np.sort(v[after])
+    grid = np.unique(v)
+    fa = np.searchsorted(a, grid, side="right") / len(a)
+    fb = np.searchsorted(b, grid, side="right") / len(b)
+    want = np.abs(fa - fb).max()
+    assert out["ks"][0] == pytest.approx(want, abs=1e-6)
+    assert out["n_ref"][0] == len(a) and out["n_cur"][0] == len(b)
+
+    # a planted mean shift scores far above a stable stream
+    stable = pd.DataFrame({"ts": ts, "value": rng.normal(0, 1, n)})
+    ks_stable = ks_drift(ray.data.from_pandas(stable), "value", "ts")["ks"][0]
+    assert out["ks"][0] > 0.3 and ks_stable < 0.1
