@@ -947,6 +947,38 @@ def q_ks_drift_value(sf_dir: str):
     return ks_drift(ev, "value", "ts")
 
 
+def q_phash_stream_prev(sf_dir: str):
+    """Consecutive-frame image near-dup stream: per user, Hamming
+    distance of each image phash to the SAME user's previous image
+    (ordered ts, event_id; null on firsts), flag at <=3 bits — the
+    temporal sibling of phash_dedup_events, one bucket exchange with a
+    vectorized byte-table popcount."""
+    from temporalscope_ray.stages.dedup import _md5_lower64
+    from temporalscope_ray.stages.multimodal import hamming_to_previous
+
+    ev = _events(sf_dir, ("event_id", "ts", "user_id"))
+
+    def mk(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["event_id"] % 3 == 0]
+        h = _md5_lower64([str(u) for u in b["user_id"].tolist()])
+        noise = (b["event_id"].to_numpy() % 16).astype(np.uint64)
+        return pd.DataFrame({
+            "event_id": b["event_id"].to_numpy(),
+            "ts": b["ts"].to_numpy(),
+            "user_id": b["user_id"].to_numpy(),
+            "phash": (h ^ noise).view(np.int64),
+        })
+
+    hashed = ev.map_batches(mk, batch_format="pandas")
+    out = hamming_to_previous(
+        hashed, id_col="user_id", time_col="ts", hash_col="phash",
+        flag_threshold=3, tiebreak=["event_id"])
+    # exact small ints / booleans, surfaced as double (driver-compare
+    # convention for nullable columns)
+    return _round_cols(out.select_columns(["event_id", "hamming_prev", "is_near_prev"]),
+                       ["hamming_prev", "is_near_prev"])
+
+
 def q_mode_event_type_by_user(sf_dir: str):
     """Each user's most frequent event type (deterministic ties:
     count desc then value asc) — the categorical profile feature."""
@@ -1879,6 +1911,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "feature_corr_lineitem": q_feature_corr_lineitem,
         "mi_type_value": q_mi_type_value,
         "ks_drift_value": q_ks_drift_value,
+        "phash_stream_prev": q_phash_stream_prev,
         "doc_keywords": q_doc_keywords,
         "target_encode_events": q_target_encode_events,
         "freq_encode_events": q_freq_encode_events,
@@ -2640,6 +2673,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT ROUND(SUM((n / t) * ln((n * t) / (ni * nj))), 6) AS mi,
                    CAST(MAX(t) AS BIGINT) AS n
             FROM mar, tot
+        """,
+        "phash_stream_prev": """
+            WITH t AS (
+              SELECT event_id, user_id, ts,
+                     xor(md5_number_lower(user_id::VARCHAR),
+                         (event_id % 16)::UBIGINT) AS h
+              FROM events WHERE event_id % 3 = 0)
+            SELECT event_id,
+                   CAST(bit_count(xor(h, lag(h) OVER w)) AS DOUBLE) AS hamming_prev,
+                   CAST(bit_count(xor(h, lag(h) OVER w)) <= 3 AS DOUBLE) AS is_near_prev
+            FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
         "ks_drift_value": """
             WITH m AS (SELECT (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS cut FROM events),

@@ -261,3 +261,58 @@ def add_video_features(
         VideoFeatures, batch_format="pandas", batch_size=batch_size,
         concurrency=clamp_concurrency(concurrency), fn_constructor_args=(payload_col, sample_k, strict),
     )
+
+
+def hamming_to_previous(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str,
+    time_col: str,
+    hash_col: str,
+    out_col: str = "hamming_prev",
+    flag_threshold: Optional[int] = None,
+    flag_col: str = "is_near_prev",
+    tiebreak: Optional[Sequence[str]] = None,
+    num_buckets=None,
+) -> ray.data.Dataset:
+    """Per-entity temporal perceptual-hash delta: Hamming distance of
+    each image's 64-bit hash to the SAME entity's previous image —
+    consecutive-frame near-duplicate detection, the streaming cousin of
+    ``dedup.phash_dedup`` (that one dedups the whole corpus; this one
+    answers "did this camera/user just upload the same shot again?").
+    Null on each entity's first image. With ``flag_threshold`` set,
+    also emits a boolean near-dup flag (null on firsts).
+
+    One entity-bucket exchange (``grouped.grouped_ordered_map``, same
+    hot-entity contract as every windowed op); the distance is a
+    vectorized byte-table popcount of ``h ⊕ lag₁(h)`` — uint64 XOR,
+    ``_POP8`` lookup over the byte view, no per-row Python. Exact
+    integers end to end: the SQL replay is
+    ``bit_count(xor(h, lag(h) OVER (PARTITION BY id ORDER BY ts, tb)))``.
+    """
+    from .dedup import _POP8
+    from . import grouped
+
+    order = [time_col, *(tiebreak or [])]
+    nb = num_buckets if num_buckets is not None else grouped.DEFAULT_NUM_BUCKETS
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.copy()
+        h = g[hash_col].to_numpy().astype(np.int64).view(np.uint64)
+        prev = np.empty_like(h)
+        prev[1:] = h[:-1]
+        prev[0] = h[0]
+        segs = grouped.entity_segments(g[id_col].to_numpy())
+        first = np.zeros(len(g), dtype=bool)
+        first[segs[:-1]] = True
+        x = (h ^ prev).copy()
+        d = _POP8[x.view(np.uint8).reshape(len(g), 8)].sum(axis=1).astype(np.int64)
+        out[out_col] = pd.array(np.where(first, 0, d), dtype="Int64")
+        out.loc[first, out_col] = pd.NA
+        if flag_threshold is not None:
+            f = pd.array(d <= flag_threshold, dtype="boolean")
+            f[first] = pd.NA
+            out[flag_col] = f
+        return out
+
+    return grouped.grouped_ordered_map(ds, id_col, order, fn, num_buckets=nb)

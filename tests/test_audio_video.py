@@ -83,3 +83,26 @@ def test_video_stage_motion_tracks_generator():
     with pytest.raises(Exception, match="requires ffmpeg"):
         bad = pd.DataFrame([{"video_id": "x", "bytes": b"mp4garbage"}])
         multimodal.add_video_features(ray.data.from_pandas(bad), concurrency=1).to_pandas()
+
+
+def test_hamming_to_previous_exact_distances(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from temporalscope_ray.stages.multimodal import hamming_to_previous
+
+    ts = pd.date_range("2024-01-01", periods=6, freq="h")
+    # user 1: 0b0000 -> 0b0111 (3 bits) -> 0b0110 (1 bit); user 2: single
+    # image (null); user 3: identical consecutive hashes (0 bits, flagged)
+    df = pd.DataFrame({
+        "id": [1, 1, 1, 2, 3, 3],
+        "ts": [ts[0], ts[1], ts[2], ts[0], ts[0], ts[1]],
+        "h": np.array([0, 7, 6, 123, -1, -1], dtype=np.int64),
+    })
+    out = hamming_to_previous(
+        ray.data.from_pandas(df).repartition(3),
+        id_col="id", time_col="ts", hash_col="h", flag_threshold=2,
+    ).to_pandas().sort_values(["id", "ts"]).reset_index(drop=True)
+    assert out["hamming_prev"].tolist() == [pd.NA, 3, 1, pd.NA, pd.NA, 0]
+    assert out["is_near_prev"].tolist() == [pd.NA, False, True, pd.NA, pd.NA, True]
