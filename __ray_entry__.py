@@ -979,6 +979,32 @@ def q_phash_stream_prev(sf_dir: str):
                        ["hamming_prev", "is_near_prev"])
 
 
+def q_entropy_by_user(sf_dir: str):
+    """Shannon entropy (nats) of each user's event-type distribution —
+    the behavioral-diversity feature; distinct-pair combiner then a
+    vocab-bounded per-key pass, facts never shuffle twice."""
+    from temporalscope_ray.stages.agg import grouped_entropy
+
+    ev = _events(sf_dir, ("user_id", "event_type"))
+    return grouped_entropy(ev, "user_id", "event_type")
+
+
+def q_top_orders_building(sf_dir: str):
+    """TPC-H Q3 shape: 10 highest-revenue BUILDING-segment orders placed
+    before 1998-01-01 with lineitems still shipping after it — two
+    bucketed fact exchanges, combiner rollup, partial top-k merge (no
+    global sort); int64 money units make the ranking key exact."""
+    from temporalscope_ray.pipelines.starjoin import top_unshipped_orders
+
+    return top_unshipped_orders(
+        _read(sf_dir, "lineitem",
+              columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]),
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]),
+        _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]),
+        segment="BUILDING", date="1998-01-01", k=10,
+    )
+
+
 def q_mode_event_type_by_user(sf_dir: str):
     """Each user's most frequent event type (deterministic ties:
     count desc then value asc) — the categorical profile feature."""
@@ -1912,6 +1938,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mi_type_value": q_mi_type_value,
         "ks_drift_value": q_ks_drift_value,
         "phash_stream_prev": q_phash_stream_prev,
+        "entropy_by_user": q_entropy_by_user,
+        "top_orders_building": q_top_orders_building,
         "doc_keywords": q_doc_keywords,
         "target_encode_events": q_target_encode_events,
         "freq_encode_events": q_freq_encode_events,
@@ -2673,6 +2701,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT ROUND(SUM((n / t) * ln((n * t) / (ni * nj))), 6) AS mi,
                    CAST(MAX(t) AS BIGINT) AS n
             FROM mar, tot
+        """,
+        "entropy_by_user": """
+            WITH c AS (SELECT user_id, event_type, COUNT(*)::DOUBLE n
+                       FROM events WHERE event_type IS NOT NULL
+                       GROUP BY user_id, event_type),
+                 t AS (SELECT user_id, n,
+                              SUM(n) OVER (PARTITION BY user_id) tot FROM c)
+            SELECT user_id, ROUND(SUM(-(n / tot) * ln(n / tot)), 6) AS entropy
+            FROM t GROUP BY user_id
+        """,
+        "top_orders_building": """
+            SELECT o_orderkey,
+                   SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * CAST(round(100 - l_discount * 100) AS BIGINT)) / 10000.0 AS revenue,
+                   o_orderdate
+            FROM lineitem, orders, customer
+            WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+              AND l_orderkey = o_orderkey
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+              AND l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY o_orderkey, o_orderdate
+            ORDER BY SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * CAST(round(100 - l_discount * 100) AS BIGINT)) DESC, o_orderkey
+            LIMIT 10
         """,
         "phash_stream_prev": """
             WITH t AS (

@@ -42,6 +42,12 @@ from ..stages.grouped import hash_groupby_aggregate
 from ..stages.join import equi_join
 
 
+def _proj(ds: ray.data.Dataset, cols: list) -> ray.data.Dataset:
+    """Schema-faithful projection for post-map_groups datasets."""
+    return ds.map_batches(lambda t: t.select(cols), batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def revenue_by_nation(
     lineitem: ray.data.Dataset,
     orders: ray.data.Dataset,
@@ -82,15 +88,19 @@ def revenue_by_nation(
 
     li = lineitem.map_batches(to_units, batch_format="pyarrow", zero_copy_batch=True)
 
-    # fact ⋈ fact ⋈ fact: three bucketed exchanges, facts never broadcast
+    # fact ⋈ fact ⋈ fact: three bucketed exchanges, facts never broadcast.
+    # Projections after a bucketed join go through an explicit Arrow
+    # select in map_batches: Dataset.select_columns over a map_groups
+    # output mis-infers the schema (the Project is ignored by schema(),
+    # which breaks the next join's pad_union layout).
     j = equi_join(li, ord_f, on="o_orderkey", broadcast=False, num_buckets=num_buckets)
     j = equi_join(
-        j.select_columns(["s_suppkey", "rev_e4", "c_custkey"]),
+        _proj(j, ["s_suppkey", "rev_e4", "c_custkey"]),
         customer.select_columns(["c_custkey", "c_nationkey"]),
         on="c_custkey", broadcast=False, num_buckets=num_buckets,
     )
     j = equi_join(
-        j.select_columns(["s_suppkey", "rev_e4", "c_nationkey"]),
+        _proj(j, ["s_suppkey", "rev_e4", "c_nationkey"]),
         supplier.select_columns(["s_suppkey", "s_nationkey"]),
         on="s_suppkey", broadcast=False, num_buckets=num_buckets,
     )
@@ -121,3 +131,65 @@ def revenue_by_nation(
         })
 
     return agg.map_batches(finish, batch_format="pandas")
+
+
+def top_unshipped_orders(
+    lineitem: ray.data.Dataset,
+    orders: ray.data.Dataset,
+    customer: ray.data.Dataset,
+    *,
+    segment: str = "BUILDING",
+    date: str = "1998-01-01",
+    k: int = 10,
+    num_buckets: int = 32,
+) -> pd.DataFrame:
+    """TPC-H Q3 shape: the k highest-revenue orders of one market
+    segment that were placed before ``date`` but still have lineitems
+    shipping after it. Same exact-money contract as
+    ``revenue_by_nation`` (int64 10⁻⁴-dollar units), so the ranking
+    key is an INTEGER — ties and near-ties order identically in any
+    engine, and the tiebreak (``o_orderkey`` asc) makes the top-k
+    unique. Two bucketed fact exchanges + one combiner aggregate; the
+    final top-k is ``agg.top_k_rows`` (per-block partial top-k, an
+    O(blocks·k) driver merge — never a global sort).
+
+    Returns a k-row DataFrame ``(o_orderkey, revenue, o_orderdate)``.
+    """
+    from ..stages.agg import top_k_rows
+
+    cut = pa.scalar(pd.Timestamp(date), type=pa.timestamp("us"))
+
+    def keep_orders(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t.column("o_orderdate"), cut))
+        return t.select(["o_orderkey", "o_custkey", "o_orderdate"]).rename_columns(
+            ["o_orderkey", "c_custkey", "o_orderdate"])
+
+    def keep_cust(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("c_mktsegment"), pa.scalar(segment)))
+        return t.select(["c_custkey"])
+
+    def keep_lines(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t.column("l_shipdate"), cut))
+        p = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        d = t.column("l_discount").to_numpy(zero_copy_only=False)
+        rev = np.rint(p * 100.0).astype(np.int64) * np.rint(100.0 - d * 100.0).astype(np.int64)
+        return pa.table({"o_orderkey": t.column("l_orderkey"), "rev_e4": pa.array(rev)})
+
+    ord_f = orders.map_batches(keep_orders, batch_format="pyarrow", zero_copy_batch=True)
+    cust_f = customer.map_batches(keep_cust, batch_format="pyarrow", zero_copy_batch=True)
+    li_f = lineitem.map_batches(keep_lines, batch_format="pyarrow", zero_copy_batch=True)
+
+    seg_orders = equi_join(ord_f, cust_f, on="c_custkey",
+                           broadcast=False, num_buckets=num_buckets)
+    # explicit Arrow select (see _proj note in revenue_by_nation)
+    j = equi_join(li_f, _proj(seg_orders, ["o_orderkey", "o_orderdate"]),
+                  on="o_orderkey", broadcast=False, num_buckets=num_buckets)
+    agg = hash_groupby_aggregate(
+        j, ["o_orderkey", "o_orderdate"], {"rev_e4": ("rev_e4", "sum")},
+        num_buckets=num_buckets)
+    top = top_k_rows(agg, "rev_e4", k, tiebreak=["o_orderkey"])
+    return pd.DataFrame({
+        "o_orderkey": top["o_orderkey"],
+        "revenue": top["rev_e4"].to_numpy(dtype=np.int64) / 10000.0,
+        "o_orderdate": top["o_orderdate"],
+    })

@@ -515,3 +515,89 @@ def grouped_mode(
     return bucketed.groupby(BUCKET_COL).map_groups(
         lambda g: argmax(g.drop(columns=[BUCKET_COL])), batch_format="pandas"
     )
+
+
+def top_k_rows(
+    ds: ray.data.Dataset,
+    by: str,
+    k: int,
+    *,
+    ascending: bool = False,
+    tiebreak: Optional[Sequence[str]] = None,
+) -> pd.DataFrame:
+    """Global top-k rows by ``by`` WITHOUT a global sort: each block
+    reduces to its own k candidates (vectorized ``argpartition`` +
+    local sort), the driver merges ``O(blocks · k)`` rows — the
+    ``knn_brute`` partial-top-k pattern generalized to plain rows.
+    Correct because a global top-k row is a top-k row of its block.
+
+    Deterministic under ties when ``tiebreak`` makes the order total
+    (ties beyond k are otherwise resolved by block layout — pass a
+    unique key). NaNs in ``by`` never qualify. Returns a k-row
+    DataFrame (a small RESULT, fetched to the driver by design).
+    """
+    tb = list(tiebreak or [])
+    asc = [ascending] + [True] * len(tb)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df[by].notna()]
+        if len(df) > k:
+            v = df[by].to_numpy()
+            idx = np.argpartition(-v if not ascending else v, k - 1)[:k]
+            df = df.iloc[idx]
+        return df.sort_values([by, *tb], ascending=asc, kind="mergesort").head(k)
+
+    cand = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    return cand.sort_values([by, *tb], ascending=asc, kind="mergesort") \
+        .head(k).reset_index(drop=True)
+
+
+def grouped_entropy(
+    ds: ray.data.Dataset,
+    key: str,
+    cat_col: str,
+    *,
+    out_col: str = "entropy",
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+    round_to: int | None = 6,
+) -> ray.data.Dataset:
+    """Shannon entropy (nats) of the categorical distribution within
+    each group — the behavioral-diversity feature (a user who only ever
+    clicks scores 0; uniform over m types scores ln m). Null categories
+    are excluded (SQL COUNT semantics); a group with no non-null
+    categories emits nothing.
+
+    Two bounded exchanges, facts never move twice: the distinct-pair
+    combiner reduces the stream to ``(key, cat, n)`` (≤ |keys|·|cats|
+    rows), then one key-bucket pass computes ``−Σ (n/N)·ln(n/N)``
+    vectorized per group. The arithmetic is shared verbatim with the
+    SQL oracle; per-group term counts are vocabulary-sized, so 6dp
+    quantization is far beyond summation-order ulp.
+    """
+    def drop_null_cats(df: pd.DataFrame) -> pd.DataFrame:
+        return df[[key, cat_col]].dropna(subset=[cat_col])
+
+    pairs = hash_groupby_aggregate(
+        ds.select_columns([key, cat_col]).map_batches(
+            drop_null_cats, batch_format="pandas"),
+        [key, cat_col],
+        {"n": (None, "count")},
+        num_buckets=num_buckets,
+    )
+    bucketed = with_bucket(pairs, key, num_buckets)
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        df = t.drop_columns([BUCKET_COL]).to_pandas()
+        n = df["n"].to_numpy(dtype=np.float64)
+        tot = df.groupby(key, sort=False)["n"].transform("sum").to_numpy(dtype=np.float64)
+        p = n / tot
+        df["__t__"] = -(p * np.log(p))
+        out = df.groupby(key, sort=False, as_index=False)["__t__"].sum()
+        e = out["__t__"].to_numpy()
+        if round_to is not None:
+            scale = 10.0 ** round_to
+            e = np.sign(e) * np.floor(np.abs(e) * scale + 0.5) / scale
+        res = pd.DataFrame({key: out[key], out_col: e})
+        return pa.Table.from_pandas(res, preserve_index=False)
+
+    return bucketed.groupby(BUCKET_COL).map_groups(per_bucket, batch_format="pyarrow")

@@ -310,3 +310,46 @@ def test_grouped_mode_ties_and_nulls():
     assert out.loc[1, "mode"] == "a" and out.loc[1, "mode_count"] == 2
     assert out.loc[2, "mode"] == "y"          # 1-1 tie broken by value asc
     assert 3 not in out.index                  # all-null group emits nothing
+
+
+def test_top_k_rows_partial_merge_and_ties(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from temporalscope_ray.stages.agg import top_k_rows
+
+    rng = np.random.default_rng(2)
+    df = pd.DataFrame({"id": np.arange(1000), "v": rng.integers(0, 50, 1000)})
+    df.loc[3, "v"] = np.nan  # NaN never qualifies
+    got = top_k_rows(ray.data.from_pandas(df).repartition(7), "v", 10,
+                     tiebreak=["id"])
+    want = df.dropna(subset=["v"]).sort_values(["v", "id"],
+                                               ascending=[False, True]).head(10)
+    assert got["id"].tolist() == want["id"].tolist()
+    assert got["v"].tolist() == want["v"].tolist()
+    # ascending path
+    got_a = top_k_rows(ray.data.from_pandas(df).repartition(7), "v", 5,
+                       ascending=True, tiebreak=["id"])
+    want_a = df.dropna(subset=["v"]).sort_values(["v", "id"]).head(5)
+    assert got_a["id"].tolist() == want_a["id"].tolist()
+
+
+def test_grouped_entropy_known_distributions(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from temporalscope_ray.stages.agg import grouped_entropy
+
+    df = pd.DataFrame({
+        "g": ["a"] * 4 + ["b"] * 4 + ["c"] * 3,
+        "t": ["x", "x", "x", "x",          # zero entropy
+              "x", "y", "x", "y",          # ln 2
+              "x", None, "y"],             # nulls excluded -> ln 2
+    })
+    out = grouped_entropy(ray.data.from_pandas(df).repartition(3), "g", "t") \
+        .to_pandas().set_index("g")["entropy"]
+    assert out["a"] == 0.0
+    assert out["b"] == pytest.approx(np.log(2), abs=1e-6)
+    assert out["c"] == pytest.approx(np.log(2), abs=1e-6)
