@@ -1005,6 +1005,19 @@ def q_top_orders_building(sf_dir: str):
     )
 
 
+def q_promo_revenue_share(sf_dir: str):
+    """TPC-H Q14 shape: percentage of ship-window revenue from promo
+    parts - one bucketed lineitem-part exchange, two-cell combiner
+    reduce, exact int64 unit sums so the ratio needs no tolerance."""
+    from temporalscope_ray.pipelines.starjoin import promo_revenue_share
+
+    return promo_revenue_share(
+        _read(sf_dir, "lineitem",
+              columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"]),
+        _read(sf_dir, "part", columns=["p_partkey", "p_type"]),
+    )
+
+
 def q_mode_event_type_by_user(sf_dir: str):
     """Each user's most frequent event type (deterministic ties:
     count desc then value asc) — the categorical profile feature."""
@@ -1940,6 +1953,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phash_stream_prev": q_phash_stream_prev,
         "entropy_by_user": q_entropy_by_user,
         "top_orders_building": q_top_orders_building,
+        "promo_revenue_share": q_promo_revenue_share,
         "doc_keywords": q_doc_keywords,
         "target_encode_events": q_target_encode_events,
         "freq_encode_events": q_freq_encode_events,
@@ -2710,6 +2724,19 @@ def oracle_sql() -> dict[str, str]:
                               SUM(n) OVER (PARTITION BY user_id) tot FROM c)
             SELECT user_id, ROUND(SUM(-(n / tot) * ln(n / tot)), 6) AS entropy
             FROM t GROUP BY user_id
+        """,
+        "promo_revenue_share": """
+            WITH u AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+                              * CAST(round(100 - l_discount * 100) AS BIGINT) AS rev,
+                              (p_type LIKE 'PROMO%') AS promo
+                       FROM lineitem, part
+                       WHERE l_partkey = p_partkey
+                         AND l_shipdate >= TIMESTAMP '1996-01-01'
+                         AND l_shipdate <  TIMESTAMP '1996-07-01')
+            SELECT 100.0 * SUM(CASE WHEN promo THEN rev ELSE 0 END) / SUM(rev) AS promo_share,
+                   SUM(CASE WHEN promo THEN rev ELSE 0 END) / 10000.0 AS promo_rev,
+                   SUM(rev) / 10000.0 AS total_rev
+            FROM u
         """,
         "top_orders_building": """
             SELECT o_orderkey,

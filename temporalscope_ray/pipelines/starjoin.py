@@ -193,3 +193,57 @@ def top_unshipped_orders(
         "revenue": top["rev_e4"].to_numpy(dtype=np.int64) / 10000.0,
         "o_orderdate": top["o_orderdate"],
     })
+
+
+def promo_revenue_share(
+    lineitem: ray.data.Dataset,
+    part: ray.data.Dataset,
+    *,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1996-07-01",
+    promo_prefix: str = "PROMO",
+    num_buckets: int = 32,
+) -> pd.DataFrame:
+    """TPC-H Q14 shape: the percentage of revenue in a ship-date window
+    that came from promo parts. One bucketed ``lineitem ⋈ part``
+    exchange (part grows with SF — 2·10¹⁰ rows at 100 TB, not a
+    broadcast) feeding a two-cell combiner reduce; the share is a ratio
+    of two EXACT int64 unit sums, evaluated with the same operand order
+    as the SQL oracle (``100.0 · promo / total``), so no tolerance is
+    needed. Returns a 1-row DataFrame
+    ``(promo_share, promo_rev, total_rev)``.
+    """
+    lo = pa.scalar(pd.Timestamp(date_lo), type=pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp(date_hi), type=pa.timestamp("us"))
+
+    def keep_lines(t: pa.Table) -> pa.Table:
+        d = t.column("l_shipdate")
+        t = t.filter(pc.and_(pc.greater_equal(d, lo), pc.less(d, hi)))
+        p = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        rev = np.rint(p * 100.0).astype(np.int64) * np.rint(100.0 - disc * 100.0).astype(np.int64)
+        return pa.table({"p_partkey": t.column("l_partkey"), "rev_e4": pa.array(rev)})
+
+    def keep_parts(t: pa.Table) -> pa.Table:
+        promo = pc.starts_with(t.column("p_type"), promo_prefix)
+        return pa.table({"p_partkey": t.column("p_partkey"),
+                         "is_promo": pc.cast(promo, pa.int64())})
+
+    li = lineitem.map_batches(keep_lines, batch_format="pyarrow", zero_copy_batch=True)
+    pt = part.map_batches(keep_parts, batch_format="pyarrow", zero_copy_batch=True)
+    j = equi_join(li, pt, on="p_partkey", broadcast=False, num_buckets=num_buckets)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rev = df["rev_e4"].to_numpy(dtype=np.int64)
+        promo = df["is_promo"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"promo_e4": [int((rev * promo).sum())],
+                             "total_e4": [int(rev.sum())]})
+
+    sums = j.map_batches(partial, batch_format="pandas").to_pandas().sum()
+    promo_u, total_u = int(sums["promo_e4"]), int(sums["total_e4"])
+    share = 100.0 * promo_u / total_u if total_u else np.nan
+    return pd.DataFrame({
+        "promo_share": [share],
+        "promo_rev": [promo_u / 10000.0],
+        "total_rev": [total_u / 10000.0],
+    })
