@@ -1018,6 +1018,18 @@ def q_promo_revenue_share(sf_dir: str):
     )
 
 
+def q_rolling_type_diversity(sf_dir: str):
+    """Distinct event types in each user's trailing 4 rows (current
+    inclusive) - the windowed behavioral-diversity feature; factorized
+    codes + O(window^2) vectorized comparisons in one bucket pass."""
+    from temporalscope_ray.stages.window_features import add_rolling_distinct
+
+    ev = _events(sf_dir, ("event_id", "ts", "user_id", "event_type"))
+    return add_rolling_distinct(ev, id_col="user_id", time_col="ts",
+                                cat_col="event_type", window=4,
+                                tiebreak=["event_id"])
+
+
 def q_mode_event_type_by_user(sf_dir: str):
     """Each user's most frequent event type (deterministic ties:
     count desc then value asc) — the categorical profile feature."""
@@ -1954,6 +1966,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entropy_by_user": q_entropy_by_user,
         "top_orders_building": q_top_orders_building,
         "promo_revenue_share": q_promo_revenue_share,
+        "rolling_type_diversity": q_rolling_type_diversity,
         "doc_keywords": q_doc_keywords,
         "target_encode_events": q_target_encode_events,
         "freq_encode_events": q_freq_encode_events,
@@ -2724,6 +2737,13 @@ def oracle_sql() -> dict[str, str]:
                               SUM(n) OVER (PARTITION BY user_id) tot FROM c)
             SELECT user_id, ROUND(SUM(-(n / tot) * ln(n / tot)), 6) AS entropy
             FROM t GROUP BY user_id
+        """,
+        "rolling_type_diversity": """
+            SELECT event_id, ts, user_id, event_type,
+                   COUNT(DISTINCT event_type) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS event_type_roll_nunique_4
+            FROM events
         """,
         "promo_revenue_share": """
             WITH u AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT)

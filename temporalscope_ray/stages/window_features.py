@@ -1495,3 +1495,55 @@ def add_anomaly_flag(
     # it rides the same grouped pass (feats is already bucket-resident,
     # but a plain map_batches would see arbitrary block boundaries)
     return grouped.grouped_ordered_map(feats, id_col, order, flag, num_buckets=num_buckets)
+
+
+def add_rolling_distinct(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str,
+    time_col: str,
+    cat_col: str,
+    window: int = 4,
+    out_col: Optional[str] = None,
+    tiebreak: Optional[Sequence[str]] = None,
+    num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+) -> ray.data.Dataset:
+    """Trailing distinct-category count per entity — "how many different
+    event types in the user's last ``window`` rows" (current row
+    inclusive), the behavioral-diversity WINDOW feature next to the
+    whole-history ``agg.grouped_entropy``. SQL semantics:
+    ``COUNT(DISTINCT cat) OVER (PARTITION BY id ORDER BY ... ROWS
+    window−1 PRECEDING)`` — nulls never counted, an all-null window
+    yields 0 (never null). Exact int64.
+
+    One entity-bucket exchange; per bucket the categories are
+    ``pd.factorize``d to int codes once, the window is laid out as
+    ``window`` segment-safe shifted code columns, and "distinct" is
+    counted as entries with no equal value in any EARLIER column — an
+    O(window²) stack of vectorized int comparisons, no per-row Python.
+    Designed for the small windows this feature means (≤ ~16); a wide
+    window wants a different kernel (sorted dedup per window).
+    """
+    if window < 1:
+        raise ValueError("add_rolling_distinct: window must be >= 1")
+    order = [time_col, *(tiebreak or [])]
+    dst = out_col or f"{cat_col}_roll_nunique_{window}"
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.copy()
+        codes, _ = pd.factorize(g[cat_col], use_na_sentinel=True)  # null -> -1
+        seg_id = _segment_ids(grouped.entity_segments(g[id_col].to_numpy()))
+        cols = [codes.astype(np.float64)]
+        for k in range(1, window):
+            cols.append(_seg_shift(codes.astype(np.float64), seg_id, k))
+        m = np.stack(cols)                      # (window, rows); NaN = out of segment
+        m = np.where(np.isnan(m) | (m < 0), -1.0, m)
+        valid = m >= 0
+        dup = np.zeros_like(valid)
+        for j in range(1, window):
+            eq = (m[j] == m[:j]) & valid[j] & valid[:j]
+            dup[j] = eq.any(axis=0)
+        out[dst] = (valid & ~dup).sum(axis=0).astype(np.int64)
+        return out
+
+    return grouped.grouped_ordered_map(ds, id_col, order, fn, num_buckets=num_buckets)

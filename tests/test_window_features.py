@@ -424,3 +424,34 @@ def test_anomaly_flag_catches_planted_spike():
     assert pd.isna(out.loc[0, "is_anomaly"])
     # prior-window sample std has t-tails (n=8): a few percent FP rate
     assert out.loc[10:100, "is_anomaly"].fillna(0).sum() <= 5
+
+
+def test_add_rolling_distinct_matches_pandas_nunique(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from temporalscope_ray.stages.window_features import add_rolling_distinct
+
+    rng = np.random.default_rng(13)
+    n = 600
+    df = pd.DataFrame({
+        "eid": np.arange(n),
+        "ts": pd.date_range("2024-01-01", periods=n, freq="min"),
+        "uid": rng.integers(0, 7, n),
+        "cat": pd.Series(rng.choice(["a", "b", "c", None], n)),
+    })
+    out = add_rolling_distinct(
+        ray.data.from_pandas(df).repartition(4), id_col="uid", time_col="ts",
+        cat_col="cat", window=4, tiebreak=["eid"],
+    ).to_pandas().sort_values(["uid", "ts", "eid"]).reset_index(drop=True)
+
+    ref = df.sort_values(["uid", "ts", "eid"]).reset_index(drop=True)
+    # pandas rolling has no object-dtype support -> brute-force windows
+    vals = []
+    for _, g in ref.groupby("uid", sort=False):
+        c = g["cat"].tolist()
+        for i in range(len(c)):
+            win = [x for x in c[max(0, i - 3):i + 1] if x is not None and x == x]
+            vals.append(len(set(win)))
+    assert out["cat_roll_nunique_4"].tolist() == vals
