@@ -1030,6 +1030,34 @@ def q_rolling_type_diversity(sf_dir: str):
                                 tiebreak=["event_id"])
 
 
+def q_table_diff_customer(sf_dir: str):
+    """Keyed two-table parity report (the scale form of the north
+    rule's per-row invariant check): diff two derived views of customer
+    - side B drops different keys and perturbs acctbal on c_custkey%97
+    - via ONE key-hash exchange reduced to six counters per bucket."""
+    from temporalscope_ray.stages.setops import table_diff
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal"])
+
+    def side_a(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["c_custkey"] % 29 != 0]
+
+    def side_b(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["c_custkey"] % 31 != 0].copy()
+        hit = (df["c_custkey"] % 97 == 0).to_numpy()
+        df["c_acctbal"] = np.where(hit, df["c_acctbal"].to_numpy() + 1.0,
+                                   df["c_acctbal"].to_numpy())
+        return df
+
+    a = cust.map_batches(side_a, batch_format="pandas")
+    b = cust.map_batches(side_b, batch_format="pandas")
+    out = table_diff(a, b, "c_custkey", ["c_name", "c_acctbal"])
+    scale = 1e6
+    out["pass_rate"] = np.sign(out["pass_rate"]) * np.floor(
+        np.abs(out["pass_rate"]) * scale + 0.5) / scale
+    return out
+
+
 def q_mode_event_type_by_user(sf_dir: str):
     """Each user's most frequent event type (deterministic ties:
     count desc then value asc) — the categorical profile feature."""
@@ -1967,6 +1995,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_building": q_top_orders_building,
         "promo_revenue_share": q_promo_revenue_share,
         "rolling_type_diversity": q_rolling_type_diversity,
+        "table_diff_customer": q_table_diff_customer,
         "doc_keywords": q_doc_keywords,
         "target_encode_events": q_target_encode_events,
         "freq_encode_events": q_freq_encode_events,
@@ -2737,6 +2766,29 @@ def oracle_sql() -> dict[str, str]:
                               SUM(n) OVER (PARTITION BY user_id) tot FROM c)
             SELECT user_id, ROUND(SUM(-(n / tot) * ln(n / tot)), 6) AS entropy
             FROM t GROUP BY user_id
+        """,
+        "table_diff_customer": """
+            WITH a AS (SELECT c_custkey, c_name, c_acctbal FROM customer
+                       WHERE c_custkey % 29 != 0),
+                 b AS (SELECT c_custkey, c_name,
+                              CASE WHEN c_custkey % 97 = 0 THEN c_acctbal + 1.0
+                                   ELSE c_acctbal END AS c_acctbal
+                       FROM customer WHERE c_custkey % 31 != 0),
+                 j AS (SELECT a.c_custkey IS NOT NULL AS la,
+                              b.c_custkey IS NOT NULL AS rb,
+                              ((a.c_name IS NOT DISTINCT FROM b.c_name)
+                               AND (a.c_acctbal IS NOT DISTINCT FROM b.c_acctbal)) AS eq
+                       FROM a FULL JOIN b ON a.c_custkey = b.c_custkey),
+                 s AS (SELECT SUM(CASE WHEN la THEN 1 ELSE 0 END) AS n_left,
+                              SUM(CASE WHEN rb THEN 1 ELSE 0 END) AS n_right,
+                              SUM(CASE WHEN la AND rb THEN 1 ELSE 0 END) AS n_both,
+                              SUM(CASE WHEN la AND NOT rb THEN 1 ELSE 0 END) AS n_only_left,
+                              SUM(CASE WHEN rb AND NOT la THEN 1 ELSE 0 END) AS n_only_right,
+                              SUM(CASE WHEN la AND rb AND NOT eq THEN 1 ELSE 0 END) AS n_mismatch
+                       FROM j)
+            SELECT n_left, n_right, n_both, n_only_left, n_only_right, n_mismatch,
+                   ROUND((n_both - n_mismatch) / CAST(n_both AS DOUBLE), 6) AS pass_rate
+            FROM s
         """,
         "rolling_type_diversity": """
             SELECT event_id, ts, user_id, event_type,

@@ -101,3 +101,51 @@ def test_robust_scale_per_group(ray_session):
     assert a["v_robust"].tolist() == pytest.approx(((np.sort(v[:5]) - med) / iqr).tolist())
     # zero IQR -> NaN, mirroring SQL NULLIF
     assert out[out["g"] == "b"]["v_robust"].isna().all()
+
+
+def test_table_diff_counts_and_atol(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from temporalscope_ray.stages.setops import table_diff
+
+    a = pd.DataFrame({"k": [1, 2, 3, 4, 5],
+                      "cap": ["a", "b", "c", "d", "e"],
+                      "v": [1.0, 2.0, 3.0, np.nan, 5.0]})
+    b = pd.DataFrame({"k": [2, 3, 4, 5, 6],
+                      "cap": ["b", "X", "d", "e", "f"],          # k=3 caption differs
+                      "v": [2.0, 3.0, np.nan, 5.0 + 1e-9, 6.0]}) # k=5 off by 1e-9
+    da, db = ray.data.from_pandas(a).repartition(2), ray.data.from_pandas(b)
+
+    exact = table_diff(da, db, "k", ["cap", "v"]).iloc[0]
+    assert exact["n_left"] == 5 and exact["n_right"] == 5
+    assert exact["n_both"] == 4 and exact["n_only_left"] == 1 == exact["n_only_right"]
+    assert exact["n_mismatch"] == 2          # caption diff + float ulp diff
+    assert exact["pass_rate"] == 0.5
+    # NaN == NaN matched (k=4 passes in both runs)
+
+    loose = table_diff(da, db, "k", ["cap", "v"], atol=1e-6).iloc[0]
+    assert loose["n_mismatch"] == 1          # only the caption diff survives
+
+    with pytest.raises(Exception):           # duplicate keys refuse
+        table_diff(ray.data.from_pandas(pd.DataFrame({"k": [1, 1], "cap": ["a", "a"], "v": [0.0, 0.0]})),
+                   db, "k", ["cap", "v"])
+
+
+def test_table_diff_composite_key_image_grain(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from temporalscope_ray.stages.setops import table_diff
+
+    ts = pd.date_range("2024-01-01", periods=4, freq="h")
+    a = pd.DataFrame({"eid": ["u1", "u1", "u2", "u2"], "ts": ts.tolist(),
+                      "cap": ["a", "b", "c", "d"], "phash": [1, 2, 3, 4]})
+    b = a.copy()
+    b.loc[2, "cap"] = "X"
+    rep = table_diff(ray.data.from_pandas(a), ray.data.from_pandas(b),
+                     ["eid", "ts"], ["cap", "phash"]).iloc[0]
+    assert rep["n_both"] == 4 and rep["n_mismatch"] == 1
+    assert rep["pass_rate"] == 0.75
