@@ -1058,6 +1058,24 @@ def q_table_diff_customer(sf_dir: str):
     return out
 
 
+def q_decayed_sum_by_user(sf_dir: str):
+    """Time-decayed recency-weighted value sum (halflife 1h, last 8
+    events) per user - the irregular-sampling recency feature a
+    row-step EWM gets wrong; fixed-order finite sum so the SQL chain
+    replays bit-for-bit. Nulls filtered on both sides (same convention
+    as ewm_value_by_user)."""
+    from temporalscope_ray.stages.window_features import add_decayed_sum
+
+    ev = _events(sf_dir, ("event_id", "ts", "user_id", "value")).map_batches(
+        lambda t: t.filter(pa.compute.is_valid(t.column("value"))),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    out = add_decayed_sum(ev, id_col="user_id", time_col="ts",
+                          value_col="value", halflife_s=3600.0, window=8,
+                          tiebreak=["event_id"])
+    return _round_cols(out, ["value_decay_sum_8"])
+
+
 def q_mode_event_type_by_user(sf_dir: str):
     """Each user's most frequent event type (deterministic ties:
     count desc then value asc) — the categorical profile feature."""
@@ -1996,6 +2014,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promo_revenue_share": q_promo_revenue_share,
         "rolling_type_diversity": q_rolling_type_diversity,
         "table_diff_customer": q_table_diff_customer,
+        "decayed_sum_by_user": q_decayed_sum_by_user,
         "doc_keywords": q_doc_keywords,
         "target_encode_events": q_target_encode_events,
         "freq_encode_events": q_freq_encode_events,
@@ -2766,6 +2785,20 @@ def oracle_sql() -> dict[str, str]:
                               SUM(n) OVER (PARTITION BY user_id) tot FROM c)
             SELECT user_id, ROUND(SUM(-(n / tot) * ln(n / tot)), 6) AS entropy
             FROM t GROUP BY user_id
+        """,
+        "decayed_sum_by_user": """
+            WITH f AS (SELECT event_id, ts, user_id, value, epoch_us(ts) AS tu
+                       FROM events WHERE value IS NOT NULL)
+            SELECT event_id, ts, user_id, value,
+                   ROUND(value
+                   + COALESCE(exp(-1.9254088348887368e-10 * (tu - lag(tu, 1) OVER w)) * lag(value, 1) OVER w, 0)
+                   + COALESCE(exp(-1.9254088348887368e-10 * (tu - lag(tu, 2) OVER w)) * lag(value, 2) OVER w, 0)
+                   + COALESCE(exp(-1.9254088348887368e-10 * (tu - lag(tu, 3) OVER w)) * lag(value, 3) OVER w, 0)
+                   + COALESCE(exp(-1.9254088348887368e-10 * (tu - lag(tu, 4) OVER w)) * lag(value, 4) OVER w, 0)
+                   + COALESCE(exp(-1.9254088348887368e-10 * (tu - lag(tu, 5) OVER w)) * lag(value, 5) OVER w, 0)
+                   + COALESCE(exp(-1.9254088348887368e-10 * (tu - lag(tu, 6) OVER w)) * lag(value, 6) OVER w, 0)
+                   + COALESCE(exp(-1.9254088348887368e-10 * (tu - lag(tu, 7) OVER w)) * lag(value, 7) OVER w, 0), 6) AS value_decay_sum_8
+            FROM f WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
         "table_diff_customer": """
             WITH a AS (SELECT c_custkey, c_name, c_acctbal FROM customer

@@ -1547,3 +1547,60 @@ def add_rolling_distinct(
         return out
 
     return grouped.grouped_ordered_map(ds, id_col, order, fn, num_buckets=num_buckets)
+
+
+def add_decayed_sum(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str,
+    time_col: str,
+    value_col: str,
+    halflife_s: float = 3600.0,
+    window: int = 8,
+    out_col: Optional[str] = None,
+    tiebreak: Optional[Sequence[str]] = None,
+    num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+) -> ray.data.Dataset:
+    """Time-decayed recency-weighted sum per entity — the fraud/recsys
+    "how much has this user done LATELY" feature for irregularly
+    sampled events, where a row-step EWM (``add_ewm_features``) is
+    wrong because a 1-minute-ago event and a 1-week-ago event must not
+    weigh the same. Each row gets
+    ``Σ_{k=0..window−1} 2^(−Δt_k / halflife) · v_{i−k}`` over the
+    entity's last ``window`` events (current row weight 1, Δt in wall
+    time).
+
+    Truncating at ``window`` events is what makes the result
+    BIT-reproducible across engines: the infinite recursion
+    ``s = v + s_prev·decay`` has no parallel closed form that doesn't
+    overflow ``exp(λ·t)`` over a long stream, while the finite form is
+    a fixed-order sum of ``window`` identical double products —
+    evaluated here as ``window`` segment-safe shifted passes (no
+    per-row Python) in exactly the order the SQL oracle's explicit
+    ``+`` chain uses. Rows whose value is null contribute nothing and
+    receive a weight-1 zero term (filter nulls upstream if SQL-null
+    propagation matters). Weights below ~1e−308 underflow to 0.0
+    identically in every IEEE engine.
+    """
+    order = [time_col, *(tiebreak or [])]
+    dst = out_col or f"{value_col}_decay_sum_{window}"
+    lam = np.log(2.0) / (halflife_s * 1e6)  # per microsecond
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.copy()
+        ts = g[time_col].to_numpy()
+        ts_us = ts.astype("datetime64[us]").astype(np.int64) if np.issubdtype(
+            ts.dtype, np.datetime64) else ts.astype(np.int64)
+        tf = ts_us.astype(np.float64)
+        v = g[value_col].to_numpy(dtype=np.float64)
+        seg_id = _segment_ids(grouped.entity_segments(g[id_col].to_numpy()))
+        acc = np.where(np.isnan(v), 0.0, v)  # k = 0: weight exp(0) = 1
+        for k in range(1, window):
+            tv = _seg_shift(tf, seg_id, k)
+            vv = _seg_shift(v, seg_id, k)
+            term = np.exp(-lam * (tf - tv)) * vv
+            acc = acc + np.where(np.isnan(term), 0.0, term)
+        out[dst] = acc
+        return out
+
+    return grouped.grouped_ordered_map(ds, id_col, order, fn, num_buckets=num_buckets)

@@ -455,3 +455,45 @@ def test_add_rolling_distinct_matches_pandas_nunique(ray_session):
             win = [x for x in c[max(0, i - 3):i + 1] if x is not None and x == x]
             vals.append(len(set(win)))
     assert out["cat_roll_nunique_4"].tolist() == vals
+
+
+def test_add_decayed_sum_closed_form(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data
+
+    from temporalscope_ray.stages.window_features import add_decayed_sum
+
+    # hand-checkable: events at 0, 1h, 2h -> weights 1, 1/2, 1/4
+    ts = pd.to_datetime(["2024-01-01 00:00", "2024-01-01 01:00", "2024-01-01 02:00"])
+    df = pd.DataFrame({"eid": [0, 1, 2], "ts": ts, "uid": [1, 1, 1],
+                       "v": [4.0, 2.0, 1.0]})
+    out = add_decayed_sum(ray.data.from_pandas(df), id_col="uid", time_col="ts",
+                          value_col="v", halflife_s=3600.0, window=8,
+                          tiebreak=["eid"]).to_pandas().sort_values("eid")
+    got = out["v_decay_sum_8"].to_numpy()
+    assert got[0] == pytest.approx(4.0)
+    assert got[1] == pytest.approx(2.0 + 4.0 * 0.5)
+    assert got[2] == pytest.approx(1.0 + 2.0 * 0.5 + 4.0 * 0.25)
+
+    # truncation: only the last `window` events contribute
+    n = 20
+    ts2 = pd.date_range("2024-01-01", periods=n, freq="h")
+    df2 = pd.DataFrame({"eid": range(n), "ts": ts2, "uid": [7] * n,
+                        "v": np.ones(n)})
+    out2 = add_decayed_sum(ray.data.from_pandas(df2).repartition(3),
+                           id_col="uid", time_col="ts", value_col="v",
+                           halflife_s=3600.0, window=4,
+                           tiebreak=["eid"]).to_pandas().sort_values("eid")
+    want_full = 1 + 0.5 + 0.25 + 0.125
+    assert out2["v_decay_sum_4"].to_numpy()[-1] == pytest.approx(want_full)
+
+    # segment isolation: another user's events never leak in
+    df3 = pd.concat([df2, pd.DataFrame({"eid": [100], "ts": [ts2[0]],
+                                        "uid": [8], "v": [1000.0]})])
+    out3 = add_decayed_sum(ray.data.from_pandas(df3), id_col="uid",
+                           time_col="ts", value_col="v", halflife_s=3600.0,
+                           window=4, tiebreak=["eid"]).to_pandas()
+    u8 = out3[out3["uid"] == 8]["v_decay_sum_4"]
+    assert u8.tolist() == [1000.0]
