@@ -1076,6 +1076,24 @@ def q_decayed_sum_by_user(sf_dir: str):
     return _round_cols(out, ["value_decay_sum_8"])
 
 
+def q_impute_median_by_type(sf_dir: str):
+    """Per-type median imputation of value (nulls planted at
+    event_id % 13 == 0 so the fill path is exercised on this data);
+    fill value quantized to 6dp so both engines substitute an
+    identical double, non-null rows pass through bit-exact."""
+    from temporalscope_ray.stages.stats import impute_per_group
+
+    ev = _events(sf_dir, ("event_id", "event_type", "value"))
+
+    def mask(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["value"] = np.where(df["event_id"] % 13 == 0, np.nan, df["value"])
+        return out
+
+    masked = ev.map_batches(mask, batch_format="pandas")
+    return impute_per_group(masked, "event_type", "value", strategy="median")
+
+
 def q_mode_event_type_by_user(sf_dir: str):
     """Each user's most frequent event type (deterministic ties:
     count desc then value asc) — the categorical profile feature."""
@@ -2015,6 +2033,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_type_diversity": q_rolling_type_diversity,
         "table_diff_customer": q_table_diff_customer,
         "decayed_sum_by_user": q_decayed_sum_by_user,
+        "impute_median_by_type": q_impute_median_by_type,
         "doc_keywords": q_doc_keywords,
         "target_encode_events": q_target_encode_events,
         "freq_encode_events": q_freq_encode_events,
@@ -2785,6 +2804,16 @@ def oracle_sql() -> dict[str, str]:
                               SUM(n) OVER (PARTITION BY user_id) tot FROM c)
             SELECT user_id, ROUND(SUM(-(n / tot) * ln(n / tot)), 6) AS entropy
             FROM t GROUP BY user_id
+        """,
+        "impute_median_by_type": """
+            WITH e AS (SELECT event_id, event_type,
+                              CASE WHEN event_id % 13 = 0 THEN NULL ELSE value END AS value
+                       FROM events),
+                 m AS (SELECT event_type, ROUND(quantile_cont(value, 0.5), 6) AS med
+                       FROM e GROUP BY event_type)
+            SELECT event_id, e.event_type, e.value,
+                   COALESCE(e.value, m.med) AS value_imputed
+            FROM e LEFT JOIN m USING (event_type)
         """,
         "decayed_sum_by_user": """
             WITH f AS (SELECT event_id, ts, user_id, value, epoch_us(ts) AS tu

@@ -808,3 +808,59 @@ def ks_drift(
         scale = 10.0 ** round_to
         ks = np.sign(ks) * np.floor(abs(ks) * scale + 0.5) / scale
     return pd.DataFrame({"ks": [ks], "n_ref": [np.int64(na)], "n_cur": [np.int64(nb)]})
+
+
+def impute_per_group(
+    ds: ray.data.Dataset,
+    key_col: str,
+    value_col: str,
+    *,
+    strategy: str = "median",
+    out_col: str | None = None,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Per-group missing-value imputation — nulls become the group's
+    median (robust default) or mean. Same two-pass zero-fact-shuffle
+    shape as ``winsorize_per_group``: the group statistic comes from
+    one projected-pair exchange (``grouped_quantile``) or a combiner
+    pass (mean), the vocab-sized fill table broadcasts, and the fill is
+    a vectorized ``where`` over the untouched fact stream.
+
+    Precision contract: the FILL value is quantized to 6 decimals
+    (half-away-from-zero) so both engines substitute a bit-identical
+    double; non-null rows pass through bit-exact with no rounding. A
+    group whose values are all null fills nothing (stays null — SQL
+    ``COALESCE`` with a null aggregate).
+    """
+    if strategy not in ("median", "mean"):
+        raise ValueError(f"impute_per_group: unknown strategy '{strategy}'")
+    if strategy == "median":
+        from .agg import grouped_quantile
+
+        stats = grouped_quantile(ds, key_col, value_col, q=0.5,
+                                 num_buckets=num_buckets).to_pandas()
+        fill = stats.iloc[:, 1].to_numpy(dtype=np.float64)
+        keys = stats[key_col]
+    else:
+        stats = hash_groupby_aggregate(
+            ds.select_columns([key_col, value_col]), [key_col],
+            {"__s__": (value_col, "sum"), "__n__": (value_col, "count")},
+            num_buckets=num_buckets).to_pandas()
+        with np.errstate(invalid="ignore", divide="ignore"):
+            fill = np.where(stats["__n__"] > 0,
+                            stats["__s__"] / stats["__n__"], np.nan)
+        keys = stats[key_col]
+    scale = 1e6
+    with np.errstate(invalid="ignore"):
+        fill = np.sign(fill) * np.floor(np.abs(fill) * scale + 0.5) / scale
+    ref = ray.put(pd.DataFrame({key_col: keys, "__fill__": fill}))
+    dst = out_col or f"{value_col}_imputed"
+
+    def apply(df: pd.DataFrame) -> pd.DataFrame:
+        m = df[[key_col]].merge(ray.get(ref), on=key_col, how="left")
+        v = df[value_col].to_numpy(dtype=np.float64)
+        out = df.copy()
+        out[dst] = np.where(np.isnan(v), m["__fill__"].to_numpy(np.float64), v)
+        return out
+
+    return ds.map_batches(apply, batch_format="pandas")

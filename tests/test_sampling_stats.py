@@ -685,3 +685,28 @@ def test_ks_drift_exact_vs_brute_force(ray_session):
     stable = pd.DataFrame({"ts": ts, "value": rng.normal(0, 1, n)})
     ks_stable = ks_drift(ray.data.from_pandas(stable), "value", "ts")["ks"][0]
     assert out["ks"][0] > 0.3 and ks_stable < 0.1
+
+
+def test_impute_per_group_median_and_mean(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from temporalscope_ray.stages.stats import impute_per_group
+
+    df = pd.DataFrame({
+        "g": ["a"] * 5 + ["b"] * 3 + ["c"] * 2,
+        "v": [1.0, 2.0, 3.0, np.nan, 100.0,   # a: median 2.5, mean 26.5
+              7.0, np.nan, 9.0,               # b: median 8
+              np.nan, np.nan],                # c: all null -> stays null
+    })
+    ds = ray.data.from_pandas(df).repartition(3)
+    med = impute_per_group(ds, "g", "v", strategy="median").to_pandas()
+    filled = med[med["v"].isna()].set_index("g")["v_imputed"]
+    assert filled["a"] == 2.5 and filled["b"] == 8.0
+    assert med[med["g"] == "c"]["v_imputed"].isna().all()
+    ok = med["v"].notna()
+    assert (med.loc[ok, "v_imputed"] == med.loc[ok, "v"]).all()  # passthrough exact
+
+    mean = impute_per_group(ds, "g", "v", strategy="mean").to_pandas()
+    assert mean[mean["v"].isna()].set_index("g")["v_imputed"]["a"] == 26.5
