@@ -1094,6 +1094,39 @@ def q_impute_median_by_type(sf_dir: str):
     return impute_per_group(masked, "event_type", "value", strategy="median")
 
 
+def q_cume_dist_value(sf_dir: str):
+    """Global ECDF (CUME_DIST) of value per event row - the
+    probability-integral-transform normalization; distinct-value
+    combiner + one sorted scan + value join-back, counts int64 so the
+    division is bit-exact."""
+    from temporalscope_ray.stages.stats import add_cume_dist
+
+    ev = _events(sf_dir, ("event_id", "value"))
+    return add_cume_dist(ev, "value")
+
+
+def q_trend_by_user(sf_dir: str):
+    """Per-user whole-history OLS trend of value vs hours-since-stream-
+    start (slope = value units/hour, intercept = level at stream start):
+    two combiner passes with final-mean centering, regr_slope/intercept
+    NULL rules (n<2 or constant x)."""
+    from ray.data.aggregate import Min
+
+    from temporalscope_ray.stages.stats import grouped_ols
+
+    ev = _events(sf_dir, ("event_id", "ts", "user_id", "value"))
+    t0 = int(pd.Timestamp(ev.aggregate(Min("ts"))["min(ts)"]).value // 1000)
+
+    def hours(df: pd.DataFrame) -> pd.DataFrame:
+        tu = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        return pd.DataFrame({"user_id": df["user_id"],
+                             "x_hours": (tu - t0) / 3.6e9,
+                             "value": df["value"]})
+
+    xs = ev.map_batches(hours, batch_format="pandas")
+    return grouped_ols(xs, "user_id", "x_hours", "value")
+
+
 def q_mode_event_type_by_user(sf_dir: str):
     """Each user's most frequent event type (deterministic ties:
     count desc then value asc) — the categorical profile feature."""
@@ -2034,6 +2067,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_diff_customer": q_table_diff_customer,
         "decayed_sum_by_user": q_decayed_sum_by_user,
         "impute_median_by_type": q_impute_median_by_type,
+        "cume_dist_value": q_cume_dist_value,
+        "trend_by_user": q_trend_by_user,
         "doc_keywords": q_doc_keywords,
         "target_encode_events": q_target_encode_events,
         "freq_encode_events": q_freq_encode_events,
@@ -2804,6 +2839,23 @@ def oracle_sql() -> dict[str, str]:
                               SUM(n) OVER (PARTITION BY user_id) tot FROM c)
             SELECT user_id, ROUND(SUM(-(n / tot) * ln(n / tot)), 6) AS entropy
             FROM t GROUP BY user_id
+        """,
+        "trend_by_user": """
+            WITH t0 AS (SELECT MIN(epoch_us(ts)) AS v FROM events),
+                 f AS (SELECT user_id,
+                              (epoch_us(ts) - t0.v) / 3600000000.0 AS x,
+                              value FROM events, t0)
+            SELECT user_id, regr_count(value, x) AS n,
+                   ROUND(regr_slope(value, x), 6) AS slope,
+                   ROUND(regr_intercept(value, x), 6) AS intercept
+            FROM f GROUP BY user_id
+        """,
+        "cume_dist_value": """
+            WITH f AS (SELECT event_id, value FROM events WHERE value IS NOT NULL),
+                 c AS (SELECT event_id, CUME_DIST() OVER (ORDER BY value) AS value_cume
+                       FROM f)
+            SELECT e.event_id, e.value, c.value_cume
+            FROM events e LEFT JOIN c USING (event_id)
         """,
         "impute_median_by_type": """
             WITH e AS (SELECT event_id, event_type,

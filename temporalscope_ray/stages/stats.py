@@ -864,3 +864,167 @@ def impute_per_group(
         return out
 
     return ds.map_batches(apply, batch_format="pandas")
+
+
+def add_cume_dist(
+    ds: ray.data.Dataset,
+    value_col: str,
+    *,
+    out_col: str | None = None,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Global empirical-CDF transform: each row gets
+    ``P(value ≤ v) = (# non-null rows ≤ v) / N`` — SQL ``CUME_DIST()``,
+    the probability-integral-transform feature (rank-normalization that
+    is monotone, bounded, and robust to any marginal distribution).
+    Nulls map to null.
+
+    Distributed exactness without ranking the fact table: (1) the
+    distinct-value combiner reduces the stream to ``(value, count)``
+    (ties collapse here, so tied rows share one CDF step — the
+    CUME_DIST rule); (2) ``scan.global_running_sum`` turns the sorted
+    distinct table into inclusive cumulative counts with O(blocks)
+    driver traffic; (3) the facts pick up their value's CDF through an
+    ``equi_join`` on the value itself (auto plan: broadcast while the
+    distinct table is small, one bucketed exchange at scale). Counts
+    are int64, the division is the same two integers in both engines —
+    bit-exact, no rounding.
+
+    Join-key canonicalization: ``−0.0`` is normalized to ``+0.0``
+    (``v + 0.0``) on BOTH sides before grouping and joining — the two
+    zeros compare equal (one CDF step, the SQL order) but their BYTES
+    differ, so a byte-hash bucket exchange splits them into two
+    distinct rows and routes facts away from their CDF row (caught by
+    the unit test: two adjacent CDF steps for the same value).
+    """
+    from .join import equi_join
+    from .scan import global_running_sum
+
+    dst = out_col or f"{value_col}_cume"
+    vkey = "__vkey__"
+
+    def keyed(t: pa.Table) -> pa.Table:
+        v = pa.compute.add(t.column(value_col), pa.scalar(0.0))  # -0.0 -> +0.0
+        return t.append_column(vkey, v)
+
+    facts = ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+
+    def distinct_in(t: pa.Table) -> pa.Table:
+        t = t.filter(pa.compute.is_valid(t.column(vkey)))
+        return t.select([vkey])
+
+    counts = hash_groupby_aggregate(
+        facts.map_batches(distinct_in, batch_format="pyarrow", zero_copy_batch=True),
+        [vkey],
+        {"__n__": (None, "count")},
+        num_buckets=num_buckets,
+    )
+    ranks = global_running_sum(counts, order_by=[vkey], value_col="__n__",
+                               out_col="__cum__").materialize()
+    total = int(ranks.max("__cum__"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        cum = t.column("__cum__").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            vkey: t.column(vkey),
+            dst: pa.array(cum / float(total)),
+        })
+
+    cdf = ranks.map_batches(finish, batch_format="pyarrow")
+    joined = equi_join(facts, cdf, on=vkey, how="left")
+    return joined.map_batches(lambda t: t.drop_columns([vkey]),
+                              batch_format="pyarrow", zero_copy_batch=True)
+
+
+def grouped_ols(
+    ds: ray.data.Dataset,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+    *,
+    num_buckets: int = 32,
+    round_to: int | None = 6,
+) -> ray.data.Dataset:
+    """Per-group simple linear regression (OLS slope + intercept of y on
+    x) — the whole-history trend profile beside the windowed
+    ``add_rolling_slope``. SQL ``regr_slope / regr_intercept``
+    semantics: pairwise-complete rows, NULL when fewer than 2 pairs or
+    x is constant within the group (verified: DuckDB returns NULL for
+    both).
+
+    Same two-pass combiner shape as ``grouped_moments``: pass 1 reduces
+    to per-group ``(n, Σx, Σy, min x, max x)``; pass 2 reduces centered
+    ``Σcx², Σcx·cy`` — centering on the final group means keeps the
+    cross sums conditioned regardless of where x lives (callers should
+    still feed a sane x origin, e.g. hours since stream start, so the
+    INTERCEPT extrapolates to something meaningful). Constant-x is
+    detected exactly via min == max, never a variance floor. Facts are
+    scanned twice and never shuffled.
+
+    Output: ``key, n (int64), slope, intercept`` rounded to
+    ``round_to``.
+    """
+    proj = ds.select_columns([key_col, x_col, y_col])
+
+    def p1(df: pd.DataFrame) -> pd.DataFrame:
+        x = df[x_col].to_numpy(dtype=np.float64)
+        y = df[y_col].to_numpy(dtype=np.float64)
+        ok = ~(np.isnan(x) | np.isnan(y))
+        sub = pd.DataFrame({key_col: df[key_col][ok], "__x__": x[ok], "__y__": y[ok]})
+        return sub
+
+    m = hash_groupby_aggregate(
+        proj.map_batches(p1, batch_format="pandas"),
+        [key_col],
+        {"n": ("__x__", "count"), "sx": ("__x__", "sum"), "sy": ("__y__", "sum"),
+         "lo": ("__x__", "min"), "hi": ("__x__", "max")},
+        num_buckets=num_buckets,
+    ).to_pandas()
+    with np.errstate(invalid="ignore", divide="ignore"):
+        mx = m["sx"].to_numpy() / m["n"].to_numpy()
+        my = m["sy"].to_numpy() / m["n"].to_numpy()
+    means = pd.DataFrame({key_col: m[key_col], "__mx__": mx, "__my__": my})
+    means_ref = ray.put(means)
+    const = set(m.loc[m["lo"] == m["hi"], key_col])
+    const_ref = ray.put(const)
+
+    def p2(df: pd.DataFrame) -> pd.DataFrame:
+        x = df[x_col].to_numpy(dtype=np.float64)
+        y = df[y_col].to_numpy(dtype=np.float64)
+        ok = ~(np.isnan(x) | np.isnan(y))
+        mm = df[[key_col]].merge(ray.get(means_ref), on=key_col, how="left")
+        cx = x - mm["__mx__"].to_numpy()
+        cy = y - mm["__my__"].to_numpy()
+        return pd.DataFrame({
+            key_col: df[key_col][ok],
+            "__xx__": (cx * cx)[ok],
+            "__xy__": (cx * cy)[ok],
+        })
+
+    stats_ref = ray.put(m[[key_col, "n"]].merge(means, on=key_col))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        mm = df[[key_col]].merge(ray.get(stats_ref), on=key_col, how="left")
+        n = mm["n"].to_numpy(dtype=np.float64)
+        is_const = df[key_col].isin(ray.get(const_ref)).to_numpy()
+        with np.errstate(invalid="ignore", divide="ignore"):
+            slope = df["xy"].to_numpy() / df["xx"].to_numpy()
+            intercept = mm["__my__"].to_numpy() - slope * mm["__mx__"].to_numpy()
+        bad = (n < 2) | is_const
+        slope = np.where(bad, np.nan, slope)
+        intercept = np.where(bad, np.nan, intercept)
+        if round_to is not None:
+            scale = 10.0 ** round_to
+            with np.errstate(invalid="ignore"):
+                slope = np.sign(slope) * np.floor(np.abs(slope) * scale + 0.5) / scale
+                intercept = np.sign(intercept) * np.floor(
+                    np.abs(intercept) * scale + 0.5) / scale
+        return pd.DataFrame({key_col: df[key_col], "n": mm["n"].astype(np.int64),
+                             "slope": slope, "intercept": intercept})
+
+    return hash_groupby_aggregate(
+        proj.map_batches(p2, batch_format="pandas"),
+        [key_col],
+        {"xx": ("__xx__", "sum"), "xy": ("__xy__", "sum")},
+        num_buckets=num_buckets,
+    ).map_batches(finish, batch_format="pandas")

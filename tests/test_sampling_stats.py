@@ -710,3 +710,50 @@ def test_impute_per_group_median_and_mean(ray_session):
 
     mean = impute_per_group(ds, "g", "v", strategy="mean").to_pandas()
     assert mean[mean["v"].isna()].set_index("g")["v_imputed"]["a"] == 26.5
+
+
+def test_grouped_ols_matches_polyfit_and_null_rules(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from temporalscope_ray.stages.stats import grouped_ols
+
+    rng = np.random.default_rng(17)
+    n = 900
+    g = rng.integers(0, 3, n).astype(str)
+    x = rng.random(n) * 50
+    y = 2.0 * x + rng.normal(0, 5, n)
+    df = pd.DataFrame({"g": g, "x": x, "y": y})
+    # group 'z': single point; group 'c': constant x
+    df = pd.concat([df, pd.DataFrame({"g": ["z", "c", "c"], "x": [1.0, 4.0, 4.0],
+                                      "y": [9.0, 1.0, 2.0]})])
+    out = grouped_ols(ray.data.from_pandas(df).repartition(4), "g", "x", "y") \
+        .to_pandas().set_index("g")
+    for gr, sub in df[df["g"].isin(list("012"))].groupby("g"):
+        sl, ic = np.polyfit(sub["x"], sub["y"], 1)
+        assert out.loc[gr, "slope"] == pytest.approx(sl, abs=1e-6)
+        assert out.loc[gr, "intercept"] == pytest.approx(ic, abs=1e-6)
+    assert np.isnan(out.loc["z", "slope"]) and np.isnan(out.loc["c", "slope"])
+    assert np.isnan(out.loc["c", "intercept"])
+
+
+def test_add_cume_dist_matches_rankdata(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from temporalscope_ray.stages.stats import add_cume_dist
+
+    rng = np.random.default_rng(23)
+    v = np.round(rng.normal(0, 1, 400), 1)   # coarse -> many ties
+    v[5] = np.nan
+    df = pd.DataFrame({"i": np.arange(400), "v": v})
+    out = add_cume_dist(ray.data.from_pandas(df).repartition(5), "v") \
+        .to_pandas().sort_values("i").reset_index(drop=True)
+    ok = ~np.isnan(v)
+    vv = v[ok]
+    want = np.array([ (vv <= x).sum() for x in vv ]) / len(vv)
+    got = out["v_cume"].to_numpy()[ok]
+    assert np.array_equal(got, want)          # bit-exact: same int counts
+    assert np.isnan(out["v_cume"].to_numpy()[~ok]).all()
