@@ -1127,6 +1127,17 @@ def q_trend_by_user(sf_dir: str):
     return grouped_ols(xs, "user_id", "x_hours", "value")
 
 
+def q_value_quantiles_sketch(sf_dir: str):
+    """Sort-free histogram quantile estimate of value at p50/p90/p99
+    (error bounded by one bin width; every arithmetic step shared with
+    the SQL replay so even the approximation is bit-exact): one
+    min/max tree-reduce + one combiner count exchange, never a sort."""
+    from temporalscope_ray.stages.stats import approx_quantile_hist
+
+    ev = _events(sf_dir, ("value",))
+    return approx_quantile_hist(ev, "value", [0.5, 0.9, 0.99], bins=1024)
+
+
 def q_mode_event_type_by_user(sf_dir: str):
     """Each user's most frequent event type (deterministic ties:
     count desc then value asc) — the categorical profile feature."""
@@ -2069,6 +2080,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "impute_median_by_type": q_impute_median_by_type,
         "cume_dist_value": q_cume_dist_value,
         "trend_by_user": q_trend_by_user,
+        "value_quantiles_sketch": q_value_quantiles_sketch,
         "doc_keywords": q_doc_keywords,
         "target_encode_events": q_target_encode_events,
         "freq_encode_events": q_freq_encode_events,
@@ -2839,6 +2851,19 @@ def oracle_sql() -> dict[str, str]:
                               SUM(n) OVER (PARTITION BY user_id) tot FROM c)
             SELECT user_id, ROUND(SUM(-(n / tot) * ln(n / tot)), 6) AS entropy
             FROM t GROUP BY user_id
+        """,
+        "value_quantiles_sketch": """
+            WITH m AS (SELECT MIN(value) lo, MAX(value) hi FROM events),
+                 b AS (SELECT CAST(LEAST(FLOOR((value - m.lo) * 1024 / (m.hi - m.lo)),
+                                         1023) AS BIGINT) AS bin
+                       FROM events, m WHERE value IS NOT NULL),
+                 c AS (SELECT bin, COUNT(*) n FROM b GROUP BY bin),
+                 w AS (SELECT bin, SUM(n) OVER (ORDER BY bin) cum FROM c),
+                 t AS (SELECT SUM(n) total FROM c),
+                 qs(q) AS (VALUES (0.5), (0.9), (0.99)),
+                 r AS (SELECT q, MIN(bin) AS bin FROM qs, w, t
+                       WHERE w.cum >= GREATEST(1.0, CEILING(q * t.total)) GROUP BY q)
+            SELECT q, m.lo + (bin + 1) * (m.hi - m.lo) / 1024 AS value FROM r, m
         """,
         "trend_by_user": """
             WITH t0 AS (SELECT MIN(epoch_us(ts)) AS v FROM events),

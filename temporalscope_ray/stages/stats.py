@@ -1028,3 +1028,70 @@ def grouped_ols(
         {"xx": ("__xx__", "sum"), "xy": ("__xy__", "sum")},
         num_buckets=num_buckets,
     ).map_batches(finish, batch_format="pandas")
+
+
+def approx_quantile_hist(
+    ds: ray.data.Dataset,
+    value_col: str,
+    qs: Sequence[float],
+    *,
+    bins: int = 1024,
+    num_buckets: int = 8,
+) -> pd.DataFrame:
+    """Sort-free quantile ESTIMATE — the monitoring-grade scale path the
+    exact operator (``exact_quantiles``, one global sort) is too heavy
+    for: one min/max tree-reduce plus one combiner count exchange of at
+    most ``bins`` partial rows per block, never a sort, never the
+    column on the driver. The estimate is the RIGHT EDGE of the
+    equal-width bin containing rank ``ceil(q·N)``, so the error is
+    bounded by one bin width ``(max−min)/bins`` — deterministic, not
+    probabilistic, and every arithmetic step (bin expression, float
+    rank, edge interpolation) is shared verbatim with the SQL replay,
+    making even this APPROXIMATION bit-exactly reproducible across
+    engines. Nulls ignored; an all-null column yields NaN.
+
+    Returns a small driver DataFrame ``(q, value)``.
+    """
+    from ray.data.aggregate import Max, Min
+
+    qs = list(qs)
+    if any(not (0.0 <= q <= 1.0) for q in qs):
+        raise ValueError("approx_quantile_hist: q values must be in [0, 1]")
+    agg = ds.aggregate(Min(value_col), Max(value_col))
+    lo, hi = agg[f"min({value_col})"], agg[f"max({value_col})"]
+    if lo is None or (isinstance(lo, float) and np.isnan(lo)):
+        return pd.DataFrame({"q": qs, "value": [float("nan")] * len(qs)})
+    lo, hi = float(lo), float(hi)
+    k = bins
+
+    def to_bins(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[value_col].to_numpy(dtype=np.float64)
+        v = v[~np.isnan(v)]
+        with np.errstate(invalid="ignore"):
+            b = np.floor((v - lo) * k / (hi - lo)) if hi > lo else np.zeros(len(v))
+        b = np.minimum(b, k - 1).astype(np.int64)
+        cnt = np.bincount(b, minlength=k)
+        nz = np.flatnonzero(cnt)
+        return pd.DataFrame({"__bin__": nz, "__n__": cnt[nz].astype(np.int64)})
+
+    counts = hash_groupby_aggregate(
+        ds.select_columns([value_col]).map_batches(to_bins, batch_format="pandas"),
+        ["__bin__"],
+        {"n": ("__n__", "sum")},
+        num_buckets=num_buckets,
+    ).to_pandas().sort_values("__bin__")  # ≤ bins rows
+    cum = counts["n"].cumsum().to_numpy()
+    total = int(cum[-1]) if len(cum) else 0
+    if total == 0:
+        return pd.DataFrame({"q": qs, "value": [float("nan")] * len(qs)})
+    out = []
+    for q in qs:
+        # float rank on purpose: ceil(q·N) in IEEE arithmetic, shared
+        # with SQL CEILING(q * N) — consistency beats intuition at the
+        # representability edge (e.g. 0.99 * 10000 = 9900.000...02)
+        rank = max(1.0, np.ceil(q * total))
+        idx = int(np.searchsorted(cum, rank, side="left"))
+        b = int(counts["__bin__"].to_numpy()[idx])
+        est = lo + (b + 1) * (hi - lo) / k if hi > lo else lo
+        out.append(est)
+    return pd.DataFrame({"q": qs, "value": out})

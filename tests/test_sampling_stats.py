@@ -757,3 +757,29 @@ def test_add_cume_dist_matches_rankdata(ray_session):
     got = out["v_cume"].to_numpy()[ok]
     assert np.array_equal(got, want)          # bit-exact: same int counts
     assert np.isnan(out["v_cume"].to_numpy()[~ok]).all()
+
+
+def test_approx_quantile_hist_error_bound(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from temporalscope_ray.stages.stats import approx_quantile_hist
+
+    rng = np.random.default_rng(31)
+    v = rng.lognormal(2.0, 1.0, 5000)
+    v[10] = np.nan
+    df = pd.DataFrame({"v": v})
+    qs = [0.0, 0.25, 0.5, 0.9, 0.99, 1.0]
+    est = approx_quantile_hist(ray.data.from_pandas(df).repartition(6), "v", qs,
+                               bins=512)
+    ok = v[~np.isnan(v)]
+    width = (ok.max() - ok.min()) / 512
+    for q, e in zip(qs, est["value"]):
+        exact = np.quantile(ok, q, method="inverted_cdf")
+        assert abs(e - exact) <= width + 1e-9, (q, e, exact)
+    # estimates are monotone in q
+    assert (np.diff(est["value"]) >= -1e-12).all()
+    # block-layout determinism
+    est2 = approx_quantile_hist(ray.data.from_pandas(df), "v", qs, bins=512)
+    assert est["value"].tolist() == est2["value"].tolist()
