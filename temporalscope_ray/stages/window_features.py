@@ -1497,6 +1497,23 @@ def add_anomaly_flag(
     return grouped.grouped_ordered_map(feats, id_col, order, flag, num_buckets=num_buckets)
 
 
+def _rolling_distinct_codes(codes: np.ndarray, seg_id: np.ndarray, window: int) -> np.ndarray:
+    """Trailing distinct-count of factorized codes (−1 = null, never
+    counted) over per-segment windows — the pure kernel behind
+    ``add_rolling_distinct``; O(window²) vectorized comparisons."""
+    cols = [codes.astype(np.float64)]
+    for k in range(1, window):
+        cols.append(_seg_shift(codes.astype(np.float64), seg_id, k))
+    m = np.stack(cols)                      # (window, rows); NaN = out of segment
+    m = np.where(np.isnan(m) | (m < 0), -1.0, m)
+    valid = m >= 0
+    dup = np.zeros_like(valid)
+    for j in range(1, window):
+        eq = (m[j] == m[:j]) & valid[j] & valid[:j]
+        dup[j] = eq.any(axis=0)
+    return (valid & ~dup).sum(axis=0).astype(np.int64)
+
+
 def add_rolling_distinct(
     ds: ray.data.Dataset,
     *,
@@ -1533,20 +1550,25 @@ def add_rolling_distinct(
         out = g.copy()
         codes, _ = pd.factorize(g[cat_col], use_na_sentinel=True)  # null -> -1
         seg_id = _segment_ids(grouped.entity_segments(g[id_col].to_numpy()))
-        cols = [codes.astype(np.float64)]
-        for k in range(1, window):
-            cols.append(_seg_shift(codes.astype(np.float64), seg_id, k))
-        m = np.stack(cols)                      # (window, rows); NaN = out of segment
-        m = np.where(np.isnan(m) | (m < 0), -1.0, m)
-        valid = m >= 0
-        dup = np.zeros_like(valid)
-        for j in range(1, window):
-            eq = (m[j] == m[:j]) & valid[j] & valid[:j]
-            dup[j] = eq.any(axis=0)
-        out[dst] = (valid & ~dup).sum(axis=0).astype(np.int64)
+        out[dst] = _rolling_distinct_codes(codes, seg_id, window)
         return out
 
     return grouped.grouped_ordered_map(ds, id_col, order, fn, num_buckets=num_buckets)
+
+
+def _decayed_sum(tf: np.ndarray, v: np.ndarray, seg_id: np.ndarray,
+                 lam: float, window: int) -> np.ndarray:
+    """Fixed-order finite decayed sum (k = 0..window−1 of
+    ``exp(−lam·Δt_k)·v_{i−k}`` within segments; null terms contribute
+    0) — the pure kernel behind ``add_decayed_sum``. The accumulation
+    order (k ascending) is part of the bit-reproducibility contract."""
+    acc = np.where(np.isnan(v), 0.0, v)  # k = 0: weight exp(0) = 1
+    for k in range(1, window):
+        tv = _seg_shift(tf, seg_id, k)
+        vv = _seg_shift(v, seg_id, k)
+        term = np.exp(-lam * (tf - tv)) * vv
+        acc = acc + np.where(np.isnan(term), 0.0, term)
+    return acc
 
 
 def add_decayed_sum(
@@ -1591,16 +1613,9 @@ def add_decayed_sum(
         ts = g[time_col].to_numpy()
         ts_us = ts.astype("datetime64[us]").astype(np.int64) if np.issubdtype(
             ts.dtype, np.datetime64) else ts.astype(np.int64)
-        tf = ts_us.astype(np.float64)
         v = g[value_col].to_numpy(dtype=np.float64)
         seg_id = _segment_ids(grouped.entity_segments(g[id_col].to_numpy()))
-        acc = np.where(np.isnan(v), 0.0, v)  # k = 0: weight exp(0) = 1
-        for k in range(1, window):
-            tv = _seg_shift(tf, seg_id, k)
-            vv = _seg_shift(v, seg_id, k)
-            term = np.exp(-lam * (tf - tv)) * vv
-            acc = acc + np.where(np.isnan(term), 0.0, term)
-        out[dst] = acc
+        out[dst] = _decayed_sum(ts_us.astype(np.float64), v, seg_id, lam, window)
         return out
 
     return grouped.grouped_ordered_map(ds, id_col, order, fn, num_buckets=num_buckets)

@@ -214,3 +214,74 @@ def test_seg_rolling_std_matches_pandas(kv, window):
     offset = np.abs(vc).max() if len(vc) else 0.0
     tol = max(1e-9, offset * np.sqrt(2 * window * 2.3e-16) * 4)
     assert np.allclose(got, exp, equal_nan=True, atol=tol)
+
+
+# ---------------------------------------------------------------------------
+# rolling distinct-count kernel == brute-force window sets
+# ---------------------------------------------------------------------------
+
+@st.composite
+def keyed_codes(draw):
+    n = draw(st.integers(min_value=0, max_value=100))
+    keys = draw(st.lists(st.integers(min_value=0, max_value=4), min_size=n, max_size=n))
+    codes = draw(st.lists(st.integers(min_value=-1, max_value=3),  # -1 = null
+                          min_size=n, max_size=n))
+    return (np.sort(np.array(keys, dtype=np.int64)),
+            np.array(codes, dtype=np.int64))
+
+
+@FAST
+@given(keyed_codes(), st.integers(min_value=1, max_value=6))
+def test_rolling_distinct_codes_matches_bruteforce(kc, window):
+    from temporalscope_ray.stages.window_features import _rolling_distinct_codes
+
+    keys, codes = kc
+    seg_id = _segment_ids(entity_segments(keys))
+    got = _rolling_distinct_codes(codes, seg_id, window)
+    want = []
+    for i in range(len(codes)):
+        win = [codes[j] for j in range(max(0, i - window + 1), i + 1)
+               if seg_id[j] == seg_id[i] and codes[j] >= 0]
+        want.append(len(set(win)))
+    np.testing.assert_array_equal(got, np.array(want, dtype=np.int64))
+
+
+# ---------------------------------------------------------------------------
+# decayed-sum kernel == brute-force weighted window (and exact term order)
+# ---------------------------------------------------------------------------
+
+@st.composite
+def keyed_timed_values(draw):
+    n = draw(st.integers(min_value=0, max_value=80))
+    keys = draw(st.lists(st.integers(min_value=0, max_value=3), min_size=n, max_size=n))
+    # per-row time increments keep timestamps sorted within the frame
+    incs = draw(st.lists(st.integers(min_value=0, max_value=10**9),
+                         min_size=n, max_size=n))
+    vals = draw(st.lists(
+        st.one_of(st.just(float("nan")),
+                  st.floats(min_value=-1e3, max_value=1e3, allow_nan=False)),
+        min_size=n, max_size=n))
+    keys = np.sort(np.array(keys, dtype=np.int64))
+    ts = np.cumsum(np.array(incs, dtype=np.float64))
+    return keys, ts, np.array(vals, dtype=np.float64)
+
+
+@FAST
+@given(keyed_timed_values(), st.integers(min_value=1, max_value=5))
+def test_decayed_sum_matches_bruteforce(ktv, window):
+    from temporalscope_ray.stages.window_features import _decayed_sum
+
+    keys, tf, vals = ktv
+    lam = 1e-9
+    seg_id = _segment_ids(entity_segments(keys))
+    got = _decayed_sum(tf, vals, seg_id, lam, window)
+    want = np.zeros(len(vals))
+    for i in range(len(vals)):
+        acc = 0.0 if np.isnan(vals[i]) else vals[i]
+        for k in range(1, window):
+            j = i - k
+            if j < 0 or seg_id[j] != seg_id[i] or np.isnan(vals[j]):
+                continue
+            acc += np.exp(-lam * (tf[i] - tf[j])) * vals[j]
+        want[i] = acc
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-9)
