@@ -1138,6 +1138,20 @@ def q_value_quantiles_sketch(sf_dir: str):
     return approx_quantile_hist(ev, "value", [0.5, 0.9, 0.99], bins=1024)
 
 
+def q_will_purchase_7d(sf_dir: str):
+    """Churn/conversion LABEL: does the same user emit a purchase
+    strictly after each row within 7 days - exact int64 microseconds,
+    one bucket exchange, bucket-wide composite-key searchsorted (no
+    per-entity loop)."""
+    from temporalscope_ray.stages.window_features import add_future_event_flag
+
+    ev = _events(sf_dir, ("event_id", "ts", "user_id", "event_type"))
+    return add_future_event_flag(
+        ev, id_col="user_id", time_col="ts", type_col="event_type",
+        target_type="purchase", horizon_s=7 * 86400.0,
+        out_col="will_purchase_7d", tiebreak=["event_id"])
+
+
 def q_mode_event_type_by_user(sf_dir: str):
     """Each user's most frequent event type (deterministic ties:
     count desc then value asc) — the categorical profile feature."""
@@ -2081,6 +2095,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cume_dist_value": q_cume_dist_value,
         "trend_by_user": q_trend_by_user,
         "value_quantiles_sketch": q_value_quantiles_sketch,
+        "will_purchase_7d": q_will_purchase_7d,
         "doc_keywords": q_doc_keywords,
         "target_encode_events": q_target_encode_events,
         "freq_encode_events": q_freq_encode_events,
@@ -2851,6 +2866,15 @@ def oracle_sql() -> dict[str, str]:
                               SUM(n) OVER (PARTITION BY user_id) tot FROM c)
             SELECT user_id, ROUND(SUM(-(n / tot) * ln(n / tot)), 6) AS entropy
             FROM t GROUP BY user_id
+        """,
+        "will_purchase_7d": """
+            SELECT event_id, ts, user_id, event_type,
+                   COALESCE(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                            OVER (PARTITION BY user_id ORDER BY ts
+                                  RANGE BETWEEN INTERVAL 1 MICROSECOND FOLLOWING
+                                        AND INTERVAL 7 DAY FOLLOWING),
+                            0) AS will_purchase_7d
+            FROM events
         """,
         "value_quantiles_sketch": """
             WITH m AS (SELECT MIN(value) lo, MAX(value) hi FROM events),

@@ -1619,3 +1619,76 @@ def add_decayed_sum(
         return out
 
     return grouped.grouped_ordered_map(ds, id_col, order, fn, num_buckets=num_buckets)
+
+
+def add_future_event_flag(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str,
+    time_col: str,
+    type_col: str,
+    target_type: str,
+    horizon_s: float,
+    out_col: Optional[str] = None,
+    tiebreak: Optional[Sequence[str]] = None,
+    num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+) -> ray.data.Dataset:
+    """Future-window event LABEL: for every row, does the SAME entity
+    emit a ``target_type`` event strictly after this row's time and
+    within ``horizon_s`` seconds — the standard churn / conversion /
+    will-buy-in-7-days target constructor. Exact int64 microsecond
+    arithmetic; "strictly after" on µs-quantized timestamps is
+    identical to the SQL replay's ``RANGE BETWEEN INTERVAL 1
+    MICROSECOND FOLLOWING AND INTERVAL horizon FOLLOWING`` window.
+    Like ``add_time_to_next`` this column reads the FUTURE — it is a
+    label, never a same-row input feature.
+
+    One entity-bucket exchange; the whole bucket is probed with ONE
+    ``searchsorted`` over (segment, relative-time) composite int64 keys
+    — the disjoint-key-range trick the resampler uses — so there is no
+    per-entity loop (the fallback loop runs only if the composite would
+    overflow 63 bits, i.e. pathological time spans). Output is int64
+    0/1 (never null: "no future event" is a legitimate 0, exactly the
+    churn class).
+    """
+    order = [time_col, *(tiebreak or [])]
+    h_us = np.int64(round(horizon_s * 1e6))
+    dst = out_col or f"will_{target_type}_{int(horizon_s)}s"
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.copy()
+        ts = g[time_col].to_numpy()
+        ts_us = ts.astype("datetime64[us]").astype(np.int64) if np.issubdtype(
+            ts.dtype, np.datetime64) else ts.astype(np.int64)
+        is_t = (g[type_col] == target_type).to_numpy()
+        seg_id = _segment_ids(grouped.entity_segments(g[id_col].to_numpy()))
+        flag = np.zeros(len(g), dtype=np.int64)
+        n = len(g)
+        if n and is_t.any():
+            rel = ts_us - ts_us.min()
+            bits = int(rel.max()).bit_length() + 1   # +1 headroom for rel+h
+            n_seg = int(seg_id[-1]) + 1 if n else 0
+            if n_seg.bit_length() + bits < 63:
+                comp = (seg_id << np.int64(bits)) | rel
+                tgt_comp = comp[is_t]                 # sorted: rows sorted by (id, ts)
+                tgt_ts = ts_us[is_t]
+                tgt_seg = seg_id[is_t]
+                pos = np.searchsorted(tgt_comp, comp, side="right")
+                has = pos < len(tgt_comp)
+                safe = np.minimum(pos, len(tgt_comp) - 1)
+                flag = (has & (tgt_seg[safe] == seg_id)
+                        & (tgt_ts[safe] <= ts_us + h_us)).astype(np.int64)
+            else:  # overflow fallback: per-segment probes
+                segs = grouped.entity_segments(g[id_col].to_numpy())
+                for s, e in zip(segs[:-1], segs[1:]):
+                    tgt = ts_us[s:e][is_t[s:e]]
+                    if len(tgt) == 0:
+                        continue
+                    p = np.searchsorted(tgt, ts_us[s:e], side="right")
+                    hn = p < len(tgt)
+                    nxt = tgt[np.minimum(p, len(tgt) - 1)]
+                    flag[s:e] = (hn & (nxt <= ts_us[s:e] + h_us)).astype(np.int64)
+        out[dst] = flag
+        return out
+
+    return grouped.grouped_ordered_map(ds, id_col, order, fn, num_buckets=num_buckets)

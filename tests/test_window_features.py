@@ -497,3 +497,43 @@ def test_add_decayed_sum_closed_form(ray_session):
                            window=4, tiebreak=["eid"]).to_pandas()
     u8 = out3[out3["uid"] == 8]["v_decay_sum_4"]
     assert u8.tolist() == [1000.0]
+
+
+def test_add_future_event_flag_semantics(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from temporalscope_ray.stages.window_features import add_future_event_flag
+
+    base = pd.Timestamp("2024-01-01")
+    rows = [
+        # user 1: purchase 2h after first view (inside 3h horizon),
+        # nothing after the purchase
+        (1, base, "view"), (1, base + pd.Timedelta("2h"), "purchase"),
+        # user 2: purchase exactly AT the horizon boundary (inclusive)
+        (2, base, "view"), (2, base + pd.Timedelta("3h"), "purchase"),
+        # user 3: purchase at the SAME microsecond as the view — "strictly
+        # after" excludes it
+        (3, base, "view"), (3, base, "purchase"),
+        # user 4: purchase outside the horizon
+        (4, base, "view"), (4, base + pd.Timedelta("3h") + pd.Timedelta("1us"), "purchase"),
+    ]
+    df = pd.DataFrame(rows, columns=["uid", "ts", "t"])
+    df["eid"] = np.arange(len(df))
+    out = add_future_event_flag(
+        ray.data.from_pandas(df).repartition(3), id_col="uid", time_col="ts",
+        type_col="t", target_type="purchase", horizon_s=3 * 3600.0,
+        out_col="flag", tiebreak=["eid"],
+    ).to_pandas().sort_values("eid").reset_index(drop=True)
+    #           u1 view, u1 buy, u2 view, u2 buy, u3 view, u3 buy, u4 view, u4 buy
+    assert out["flag"].tolist() == [1, 0, 1, 0, 0, 0, 0, 0]
+
+    # cross-entity isolation: user 5's purchase never flags user 6
+    df2 = pd.DataFrame({"uid": [5, 6], "ts": [base, base + pd.Timedelta("1h")],
+                        "t": ["purchase", "view"], "eid": [0, 1]})
+    out2 = add_future_event_flag(
+        ray.data.from_pandas(df2), id_col="uid", time_col="ts", type_col="t",
+        target_type="purchase", horizon_s=86400.0, out_col="flag",
+        tiebreak=["eid"]).to_pandas()
+    assert out2["flag"].tolist() == [0, 0]
