@@ -1152,6 +1152,18 @@ def q_will_purchase_7d(sf_dir: str):
         out_col="will_purchase_7d", tiebreak=["event_id"])
 
 
+def q_wau_daily(sf_dir: str):
+    """Rolling 7-day distinct active users per observed day (the WAU
+    curve): distinct (day,user) combiner, bounded x7 pair replication,
+    exact grouped distinct-count - facts are never rescanned per
+    window."""
+    from temporalscope_ray.stages.agg import rolling_active_entities
+
+    ev = _events(sf_dir, ("ts", "user_id"))
+    return rolling_active_entities(ev, "ts", "user_id", window_days=7,
+                                   day_col="day", out_col="wau")
+
+
 def q_mode_event_type_by_user(sf_dir: str):
     """Each user's most frequent event type (deterministic ties:
     count desc then value asc) — the categorical profile feature."""
@@ -2096,6 +2108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trend_by_user": q_trend_by_user,
         "value_quantiles_sketch": q_value_quantiles_sketch,
         "will_purchase_7d": q_will_purchase_7d,
+        "wau_daily": q_wau_daily,
         "doc_keywords": q_doc_keywords,
         "target_encode_events": q_target_encode_events,
         "freq_encode_events": q_freq_encode_events,
@@ -2866,6 +2879,14 @@ def oracle_sql() -> dict[str, str]:
                               SUM(n) OVER (PARTITION BY user_id) tot FROM c)
             SELECT user_id, ROUND(SUM(-(n / tot) * ln(n / tot)), 6) AS entropy
             FROM t GROUP BY user_id
+        """,
+        "wau_daily": """
+            WITH p AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
+                       FROM events WHERE user_id IS NOT NULL),
+                 d AS (SELECT DISTINCT day FROM p)
+            SELECT d.day, COUNT(DISTINCT p.user_id) AS wau
+            FROM d JOIN p ON p.day BETWEEN d.day - 6 AND d.day
+            GROUP BY d.day
         """,
         "will_purchase_7d": """
             SELECT event_id, ts, user_id, event_type,

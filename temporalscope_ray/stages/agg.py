@@ -601,3 +601,61 @@ def grouped_entropy(
         return pa.Table.from_pandas(res, preserve_index=False)
 
     return bucketed.groupby(BUCKET_COL).map_groups(per_bucket, batch_format="pyarrow")
+
+
+def rolling_active_entities(
+    ds: ray.data.Dataset,
+    time_col: str,
+    entity_col: str,
+    *,
+    window_days: int = 7,
+    day_col: str = "day",
+    out_col: str = "active",
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+) -> ray.data.Dataset:
+    """Rolling distinct active entities per calendar day — the WAU/MAU
+    family: for every day PRESENT in the data, the count of distinct
+    entities active in the trailing ``window_days`` days (inclusive).
+    Distinct counts do not merge across windows, which is why a naive
+    per-window COUNT(DISTINCT) rescans the facts ``window`` times; here
+    the stream is first reduced to DISTINCT ``(day, entity)`` pairs by
+    the combiner (bounded by actives·days, never events), each pair is
+    replicated to the ≤ ``window_days`` window-days it can serve (a
+    bounded blow-up of the small pair table, not of facts), clipped to
+    days that actually occur, and finished by the exact
+    ``grouped_distinct_count`` exchange. Day ids are exact int64 epoch
+    days (``epoch_us // 86 400e6`` — shared verbatim with SQL).
+    """
+    us_per_day = np.int64(86_400_000_000)
+
+    def to_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        ts_us = df[time_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        ok = df[entity_col].notna().to_numpy()
+        return pd.DataFrame({day_col: ts_us[ok] // us_per_day,
+                             entity_col: df[entity_col][ok]}).drop_duplicates()
+
+    pairs = hash_groupby_aggregate(
+        ds.select_columns([time_col, entity_col]).map_batches(
+            to_pairs, batch_format="pandas"),
+        [day_col, entity_col],
+        {"__n__": (None, "count")},
+        num_buckets=num_buckets,
+    )
+    observed = set(
+        int(d) for d in
+        pairs.groupby(day_col).count().to_pandas()[day_col].tolist()
+    )
+    obs_ref = ray.put(observed)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        obs = ray.get(obs_ref)
+        d = df[day_col].to_numpy(dtype=np.int64)
+        reps = np.repeat(np.arange(window_days, dtype=np.int64), len(df))
+        wday = np.tile(d, window_days) + reps
+        ent = np.tile(df[entity_col].to_numpy(), window_days)
+        keep = np.isin(wday, np.fromiter(obs, dtype=np.int64))
+        return pd.DataFrame({day_col: wday[keep], entity_col: ent[keep]})
+
+    exploded = pairs.map_batches(explode, batch_format="pandas")
+    return grouped_distinct_count(exploded, day_col, entity_col,
+                                  out_col=out_col, num_buckets=num_buckets)

@@ -353,3 +353,28 @@ def test_grouped_entropy_known_distributions(ray_session):
     assert out["a"] == 0.0
     assert out["b"] == pytest.approx(np.log(2), abs=1e-6)
     assert out["c"] == pytest.approx(np.log(2), abs=1e-6)
+
+
+def test_rolling_active_entities_window_semantics(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from temporalscope_ray.stages.agg import rolling_active_entities
+
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    # u1 active on days 0 and 10; u2 on days 0..2; u3 only day 10
+    for d, u in [(0, 1), (10, 1), (0, 2), (1, 2), (2, 2), (10, 3)]:
+        rows.append({"ts": base + pd.Timedelta(days=d), "uid": u})
+        rows.append({"ts": base + pd.Timedelta(days=d, hours=5), "uid": u})  # dup
+    df = pd.DataFrame(rows)
+    out = rolling_active_entities(
+        ray.data.from_pandas(df).repartition(3), "ts", "uid",
+        window_days=7, day_col="day", out_col="wau",
+    ).to_pandas().sort_values("day").reset_index(drop=True)
+    d0 = base.value // 1000 // 86_400_000_000
+    got = dict(zip(out["day"] - d0, out["wau"]))
+    # observed days: 0, 1, 2, 10
+    assert got == {0: 2, 1: 2, 2: 2, 10: 2}   # day 10: u1 + u3 (u2 aged out)
+    assert len(out) == 4                      # only observed days emitted
