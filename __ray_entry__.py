@@ -1164,6 +1164,31 @@ def q_wau_daily(sf_dir: str):
                                    day_col="day", out_col="wau")
 
 
+def q_new_vs_returning_daily(sf_dir: str):
+    """Daily acquisition split: distinct users seen for the first time
+    that day vs returning - pair-table combiners + a bucketed
+    self-join of the pairs with their per-entity first day (no
+    driver-side entity map)."""
+    from temporalscope_ray.stages.agg import new_vs_returning_daily
+
+    ev = _events(sf_dir, ("ts", "user_id"))
+    return new_vs_returning_daily(ev, "ts", "user_id")
+
+
+def q_funnel_vcp_30min(sf_dir: str):
+    """3-step strict-order funnel per session (view -> click ->
+    purchase, greedy earliest chain, strict > so same-microsecond
+    events never chain): one bucket pass, grouped-min chaining, no
+    per-session loop."""
+    from temporalscope_ray.stages.window_features import ordered_funnel
+
+    ev = _events(sf_dir, ("event_id", "ts", "user_id", "event_type"))
+    return ordered_funnel(ev, id_col="user_id", time_col="ts",
+                          type_col="event_type",
+                          steps=["view", "click", "purchase"],
+                          gap=pd.Timedelta("30min"), tiebreak=["event_id"])
+
+
 def q_mode_event_type_by_user(sf_dir: str):
     """Each user's most frequent event type (deterministic ties:
     count desc then value asc) — the categorical profile feature."""
@@ -2109,6 +2134,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles_sketch": q_value_quantiles_sketch,
         "will_purchase_7d": q_will_purchase_7d,
         "wau_daily": q_wau_daily,
+        "new_vs_returning_daily": q_new_vs_returning_daily,
+        "funnel_vcp_30min": q_funnel_vcp_30min,
         "doc_keywords": q_doc_keywords,
         "target_encode_events": q_target_encode_events,
         "freq_encode_events": q_freq_encode_events,
@@ -2879,6 +2906,43 @@ def oracle_sql() -> dict[str, str]:
                               SUM(n) OVER (PARTITION BY user_id) tot FROM c)
             SELECT user_id, ROUND(SUM(-(n / tot) * ln(n / tot)), 6) AS entropy
             FROM t GROUP BY user_id
+        """,
+        "funnel_vcp_30min": """
+            WITH s AS (
+              SELECT event_id, ts, user_id, event_type,
+                     CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+              FROM (SELECT *, CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                                        > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+                    FROM events)),
+            t1 AS (SELECT user_id, session_id, MIN(ts) AS ts1 FROM s
+                   WHERE event_type = 'view' GROUP BY user_id, session_id),
+            t2 AS (SELECT s.user_id, s.session_id, MIN(s.ts) AS ts2
+                   FROM s JOIN t1 USING (user_id, session_id)
+                   WHERE s.event_type = 'click' AND s.ts > t1.ts1
+                   GROUP BY s.user_id, s.session_id),
+            t3 AS (SELECT s.user_id, s.session_id, MIN(s.ts) AS ts3
+                   FROM s JOIN t2 USING (user_id, session_id)
+                   WHERE s.event_type = 'purchase' AND s.ts > t2.ts2
+                   GROUP BY s.user_id, s.session_id)
+            SELECT s.user_id, s.session_id, COUNT(*) AS n_events,
+                   CASE WHEN MAX(t3.ts3) IS NOT NULL THEN 3
+                        WHEN MAX(t2.ts2) IS NOT NULL THEN 2
+                        WHEN MAX(t1.ts1) IS NOT NULL THEN 1
+                        ELSE 0 END AS steps_reached
+            FROM s LEFT JOIN t1 USING (user_id, session_id)
+                   LEFT JOIN t2 USING (user_id, session_id)
+                   LEFT JOIN t3 USING (user_id, session_id)
+            GROUP BY s.user_id, s.session_id
+        """,
+        "new_vs_returning_daily": """
+            WITH p AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
+                       FROM events WHERE user_id IS NOT NULL),
+                 f AS (SELECT user_id, MIN(day) AS first_day FROM p GROUP BY user_id)
+            SELECT p.day,
+                   SUM(CASE WHEN p.day = f.first_day THEN 1 ELSE 0 END) AS new_users,
+                   SUM(CASE WHEN p.day = f.first_day THEN 0 ELSE 1 END) AS returning_users
+            FROM p JOIN f USING (user_id) GROUP BY p.day
         """,
         "wau_daily": """
             WITH p AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id

@@ -659,3 +659,60 @@ def rolling_active_entities(
     exploded = pairs.map_batches(explode, batch_format="pandas")
     return grouped_distinct_count(exploded, day_col, entity_col,
                                   out_col=out_col, num_buckets=num_buckets)
+
+
+def new_vs_returning_daily(
+    ds: ray.data.Dataset,
+    time_col: str,
+    entity_col: str,
+    *,
+    day_col: str = "day",
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+) -> ray.data.Dataset:
+    """Per observed day: distinct entities seen for the FIRST time that
+    day vs returning — the daily acquisition/retention split. Facts
+    reduce once to distinct ``(day, entity)`` pairs (combiner); the
+    per-entity first day comes from a ``min`` over those pairs (a
+    second combiner exchange bounded by the pair table, NOT a
+    driver-side entity map — entities can be 10⁹); the pair table then
+    joins its own firsts back per bucket and reduces to per-day
+    counters. int64 epoch days shared verbatim with SQL.
+    """
+    us_per_day = np.int64(86_400_000_000)
+
+    def to_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        ts_us = df[time_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        ok = df[entity_col].notna().to_numpy()
+        return pd.DataFrame({day_col: ts_us[ok] // us_per_day,
+                             entity_col: df[entity_col][ok]}).drop_duplicates()
+
+    pairs = hash_groupby_aggregate(
+        ds.select_columns([time_col, entity_col]).map_batches(
+            to_pairs, batch_format="pandas"),
+        [day_col, entity_col],
+        {"__n__": (None, "count")},
+        num_buckets=num_buckets,
+    )
+    firsts = hash_groupby_aggregate(
+        pairs, [entity_col], {"__first__": (day_col, "min")},
+        num_buckets=num_buckets,
+    )
+    from .join import equi_join
+
+    joined = equi_join(
+        pairs.select_columns([day_col, entity_col]), firsts,
+        on=entity_col, num_buckets=num_buckets,
+    )
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        new = (df[day_col] == df["__first__"]).to_numpy()
+        return pd.DataFrame({day_col: df[day_col],
+                             "__new__": new.astype(np.int64),
+                             "__ret__": (~new).astype(np.int64)})
+
+    return hash_groupby_aggregate(
+        joined.map_batches(tag, batch_format="pandas"),
+        [day_col],
+        {"new_users": ("__new__", "sum"), "returning_users": ("__ret__", "sum")},
+        num_buckets=8,
+    )

@@ -1692,3 +1692,81 @@ def add_future_event_flag(
         return out
 
     return grouped.grouped_ordered_map(ds, id_col, order, fn, num_buckets=num_buckets)
+
+
+def ordered_funnel(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str,
+    time_col: str,
+    type_col: str,
+    steps: Sequence[str],
+    gap: "pd.Timedelta | float | int",
+    out_col: str = "steps_reached",
+    num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+    tiebreak: Optional[Sequence[str]] = None,
+) -> ray.data.Dataset:
+    """N-step strict-order funnel per (entity, session): the greedy
+    earliest subsequence — ``t₁ = min ts of step 1``, ``t_k = min ts of
+    step k STRICTLY after t_{k−1}`` — and ``steps_reached`` = deepest k
+    whose ``t_k`` exists. Strict ``>`` chaining makes the result a pure
+    function of timestamps (two same-microsecond events can never chain,
+    so no tiebreak rule leaks into the answer), which is exactly what
+    lets the SQL replay use plain ``MIN``/``>`` joins.
+
+    The generalization of the 2-step ``session_conversion`` (any depth,
+    order REQUIRED — a purchase before the first view does not count).
+    One bucket exchange; each chaining level is one ``np.minimum.at``
+    grouped-min over that step's rows plus one gather — no per-session
+    loop. Output: one row per (entity, session): ``(id, session_id,
+    n_events, steps_reached)``.
+    """
+    steps = list(steps)
+    if not steps:
+        raise ValueError("ordered_funnel: steps must be non-empty")
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g[time_col].to_numpy()
+        ts_us = ts.astype("datetime64[us]").astype(np.int64) if np.issubdtype(
+            ts.dtype, np.datetime64) else ts.astype(np.int64)
+        segs = grouped.entity_segments(g[id_col].to_numpy())
+        sid = _seg_session_ids(ts, segs, gap)
+        n = len(g)
+        start = np.zeros(n, dtype=bool)
+        if n:
+            start[0] = True
+            start[segs[1:-1]] = True
+            start[1:] |= sid[1:] != sid[:-1]
+        sess_ord = np.cumsum(start) - 1
+        n_sess = int(sess_ord[-1]) + 1 if n else 0
+        types = g[type_col].to_numpy()
+
+        BIG = np.iinfo(np.int64).max
+        t_prev = np.full(n_sess, -1, dtype=np.int64)  # "before everything"
+        reached = np.zeros(n_sess, dtype=np.int64)
+        alive = np.ones(n_sess, dtype=bool)
+        for k, step in enumerate(steps):
+            rows = (types == step)
+            if k > 0:
+                rows &= ts_us > t_prev[sess_ord]
+            rows &= alive[sess_ord]
+            t_k = np.full(n_sess, BIG, dtype=np.int64)
+            np.minimum.at(t_k, sess_ord[rows], ts_us[rows])
+            hit = t_k < BIG
+            reached[hit & alive] = k + 1
+            alive &= hit
+            t_prev = t_k
+
+        counts = np.bincount(sess_ord, minlength=n_sess).astype(np.int64)
+        first_idx = np.flatnonzero(start)
+        out = pd.DataFrame({
+            id_col: g[id_col].to_numpy()[first_idx],
+            "session_id": sid[first_idx],
+            "n_events": counts,
+            out_col: reached,
+        })
+        return out
+
+    return grouped.grouped_ordered_map(
+        ds, id_col, [time_col, *(tiebreak or [])], fn, num_buckets=num_buckets
+    )

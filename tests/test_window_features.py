@@ -537,3 +537,37 @@ def test_add_future_event_flag_semantics(ray_session):
         target_type="purchase", horizon_s=86400.0, out_col="flag",
         tiebreak=["eid"]).to_pandas()
     assert out2["flag"].tolist() == [0, 0]
+
+
+def test_ordered_funnel_strict_chaining(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from temporalscope_ray.stages.window_features import ordered_funnel
+
+    base = pd.Timestamp("2024-01-01")
+    m = pd.Timedelta("1min")
+    rows = [
+        # s0 (u1): full ordered chain -> 3
+        (1, base + 0 * m, "view"), (1, base + 1 * m, "click"), (1, base + 2 * m, "purchase"),
+        # s1 (u2): purchase BEFORE click -> stops at 2 (view, click)
+        (2, base + 0 * m, "view"), (2, base + 1 * m, "purchase"), (2, base + 2 * m, "click"),
+        # s2 (u3): click only, no view -> 0 (order required from step 1)
+        (3, base + 0 * m, "click"), (3, base + 1 * m, "purchase"),
+        # s3 (u4): view and click at the SAME microsecond -> strict > blocks -> 1
+        (4, base + 0 * m, "view"), (4, base + 0 * m, "click"),
+        # u5: two sessions (2h gap): first reaches 1, second reaches 3
+        (5, base + 0 * m, "view"),
+        (5, base + 200 * m, "view"), (5, base + 201 * m, "click"), (5, base + 202 * m, "purchase"),
+    ]
+    df = pd.DataFrame(rows, columns=["uid", "ts", "t"])
+    df["eid"] = np.arange(len(df))
+    out = ordered_funnel(
+        ray.data.from_pandas(df).repartition(3), id_col="uid", time_col="ts",
+        type_col="t", steps=["view", "click", "purchase"],
+        gap=pd.Timedelta("30min"), tiebreak=["eid"],
+    ).to_pandas().sort_values(["uid", "session_id"]).reset_index(drop=True)
+    got = list(zip(out["uid"], out["session_id"], out["steps_reached"]))
+    assert got == [(1, 0, 3), (2, 0, 2), (3, 0, 0), (4, 0, 1), (5, 0, 1), (5, 1, 3)]
+    assert out["n_events"].tolist() == [3, 3, 2, 2, 1, 3]
