@@ -36,6 +36,26 @@ import ray.data
 from .grouped import DEFAULT_NUM_BUCKETS, hash_groupby_aggregate
 
 
+def _driver_cc(edges: "np.ndarray", ids: "np.ndarray") -> "np.ndarray":
+    """Min-label pointer-jumping over an edge array on the driver —
+    numpy-vectorized, O(log diameter) rounds at C speed. ``edges`` is
+    an (m, 2) int64 array of INDICES into ``ids``; returns per-vertex
+    min-reachable-id labels."""
+    labels = ids.copy()
+    ea, eb = edges[:, 0], edges[:, 1]
+    for _ in range(64):
+        nxt = labels.copy()
+        np.minimum.at(nxt, ea, labels[eb])
+        np.minimum.at(nxt, eb, labels[ea])
+        # pointer jump: follow my label's own label
+        pos = np.searchsorted(ids, nxt)
+        nxt = np.minimum(nxt, labels[pos])
+        if np.array_equal(nxt, labels):
+            return labels
+        labels = nxt
+    raise RuntimeError("connected_components: driver fixpoint not reached in 64 rounds")
+
+
 def connected_components(
     pairs: ray.data.Dataset,
     *,
@@ -45,11 +65,21 @@ def connected_components(
     out_label: str = "cluster_id",
     max_iters: int = 30,
     num_buckets: int = DEFAULT_NUM_BUCKETS,
+    driver_edge_limit: int = 5_000_000,
 ) -> ray.data.Dataset:
     """Label every id appearing in ``pairs`` with the min id of its
     connected component. Returns ``(out_id, out_label)``, one row per
     distinct vertex. Raises RuntimeError if ``max_iters`` rounds don't
-    converge (diameter larger than max_iters)."""
+    converge (diameter larger than max_iters).
+
+    Size-adaptive like ``equi_join``/``semi_join``: an edge list under
+    ``driver_edge_limit`` is solved ON THE DRIVER with vectorized
+    pointer jumping (the dup-pair graph is usually orders of magnitude
+    smaller than the corpus, and each distributed round costs a full
+    exchange — measured ~30 s/round of pure overhead on a 1.8k-vertex
+    graph at sf0.1); anything larger takes the distributed
+    min-label-propagation rounds below, which never materialize the
+    vertex set on the driver."""
     from .join import equi_join
 
     def to_edges(t: pa.Table) -> pa.Table:
@@ -63,6 +93,18 @@ def connected_components(
     edges = pairs.select_columns([id_a, id_b]).map_batches(
         to_edges, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
+
+    if edges.count() <= driver_edge_limit:
+        import pandas as pd
+
+        e = edges.to_pandas()
+        a = e["src"].to_numpy(dtype=np.int64)
+        b = e["dst"].to_numpy(dtype=np.int64)
+        ids = np.unique(np.concatenate([a, b]))
+        idx = np.stack([np.searchsorted(ids, a), np.searchsorted(ids, b)], axis=1)
+        labels = _driver_cc(idx, ids)
+        out = pd.DataFrame({out_id: ids, out_label: labels}).drop_duplicates()
+        return ray.data.from_pandas(out)
 
     # initial label = own id (min over self ∪ neighbors of the 0-hop set)
     labels = hash_groupby_aggregate(
@@ -128,10 +170,15 @@ def connected_components(
                 lambda t: pa.table({"src": t.column("orig"), "label": t.column("label")}),
                 batch_format="pyarrow", zero_copy_batch=True,
             )
+        # repartition bounds the label block count: union triples the
+        # input blocks and map_groups preserves them, so without this
+        # the per-round block count DOUBLES (3, 7, 15, ...) and round
+        # cost grows exponentially — measured 30 s/round by round ~7
+        # on a 1.8k-vertex graph.
         labels = hash_groupby_aggregate(
             labels.union(contrib).union(shortcut), ["src"], {"label": ("label", "min")},
             num_buckets=num_buckets,
-        ).materialize()
+        ).repartition(min(num_buckets, 8)).materialize()
         cur_sum = labels.sum("label")
         if cur_sum == prev_sum:
             return labels.map_batches(

@@ -36,7 +36,9 @@ def test_max_iters_fails_loud(ray_session):
         pa.table({"id_a": list(range(1, n)), "id_b": list(range(n - 1))})
     )
     with pytest.raises(RuntimeError, match="no fixpoint"):
-        connected_components(pairs, num_buckets=2, max_iters=2)
+        # force the distributed rounds (driver path has no max_iters)
+        connected_components(pairs, num_buckets=2, max_iters=2,
+                             driver_edge_limit=0)
 
 
 def test_hamming_pairs_vs_bruteforce():
@@ -83,3 +85,18 @@ def test_jaccard_pairs_transitive_cluster():
     # the 0-1-2 chain collapses to one cluster labeled by its min id
     assert lab[0] == lab[1] == lab[2] == 0
     assert 10 not in lab.index  # isolated doc never enters the graph
+
+
+def test_driver_cc_matches_distributed(ray_session):
+    import numpy as np
+
+    rng = np.random.default_rng(6)
+    # random forest of chains + stars
+    a = rng.integers(0, 400, 300)
+    b = rng.integers(0, 400, 300)
+    pairs = ray.data.from_arrow(pa.table({"id_a": a.astype("int64"),
+                                          "id_b": b.astype("int64")}))
+    fast = connected_components(pairs).to_pandas().sort_values("id").reset_index(drop=True)
+    slow = connected_components(pairs, driver_edge_limit=0) \
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    assert fast.equals(slow)
