@@ -1189,6 +1189,21 @@ def q_funnel_vcp_30min(sf_dir: str):
                           gap=pd.Timedelta("30min"), tiebreak=["event_id"])
 
 
+def q_dedup_keep_longest(sf_dir: str):
+    """Quality-aware dedup completing the cluster story: within each
+    verified Jaccard duplicate cluster keep the LONGEST document (ties
+    -> smallest id), keep everything unclustered - combiner argmax per
+    cluster + size-adaptive anti-join, nothing corpus-sized anywhere."""
+    from temporalscope_ray.stages.dedup import jaccard_pairs, keep_best
+    from temporalscope_ray.stages.graph import connected_components
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+    pairs = jaccard_pairs(docs, text_col="text", id_col="doc_id",
+                          threshold=0.7, concurrency=2)
+    clusters = connected_components(pairs, num_buckets=16)
+    return keep_best(docs, clusters, id_col="doc_id", score_col="n_chars")
+
+
 def q_mode_event_type_by_user(sf_dir: str):
     """Each user's most frequent event type (deterministic ties:
     count desc then value asc) — the categorical profile feature."""
@@ -2136,6 +2151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wau_daily": q_wau_daily,
         "new_vs_returning_daily": q_new_vs_returning_daily,
         "funnel_vcp_30min": q_funnel_vcp_30min,
+        "dedup_keep_longest": q_dedup_keep_longest,
         "doc_keywords": q_doc_keywords,
         "target_encode_events": q_target_encode_events,
         "freq_encode_events": q_freq_encode_events,
@@ -2906,6 +2922,38 @@ def oracle_sql() -> dict[str, str]:
                               SUM(n) OVER (PARTITION BY user_id) tot FROM c)
             SELECT user_id, ROUND(SUM(-(n / tot) * ln(n / tot)), 6) AS entropy
             FROM t GROUP BY user_id
+        """,
+        "dedup_keep_longest": f"""
+            WITH RECURSIVE
+            toks AS ({_SQL_TOKS}),
+            sh AS (
+              SELECT doc_id, array_to_string(t[i : i + 4], ' ') AS s
+              FROM toks {_SQL_SHINGLE_IDX}),
+            dsh AS (SELECT DISTINCT doc_id, s FROM sh),
+            cnt AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+              FROM dsh a JOIN dsh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            p AS (
+              SELECT i.id_a, i.id_b
+              FROM inter i JOIN cnt ca ON ca.doc_id = i.id_a JOIN cnt cb ON cb.doc_id = i.id_b
+              WHERE i.c * 1.0 / (ca.n + cb.n - i.c) >= 0.7),
+            e AS (SELECT id_a AS a, id_b AS b FROM p
+                  UNION SELECT id_b, id_a FROM p),
+            cc(id, lab) AS (
+                SELECT a, a FROM e
+                UNION
+                SELECT e.b, cc.lab FROM cc JOIN e ON cc.id = e.a
+            ),
+            labels AS (SELECT id, CAST(MIN(lab) AS BIGINT) AS cluster_id FROM cc GROUP BY id),
+            scored AS (SELECT l.cluster_id, d.doc_id,
+                              row_number() OVER (PARTITION BY l.cluster_id
+                                                 ORDER BY d.n_chars DESC, d.doc_id) AS rn
+                       FROM labels l JOIN documents d ON d.doc_id = l.id)
+            SELECT doc_id FROM scored WHERE rn = 1
+            UNION ALL
+            SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id FROM labels)
         """,
         "funnel_vcp_30min": """
             WITH s AS (

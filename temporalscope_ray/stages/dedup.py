@@ -1009,3 +1009,68 @@ def jaccard_pairs(
         return b[keep]
 
     return pairs.map_batches(verify, batch_format="pandas")
+
+
+def keep_best(
+    ds: "ray.data.Dataset",
+    clusters: "ray.data.Dataset",
+    *,
+    id_col: str,
+    score_col: str,
+    cluster_col: str = "cluster_id",
+    cluster_id_col: str = "id",
+    num_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Quality-aware canonical selection — the step after duplicate
+    CLUSTERING that the keep-smallest-id dedups skip: inside every
+    cluster keep the row with the HIGHEST ``score_col`` (ties → the
+    smallest id; with ``score_col`` = document length this is the
+    industry keep-longest rule), plus every row that never entered the
+    pair graph. Returns a one-column Dataset of kept ids.
+
+    Shape: the cluster labels join their scores through one bucketed
+    exchange; the per-cluster argmax is the ``grouped_mode`` combiner
+    pattern (each block reduces to one candidate row per cluster, the
+    exchange moves candidates, the final pass re-argmaxes) — winners
+    per cluster, never the cluster contents, reach the union. The
+    unclustered complement comes from the size-adaptive ``semi_join``
+    (anti), so nothing corpus-sized is materialized anywhere.
+    """
+    import pandas as _pd
+
+    from .asof import semi_join
+    from .grouped import with_bucket, BUCKET_COL
+
+    lab = clusters.map_batches(
+        lambda t: t.rename_columns([id_col, cluster_col]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    from .join import equi_join
+
+    scored = equi_join(
+        lab, ds.select_columns([id_col, score_col]), on=id_col,
+        num_buckets=num_buckets,
+    )
+
+    def argmax(df: _pd.DataFrame) -> _pd.DataFrame:
+        df = df.sort_values([score_col, id_col], ascending=[False, True],
+                            kind="mergesort")
+        return df.groupby(cluster_col, sort=False).head(1)
+
+    cand = scored.map_batches(argmax, batch_format="pandas")
+    bucketed = with_bucket(cand, cluster_col, num_buckets)
+    winners = bucketed.groupby(BUCKET_COL).map_groups(
+        lambda g: argmax(g.drop(columns=[BUCKET_COL]))[[id_col]],
+        batch_format="pandas",
+    )
+    untouched = semi_join(
+        ds.select_columns([id_col]), clusters.select_columns([cluster_id_col]),
+        id_col, anti=True,
+    ) if cluster_id_col == id_col else semi_join(
+        ds.select_columns([id_col]),
+        clusters.map_batches(
+            lambda t: t.select([cluster_id_col]).rename_columns([id_col]),
+            batch_format="pyarrow", zero_copy_batch=True),
+        id_col, anti=True,
+    )
+    return winners.union(untouched)

@@ -397,3 +397,25 @@ def test_chunk_documents_overlap_and_reconstruction():
     # short doc -> one chunk; empty/null docs -> no chunks
     assert list(out[out["doc_id"] == 2]["chunk_text"]) == [" ".join(words[:10])]
     assert not set(out["doc_id"]) & {3, 4}
+
+
+def test_keep_best_cluster_winner_and_untouched(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from temporalscope_ray.stages.dedup import keep_best
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "score": [10.0, 30.0, 30.0, 5.0, 99.0],
+    })
+    # cluster 1 = {1,2,3}: best score 30 shared by 2 and 3 -> keep 2
+    # (smallest id); doc 4 clustered alone-with-4? give {4} no cluster;
+    # doc 5 unclustered
+    clusters = pd.DataFrame({"id": [1, 2, 3], "cluster_id": [1, 1, 1]})
+    kept = keep_best(
+        ray.data.from_pandas(docs).repartition(2),
+        ray.data.from_pandas(clusters),
+        id_col="doc_id", score_col="score",
+    ).to_pandas()["doc_id"].sort_values().tolist()
+    assert kept == [2, 4, 5]
