@@ -1204,6 +1204,22 @@ def q_dedup_keep_longest(sf_dir: str):
     return keep_best(docs, clusters, id_col="doc_id", score_col="n_chars")
 
 
+def q_auc_value_purchase(sf_dir: str):
+    """Exact distributed ROC-AUC of value as a purchase-predictor
+    (Mann-Whitney rank form, average-rank ties): distinct-score
+    combiner + one sorted scan, O(blocks) driver traffic; half-integer
+    rank terms make the statistic bit-exact in any summation order."""
+    from temporalscope_ray.stages.stats import roc_auc
+
+    ev = _events(sf_dir, ("event_type", "value"))
+
+    def lab(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"value": df["value"],
+                             "y": (df["event_type"] == "purchase").astype("int64")})
+
+    return roc_auc(ev.map_batches(lab, batch_format="pandas"), "value", "y")
+
+
 def q_mode_event_type_by_user(sf_dir: str):
     """Each user's most frequent event type (deterministic ties:
     count desc then value asc) — the categorical profile feature."""
@@ -2152,6 +2168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "new_vs_returning_daily": q_new_vs_returning_daily,
         "funnel_vcp_30min": q_funnel_vcp_30min,
         "dedup_keep_longest": q_dedup_keep_longest,
+        "auc_value_purchase": q_auc_value_purchase,
         "doc_keywords": q_doc_keywords,
         "target_encode_events": q_target_encode_events,
         "freq_encode_events": q_freq_encode_events,
@@ -2922,6 +2939,21 @@ def oracle_sql() -> dict[str, str]:
                               SUM(n) OVER (PARTITION BY user_id) tot FROM c)
             SELECT user_id, ROUND(SUM(-(n / tot) * ln(n / tot)), 6) AS entropy
             FROM t GROUP BY user_id
+        """,
+        "auc_value_purchase": """
+            WITH s AS (SELECT value AS score,
+                              CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+                       FROM events WHERE value IS NOT NULL),
+                 r AS (SELECT y,
+                              RANK() OVER (ORDER BY score) + 
+                              (COUNT(*) OVER (PARTITION BY score) - 1) / 2.0 AS ar
+                       FROM s),
+                 t AS (SELECT SUM(y)::BIGINT AS np,
+                              SUM(1 - y)::BIGINT AS nn,
+                              SUM(CASE WHEN y = 1 THEN ar END) AS sp FROM r)
+            SELECT ROUND((sp - np * (np + 1) / 2.0) / (np::DOUBLE * nn), 6) AS auc,
+                   np AS n_pos, nn AS n_neg
+            FROM t
         """,
         "dedup_keep_longest": f"""
             WITH RECURSIVE

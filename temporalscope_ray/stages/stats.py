@@ -1095,3 +1095,79 @@ def approx_quantile_hist(
         est = lo + (b + 1) * (hi - lo) / k if hi > lo else lo
         out.append(est)
     return pd.DataFrame({"q": qs, "value": out})
+
+
+def roc_auc(
+    ds: ray.data.Dataset,
+    score_col: str,
+    label_col: str,
+    *,
+    round_to: int | None = 6,
+    num_buckets: int = 32,
+) -> pd.DataFrame:
+    """EXACT distributed ROC-AUC (= the Mann–Whitney U statistic,
+    average-rank tie handling) — model evaluation at corpus scale
+    without ranking the fact table on the driver: rows collapse to one
+    ``(score, n_pos, n_neg)`` row per DISTINCT score in the combiner,
+    ``scan.global_running_sum`` gives each distinct score its exclusive
+    preceding-row count, and the rank identity
+    ``AUC = (Σ_pos avg_rank − n⁺(n⁺+1)/2) / (n⁺·n⁻)`` finishes with
+    O(blocks) driver traffic. A tie group's average rank is
+    ``cum_before + (cnt+1)/2``; every term is a HALF-INTEGER, exactly
+    representable in float64, so the sum — and therefore the AUC — is
+    bit-identical to the SQL ``RANK() + (c−1)/2`` replay in any
+    summation order. Rows with a null score or label are excluded;
+    single-class inputs yield NaN.
+
+    Returns a 1-row DataFrame ``(auc, n_pos, n_neg)``.
+    """
+    from .scan import global_running_sum
+
+    def sides(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[score_col].to_numpy(dtype=np.float64)
+        y = df[label_col]
+        ok = (~np.isnan(s)) & y.notna().to_numpy()
+        pos = (y[ok].to_numpy() != 0).astype(np.int64)
+        return pd.DataFrame({"v": s[ok] + 0.0,  # -0.0 -> +0.0 (one rank step)
+                             "__p__": pos, "__n__": 1 - pos})
+
+    per_v = hash_groupby_aggregate(
+        ds.select_columns([score_col, label_col]).map_batches(
+            sides, batch_format="pandas"),
+        ["v"],
+        {"p": ("__p__", "sum"), "n": ("__n__", "sum")},
+        num_buckets=num_buckets,
+    )
+
+    def with_tot(t: pa.Table) -> pa.Table:
+        p = t.column("p").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        return t.append_column("__t__", pa.array((p + n).astype(np.int64)))
+
+    ranked = global_running_sum(
+        per_v.map_batches(with_tot, batch_format="pyarrow", zero_copy_batch=True),
+        order_by=["v"], value_col="__t__", out_col="__before__", exclusive=True,
+    )
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        p = t.column("p").to_numpy(zero_copy_only=False).astype(np.float64)
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        before = t.column("__before__").to_numpy(zero_copy_only=False).astype(np.float64)
+        cnt = p + n
+        contrib = p * (before + (cnt + 1.0) / 2.0)   # half-integers: exact
+        return pd.DataFrame({"s": [float(contrib.sum())],
+                             "np": [int(p.sum())], "nn": [int(n.sum())]})
+
+    parts = ranked.map_batches(partial, batch_size=None,
+                               batch_format="pyarrow").to_pandas()
+    s = float(parts["s"].sum())
+    n_pos, n_neg = int(parts["np"].sum()), int(parts["nn"].sum())
+    if n_pos == 0 or n_neg == 0:
+        auc = float("nan")
+    else:
+        auc = (s - n_pos * (n_pos + 1) / 2.0) / (float(n_pos) * float(n_neg))
+        if round_to is not None:
+            scale = 10.0 ** round_to
+            auc = np.sign(auc) * np.floor(abs(auc) * scale + 0.5) / scale
+    return pd.DataFrame({"auc": [auc], "n_pos": [np.int64(n_pos)],
+                         "n_neg": [np.int64(n_neg)]})

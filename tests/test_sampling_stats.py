@@ -783,3 +783,49 @@ def test_approx_quantile_hist_error_bound(ray_session):
     # block-layout determinism
     est2 = approx_quantile_hist(ray.data.from_pandas(df), "v", qs, bins=512)
     assert est["value"].tolist() == est2["value"].tolist()
+
+
+def test_roc_auc_exact_vs_sklearn_free_reference(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from temporalscope_ray.stages.stats import roc_auc
+
+    rng = np.random.default_rng(41)
+    n = 2000
+    y = rng.integers(0, 2, n)
+    # informative score with heavy ties (1dp rounding)
+    s = np.round(y * 1.0 + rng.normal(0, 1.2, n), 1)
+    s[3] = np.nan
+    df = pd.DataFrame({"s": s, "y": y})
+    got = roc_auc(ray.data.from_pandas(df).repartition(5), "s", "y").iloc[0]
+
+    ok = ~np.isnan(s)
+    sv, yv = s[ok], y[ok]
+    # reference: average-rank Mann-Whitney
+    order = np.argsort(sv, kind="mergesort")
+    ranks = np.empty(len(sv))
+    sorted_s = sv[order]
+    i = 0
+    r = np.arange(1, len(sv) + 1, dtype=np.float64)
+    while i < len(sv):
+        j = i
+        while j + 1 < len(sv) and sorted_s[j + 1] == sorted_s[i]:
+            j += 1
+        ranks[order[i:j + 1]] = r[i:j + 1].mean()
+        i = j + 1
+    n_pos = int(yv.sum()); n_neg = int((1 - yv).sum())
+    want = (ranks[yv == 1].sum() - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg)
+    assert got["auc"] == pytest.approx(want, abs=1e-6)
+    assert got["n_pos"] == n_pos and got["n_neg"] == n_neg
+    assert 0.6 < got["auc"] < 0.9          # genuinely informative score
+
+    # single-class input -> NaN
+    one = roc_auc(ray.data.from_pandas(pd.DataFrame({"s": [1.0, 2.0], "y": [1, 1]})),
+                  "s", "y").iloc[0]
+    assert np.isnan(one["auc"])
+
+    # block-layout determinism (bit-exact half-integer contract)
+    got2 = roc_auc(ray.data.from_pandas(df), "s", "y").iloc[0]
+    assert got["auc"] == got2["auc"]
