@@ -571,3 +571,81 @@ def test_ordered_funnel_strict_chaining(ray_session):
     got = list(zip(out["uid"], out["session_id"], out["steps_reached"]))
     assert got == [(1, 0, 3), (2, 0, 2), (3, 0, 0), (4, 0, 1), (5, 0, 1), (5, 1, 3)]
     assert out["n_events"].tolist() == [3, 3, 2, 2, 1, 3]
+
+
+def test_future_event_flag_random_vs_bruteforce(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from temporalscope_ray.stages.window_features import add_future_event_flag
+
+    rng = np.random.default_rng(77)
+    n = 1200
+    df = pd.DataFrame({
+        "uid": rng.integers(0, 25, n),
+        "ts": pd.Timestamp("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 3_000_000, n), unit="s"),
+        "t": rng.choice(["a", "b", "c"], n),
+        "eid": np.arange(n),
+    })
+    h = 86_400.0  # 1 day
+    out = add_future_event_flag(
+        ray.data.from_pandas(df).repartition(5), id_col="uid", time_col="ts",
+        type_col="t", target_type="b", horizon_s=h, out_col="flag",
+        tiebreak=["eid"],
+    ).to_pandas().sort_values("eid").reset_index(drop=True)
+
+    want = np.zeros(n, dtype=np.int64)
+    for uid, g in df.groupby("uid"):
+        tb = np.sort(g.loc[g["t"] == "b", "ts"].to_numpy().astype("datetime64[us]").astype(np.int64))
+        for i in g.index:
+            t0 = df.loc[i, "ts"].value // 1000
+            j = np.searchsorted(tb, t0, side="right")
+            want[i] = int(j < len(tb) and tb[j] <= t0 + int(h * 1e6))
+    assert out.set_index("eid")["flag"].reindex(range(n)).to_numpy().tolist() == want.tolist()
+
+
+def test_ordered_funnel_random_vs_bruteforce(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from temporalscope_ray.stages.window_features import ordered_funnel
+
+    rng = np.random.default_rng(88)
+    n = 800
+    df = pd.DataFrame({
+        "uid": rng.integers(0, 15, n),
+        "ts": pd.Timestamp("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 400_000, n), unit="s"),
+        "t": rng.choice(["x", "y", "z", "w"], n),
+        "eid": np.arange(n),
+    })
+    steps = ["x", "y", "z"]
+    gap = pd.Timedelta("30min")
+    out = ordered_funnel(
+        ray.data.from_pandas(df).repartition(4), id_col="uid", time_col="ts",
+        type_col="t", steps=steps, gap=gap, tiebreak=["eid"],
+    ).to_pandas().set_index(["uid", "session_id"])
+
+    # brute-force sessions + greedy chain
+    ref = df.sort_values(["uid", "ts", "eid"])
+    for uid, g in ref.groupby("uid"):
+        ts = g["ts"].to_numpy()
+        brk = np.zeros(len(g), dtype=np.int64)
+        brk[1:] = (np.diff(ts) > gap.to_timedelta64()).astype(np.int64)
+        sid = np.cumsum(brk)
+        for s in np.unique(sid):
+            sub = g[sid == s]
+            t_prev = pd.Timestamp.min
+            reached = 0
+            for step in steps:
+                cand = sub[(sub["t"] == step) & (sub["ts"] > t_prev)]
+                if len(cand) == 0:
+                    break
+                t_prev = cand["ts"].min()
+                reached += 1
+            row = out.loc[(uid, s)]
+            assert int(row["steps_reached"]) == reached, (uid, s)
+            assert int(row["n_events"]) == len(sub)
