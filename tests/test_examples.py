@@ -29,6 +29,7 @@ def _run(name: str) -> None:
     "05_corpus_curation.py",
     "06_feature_engineering.py",
     "07_behavioral_analytics.py",
+    "08_warehouse_analytics.py",
 ])
 def test_example_runs(name, capsys):
     _run(name)
