@@ -1220,6 +1220,17 @@ def q_auc_value_purchase(sf_dir: str):
     return roc_auc(ev.map_batches(lab, batch_format="pandas"), "value", "y")
 
 
+def q_quantile_sketch_by_type(sf_dir: str):
+    """Per-type p50/p90 histogram-sketch quantiles - the bounded
+    exchange (groups x bins combiner rows) scale path beside the exact
+    pair-exchange grouped quantiles; bit-exact approximation (shared
+    bin/rank/edge arithmetic with SQL)."""
+    from temporalscope_ray.stages.stats import grouped_quantile_hist
+
+    ev = _events(sf_dir, ("event_type", "value"))
+    return grouped_quantile_hist(ev, "event_type", "value", [0.5, 0.9], bins=256)
+
+
 def q_mode_event_type_by_user(sf_dir: str):
     """Each user's most frequent event type (deterministic ties:
     count desc then value asc) — the categorical profile feature."""
@@ -2169,6 +2180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_vcp_30min": q_funnel_vcp_30min,
         "dedup_keep_longest": q_dedup_keep_longest,
         "auc_value_purchase": q_auc_value_purchase,
+        "quantile_sketch_by_type": q_quantile_sketch_by_type,
         "doc_keywords": q_doc_keywords,
         "target_encode_events": q_target_encode_events,
         "freq_encode_events": q_freq_encode_events,
@@ -2939,6 +2951,30 @@ def oracle_sql() -> dict[str, str]:
                               SUM(n) OVER (PARTITION BY user_id) tot FROM c)
             SELECT user_id, ROUND(SUM(-(n / tot) * ln(n / tot)), 6) AS entropy
             FROM t GROUP BY user_id
+        """,
+        "quantile_sketch_by_type": """
+            WITH m AS (SELECT event_type, MIN(value) lo, MAX(value) hi,
+                              COUNT(value) total
+                       FROM events GROUP BY event_type HAVING COUNT(value) > 0),
+                 b AS (SELECT e.event_type,
+                              CAST(CASE WHEN m.hi > m.lo
+                                        THEN LEAST(FLOOR((e.value - m.lo) * 256 / (m.hi - m.lo)), 255)
+                                        ELSE 0 END AS BIGINT) AS bin
+                       FROM events e JOIN m USING (event_type)
+                       WHERE e.value IS NOT NULL),
+                 c AS (SELECT event_type, bin, COUNT(*) n FROM b GROUP BY event_type, bin),
+                 w AS (SELECT event_type, bin,
+                              SUM(n) OVER (PARTITION BY event_type ORDER BY bin) cum
+                       FROM c),
+                 qs(q) AS (VALUES (0.5), (0.9)),
+                 r AS (SELECT w.event_type, qs.q, MIN(w.bin) AS bin
+                       FROM qs, w JOIN m USING (event_type)
+                       WHERE w.cum >= GREATEST(1.0, CEILING(qs.q * m.total))
+                       GROUP BY w.event_type, qs.q)
+            SELECT r.event_type, r.q,
+                   CASE WHEN m.hi > m.lo THEN m.lo + (r.bin + 1) * (m.hi - m.lo) / 256
+                        ELSE m.lo END AS value
+            FROM r JOIN m USING (event_type)
         """,
         "auc_value_purchase": """
             WITH s AS (SELECT value AS score,

@@ -1171,3 +1171,87 @@ def roc_auc(
             auc = np.sign(auc) * np.floor(abs(auc) * scale + 0.5) / scale
     return pd.DataFrame({"auc": [auc], "n_pos": [np.int64(n_pos)],
                          "n_neg": [np.int64(n_neg)]})
+
+
+def grouped_quantile_hist(
+    ds: ray.data.Dataset,
+    key_col: str,
+    value_col: str,
+    qs: Sequence[float],
+    *,
+    bins: int = 256,
+    num_buckets: int = 16,
+) -> ray.data.Dataset:
+    """Per-group sort-free quantile ESTIMATES — the bounded-exchange
+    scale path beside the exact ``agg.grouped_quantile`` (which must
+    co-locate every (key, value) pair because quantiles are holistic).
+    Here the exchange carries at most ``groups × bins`` combiner rows
+    per block: per-group extrema from one min/max combiner pass
+    (broadcast, vocab-sized), then per-group equal-width bin counts,
+    then a per-bucket rank pick. Same estimate contract as
+    ``approx_quantile_hist``: right edge of the bin holding rank
+    ``ceil(q·N_g)``, error ≤ one bin width ``(max_g−min_g)/bins`` per
+    group, every arithmetic step shared verbatim with the SQL replay —
+    a bit-exact approximation. Nulls ignored; a group whose values are
+    all null emits nothing; a constant group estimates its constant.
+
+    Output: one row per group per q — ``(key, q, value)``.
+    """
+    from .grouped import BUCKET_COL, with_bucket
+
+    qs = list(qs)
+    if any(not (0.0 <= q <= 1.0) for q in qs):
+        raise ValueError("grouped_quantile_hist: q values must be in [0, 1]")
+    k = bins
+    ext = hash_groupby_aggregate(
+        ds.select_columns([key_col, value_col]),
+        [key_col],
+        {"__lo__": (value_col, "min"), "__hi__": (value_col, "max"),
+         "__n__": (value_col, "count")},
+        num_buckets=num_buckets,
+    ).to_pandas()  # vocab-sized
+    ext = ext[ext["__n__"] > 0]
+    ref = ray.put(ext[[key_col, "__lo__", "__hi__"]])
+
+    def to_bins(df: pd.DataFrame) -> pd.DataFrame:
+        m = df[[key_col]].merge(ray.get(ref), on=key_col, how="left")
+        v = df[value_col].to_numpy(dtype=np.float64)
+        lo = m["__lo__"].to_numpy(np.float64)
+        hi = m["__hi__"].to_numpy(np.float64)
+        ok = ~np.isnan(v)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            b = np.where(hi > lo, np.floor((v - lo) * k / (hi - lo)), 0.0)
+        b = np.minimum(b, k - 1)
+        return pd.DataFrame({key_col: df[key_col][ok],
+                             "__bin__": b[ok].astype(np.int64)})
+
+    counts = hash_groupby_aggregate(
+        ds.select_columns([key_col, value_col]).map_batches(to_bins, batch_format="pandas"),
+        [key_col, "__bin__"],
+        {"n": (None, "count")},
+        num_buckets=num_buckets,
+    )
+    bucketed = with_bucket(counts, key_col, num_buckets)
+    qs_arr = np.asarray(qs, dtype=np.float64)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=[BUCKET_COL]).sort_values([key_col, "__bin__"],
+                                                     kind="mergesort")
+        lk = ray.get(ref).set_index(key_col)
+        out_k, out_q, out_v = [], [], []
+        for key, sub in g.groupby(key_col, sort=False):
+            cum = sub["n"].cumsum().to_numpy()
+            total = int(cum[-1])
+            lo = float(lk.loc[key, "__lo__"])
+            hi = float(lk.loc[key, "__hi__"])
+            b_arr = sub["__bin__"].to_numpy()
+            for q in qs_arr:
+                rank = max(1.0, np.ceil(q * total))  # float on purpose (see approx_quantile_hist)
+                b = int(b_arr[int(np.searchsorted(cum, rank, side="left"))])
+                est = lo + (b + 1) * (hi - lo) / k if hi > lo else lo
+                out_k.append(key)
+                out_q.append(float(q))
+                out_v.append(est)
+        return pd.DataFrame({key_col: out_k, "q": out_q, "value": out_v})
+
+    return bucketed.groupby(BUCKET_COL).map_groups(per_bucket, batch_format="pandas")

@@ -829,3 +829,29 @@ def test_roc_auc_exact_vs_sklearn_free_reference(ray_session):
     # block-layout determinism (bit-exact half-integer contract)
     got2 = roc_auc(ray.data.from_pandas(df), "s", "y").iloc[0]
     assert got["auc"] == got2["auc"]
+
+
+def test_grouped_quantile_hist_error_bound(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from temporalscope_ray.stages.stats import grouped_quantile_hist
+
+    rng = np.random.default_rng(53)
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b", "c"], 3000),
+        "v": rng.lognormal(1.0, 0.7, 3000),
+    })
+    df.loc[4, "v"] = np.nan
+    df = pd.concat([df, pd.DataFrame({"g": ["const"] * 5, "v": [7.0] * 5})])
+    out = grouped_quantile_hist(ray.data.from_pandas(df).repartition(4),
+                                "g", "v", [0.5, 0.9], bins=128) \
+        .to_pandas().set_index(["g", "q"])["value"]
+    for g, sub in df.dropna(subset=["v"]).groupby("g"):
+        vv = sub["v"].to_numpy()
+        width = (vv.max() - vv.min()) / 128
+        for q in (0.5, 0.9):
+            exact = np.quantile(vv, q, method="inverted_cdf")
+            assert abs(out[(g, q)] - exact) <= width + 1e-9, (g, q)
+    assert out[("const", 0.5)] == 7.0        # constant group -> its constant
