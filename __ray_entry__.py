@@ -1231,6 +1231,29 @@ def q_quantile_sketch_by_type(sf_dir: str):
     return grouped_quantile_hist(ev, "event_type", "value", [0.5, 0.9], bins=256)
 
 
+def q_autocorr1_by_user(sf_dir: str):
+    """Whole-history lag-1 value autocorrelation per user (behavioral
+    persistence): segment lag + per-entity Pearson reduced in ONE
+    bucket pass - corr(v, lag(v)) GROUP BY user semantics."""
+    from temporalscope_ray.stages.window_features import grouped_autocorr
+
+    ev = _events(sf_dir, ("event_id", "ts", "user_id", "value"))
+    return grouped_autocorr(ev, id_col="user_id", time_col="ts",
+                            value_col="value", lag=1, tiebreak=["event_id"])
+
+
+def q_compact_stream_events(sf_dir: str):
+    """Stream compaction: drop rows whose (event_type, value) equal the
+    user's previous row (null-safe equality), keeping run firsts -
+    double-fire/bounce noise removal in one bucket exchange."""
+    from temporalscope_ray.stages.window_features import drop_consecutive_duplicates
+
+    ev = _events(sf_dir, ("event_id", "ts", "user_id", "event_type", "value"))
+    return drop_consecutive_duplicates(
+        ev, id_col="user_id", time_col="ts",
+        value_cols=["event_type", "value"], tiebreak=["event_id"])
+
+
 def q_mode_event_type_by_user(sf_dir: str):
     """Each user's most frequent event type (deterministic ties:
     count desc then value asc) — the categorical profile feature."""
@@ -2181,6 +2204,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_longest": q_dedup_keep_longest,
         "auc_value_purchase": q_auc_value_purchase,
         "quantile_sketch_by_type": q_quantile_sketch_by_type,
+        "autocorr1_by_user": q_autocorr1_by_user,
+        "compact_stream_events": q_compact_stream_events,
         "doc_keywords": q_doc_keywords,
         "target_encode_events": q_target_encode_events,
         "freq_encode_events": q_freq_encode_events,
@@ -2951,6 +2976,28 @@ def oracle_sql() -> dict[str, str]:
                               SUM(n) OVER (PARTITION BY user_id) tot FROM c)
             SELECT user_id, ROUND(SUM(-(n / tot) * ln(n / tot)), 6) AS entropy
             FROM t GROUP BY user_id
+        """,
+        "autocorr1_by_user": """
+            WITH l AS (SELECT user_id, value,
+                              LAG(value) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id) AS vlag
+                       FROM events)
+            SELECT user_id, regr_count(value, vlag) AS n_pairs,
+                   ROUND(corr(value, vlag), 6) AS autocorr
+            FROM l GROUP BY user_id
+        """,
+        "compact_stream_events": """
+            WITH l AS (SELECT event_id, ts, user_id, event_type, value,
+                              LAG(event_type) OVER w AS pt,
+                              LAG(value) OVER w AS pv,
+                              row_number() OVER w AS rn
+                       FROM events
+                       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT event_id, ts, user_id, event_type, value
+            FROM l
+            WHERE rn = 1
+               OR NOT ((event_type IS NOT DISTINCT FROM pt)
+                       AND (value IS NOT DISTINCT FROM pv))
         """,
         "quantile_sketch_by_type": """
             WITH m AS (SELECT event_type, MIN(value) lo, MAX(value) hi,

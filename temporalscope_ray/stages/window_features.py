@@ -1770,3 +1770,95 @@ def ordered_funnel(
     return grouped.grouped_ordered_map(
         ds, id_col, [time_col, *(tiebreak or [])], fn, num_buckets=num_buckets
     )
+
+
+def grouped_autocorr(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str,
+    time_col: str,
+    value_col: str,
+    lag: int = 1,
+    out_col: str = "autocorr",
+    tiebreak: Optional[Sequence[str]] = None,
+    num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+) -> ray.data.Dataset:
+    """Whole-history lag-k autocorrelation per entity — behavioral
+    persistence ("does a high value predict the next one") as one
+    number per entity, beside the WINDOWED rolling autocorrelation.
+    SQL ``corr(v, lag(v, k))`` per group: pairwise-complete (both ends
+    non-null), NULL when fewer than 2 pairs or either side constant.
+
+    One entity-bucket exchange: the segment-safe lag and the per-entity
+    Pearson reduce in the SAME pass (pandas grouped sums over the
+    already-co-located bucket — no second exchange, no broadcast).
+    6dp-quantized: DuckDB's incremental-merge covariance and the
+    grouped-sum closed form agree past 1e-9 but not bitwise.
+    """
+    order = [time_col, *(tiebreak or [])]
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        v = g[value_col].to_numpy(dtype=np.float64)
+        seg_id = _segment_ids(grouped.entity_segments(g[id_col].to_numpy()))
+        lv = _seg_shift(v, seg_id, lag)
+        ok = ~(np.isnan(v) | np.isnan(lv))
+        d = pd.DataFrame({id_col: g[id_col].to_numpy()[ok],
+                          "x": v[ok], "y": lv[ok]})
+        s = d.groupby(id_col, sort=False).agg(
+            n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"))
+        # centered second pass within the bucket (exact per-group means)
+        mx = d[id_col].map(s["sx"] / s["n"]).to_numpy()
+        my = d[id_col].map(s["sy"] / s["n"]).to_numpy()
+        cx = d["x"].to_numpy() - mx
+        cy = d["y"].to_numpy() - my
+        d2 = pd.DataFrame({id_col: d[id_col], "xx": cx * cx, "yy": cy * cy,
+                           "xy": cx * cy})
+        m = d2.groupby(id_col, sort=False).sum()
+        n = s["n"].to_numpy(dtype=np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            r = m["xy"].to_numpy() / np.sqrt(m["xx"].to_numpy() * m["yy"].to_numpy())
+        r = np.where((n < 2) | (m["xx"].to_numpy() <= 0) | (m["yy"].to_numpy() <= 0),
+                     np.nan, r)
+        scale = 1e6
+        with np.errstate(invalid="ignore"):
+            r = np.sign(r) * np.floor(np.abs(r) * scale + 0.5) / scale
+        return pd.DataFrame({id_col: s.index.to_numpy(), "n_pairs": s["n"].astype(np.int64),
+                             out_col: r})
+
+    return grouped.grouped_ordered_map(ds, id_col, order, fn, num_buckets=num_buckets)
+
+
+def drop_consecutive_duplicates(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str,
+    time_col: str,
+    value_cols: Sequence[str],
+    tiebreak: Optional[Sequence[str]] = None,
+    num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+) -> ray.data.Dataset:
+    """Stream compaction: drop a row when EVERY ``value_cols`` entry
+    equals the entity's previous row (null == null counts as equal —
+    the SQL ``IS NOT DISTINCT FROM`` rule) — collapsing bounce/repeat
+    noise (double-fired trackers, idempotent state re-emits) while
+    keeping the first of each run. Entity firsts always survive. One
+    bucket exchange, vectorized lag compares per column.
+    """
+    order = [time_col, *(tiebreak or [])]
+    cols = list(value_cols)
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        seg_id = _segment_ids(grouped.entity_segments(g[id_col].to_numpy()))
+        n = len(g)
+        first = np.ones(n, dtype=bool)
+        if n > 1:
+            first[1:] = seg_id[1:] != seg_id[:-1]
+        same = ~first  # candidate: same entity as previous row
+        for c in cols:
+            col = g[c]
+            prev = col.shift(1)
+            eq = (col.isna() & prev.isna()) | (col == prev)
+            same &= eq.to_numpy()
+        return g[~same]
+
+    return grouped.grouped_ordered_map(ds, id_col, order, fn, num_buckets=num_buckets)

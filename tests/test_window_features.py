@@ -649,3 +649,58 @@ def test_ordered_funnel_random_vs_bruteforce(ray_session):
             row = out.loc[(uid, s)]
             assert int(row["steps_reached"]) == reached, (uid, s)
             assert int(row["n_events"]) == len(sub)
+
+
+def test_grouped_autocorr_matches_pandas(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data
+
+    from temporalscope_ray.stages.window_features import grouped_autocorr
+
+    rng = np.random.default_rng(61)
+    n = 900
+    df = pd.DataFrame({
+        "eid": np.arange(n),
+        "ts": pd.date_range("2024-01-01", periods=n, freq="min"),
+        "uid": rng.integers(0, 6, n),
+        # AR(1)-ish per-entity signal so autocorr is clearly positive
+        "v": rng.normal(0, 1, n),
+    })
+    df = df.sort_values(["uid", "ts"]).reset_index(drop=True)
+    df["v"] = df.groupby("uid")["v"].transform(lambda s: s.cumsum() * 0.3 + s)
+    out = grouped_autocorr(ray.data.from_pandas(df).repartition(4),
+                           id_col="uid", time_col="ts", value_col="v",
+                           lag=1, tiebreak=["eid"]) \
+        .to_pandas().set_index("uid")
+    for uid, g in df.groupby("uid"):
+        g = g.sort_values(["ts", "eid"])
+        want = g["v"].corr(g["v"].shift(1))
+        assert out.loc[uid, "autocorr"] == pytest.approx(want, abs=1e-6)
+        assert out.loc[uid, "n_pairs"] == len(g) - 1
+
+
+def test_drop_consecutive_duplicates_run_semantics(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from temporalscope_ray.stages.window_features import drop_consecutive_duplicates
+
+    ts = pd.date_range("2024-01-01", periods=8, freq="h")
+    df = pd.DataFrame({
+        "eid": range(8),
+        "ts": ts,
+        "uid": [1, 1, 1, 1, 2, 2, 2, 2],
+        "t": ["a", "a", "a", "b", "a", None, None, "a"],
+        "v": [1.0, 1.0, 2.0, 2.0, np.nan, np.nan, np.nan, np.nan],
+    })
+    out = drop_consecutive_duplicates(
+        ray.data.from_pandas(df).repartition(3), id_col="uid", time_col="ts",
+        value_cols=["t", "v"], tiebreak=["eid"],
+    ).to_pandas().sort_values("eid")
+    # uid1: keep eid0 (first), drop eid1 (dup a/1.0), keep eid2 (v changed),
+    # keep eid3 (t changed); uid2: keep eid4 (first), keep eid5 (t a->None),
+    # drop eid6 (None/NaN == None/NaN), keep eid7 (t back to a)
+    assert out["eid"].tolist() == [0, 2, 3, 4, 5, 7]
