@@ -1254,6 +1254,26 @@ def q_compact_stream_events(sf_dir: str):
         value_cols=["event_type", "value"], tiebreak=["event_id"])
 
 
+def q_contamination_rate_docs(sf_dir: str):
+    """Graded decontamination: per even-id doc, the fraction of its
+    distinct 5-token shingles present anywhere in the odd-id reference
+    half (GPT-3-style n-gram overlap rate) - one hash exchange, per-doc
+    (hits, total) combiner partials, exact integer ratio."""
+    from temporalscope_ray.stages.dedup import contamination_rate
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def par(keep):
+        def f(t: pa.Table) -> pa.Table:
+            d = t.column("doc_id").to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(d % 2 == keep))
+        return f
+
+    corpus = docs.map_batches(par(0), batch_format="pyarrow", zero_copy_batch=True)
+    reference = docs.map_batches(par(1), batch_format="pyarrow", zero_copy_batch=True)
+    return contamination_rate(corpus, reference, portable=True, shingle_k=5)
+
+
 def q_mode_event_type_by_user(sf_dir: str):
     """Each user's most frequent event type (deterministic ties:
     count desc then value asc) — the categorical profile feature."""
@@ -2206,6 +2226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_sketch_by_type": q_quantile_sketch_by_type,
         "autocorr1_by_user": q_autocorr1_by_user,
         "compact_stream_events": q_compact_stream_events,
+        "contamination_rate_docs": q_contamination_rate_docs,
         "doc_keywords": q_doc_keywords,
         "target_encode_events": q_target_encode_events,
         "freq_encode_events": q_freq_encode_events,
@@ -2985,6 +3006,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, regr_count(value, vlag) AS n_pairs,
                    ROUND(corr(value, vlag), 6) AS autocorr
             FROM l GROUP BY user_id
+        """,
+        "contamination_rate_docs": """
+            WITH ta AS (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS t
+                        FROM documents WHERE doc_id % 2 = 0),
+            tb AS (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS t
+                   FROM documents WHERE doc_id % 2 = 1),
+            ha AS (SELECT doc_id, md5_number_lower(array_to_string(t[i : i + 4], ' ')) AS h
+                   FROM ta CROSS JOIN LATERAL (SELECT unnest(generate_series(1,
+                        CASE WHEN len(t) = 0 THEN 0
+                             WHEN len(t) < 5 THEN 1
+                             ELSE len(t) - 4 END)) AS i) g),
+            da AS (SELECT DISTINCT doc_id, h FROM ha),
+            hb AS (SELECT DISTINCT md5_number_lower(array_to_string(t[i : i + 4], ' ')) AS h
+                   FROM tb CROSS JOIN LATERAL (SELECT unnest(generate_series(1,
+                        CASE WHEN len(t) = 0 THEN 0
+                             WHEN len(t) < 5 THEN 1
+                             ELSE len(t) - 4 END)) AS i) g)
+            SELECT doc_id, COUNT(*) AS n_shingles,
+                   ROUND(SUM(CASE WHEN h IN (SELECT h FROM hb) THEN 1 ELSE 0 END)
+                         * 1.0 / COUNT(*), 6) AS contamination_rate
+            FROM da GROUP BY doc_id
         """,
         "compact_stream_events": """
             WITH l AS (SELECT event_id, ts, user_id, event_type, value,

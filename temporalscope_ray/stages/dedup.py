@@ -1074,3 +1074,111 @@ def keep_best(
         id_col, anti=True,
     )
     return winners.union(untouched)
+
+
+def contamination_rate(
+    corpus: ray.data.Dataset,
+    reference: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    portable: bool = False,
+    num_buckets: int = 64,
+    round_to: int = 6,
+) -> ray.data.Dataset:
+    """Graded decontamination: per corpus document, the FRACTION of its
+    distinct ``shingle_k``-token shingles that appear anywhere in the
+    reference corpus — the overlap-rate form of ``contaminated_ids``
+    (GPT-3-style n-gram overlap scoring: a doc quoting one benchmark
+    line scores low, a verbatim copy scores ~1; the binary probe can't
+    tell them apart). Same plumbing: both sides reduce to distinct
+    shingle hashes per block, ONE hash exchange co-locates them, each
+    bucket emits per-doc (hits, total) partials, a combiner sum merges
+    across buckets and the rate is an exact integer ratio quantized to
+    ``round_to``. Docs with no shingles emit nothing. Text never moves.
+    """
+    token_re = re.compile(r"\w+")
+    from ..core import _schema
+
+    id_type = _schema(corpus).field(id_col).type
+    SIDE_COL = "__side__"
+    row_schema = pa.schema([("__h__", pa.uint64()), (id_col, id_type), (SIDE_COL, pa.int8())])
+
+    def corpus_hashes(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        out_h, out_id = [], []
+        for i, txt in enumerate(texts):
+            hs = shingle_hashes(txt or "", shingle_k, token_re, portable)
+            if len(hs):
+                hs = np.unique(hs)
+                out_h.append(hs)
+                out_id.append(np.full(len(hs), ids[i], dtype=ids.dtype))
+        h = np.concatenate(out_h) if out_h else np.array([], dtype=np.uint64)
+        i = np.concatenate(out_id) if out_id else np.array([], dtype=np.int64)
+        n = len(h)
+        return pa.table({
+            "__h__": pa.array(h, type=pa.uint64()),
+            id_col: pa.array(i).cast(id_type),
+            SIDE_COL: pa.array(np.zeros(n, dtype=np.int8)),
+        }, schema=row_schema)
+
+    def ref_hashes(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        hs = [shingle_hashes(t or "", shingle_k, token_re, portable) for t in texts]
+        hs = [h for h in hs if len(h)]
+        flat = np.unique(np.concatenate(hs)) if hs else np.array([], dtype=np.uint64)
+        return pa.table({
+            "__h__": pa.array(flat, type=pa.uint64()),
+            id_col: pa.nulls(len(flat), type=id_type),
+            SIDE_COL: pa.array(np.ones(len(flat), dtype=np.int8)),
+        }, schema=row_schema)
+
+    ch = corpus.select_columns([id_col, text_col]).map_batches(
+        corpus_hashes, batch_format="pyarrow")
+    rh = reference.select_columns([text_col]).map_batches(ref_hashes, batch_format="pyarrow")
+
+    from .grouped import BUCKET_COL, hash_groupby_aggregate, hash_key_column
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = hash_key_column(t.column("__h__"), num_buckets)
+        return t.append_column(BUCKET_COL, pa.array(b, type=pa.int32()))
+
+    bucketed = ch.union(rh).map_batches(add_bucket, batch_format="pyarrow",
+                                        zero_copy_batch=True)
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        # ArrowDtype: a plain to_pandas would give the id column float64
+        # in buckets that hold null-id REFERENCE rows and int64 in
+        # buckets that don't — the same doc would then hash apart in the
+        # follow-up combiner exchange and its (hits, total) partials
+        # would never merge (same trap _set_op documents).
+        df = t.drop_columns([BUCKET_COL]).to_pandas(types_mapper=pd.ArrowDtype)
+        ref_set = df.loc[df[SIDE_COL] == 1, "__h__"].to_numpy(dtype=np.uint64)
+        corp = df[df[SIDE_COL] == 0]
+        hit = np.isin(corp["__h__"].to_numpy(dtype=np.uint64),
+                      np.unique(ref_set)).astype(np.int64)
+        out = pd.DataFrame({id_col: corp[id_col].to_numpy(), "__hit__": hit,
+                            "__one__": np.ones(len(corp), dtype=np.int64)})
+        g = out.groupby(id_col, sort=False, as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = bucketed.groupby(BUCKET_COL).map_groups(per_bucket, batch_format="pyarrow")
+    sums = hash_groupby_aggregate(
+        parts, [id_col],
+        {"hits": ("__hit__", "sum"), "n_shingles": ("__one__", "sum")},
+        num_buckets=32,
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        hits = df["hits"].to_numpy(dtype=np.float64)
+        tot = df["n_shingles"].to_numpy(dtype=np.float64)
+        r = hits * 1.0 / tot
+        scale = 10.0 ** round_to
+        r = np.sign(r) * np.floor(np.abs(r) * scale + 0.5) / scale
+        return pd.DataFrame({id_col: df[id_col],
+                             "n_shingles": df["n_shingles"].astype(np.int64),
+                             "contamination_rate": r})
+
+    return sums.map_batches(finish, batch_format="pandas")

@@ -42,3 +42,32 @@ def test_contamination_empty_reference(ray_session):
                                           "text": pa.array([], type=pa.string())}))
     out = contaminated_ids(corpus, empty, num_buckets=4).to_pandas()
     assert len(out) == 0
+
+
+def test_contamination_rate_graded(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from temporalscope_ray.stages.dedup import contamination_rate
+
+    ref = pd.DataFrame({"doc_id": [100],
+                        "text": ["alpha beta gamma delta epsilon zeta eta"]})
+    corpus = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [
+            # verbatim copy -> rate 1.0
+            "alpha beta gamma delta epsilon zeta eta",
+            # shares exactly one 5-shingle (alpha..epsilon) then diverges
+            "alpha beta gamma delta epsilon nine ten eleven twelve",
+            # disjoint -> 0.0
+            "one two three four five six seven",
+        ],
+    })
+    out = contamination_rate(
+        ray.data.from_pandas(corpus).repartition(2),
+        ray.data.from_pandas(ref), portable=True, shingle_k=5,
+    ).to_pandas().set_index("doc_id")
+    assert out.loc[1, "contamination_rate"] == 1.0
+    assert 0.0 < out.loc[2, "contamination_rate"] < 0.5
+    assert out.loc[3, "contamination_rate"] == 0.0
+    assert out.loc[1, "n_shingles"] == 3  # 7 tokens -> 3 distinct 5-shingles
