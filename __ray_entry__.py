@@ -1274,6 +1274,18 @@ def q_contamination_rate_docs(sf_dir: str):
     return contamination_rate(corpus, reference, portable=True, shingle_k=5)
 
 
+def q_length_weighted_sample_docs(sf_dir: str):
+    """Length-proportional deterministic corpus thinning (inclusion
+    probability ~ n_chars, expected keep ~30%): integer weights make
+    the mean a ratio of exact ints so both engines hold the same rate
+    double; hash-grid coin, zero shuffle."""
+    from temporalscope_ray.stages.sampling import importance_sample
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return importance_sample(docs, "doc_id", "n_chars",
+                             target_frac=0.3, salt="lw")
+
+
 def q_mode_event_type_by_user(sf_dir: str):
     """Each user's most frequent event type (deterministic ties:
     count desc then value asc) — the categorical profile feature."""
@@ -2227,6 +2239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "autocorr1_by_user": q_autocorr1_by_user,
         "compact_stream_events": q_compact_stream_events,
         "contamination_rate_docs": q_contamination_rate_docs,
+        "length_weighted_sample_docs": q_length_weighted_sample_docs,
         "doc_keywords": q_doc_keywords,
         "target_encode_events": q_target_encode_events,
         "freq_encode_events": q_freq_encode_events,
@@ -3006,6 +3019,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, regr_count(value, vlag) AS n_pairs,
                    ROUND(corr(value, vlag), 6) AS autocorr
             FROM l GROUP BY user_id
+        """,
+        "length_weighted_sample_docs": """
+            WITH m AS (SELECT SUM(n_chars)::DOUBLE / COUNT(n_chars) AS mw
+                       FROM documents),
+                 r AS (SELECT doc_id, n_chars,
+                              CAST(FLOOR(LEAST(1.0, 0.3 * n_chars / m.mw)
+                                         * 1000000 + 0.5) AS BIGINT) AS ri
+                       FROM documents, m WHERE n_chars > 0)
+            SELECT doc_id, n_chars FROM r
+            WHERE CAST(md5_number_lower(CAST(doc_id AS VARCHAR) || 'lw')
+                       % 1000000 AS BIGINT) < ri
         """,
         "contamination_rate_docs": """
             WITH ta AS (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS t

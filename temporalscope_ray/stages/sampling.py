@@ -327,3 +327,50 @@ def temperature_resample(
         return batch.filter(pa.array((u % np.uint64(1_000_000)).astype(np.int64) < thr))
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def importance_sample(
+    ds: ray.data.Dataset,
+    key_col: str,
+    weight_col: str,
+    *,
+    target_frac: float,
+    salt: str = "",
+    portable: bool = True,
+) -> ray.data.Dataset:
+    """Weight-proportional deterministic sampling: each row is kept
+    with probability ``min(1, target_frac · w / mean_w)`` — expected
+    kept fraction ≈ ``target_frac`` with inclusion probability ∝ the
+    row's weight (length-weighted corpus thinning, quality-weighted
+    training-mix construction). The decision is the engine's standard
+    reproducible coin: ``hash(key‖salt) % 10⁶ < round(rate · 10⁶)`` —
+    no RNG state, identical at any parallelism, SQL-replayable.
+
+    Shape: ONE combiner (Σw, n) reduce for the mean, then a
+    zero-shuffle vectorized filter. With an INTEGER weight column the
+    mean is a ratio of exact integers, so both engines hold the same
+    double and the 10⁶-grid rate can't straddle; float weights lean on
+    the grid rounding like every other sampled stage. Null or
+    non-positive weights never qualify.
+    """
+    from .grouped import hash_groupby_aggregate
+
+    tot = ds.select_columns([weight_col]).map_batches(
+        lambda df: pd.DataFrame({
+            "__s__": [float(df[weight_col].dropna().sum())],
+            "__n__": [int(df[weight_col].count())]}),
+        batch_format="pandas").to_pandas().sum()
+    if int(tot["__n__"]) == 0:
+        return ds.limit(0)
+    mean_w = float(tot["__s__"]) / float(tot["__n__"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        w = batch.column(weight_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        with np.errstate(invalid="ignore"):
+            rate = np.minimum(1.0, target_frac * w / mean_w)
+        ri = np.floor(rate * 1_000_000 + 0.5)
+        ri = np.where(np.isnan(ri) | (w <= 0), 0, ri).astype(np.int64)
+        u = _key_units(batch.column(key_col).to_pandas(), salt=salt, portable=portable)
+        return batch.filter(pa.array((u % np.uint64(1_000_000)).astype(np.int64) < ri))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)

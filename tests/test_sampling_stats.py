@@ -855,3 +855,30 @@ def test_grouped_quantile_hist_error_bound(ray_session):
             exact = np.quantile(vv, q, method="inverted_cdf")
             assert abs(out[(g, q)] - exact) <= width + 1e-9, (g, q)
     assert out[("const", 0.5)] == 7.0        # constant group -> its constant
+
+
+def test_importance_sample_rate_and_determinism(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from temporalscope_ray.stages.sampling import importance_sample
+
+    rng = np.random.default_rng(71)
+    n = 8000
+    df = pd.DataFrame({"k": np.arange(n), "w": rng.integers(1, 100, n).astype("int64")})
+    ds = ray.data.from_pandas(df).repartition(5)
+    kept = importance_sample(ds, "k", "w", target_frac=0.3, salt="t").to_pandas()
+    # expected keep fraction ~ target
+    assert 0.25 < len(kept) / n < 0.35
+    # inclusion probability proportional to weight: mean weight of the
+    # kept set must exceed the population mean materially
+    assert kept["w"].mean() > df["w"].mean() * 1.2
+    # deterministic at any layout
+    kept2 = importance_sample(ray.data.from_pandas(df), "k", "w",
+                              target_frac=0.3, salt="t").to_pandas()
+    assert sorted(kept["k"]) == sorted(kept2["k"])
+    # zero/negative weights never qualify
+    dfz = pd.DataFrame({"k": [1, 2], "w": [0, -5]})
+    assert importance_sample(ray.data.from_pandas(dfz), "k", "w",
+                             target_frac=1.0).count() == 0
