@@ -1286,6 +1286,19 @@ def q_length_weighted_sample_docs(sf_dir: str):
                              target_frac=0.3, salt="lw")
 
 
+def q_contrastive_triplets_docs(sf_dir: str):
+    """CLIP-style contrastive triplet construction over the
+    image↔caption proxy corpus (doc_id = image id, text = caption):
+    anchor + positive caption + ONE deterministically drawn negative
+    caption (md5 coin mod n, self-collision bumped), fetched through
+    the equi-join — the training-set constructor for a contrastive
+    objective; change the salt per epoch to redraw negatives."""
+    from temporalscope_ray.stages.sampling import negative_pair
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return negative_pair(docs, "doc_id", ["text"], salt="neg")
+
+
 def q_mode_event_type_by_user(sf_dir: str):
     """Each user's most frequent event type (deterministic ties:
     count desc then value asc) — the categorical profile feature."""
@@ -2240,6 +2253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compact_stream_events": q_compact_stream_events,
         "contamination_rate_docs": q_contamination_rate_docs,
         "length_weighted_sample_docs": q_length_weighted_sample_docs,
+        "contrastive_triplets_docs": q_contrastive_triplets_docs,
         "doc_keywords": q_doc_keywords,
         "target_encode_events": q_target_encode_events,
         "freq_encode_events": q_freq_encode_events,
@@ -3030,6 +3044,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_chars FROM r
             WHERE CAST(md5_number_lower(CAST(doc_id AS VARCHAR) || 'lw')
                        % 1000000 AS BIGINT) < ri
+        """,
+        "contrastive_triplets_docs": """
+            WITH nn AS (SELECT count(*) AS n FROM documents),
+            a AS (SELECT doc_id, text,
+                    CAST(md5_number_lower(CAST(doc_id AS VARCHAR) || 'neg')
+                         % (SELECT CAST(n AS UBIGINT) FROM nn) AS BIGINT) AS raw
+                  FROM documents),
+            b AS (SELECT doc_id, text,
+                    CASE WHEN raw = doc_id THEN (raw + 1) % (SELECT n FROM nn)
+                         ELSE raw END AS neg_doc_id
+                  FROM a)
+            SELECT b.doc_id, b.text, b.neg_doc_id, d.text AS neg_text
+            FROM b JOIN documents d ON d.doc_id = b.neg_doc_id
         """,
         "contamination_rate_docs": """
             WITH ta AS (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS t

@@ -374,3 +374,60 @@ def importance_sample(
         return batch.filter(pa.array((u % np.uint64(1_000_000)).astype(np.int64) < ri))
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def negative_pair(
+    ds: ray.data.Dataset,
+    id_col: str,
+    payload_cols: Sequence[str],
+    *,
+    n: Optional[int] = None,
+    salt: str = "neg",
+    neg_prefix: str = "neg_",
+    portable: bool = True,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Deterministic contrastive negative pairing: each row (anchor +
+    its positive payload) is joined with the payload of ONE other row —
+    the "negative" — picked by ``hash(id‖salt) mod n`` (bumped to
+    ``(id+1) mod n`` on self-collision). The standard triplet
+    constructor for CLIP-style image↔caption contrastive training;
+    change ``salt`` per epoch to redraw negatives.
+
+    Requires ``id_col`` to be a DENSE 0..n-1 int key (compose with
+    ``scan.with_global_index`` first when it isn't). ``n`` defaults to
+    ``ds.count()``.
+
+    Scale shape: the anchor stream gains one int column in a
+    zero-shuffle pass, then fetches negative payloads through
+    ``equi_join`` — broadcast when the corpus is small, ONE bucketed
+    hash exchange otherwise (moving a payload to its negative anchor is
+    inherently an exchange; nothing corpus-sized touches the driver).
+    With ``portable=True`` the pick replays in SQL as
+    ``md5_number_lower(CAST(id AS VARCHAR) || salt) % n``.
+
+    The reference has no pairing operator (single-frame library); this
+    extends the training-data plumbing family (split / sample /
+    shuffle) to contrastive-objective dataset construction.
+    """
+    from .join import equi_join
+
+    payload_cols = list(payload_cols)
+    n_total = int(n) if n is not None else ds.count()
+    if n_total <= 1:
+        raise ValueError("negative_pair: need at least 2 rows to draw negatives")
+    neg_id = neg_prefix + id_col
+
+    def add_neg(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        u = _key_units(pd.Series(ids), salt=salt, portable=portable)
+        raw = (u % np.uint64(n_total)).astype(np.int64)
+        neg = np.where(raw == ids, (raw + 1) % n_total, raw)
+        return batch.append_column(neg_id, pa.array(neg, type=pa.int64()))
+
+    anchors = ds.map_batches(add_neg, batch_format="pyarrow", zero_copy_batch=True)
+    right = ds.select_columns([id_col] + payload_cols).map_batches(
+        lambda t: t.rename_columns([neg_id] + [neg_prefix + c for c in payload_cols]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return equi_join(anchors, right, on=neg_id, how="inner", num_buckets=num_buckets)

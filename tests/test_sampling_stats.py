@@ -882,3 +882,34 @@ def test_importance_sample_rate_and_determinism(ray_session):
     dfz = pd.DataFrame({"k": [1, 2], "w": [0, -5]})
     assert importance_sample(ray.data.from_pandas(dfz), "k", "w",
                              target_frac=1.0).count() == 0
+
+
+def test_negative_pair_triplets(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from temporalscope_ray.stages.sampling import negative_pair
+
+    n = 400
+    df = pd.DataFrame({"doc_id": np.arange(n),
+                       "text": [f"cap{i}" for i in range(n)]})
+    ds = ray.data.from_pandas(df).repartition(4)
+    out = negative_pair(ds, "doc_id", ["text"], salt="neg").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # every anchor appears exactly once with its own positive caption
+    assert list(out["doc_id"]) == list(range(n))
+    assert (out["text"] == [f"cap{i}" for i in range(n)]).all()
+    # negatives: never self, valid id, payload consistent with the id
+    assert (out["neg_doc_id"] != out["doc_id"]).all()
+    assert out["neg_doc_id"].between(0, n - 1).all()
+    assert (out["neg_text"] == out["neg_doc_id"].map(lambda i: f"cap{i}")).all()
+    # deterministic at any layout; a different salt redraws
+    out2 = negative_pair(ray.data.from_pandas(df), "doc_id", ["text"],
+                         salt="neg").to_pandas().sort_values("doc_id")
+    assert list(out2["neg_doc_id"]) == list(out["neg_doc_id"])
+    out3 = negative_pair(ds, "doc_id", ["text"], salt="epoch1").to_pandas() \
+        .sort_values("doc_id")
+    assert list(out3["neg_doc_id"]) != list(out["neg_doc_id"])
+    # negatives are near-uniform: no negative id dominates
+    assert out["neg_doc_id"].value_counts().max() <= 12
