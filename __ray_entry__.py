@@ -1299,6 +1299,34 @@ def q_contrastive_triplets_docs(sf_dir: str):
     return negative_pair(docs, "doc_id", ["text"], salt="neg")
 
 
+def q_history_seq_by_user(sf_dir: str):
+    """Per-row autoregressive history (previous ≤5 event types, oldest
+    first, leakage-free strictly-prior frame) — flattened to (row, pos,
+    prev_type) for the oracle compare, like expand_targets_h3."""
+    from temporalscope_ray.stages.window_features import add_history_sequence
+
+    ev = _events(sf_dir, ("event_id", "ts", "user_id", "event_type"))
+    out = add_history_sequence(ev, id_col="user_id", time_col="ts",
+                               cat_col="event_type", window=5,
+                               tiebreak=["event_id"])
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        col = b["event_type_hist_5"].to_numpy()
+        counts = np.array([len(a) for a in col], dtype=np.int64)
+        total = int(counts.sum())
+        if total == 0:
+            return pd.DataFrame({"event_id": np.array([], dtype=np.int64),
+                                 "pos": np.array([], dtype=np.int64),
+                                 "prev_type": pd.array([], dtype="string")})
+        rep = np.repeat(b["event_id"].to_numpy(), counts)
+        pos = np.concatenate([np.arange(1, c + 1) for c in counts if c > 0])
+        prev = np.concatenate([np.asarray(a, dtype=object) for a in col if len(a)])
+        return pd.DataFrame({"event_id": rep, "pos": pos,
+                             "prev_type": pd.array(prev, dtype="string")})
+
+    return out.map_batches(explode, batch_format="pandas")
+
+
 def q_mode_event_type_by_user(sf_dir: str):
     """Each user's most frequent event type (deterministic ties:
     count desc then value asc) — the categorical profile feature."""
@@ -2254,6 +2282,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_rate_docs": q_contamination_rate_docs,
         "length_weighted_sample_docs": q_length_weighted_sample_docs,
         "contrastive_triplets_docs": q_contrastive_triplets_docs,
+        "history_seq_by_user": q_history_seq_by_user,
         "doc_keywords": q_doc_keywords,
         "target_encode_events": q_target_encode_events,
         "freq_encode_events": q_freq_encode_events,
@@ -3057,6 +3086,17 @@ def oracle_sql() -> dict[str, str]:
                   FROM a)
             SELECT b.doc_id, b.text, b.neg_doc_id, d.text AS neg_text
             FROM b JOIN documents d ON d.doc_id = b.neg_doc_id
+        """,
+        "history_seq_by_user": """
+            WITH s AS (
+              SELECT event_id,
+                     list(event_type) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id
+                          ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS hist
+              FROM events)
+            SELECT event_id, CAST(g.i AS BIGINT) AS pos, hist[g.i] AS prev_type
+            FROM s CROSS JOIN LATERAL
+                 (SELECT unnest(generate_series(1, len(hist))) AS i) g
         """,
         "contamination_rate_docs": """
             WITH ta AS (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS t

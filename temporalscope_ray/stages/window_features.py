@@ -1556,6 +1556,67 @@ def add_rolling_distinct(
     return grouped.grouped_ordered_map(ds, id_col, order, fn, num_buckets=num_buckets)
 
 
+def add_history_sequence(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str,
+    time_col: str,
+    cat_col: str,
+    window: int = 5,
+    out_col: Optional[str] = None,
+    tiebreak: Optional[Sequence[str]] = None,
+    num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+) -> ray.data.Dataset:
+    """Per-row history sequence: the entity's PREVIOUS ≤``window``
+    ``cat_col`` values as a list column, ordered oldest→newest — the
+    input constructor for sequence models (next-event prediction,
+    session transformers). Strictly-prior frame (``ROWS BETWEEN window
+    PRECEDING AND 1 PRECEDING``), so the feature is leakage-free by
+    construction; entity firsts get an empty list, never null. Null
+    category values are carried as null list elements (SQL ``list()``
+    keeps nulls).
+
+    One entity-bucket exchange; per bucket the categories are
+    factorized once, the window is laid out as ``window`` segment-safe
+    shifted code columns (oldest first), and the lists are materialized
+    with ONE row-major masked gather — no per-row Python in the value
+    path. Small-window design like ``add_rolling_distinct``.
+
+    The reference's multi-step expanded targets
+    (`/root/reference/src/temporalscope/target_shifters/single_step.py`
+    semantics, T5) look FORWARD; this is the backward mirror a
+    training-data pipeline needs for autoregressive features.
+    """
+    if window < 1:
+        raise ValueError("add_history_sequence: window must be >= 1")
+    order = [time_col, *(tiebreak or [])]
+    dst = out_col or f"{cat_col}_hist_{window}"
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.copy()
+        n = len(g)
+        codes, cats = pd.factorize(g[cat_col], use_na_sentinel=True)  # null -> -1
+        seg_id = _segment_ids(grouped.entity_segments(g[id_col].to_numpy()))
+        if n == 0:
+            out[dst] = pd.Series([], dtype=object)
+            return out
+        # columns oldest -> newest: lag window, ..., lag 1; NaN = out of segment
+        m = np.stack([_seg_shift(codes.astype(np.float64), seg_id, k)
+                      for k in range(window, 0, -1)], axis=1)
+        valid = ~np.isnan(m)
+        counts = valid.sum(axis=1)
+        flat = m[valid].astype(np.int64)          # row-major: per row oldest first
+        cats_arr = np.asarray(cats, dtype=object)
+        vals_flat = np.where(flat >= 0, cats_arr[np.maximum(flat, 0)], None)
+        bounds = np.concatenate([[0], np.cumsum(counts)])
+        out[dst] = pd.Series(
+            [vals_flat[bounds[i]:bounds[i + 1]] for i in range(n)],
+            index=g.index, dtype=object)
+        return out
+
+    return grouped.grouped_ordered_map(ds, id_col, order, fn, num_buckets=num_buckets)
+
+
 def _decayed_sum(tf: np.ndarray, v: np.ndarray, seg_id: np.ndarray,
                  lam: float, window: int) -> np.ndarray:
     """Fixed-order finite decayed sum (k = 0..window−1 of

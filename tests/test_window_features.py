@@ -704,3 +704,42 @@ def test_drop_consecutive_duplicates_run_semantics(ray_session):
     # keep eid3 (t changed); uid2: keep eid4 (first), keep eid5 (t a->None),
     # drop eid6 (None/NaN == None/NaN), keep eid7 (t back to a)
     assert out["eid"].tolist() == [0, 2, 3, 4, 5, 7]
+
+
+def test_history_sequence_semantics(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from temporalscope_ray.stages.window_features import add_history_sequence
+
+    df = pd.DataFrame({
+        "id": [1, 1, 1, 1, 2, 2],
+        "ts": pd.to_datetime([1, 2, 3, 4, 1, 2], unit="s"),
+        "cat": ["a", "b", None, "c", "x", "y"],
+    })
+    out = add_history_sequence(
+        ray.data.from_pandas(df).repartition(3), id_col="id", time_col="ts",
+        cat_col="cat", window=2, num_buckets=2,
+    ).to_pandas().sort_values(["id", "ts"]).reset_index(drop=True)
+    hists = [list(a) for a in out["cat_hist_2"]]
+    # entity firsts: empty; strictly-prior, oldest-first; nulls carried
+    assert hists == [[], ["a"], ["a", "b"], ["b", None], [], ["x"]]
+    # brute-force check on random data at window 4
+    rng = np.random.default_rng(5)
+    big = pd.DataFrame({
+        "id": rng.integers(0, 20, 600),
+        "ts": pd.to_datetime(rng.permutation(600), unit="s"),
+        "cat": rng.choice(["u", "v", "w"], 600),
+    })
+    got = add_history_sequence(
+        ray.data.from_pandas(big).repartition(5), id_col="id", time_col="ts",
+        cat_col="cat", window=4, num_buckets=4,
+    ).to_pandas().sort_values(["id", "ts"]).reset_index(drop=True)
+    ref = big.sort_values(["id", "ts"]).reset_index(drop=True)
+    for key, sub in ref.groupby("id"):
+        vals = sub["cat"].tolist()
+        for j, (ri, _) in enumerate(sub.iterrows()):
+            expect = vals[max(0, j - 4):j]
+            mask = (got["id"] == key) & (got["ts"] == sub["ts"].iloc[j])
+            assert list(got.loc[mask, "cat_hist_4"].iloc[0]) == expect
