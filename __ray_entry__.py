@@ -1327,6 +1327,18 @@ def q_history_seq_by_user(sf_dir: str):
     return out.map_batches(explode, batch_format="pandas")
 
 
+def q_cusum_value_by_user(sf_dir: str):
+    """Per-user one-sided CUSUM drift score of value against the global
+    mean (cents-exact: the whole recursion is int64, the only float op
+    is the final /100) — the sequential change detector beside the
+    batch drift monitors (PSI, KS)."""
+    from temporalscope_ray.stages.window_features import add_cusum
+
+    ev = _events(sf_dir, ("event_id", "ts", "user_id", "value"))
+    return add_cusum(ev, id_col="user_id", time_col="ts", value_col="value",
+                     tiebreak=["event_id"])
+
+
 def q_mode_event_type_by_user(sf_dir: str):
     """Each user's most frequent event type (deterministic ties:
     count desc then value asc) — the categorical profile feature."""
@@ -2283,6 +2295,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_weighted_sample_docs": q_length_weighted_sample_docs,
         "contrastive_triplets_docs": q_contrastive_triplets_docs,
         "history_seq_by_user": q_history_seq_by_user,
+        "cusum_value_by_user": q_cusum_value_by_user,
         "doc_keywords": q_doc_keywords,
         "target_encode_events": q_target_encode_events,
         "freq_encode_events": q_freq_encode_events,
@@ -3086,6 +3099,30 @@ def oracle_sql() -> dict[str, str]:
                   FROM a)
             SELECT b.doc_id, b.text, b.neg_doc_id, d.text AS neg_text
             FROM b JOIN documents d ON d.doc_id = b.neg_doc_id
+        """,
+        "cusum_value_by_user": """
+            WITH t AS (
+              SELECT CAST(FLOOR(
+                       SUM(CAST(ROUND(value * 100, 0) AS BIGINT))::DOUBLE
+                       / COUNT(value) + 0.5) AS BIGINT) AS tgt
+              FROM events),
+            d AS (
+              SELECT event_id, ts, user_id, value,
+                     CASE WHEN value IS NULL THEN 0
+                          ELSE CAST(ROUND(value * 100, 0) AS BIGINT)
+                               - (SELECT tgt FROM t) END AS dev
+              FROM events),
+            c AS (
+              SELECT event_id, ts, user_id, value,
+                     SUM(dev) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS cum
+              FROM d)
+            SELECT event_id, ts, user_id, value,
+                   CAST(cum - LEAST(0, MIN(cum) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING)) AS DOUBLE) / 100.0
+                     AS value_cusum
+            FROM c
         """,
         "history_seq_by_user": """
             WITH s AS (

@@ -1556,6 +1556,72 @@ def add_rolling_distinct(
     return grouped.grouped_ordered_map(ds, id_col, order, fn, num_buckets=num_buckets)
 
 
+def add_cusum(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str,
+    time_col: str,
+    value_col: str,
+    target_units: Optional[int] = None,
+    slack_units: int = 0,
+    scale: float = 100.0,
+    out_col: Optional[str] = None,
+    tiebreak: Optional[Sequence[str]] = None,
+    num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+) -> ray.data.Dataset:
+    """Per-entity one-sided CUSUM change-point score: ``S_t = max(0,
+    S_{t-1} + (x_t − target − slack))`` over the entity's ``(ts,
+    tiebreak)`` order — the classic sequential drift detector (flag an
+    entity when S exceeds a decision threshold h). Uses the prefix
+    closed form ``S_t = C_t − min(0, min_{i≤t} C_i)`` with ``C`` the
+    running deviation sum, so the recursion is two Cython grouped scans
+    (cumsum + cummin), never a per-row loop.
+
+    Exactness: values are quantized to integer units (``rint(x·scale)``
+    — DuckDB ``ROUND(x*scale, 0)``), so C, the running min, and S are
+    all int64 and BIT-exact in any engine; the only float op is the
+    final ``S/scale``, one identical division in both. ``target_units``
+    defaults to the global mean in units rounded half-away (an exact
+    int ratio → identical double → identical floor in both engines);
+    null values contribute zero deviation (SQL SUM OVER ignores nulls).
+
+    One combiner pass for the default target + one entity-bucket
+    exchange. The reference has no monitoring operators; this joins
+    the drift family (PSI, KS) with the *sequential* detector a
+    streaming feature platform needs.
+    """
+    order = [time_col, *(tiebreak or [])]
+    dst = out_col or f"{value_col}_cusum"
+
+    if target_units is None:
+        def partials(b: pd.DataFrame) -> pd.DataFrame:
+            v = b[value_col].to_numpy(dtype=np.float64)
+            u = np.rint(v * scale)
+            ok = ~np.isnan(v)
+            return pd.DataFrame({"__s__": [int(u[ok].sum())], "__n__": [int(ok.sum())]})
+
+        tot = ds.select_columns([value_col]).map_batches(
+            partials, batch_format="pandas").to_pandas().sum()
+        if int(tot["__n__"]) == 0:
+            raise ValueError(f"add_cusum: no non-null values in '{value_col}'")
+        mean_units = float(tot["__s__"]) / float(tot["__n__"])
+        target_units = int(np.floor(mean_units + 0.5))
+    ref = int(target_units) + int(slack_units)
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.copy()
+        seg_id = _segment_ids(grouped.entity_segments(g[id_col].to_numpy()))
+        v = g[value_col].to_numpy(dtype=np.float64)
+        units = np.rint(v * scale)
+        dev = np.where(np.isnan(v), 0, units - ref).astype(np.int64)
+        c = pd.Series(dev).groupby(seg_id, sort=False).cumsum().to_numpy()
+        m = pd.Series(c).groupby(seg_id, sort=False).cummin().to_numpy()
+        out[dst] = (c - np.minimum(m, 0)).astype(np.float64) / scale
+        return out
+
+    return grouped.grouped_ordered_map(ds, id_col, order, fn, num_buckets=num_buckets)
+
+
 def add_history_sequence(
     ds: ray.data.Dataset,
     *,

@@ -743,3 +743,42 @@ def test_history_sequence_semantics(ray_session):
             expect = vals[max(0, j - 4):j]
             mask = (got["id"] == key) & (got["ts"] == sub["ts"].iloc[j])
             assert list(got.loc[mask, "cat_hist_4"].iloc[0]) == expect
+
+
+def test_cusum_recursion_and_exactness(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from temporalscope_ray.stages.window_features import add_cusum
+
+    rng = np.random.default_rng(17)
+    n = 500
+    df = pd.DataFrame({
+        "id": rng.integers(0, 8, n),
+        "ts": pd.to_datetime(rng.permutation(n), unit="s"),
+        "v": np.round(rng.normal(50, 10, n), 2),
+    })
+    df.loc[rng.choice(n, 20, replace=False), "v"] = np.nan
+    out = add_cusum(ray.data.from_pandas(df).repartition(4), id_col="id",
+                    time_col="ts", value_col="v", target_units=5000,
+                    num_buckets=4).to_pandas().sort_values(["id", "ts"])
+    # reference: the literal max(0, S + dev) recursion in cents
+    ref = df.sort_values(["id", "ts"])
+    for key, sub in ref.groupby("id"):
+        s = 0
+        got = out[out["id"] == key]["v_cusum"].to_numpy()
+        for j, v in enumerate(sub["v"]):
+            dev = 0 if np.isnan(v) else int(np.rint(v * 100)) - 5000
+            s = max(0, s + dev)
+            assert got[j] == s / 100.0, (key, j)
+    # a planted upward shift drives CUSUM up; stable series stays near 0
+    shift = pd.DataFrame({
+        "id": np.zeros(100, dtype=np.int64),
+        "ts": pd.to_datetime(np.arange(100), unit="s"),
+        "v": np.concatenate([np.full(50, 10.0), np.full(50, 20.0)]),
+    })
+    res = add_cusum(ray.data.from_pandas(shift), id_col="id", time_col="ts",
+                    value_col="v", num_buckets=2).to_pandas().sort_values("ts")
+    assert res["v_cusum"].iloc[49] == 0.0         # at-mean prefix never rises
+    assert res["v_cusum"].iloc[-1] > 200.0        # 50 rows x +5 drift
