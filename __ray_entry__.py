@@ -1327,6 +1327,34 @@ def q_history_seq_by_user(sf_dir: str):
     return out.map_batches(explode, batch_format="pandas")
 
 
+def q_embedding_int8(sf_dir: str):
+    """uint8 scalar quantization of the embedding column (per-dim
+    min/max affine codes — the 4× index-compression step before ANN),
+    exploded to (vec_id, dim, q) for the gate; the code assignment is
+    bit-exact, not approximately close."""
+    from temporalscope_ray.stages.linalg import quantize_embeddings
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = quantize_embeddings(emb, "embedding", bits=8)
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        codes = b["embedding_q8"].to_numpy()
+        n = len(b)
+        if n == 0:
+            return pd.DataFrame({"vec_id": np.array([], dtype=np.int64),
+                                 "dim": np.array([], dtype=np.int64),
+                                 "q": np.array([], dtype=np.int64)})
+        d = len(codes[0])
+        flat = np.concatenate([np.asarray(c, dtype=np.int64) for c in codes])
+        return pd.DataFrame({
+            "vec_id": np.repeat(b["vec_id"].to_numpy(), d),
+            "dim": np.tile(np.arange(d, dtype=np.int64), n),
+            "q": flat,
+        })
+
+    return out.drop_columns(["embedding"]).map_batches(explode, batch_format="pandas")
+
+
 def q_cusum_value_by_user(sf_dir: str):
     """Per-user one-sided CUSUM drift score of value against the global
     mean (cents-exact: the whole recursion is int64, the only float op
@@ -2296,6 +2324,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contrastive_triplets_docs": q_contrastive_triplets_docs,
         "history_seq_by_user": q_history_seq_by_user,
         "cusum_value_by_user": q_cusum_value_by_user,
+        "embedding_int8": q_embedding_int8,
         "doc_keywords": q_doc_keywords,
         "target_encode_events": q_target_encode_events,
         "freq_encode_events": q_freq_encode_events,
@@ -3099,6 +3128,18 @@ def oracle_sql() -> dict[str, str]:
                   FROM a)
             SELECT b.doc_id, b.text, b.neg_doc_id, d.text AS neg_text
             FROM b JOIN documents d ON d.doc_id = b.neg_doc_id
+        """,
+        "embedding_int8": """
+            WITH u AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                              generate_subscripts(embedding, 1) AS dim1
+                       FROM embeddings),
+            m AS (SELECT dim1, MIN(v) AS mn, MAX(v) AS mx FROM u GROUP BY dim1)
+            SELECT u.vec_id, CAST(u.dim1 - 1 AS BIGINT) AS dim,
+                   CASE WHEN m.mx = m.mn THEN 0
+                        ELSE CAST(FLOOR((u.v - m.mn)
+                             / ((m.mx - m.mn) / 255.0) + 0.5) AS BIGINT)
+                   END AS q
+            FROM u JOIN m USING (dim1)
         """,
         "cusum_value_by_user": """
             WITH t AS (

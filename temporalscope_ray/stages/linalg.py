@@ -13,6 +13,8 @@ matrix — intentionally not distributed.
 
 from __future__ import annotations
 
+from typing import Optional
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -101,6 +103,78 @@ def pca_project(
         x = _stack(batch, col)
         y = x @ p
         return batch.append_column(out_col, pa.array(list(y)))
+
+    return ds.map_batches(apply, batch_format="pyarrow")
+
+
+def embedding_extrema(
+    ds: ray.data.Dataset, col: str = "embedding", *, num_buckets: int = 8
+) -> pd.DataFrame:
+    """Per-dimension (min, max) as a small driver frame ``(dim, mn,
+    mx)`` — one combiner pass (each block reduces to d rows), vectors
+    never shuffle."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"dim": pa.array([], type=pa.int64()),
+                             "mn": pa.array([], type=pa.float64()),
+                             "mx": pa.array([], type=pa.float64())})
+        x = _stack(batch, col)
+        d = x.shape[1]
+        return pa.table({"dim": pa.array(np.arange(d, dtype=np.int64)),
+                         "mn": pa.array(x.min(axis=0)),
+                         "mx": pa.array(x.max(axis=0))})
+
+    merged = hash_groupby_aggregate(
+        ds.select_columns([col]).map_batches(partial, batch_format="pyarrow"),
+        ["dim"],
+        {"mn": ("mn", "min"), "mx": ("mx", "max")},
+        num_buckets=num_buckets,
+    ).to_pandas()
+    return merged.sort_values("dim").reset_index(drop=True)
+
+
+def quantize_embeddings(
+    ds: ray.data.Dataset,
+    col: str = "embedding",
+    *,
+    bits: int = 8,
+    extrema: Optional[pd.DataFrame] = None,
+    out_col: Optional[str] = None,
+    num_buckets: int = 8,
+) -> ray.data.Dataset:
+    """Scalar quantization of an embedding column to ``bits``-bit
+    unsigned codes — the standard 4× (float32→uint8) index-compression
+    step before ANN at corpus scale. Per dimension: ``q = floor((v −
+    mn) / ((mx − mn) / (2^bits − 1)) + 0.5)``, constant dimensions
+    (mx = mn) map to 0; dequantize as ``mn + q·scale``.
+
+    Exactness: mn/mx are exact column values (float32 widens to float64
+    losslessly), so scale, the affine transform and the floor are the
+    SAME doubles in any engine — the code assignment is bit-exact and
+    SQL-replayable, not approximately close. One combiner pass for the
+    extrema (or pass ``extrema`` precomputed / from a training split),
+    then a zero-shuffle vectorized map; vectors never ride an exchange.
+    """
+    if not (1 <= bits <= 16):
+        raise ValueError("quantize_embeddings: bits must be in [1, 16]")
+    levels = float(2**bits - 1)
+    dst = out_col or f"{col}_q{bits}"
+    ex = extrema if extrema is not None else embedding_extrema(ds, col, num_buckets=num_buckets)
+    mn = ex["mn"].to_numpy(dtype=np.float64)
+    sc = (ex["mx"].to_numpy(dtype=np.float64) - mn) / levels
+    import ray as _ray
+
+    ref = _ray.put((mn, sc))
+    code_t = np.uint8 if bits <= 8 else np.uint16
+
+    def apply(batch: pa.Table) -> pa.Table:
+        m, s = _ray.get(ref)
+        x = _stack(batch, col)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            q = np.floor((x - m) / s + 0.5)
+        q = np.where(s == 0.0, 0.0, q).astype(code_t)
+        return batch.append_column(dst, pa.array(list(q)))
 
     return ds.map_batches(apply, batch_format="pyarrow")
 

@@ -913,3 +913,39 @@ def test_negative_pair_triplets(ray_session):
     assert list(out3["neg_doc_id"]) != list(out["neg_doc_id"])
     # negatives are near-uniform: no negative id dominates
     assert out["neg_doc_id"].value_counts().max() <= 12
+
+
+def test_quantize_embeddings_roundtrip(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from temporalscope_ray.stages.linalg import embedding_extrema, quantize_embeddings
+
+    rng = np.random.default_rng(9)
+    x = rng.normal(0, 3, (300, 6)).astype(np.float32)
+    x[:, 4] = 7.5                      # constant dim -> code 0
+    df = pd.DataFrame({"vec_id": np.arange(300), "embedding": list(x)})
+    ds = ray.data.from_pandas(df).repartition(4)
+    out = quantize_embeddings(ds, "embedding", bits=8).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    q = np.stack([np.asarray(c) for c in out["embedding_q8"]])
+    assert q.dtype == np.uint8 and q.shape == (300, 6)
+    assert (q[:, 4] == 0).all()
+    # dequantized error bounded by half a step per dim
+    ex = embedding_extrema(ds, "embedding")
+    mn = ex["mn"].to_numpy()
+    sc = (ex["mx"].to_numpy() - mn) / 255.0
+    back = mn + q * sc
+    err = np.abs(back - x.astype(np.float64))
+    lim = np.where(sc == 0.0, np.abs(x.astype(np.float64) - mn), sc / 2)
+    assert (err <= lim[None, :].repeat(300, 0) + 1e-12).all()
+    # extrema reuse: quantizing new vectors with a training split's
+    # extrema reproduces the same affine code assignment
+    out2 = quantize_embeddings(ds, "embedding", bits=8, extrema=ex).to_pandas() \
+        .sort_values("vec_id")
+    q2 = np.stack([np.asarray(c) for c in out2["embedding_q8"]])
+    assert (q2 == q).all()
+    # 4-bit codes stay in range
+    q4 = quantize_embeddings(ds, "embedding", bits=4).to_pandas()
+    assert max(np.asarray(c).max() for c in q4["embedding_q4"]) <= 15
