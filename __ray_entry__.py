@@ -1327,6 +1327,32 @@ def q_history_seq_by_user(sf_dir: str):
     return out.map_batches(explode, batch_format="pandas")
 
 
+def q_caption_gate_images(sf_dir: str):
+    """LAION-style image↔caption curation gate over a deterministic
+    image-metadata view of documents (w/h derived from doc_id, caption
+    = first 120 chars): keep flag + first-fail drop reason
+    (size → aspect → tokens → alnum), every comparison int-derived and
+    bit-exact vs the SQL replay."""
+    from temporalscope_ray.stages.multimodal import caption_image_gate
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_img(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["doc_id"].to_numpy()
+        return pd.DataFrame({
+            "image_id": d,
+            "w": (16 + (d * 7) % 120).astype(np.int64),
+            "h": (16 + (d * 13) % 120).astype(np.int64),
+            "caption": b["text"].fillna("").str.slice(0, 120),
+        })
+
+    img = docs.map_batches(to_img, batch_format="pandas")
+    out = caption_image_gate(img)
+    return out.map_batches(
+        lambda t: t.select(["image_id", "w", "h", "keep", "drop_reason"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_embedding_int8(sf_dir: str):
     """uint8 scalar quantization of the embedding column (per-dim
     min/max affine codes — the 4× index-compression step before ANN),
@@ -2325,6 +2351,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "history_seq_by_user": q_history_seq_by_user,
         "cusum_value_by_user": q_cusum_value_by_user,
         "embedding_int8": q_embedding_int8,
+        "caption_gate_images": q_caption_gate_images,
         "doc_keywords": q_doc_keywords,
         "target_encode_events": q_target_encode_events,
         "freq_encode_events": q_freq_encode_events,
@@ -3128,6 +3155,32 @@ def oracle_sql() -> dict[str, str]:
                   FROM a)
             SELECT b.doc_id, b.text, b.neg_doc_id, d.text AS neg_text
             FROM b JOIN documents d ON d.doc_id = b.neg_doc_id
+        """,
+        "caption_gate_images": """
+            WITH img AS (
+              SELECT doc_id AS image_id,
+                     CAST(16 + (doc_id * 7) % 120 AS BIGINT) AS w,
+                     CAST(16 + (doc_id * 13) % 120 AS BIGINT) AS h,
+                     substr(COALESCE(text, ''), 1, 120) AS caption
+              FROM documents),
+            r AS (
+              SELECT image_id, w, h,
+                     len(regexp_extract_all(caption, '\\S+')) AS ntok,
+                     length(regexp_replace(caption, '[^a-zA-Z0-9]', '', 'g')) AS nalnum,
+                     length(caption) AS clen
+              FROM img),
+            g AS (
+              SELECT image_id, w, h,
+                     CASE WHEN w < 64 OR h < 64 THEN 'size'
+                          WHEN GREATEST(w, h)::DOUBLE / LEAST(w, h) > 3.0 THEN 'aspect'
+                          WHEN ntok < 2 OR ntok > 50 THEN 'tokens'
+                          WHEN nalnum::DOUBLE / clen < 0.5 THEN 'alnum'
+                     END AS drop_reason
+              FROM r)
+            SELECT image_id, w, h,
+                   CAST(CASE WHEN drop_reason IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep,
+                   drop_reason
+            FROM g
         """,
         "embedding_int8": """
             WITH u AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,

@@ -316,3 +316,63 @@ def hamming_to_previous(
         return out
 
     return grouped.grouped_ordered_map(ds, id_col, order, fn, num_buckets=nb)
+
+
+def caption_image_gate(
+    ds: ray.data.Dataset,
+    *,
+    caption_col: str = "caption",
+    w_col: str = "w",
+    h_col: str = "h",
+    min_side: int = 64,
+    max_aspect: float = 3.0,
+    min_tokens: int = 2,
+    max_tokens: int = 50,
+    min_alnum_ratio: float = 0.5,
+    keep_col: str = "keep",
+    reason_col: str = "drop_reason",
+) -> ray.data.Dataset:
+    """LAION-style image↔caption curation gate over the north-rule
+    table shape ``(image_id, bytes, w, h, fmt, caption, phash)``: flag
+    each pair with ``keep`` (int64 0/1) and the FIRST failing rule in
+    ``reason_col`` (null when kept), so the drop-reason histogram is
+    one groupby away. Rules, in precedence order:
+
+    1. ``size``   — either side below ``min_side`` px
+    2. ``aspect`` — max(w,h)/min(w,h) above ``max_aspect``
+    3. ``tokens`` — caption whitespace-token count outside
+       [``min_tokens``, ``max_tokens``] (null caption counts 0)
+    4. ``alnum``  — alphanumeric character share of the caption below
+       ``min_alnum_ratio``
+
+    Zero shuffle: one vectorized pandas-str pass (metadata + caption
+    only — never decodes bytes); every comparison is int-derived double
+    arithmetic shared verbatim with a SQL replay, so the gate decision
+    is bit-exact and auditable. Filter afterwards with
+    ``ds.filter(expr="keep == 1")`` or keep the flags for reporting.
+    """
+    def gate(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.copy()
+        w = b[w_col].to_numpy(dtype=np.int64)
+        h = b[h_col].to_numpy(dtype=np.int64)
+        cap = b[caption_col].fillna("")
+        ntok = cap.str.count(r"\S+").to_numpy(dtype=np.int64)
+        nalnum = cap.str.count(r"[a-zA-Z0-9]").to_numpy(dtype=np.int64)
+        clen = cap.str.len().to_numpy(dtype=np.int64)
+        bad_size = (w < min_side) | (h < min_side)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            bad_aspect = (np.maximum(w, h).astype(np.float64)
+                          / np.minimum(w, h)) > max_aspect
+            ratio = nalnum.astype(np.float64) / clen
+        bad_tokens = (ntok < min_tokens) | (ntok > max_tokens)
+        bad_alnum = ratio < min_alnum_ratio
+        reason = np.select(
+            [bad_size, bad_aspect, bad_tokens, bad_alnum],
+            ["size", "aspect", "tokens", "alnum"],
+            default=None,
+        )
+        out[keep_col] = (reason == np.array(None)).astype(np.int64)
+        out[reason_col] = pd.array(reason, dtype="string")
+        return out
+
+    return ds.map_batches(gate, batch_format="pandas")

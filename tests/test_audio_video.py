@@ -106,3 +106,41 @@ def test_hamming_to_previous_exact_distances(ray_session):
     ).to_pandas().sort_values(["id", "ts"]).reset_index(drop=True)
     assert out["hamming_prev"].tolist() == [pd.NA, 3, 1, pd.NA, pd.NA, 0]
     assert out["is_near_prev"].tolist() == [pd.NA, False, True, pd.NA, pd.NA, True]
+
+
+def test_caption_image_gate_rules(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from temporalscope_ray.stages.multimodal import caption_image_gate
+
+    df = pd.DataFrame({
+        "image_id": range(7),
+        "w": [128, 32, 128, 400, 128, 128, 128],
+        "h": [128, 128, 40, 100, 128, 128, 128],
+        "caption": [
+            "a clean caption with words",   # keep
+            "ignored small",                # size (w)
+            "ignored short",                # size (h)
+            "wide aspect ratio image",      # aspect (4.0)
+            "word",                         # tokens (1 < 2)
+            "!!! ??? ***",                  # alnum (0 ratio)
+            None,                           # tokens (null -> 0)
+        ],
+    })
+    out = caption_image_gate(ray.data.from_pandas(df).repartition(3)) \
+        .to_pandas().sort_values("image_id").reset_index(drop=True)
+    assert list(out["keep"]) == [1, 0, 0, 0, 0, 0, 0]
+    assert out["drop_reason"].iloc[0] is pd.NA or pd.isna(out["drop_reason"].iloc[0])
+    assert list(out["drop_reason"].iloc[1:]) == [
+        "size", "size", "aspect", "tokens", "alnum", "tokens"]
+    # precedence: a row failing size AND tokens reports size
+    both = pd.DataFrame({"image_id": [0], "w": [10], "h": [10], "caption": ["x"]})
+    r = caption_image_gate(ray.data.from_pandas(both)).to_pandas()
+    assert r["drop_reason"].iloc[0] == "size"
+    # token cap: 51 tokens fails
+    many = pd.DataFrame({"image_id": [0], "w": [128], "h": [128],
+                         "caption": [" ".join(["tok"] * 51)]})
+    r2 = caption_image_gate(ray.data.from_pandas(many)).to_pandas()
+    assert r2["drop_reason"].iloc[0] == "tokens" and r2["keep"].iloc[0] == 0
