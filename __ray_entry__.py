@@ -1204,6 +1204,21 @@ def q_dedup_keep_longest(sf_dir: str):
     return keep_best(docs, clusters, id_col="doc_id", score_col="n_chars")
 
 
+def q_cluster_cap_docs(sf_dir: str):
+    """Cluster-cap subsampling (keep_best's softened k=2 form): each
+    verified Jaccard duplicate family keeps its 2 longest documents
+    (ties -> smallest id) plus everything unclustered — bounding the
+    training weight of duplicate families without exact removal."""
+    from temporalscope_ray.stages.dedup import cap_clusters, jaccard_pairs
+    from temporalscope_ray.stages.graph import connected_components
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+    pairs = jaccard_pairs(docs, text_col="text", id_col="doc_id",
+                          threshold=0.7, concurrency=2)
+    clusters = connected_components(pairs, num_buckets=16)
+    return cap_clusters(docs, clusters, id_col="doc_id", k=2, score_col="n_chars")
+
+
 def q_auc_value_purchase(sf_dir: str):
     """Exact distributed ROC-AUC of value as a purchase-predictor
     (Mann-Whitney rank form, average-rank ties): distinct-score
@@ -2352,6 +2367,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cusum_value_by_user": q_cusum_value_by_user,
         "embedding_int8": q_embedding_int8,
         "caption_gate_images": q_caption_gate_images,
+        "cluster_cap_docs": q_cluster_cap_docs,
         "doc_keywords": q_doc_keywords,
         "target_encode_events": q_target_encode_events,
         "freq_encode_events": q_freq_encode_events,
@@ -3331,6 +3347,38 @@ def oracle_sql() -> dict[str, str]:
                                                  ORDER BY d.n_chars DESC, d.doc_id) AS rn
                        FROM labels l JOIN documents d ON d.doc_id = l.id)
             SELECT doc_id FROM scored WHERE rn = 1
+            UNION ALL
+            SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id FROM labels)
+        """,
+        "cluster_cap_docs": f"""
+            WITH RECURSIVE
+            toks AS ({_SQL_TOKS}),
+            sh AS (
+              SELECT doc_id, array_to_string(t[i : i + 4], ' ') AS s
+              FROM toks {_SQL_SHINGLE_IDX}),
+            dsh AS (SELECT DISTINCT doc_id, s FROM sh),
+            cnt AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+              FROM dsh a JOIN dsh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            p AS (
+              SELECT i.id_a, i.id_b
+              FROM inter i JOIN cnt ca ON ca.doc_id = i.id_a JOIN cnt cb ON cb.doc_id = i.id_b
+              WHERE i.c * 1.0 / (ca.n + cb.n - i.c) >= 0.7),
+            e AS (SELECT id_a AS a, id_b AS b FROM p
+                  UNION SELECT id_b, id_a FROM p),
+            cc(id, lab) AS (
+                SELECT a, a FROM e
+                UNION
+                SELECT e.b, cc.lab FROM cc JOIN e ON cc.id = e.a
+            ),
+            labels AS (SELECT id, CAST(MIN(lab) AS BIGINT) AS cluster_id FROM cc GROUP BY id),
+            scored AS (SELECT l.cluster_id, d.doc_id,
+                              row_number() OVER (PARTITION BY l.cluster_id
+                                                 ORDER BY d.n_chars DESC, d.doc_id) AS rn
+                       FROM labels l JOIN documents d ON d.doc_id = l.id)
+            SELECT doc_id FROM scored WHERE rn <= 2
             UNION ALL
             SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id FROM labels)
         """,

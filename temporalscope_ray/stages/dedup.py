@@ -1076,6 +1076,74 @@ def keep_best(
     return winners.union(untouched)
 
 
+def cap_clusters(
+    ds: "ray.data.Dataset",
+    clusters: "ray.data.Dataset",
+    *,
+    id_col: str,
+    k: int = 2,
+    score_col: Optional[str] = None,
+    cluster_col: str = "cluster_id",
+    cluster_id_col: str = "id",
+    num_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Cluster-cap subsampling — the softened form of ``keep_best``
+    (its ``k = 1`` special case): inside every duplicate cluster keep
+    at most ``k`` rows (highest ``score_col`` first, ties → smallest
+    id; pure smallest-id order when ``score_col`` is None), plus every
+    row that never entered the pair graph. The standard "cap each
+    near-dup family at k copies" move when exact removal is too
+    aggressive (duplicates carry some signal; a cap bounds their
+    training weight). Returns a one-column Dataset of kept ids.
+
+    Shape: cluster labels join their scores through one bucketed
+    exchange, then ``group_top_k``'s k-cap combiner (a hot cluster
+    moves at most ``k`` rows per block, never its contents); the
+    unclustered complement is the size-adaptive anti ``semi_join`` —
+    nothing corpus-sized is materialized anywhere.
+    """
+    import pandas as _pd
+
+    from .asof import semi_join
+    from .grouped import group_top_k
+    from .join import equi_join
+
+    if k < 1:
+        raise ValueError("cap_clusters: k must be >= 1")
+    lab = clusters.map_batches(
+        lambda t: t.rename_columns([id_col, cluster_col]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    rank_col = "__cap_rank__"
+    if score_col is None:
+        # smallest-id-first under a desc-ordered top-k: rank on -id
+        scored = lab.map_batches(
+            lambda df: df.assign(**{rank_col: -df[id_col].to_numpy()}),
+            batch_format="pandas",
+        )
+    else:
+        joined = equi_join(
+            lab, ds.select_columns([id_col, score_col]), on=id_col,
+            num_buckets=num_buckets,
+        )
+        scored = joined.map_batches(
+            lambda df: df.assign(**{rank_col: df[score_col].to_numpy()}),
+            batch_format="pandas",
+        )
+    kept = group_top_k(scored, cluster_col, rank_col, k=k,
+                       tiebreak=[id_col], num_buckets=num_buckets)
+    kept_ids = kept.map_batches(
+        lambda t: t.select([id_col]), batch_format="pyarrow", zero_copy_batch=True)
+    untouched = semi_join(
+        ds.select_columns([id_col]),
+        clusters.map_batches(
+            lambda t: t.select([cluster_id_col]).rename_columns([id_col]),
+            batch_format="pyarrow", zero_copy_batch=True),
+        id_col, anti=True,
+    )
+    return kept_ids.union(untouched)
+
+
 def contamination_rate(
     corpus: ray.data.Dataset,
     reference: ray.data.Dataset,

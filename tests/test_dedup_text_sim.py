@@ -419,3 +419,36 @@ def test_keep_best_cluster_winner_and_untouched(ray_session):
         id_col="doc_id", score_col="score",
     ).to_pandas()["doc_id"].sort_values().tolist()
     assert kept == [2, 4, 5]
+
+
+def test_cap_clusters_semantics(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from temporalscope_ray.stages.dedup import cap_clusters
+
+    # clusters: {1,2,3,4} (cluster 1), {10,11} (cluster 10); 20, 21 untouched
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 10, 11, 20, 21],
+        "score":  [5, 9, 9, 1, 3, 3, 0, 0],
+    })
+    clusters = pd.DataFrame({"id": [1, 2, 3, 4, 10, 11],
+                             "cluster_id": [1, 1, 1, 1, 10, 10]})
+    ds = ray.data.from_pandas(docs).repartition(3)
+    cl = ray.data.from_pandas(clusters).repartition(2)
+    kept = sorted(cap_clusters(ds, cl, id_col="doc_id", k=2, score_col="score",
+                               num_buckets=4).to_pandas()["doc_id"])
+    # cluster 1: top-2 by (score desc, id asc) = 2, 3; cluster 10: both fit
+    assert kept == [2, 3, 10, 11, 20, 21]
+    # score_col=None keeps the k smallest ids per cluster
+    kept2 = sorted(cap_clusters(ds, cl, id_col="doc_id", k=2,
+                                num_buckets=4).to_pandas()["doc_id"])
+    assert kept2 == [1, 2, 10, 11, 20, 21]
+    # k=1 degenerates to keep_best
+    from temporalscope_ray.stages.dedup import keep_best
+    k1 = sorted(cap_clusters(ds, cl, id_col="doc_id", k=1, score_col="score",
+                             num_buckets=4).to_pandas()["doc_id"])
+    kb = sorted(keep_best(ds, cl, id_col="doc_id", score_col="score",
+                          num_buckets=4).to_pandas()["doc_id"])
+    assert k1 == kb == [2, 10, 20, 21]
