@@ -1204,6 +1204,19 @@ def q_dedup_keep_longest(sf_dir: str):
     return keep_best(docs, clusters, id_col="doc_id", score_col="n_chars")
 
 
+def q_next_purchase_prop_events(sf_dir: str):
+    """Markov next-event propensity: every row gains the corpus
+    P(next = purchase | current type) — transition-count combiner +
+    vocab-sized broadcast lookup, exact int ratio so bit-exact."""
+    from temporalscope_ray.stages.agg import attach_transition_prob
+
+    ev = _events(sf_dir, ("event_id", "ts", "user_id", "event_type"))
+    return attach_transition_prob(ev, id_col="user_id", time_col="ts",
+                                  type_col="event_type",
+                                  target_type="purchase",
+                                  tiebreak=["event_id"])
+
+
 def q_cluster_cap_docs(sf_dir: str):
     """Cluster-cap subsampling (keep_best's softened k=2 form): each
     verified Jaccard duplicate family keeps its 2 longest documents
@@ -2368,6 +2381,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_int8": q_embedding_int8,
         "caption_gate_images": q_caption_gate_images,
         "cluster_cap_docs": q_cluster_cap_docs,
+        "next_purchase_prop_events": q_next_purchase_prop_events,
         "doc_keywords": q_doc_keywords,
         "target_encode_events": q_target_encode_events,
         "freq_encode_events": q_freq_encode_events,
@@ -3171,6 +3185,21 @@ def oracle_sql() -> dict[str, str]:
                   FROM a)
             SELECT b.doc_id, b.text, b.neg_doc_id, d.text AS neg_text
             FROM b JOIN documents d ON d.doc_id = b.neg_doc_id
+        """,
+        "next_purchase_prop_events": """
+            WITH t AS (
+              SELECT event_type,
+                     LEAD(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS nxt
+              FROM events),
+            c AS (
+              SELECT event_type, COUNT(nxt) AS tot,
+                     COUNT(*) FILTER (WHERE nxt = 'purchase') AS hits
+              FROM t GROUP BY event_type)
+            SELECT e.event_id, e.ts, e.user_id, e.event_type,
+                   CASE WHEN c.tot IS NULL OR c.tot = 0 THEN NULL
+                        ELSE CAST(c.hits AS DOUBLE) / c.tot END AS p_next_purchase
+            FROM events e LEFT JOIN c USING (event_type)
         """,
         "caption_gate_images": """
             WITH img AS (

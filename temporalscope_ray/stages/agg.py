@@ -716,3 +716,47 @@ def new_vs_returning_daily(
         {"new_users": ("__new__", "sum"), "returning_users": ("__ret__", "sum")},
         num_buckets=8,
     )
+
+
+def attach_transition_prob(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str,
+    time_col: str,
+    type_col: str,
+    target_type: str,
+    out_col: Optional[str] = None,
+    tiebreak: Optional[Sequence[str]] = None,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+) -> ray.data.Dataset:
+    """Markov next-event propensity feature: attach to every row the
+    corpus-estimated ``P(next event = target_type | current type)`` —
+    transition counts from ``transition_counts`` (one bucket exchange +
+    combiner), finished as an exact integer ratio per type. The
+    type²-sized probability table broadcasts once (``ray.put``) into a
+    zero-shuffle vectorized map — the canonical small-side-lookup
+    shape, never a join exchange. Types never observed with a
+    successor get a null propensity (no evidence ≠ zero).
+
+    Exactness: hits/total is a ratio of exact int64 counts, so both
+    engines hold the identical double — bit-exact, SQL-replayable.
+    """
+    import ray as _ray
+
+    dst = out_col or f"p_next_{target_type}"
+    tc = transition_counts(ds, id_col=id_col, time_col=time_col,
+                           type_col=type_col, tiebreak=tiebreak,
+                           num_buckets=num_buckets).to_pandas()
+    tot = tc.groupby("prev_type")["n"].sum()
+    hits = tc[tc["cur_type"] == target_type].set_index("prev_type")["n"]
+    prob = (hits.reindex(tot.index, fill_value=0).astype(np.float64)
+            / tot.astype(np.float64)).to_dict()
+    ref = _ray.put(prob)
+
+    def attach(b: pd.DataFrame) -> pd.DataFrame:
+        p = _ray.get(ref)
+        out = b.copy()
+        out[dst] = b[type_col].map(p)
+        return out
+
+    return ds.map_batches(attach, batch_format="pandas")

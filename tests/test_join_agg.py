@@ -378,3 +378,29 @@ def test_rolling_active_entities_window_semantics(ray_session):
     # observed days: 0, 1, 2, 10
     assert got == {0: 2, 1: 2, 2: 2, 10: 2}   # day 10: u1 + u3 (u2 aged out)
     assert len(out) == 4                      # only observed days emitted
+
+
+def test_attach_transition_prob(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from temporalscope_ray.stages.agg import attach_transition_prob
+
+    # user 1: a -> b -> a -> buy ; user 2: a -> buy ; 'end' only terminal
+    df = pd.DataFrame({
+        "id": [1, 1, 1, 1, 2, 2, 3],
+        "ts": pd.to_datetime([1, 2, 3, 4, 1, 2, 1], unit="s"),
+        "t": ["a", "b", "a", "buy", "a", "buy", "end"],
+    })
+    out = attach_transition_prob(
+        ray.data.from_pandas(df).repartition(3), id_col="id", time_col="ts",
+        type_col="t", target_type="buy", num_buckets=2,
+    ).to_pandas().sort_values(["id", "ts"]).reset_index(drop=True)
+    # transitions from 'a': a->b, a->buy, a->buy  => p = 2/3
+    # from 'b': b->a => 0; from 'buy' and 'end': never a predecessor -> null
+    p = out.set_index(["id", "ts"])["p_next_buy"]
+    a_rows = out[out["t"] == "a"]["p_next_buy"]
+    assert np.allclose(a_rows, 2 / 3) and a_rows.notna().all()
+    assert (out[out["t"] == "b"]["p_next_buy"] == 0.0).all()
+    assert out[out["t"].isin(["buy", "end"])]["p_next_buy"].isna().all()
