@@ -1204,6 +1204,16 @@ def q_dedup_keep_longest(sf_dir: str):
     return keep_best(docs, clusters, id_col="doc_id", score_col="n_chars")
 
 
+def q_spearman_qty_price(sf_dir: str):
+    """Global Spearman rank correlation of lineitem quantity vs
+    extendedprice — distinct-value rank machinery (never ranks the
+    fact table), exact half-integer average ranks, 6dp finish."""
+    from temporalscope_ray.stages.stats import spearman_corr
+
+    li = _read(sf_dir, "lineitem", columns=["l_quantity", "l_extendedprice"])
+    return spearman_corr(li, "l_quantity", "l_extendedprice")
+
+
 def q_next_purchase_prop_events(sf_dir: str):
     """Markov next-event propensity: every row gains the corpus
     P(next = purchase | current type) — transition-count combiner +
@@ -2382,6 +2392,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "caption_gate_images": q_caption_gate_images,
         "cluster_cap_docs": q_cluster_cap_docs,
         "next_purchase_prop_events": q_next_purchase_prop_events,
+        "spearman_qty_price": q_spearman_qty_price,
         "doc_keywords": q_doc_keywords,
         "target_encode_events": q_target_encode_events,
         "freq_encode_events": q_freq_encode_events,
@@ -3185,6 +3196,21 @@ def oracle_sql() -> dict[str, str]:
                   FROM a)
             SELECT b.doc_id, b.text, b.neg_doc_id, d.text AS neg_text
             FROM b JOIN documents d ON d.doc_id = b.neg_doc_id
+        """,
+        "spearman_qty_price": """
+            WITH f AS (
+              SELECT l_quantity + 0.0 AS x, l_extendedprice + 0.0 AS y
+              FROM lineitem
+              WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+            r AS (
+              SELECT RANK() OVER (ORDER BY x)
+                       + (COUNT(*) OVER (PARTITION BY x) - 1) / 2.0 AS rx,
+                     RANK() OVER (ORDER BY y)
+                       + (COUNT(*) OVER (PARTITION BY y) - 1) / 2.0 AS ry
+              FROM f)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   ROUND(corr(rx, ry), 6) AS spearman
+            FROM r
         """,
         "next_purchase_prop_events": """
             WITH t AS (

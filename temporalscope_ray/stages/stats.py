@@ -1255,3 +1255,91 @@ def grouped_quantile_hist(
         return pd.DataFrame({key_col: out_k, "q": out_q, "value": out_v})
 
     return bucketed.groupby(BUCKET_COL).map_groups(per_bucket, batch_format="pandas")
+
+
+def spearman_corr(
+    ds: ray.data.Dataset,
+    x_col: str,
+    y_col: str,
+    *,
+    round_to: int = 6,
+    num_buckets: int = 32,
+) -> pd.DataFrame:
+    """Global Spearman rank correlation between two columns — the
+    robust (monotone-invariant, outlier-resistant) dependence measure
+    next to the Pearson ``feature_corr``. Pairwise-complete: rows with
+    either side null are excluded BEFORE ranking. Returns a one-row
+    frame ``(n_pairs, spearman)``; null when fewer than 2 pairs or
+    either side constant.
+
+    Never ranks the fact table: each side reduces to its distinct
+    values (combiner), ``scan.global_running_sum`` turns the sorted
+    distinct table into inclusive cumulative counts with O(blocks)
+    driver traffic, and average ranks ``(cum − n) + (n+1)/2`` — exact
+    half-integers, equal to SQL ``RANK() + (ties−1)/2`` — join back to
+    the facts through the size-adaptive ``equi_join`` (the ECDF shape,
+    twice). The Pearson finish is one combiner moments pass; the
+    result is quantized to ``round_to`` dp (half-away-from-zero)
+    because DuckDB's incremental covariance and the closed form agree
+    past 1e-12 but not bitwise. Join keys canonicalize −0.0 → +0.0 on
+    both sides (equal values must share one rank row; their bytes hash
+    apart).
+
+    The two-column projection is materialized once (it feeds both rank
+    builders and the join) — 2 float64 columns, never the full table.
+    """
+    import pyarrow.compute as pc
+
+    from .join import equi_join
+    from .scan import global_running_sum
+
+    vx, vy, rx, ry = "__spx__", "__spy__", "__rkx__", "__rky__"
+
+    def keyed(t: pa.Table) -> pa.Table:
+        x = pc.add(pc.cast(t.column(x_col), pa.float64()), pa.scalar(0.0))
+        y = pc.add(pc.cast(t.column(y_col), pa.float64()), pa.scalar(0.0))
+        out = pa.table({vx: x, vy: y})
+        return out.filter(pc.and_(pc.is_valid(x), pc.is_valid(y)))
+
+    facts = ds.map_batches(keyed, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+
+    def rank_table(col: str, rcol: str) -> ray.data.Dataset:
+        counts = hash_groupby_aggregate(
+            facts.map_batches(lambda t, c=col: t.select([c]),
+                              batch_format="pyarrow", zero_copy_batch=True),
+            [col], {"__n__": (None, "count")}, num_buckets=num_buckets)
+        ranks = global_running_sum(counts, order_by=[col],
+                                   value_col="__n__", out_col="__cum__")
+
+        def fin(t: pa.Table, c=col, r=rcol) -> pa.Table:
+            cum = t.column("__cum__").to_numpy(zero_copy_only=False).astype(np.float64)
+            n = t.column("__n__").to_numpy(zero_copy_only=False).astype(np.float64)
+            return pa.table({c: t.column(c), r: (cum - n) + (n + 1) / 2.0})
+
+        return ranks.map_batches(fin, batch_format="pyarrow")
+
+    j = equi_join(facts, rank_table(vx, rx), on=vx, num_buckets=num_buckets)
+    j = equi_join(j, rank_table(vy, ry), on=vy, num_buckets=num_buckets)
+
+    def partial(t: pa.Table) -> pa.Table:
+        a = t.column(rx).to_numpy(zero_copy_only=False)
+        b = t.column(ry).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n": pa.array([float(len(a))]), "sx": pa.array([a.sum()]),
+            "sy": pa.array([b.sum()]), "sxx": pa.array([(a * a).sum()]),
+            "syy": pa.array([(b * b).sum()]), "sxy": pa.array([(a * b).sum()]),
+        })
+
+    tot = j.map_batches(partial, batch_format="pyarrow").to_pandas().sum()
+    n = float(tot["n"])
+    rho = np.nan
+    if n >= 2:
+        cov = tot["sxy"] - tot["sx"] * tot["sy"] / n
+        vxx = tot["sxx"] - tot["sx"] ** 2 / n
+        vyy = tot["syy"] - tot["sy"] ** 2 / n
+        if vxx > 0 and vyy > 0:
+            r = cov / np.sqrt(vxx * vyy)
+            scale = 10.0 ** round_to
+            rho = float(np.sign(r) * np.floor(np.abs(r) * scale + 0.5) / scale)
+    return pd.DataFrame({"n_pairs": [int(n)], "spearman": [rho]})

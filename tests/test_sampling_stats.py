@@ -949,3 +949,29 @@ def test_quantize_embeddings_roundtrip(ray_session):
     # 4-bit codes stay in range
     q4 = quantize_embeddings(ds, "embedding", bits=4).to_pandas()
     assert max(np.asarray(c).max() for c in q4["embedding_q4"]) <= 15
+
+
+def test_spearman_corr_reference(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from temporalscope_ray.stages.stats import spearman_corr
+
+    rng = np.random.default_rng(23)
+    n = 2000
+    x = rng.normal(0, 1, n)
+    y = 2 * x + rng.normal(0, 1, n)          # strong monotone dependence
+    x[rng.choice(n, 30, replace=False)] = np.nan
+    df = pd.DataFrame({"x": np.round(x, 1), "y": np.round(y, 1)})  # force ties
+    ds = ray.data.from_pandas(df).repartition(5)
+    out = spearman_corr(ds, "x", "y")
+    # pandas reference (average-rank spearman, pairwise complete)
+    ref = df.dropna().corr(method="spearman").iloc[0, 1]
+    assert out["n_pairs"].iloc[0] == len(df.dropna())
+    assert abs(out["spearman"].iloc[0] - ref) < 1e-6
+    # perfect monotone -> exactly 1.0; constant side -> null
+    mono = pd.DataFrame({"x": np.arange(100.0), "y": np.arange(100.0) ** 3})
+    assert spearman_corr(ray.data.from_pandas(mono), "x", "y")["spearman"].iloc[0] == 1.0
+    const = pd.DataFrame({"x": np.arange(50.0), "y": np.full(50, 3.0)})
+    assert np.isnan(spearman_corr(ray.data.from_pandas(const), "x", "y")["spearman"].iloc[0])
