@@ -1204,6 +1204,36 @@ def q_dedup_keep_longest(sf_dir: str):
     return keep_best(docs, clusters, id_col="doc_id", score_col="n_chars")
 
 
+def q_trending_daily_types(sf_dir: str):
+    """Daily trending event types (top-2 per day by count, ties by
+    type name): combiner counts per (day, type), then group_top_k's
+    k-cap combiner — two bounded exchanges, exact int64 day ids."""
+    from temporalscope_ray.stages.grouped import group_top_k, hash_groupby_aggregate
+
+    ev = _events(sf_dir, ("ts", "event_type"))
+
+    def day(b: pd.DataFrame) -> pd.DataFrame:
+        d = (b["ts"].astype("int64") // 86_400_000_000).astype("int64")
+        return pd.DataFrame({"day": d, "event_type": b["event_type"]})
+
+    daily = ev.map_batches(day, batch_format="pandas")
+    counts = hash_groupby_aggregate(daily, ["day", "event_type"],
+                                    {"n": (None, "count")}, num_buckets=8)
+    return group_top_k(counts, "day", "n", k=2, tiebreak=["event_type"],
+                       num_buckets=8)
+
+
+def q_curriculum_shards_docs(sf_dir: str):
+    """Curriculum construction: documents split into 8 near-equal
+    shards of the (n_chars, doc_id) order — train easy-to-hard; exact
+    NTILE arithmetic, O(blocks) driver traffic, no global sort
+    materialization."""
+    from temporalscope_ray.stages.sampling import curriculum_shards
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return curriculum_shards(docs, order_by=["n_chars", "doc_id"], n_shards=8)
+
+
 def q_spearman_qty_price(sf_dir: str):
     """Global Spearman rank correlation of lineitem quantity vs
     extendedprice — distinct-value rank machinery (never ranks the
@@ -2393,6 +2423,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_cap_docs": q_cluster_cap_docs,
         "next_purchase_prop_events": q_next_purchase_prop_events,
         "spearman_qty_price": q_spearman_qty_price,
+        "curriculum_shards_docs": q_curriculum_shards_docs,
+        "trending_daily_types": q_trending_daily_types,
         "doc_keywords": q_doc_keywords,
         "target_encode_events": q_target_encode_events,
         "freq_encode_events": q_freq_encode_events,
@@ -3196,6 +3228,21 @@ def oracle_sql() -> dict[str, str]:
                   FROM a)
             SELECT b.doc_id, b.text, b.neg_doc_id, d.text AS neg_text
             FROM b JOIN documents d ON d.doc_id = b.neg_doc_id
+        """,
+        "trending_daily_types": """
+            WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                              event_type, COUNT(*) AS n
+                       FROM events GROUP BY 1, 2),
+            r AS (SELECT day, event_type, n,
+                         row_number() OVER (PARTITION BY day
+                                            ORDER BY n DESC, event_type) AS rn
+                  FROM c)
+            SELECT day, event_type, n FROM r WHERE rn <= 2
+        """,
+        "curriculum_shards_docs": """
+            SELECT doc_id, n_chars,
+                   CAST(NTILE(8) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS shard
+            FROM documents
         """,
         "spearman_qty_price": """
             WITH f AS (

@@ -431,3 +431,42 @@ def negative_pair(
         batch_format="pyarrow", zero_copy_batch=True,
     )
     return equi_join(anchors, right, on=neg_id, how="inner", num_buckets=num_buckets)
+
+
+def curriculum_shards(
+    ds: ray.data.Dataset,
+    *,
+    order_by: Sequence[str],
+    n_shards: int,
+    out_col: str = "shard",
+    n_rows: Optional[int] = None,
+) -> ray.data.Dataset:
+    """Curriculum shard assignment: rows are split into ``n_shards``
+    contiguous, near-equal groups of the total ``order_by`` order
+    (SQL ``NTILE(n) OVER (ORDER BY ...)`` — earlier shards get the
+    extra row when n doesn't divide) — order a corpus by a difficulty
+    or quality score and train shard-by-shard. Make ``order_by`` a
+    total order (append the id) so the assignment is deterministic.
+
+    Shape: ``scan.with_global_index``'s two-pass block-offset scan
+    (O(blocks) driver traffic — rows never leave their block) plus the
+    exact vectorized NTILE arithmetic shared with the per-group rank
+    operators; one count for N (pass ``n_rows`` to skip it). No
+    full-table sort materializes anywhere unless the consumer asks to
+    write shard-partitioned output.
+    """
+    from .scan import with_global_index
+    from .window_features import _sql_ntile
+
+    if n_shards < 1:
+        raise ValueError("curriculum_shards: n_shards must be >= 1")
+    total = int(n_rows) if n_rows is not None else ds.count()
+    idx_col = "__cur_idx__"
+    idx = with_global_index(ds, order_by=list(order_by), out_col=idx_col)
+
+    def assign(t: pa.Table) -> pa.Table:
+        rn = t.column(idx_col).to_numpy(zero_copy_only=False) + 1
+        shard = _sql_ntile(rn, np.full(len(rn), total, dtype=np.int64), n_shards)
+        return t.drop_columns([idx_col]).append_column(out_col, pa.array(shard))
+
+    return idx.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)

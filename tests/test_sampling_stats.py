@@ -975,3 +975,25 @@ def test_spearman_corr_reference(ray_session):
     assert spearman_corr(ray.data.from_pandas(mono), "x", "y")["spearman"].iloc[0] == 1.0
     const = pd.DataFrame({"x": np.arange(50.0), "y": np.full(50, 3.0)})
     assert np.isnan(spearman_corr(ray.data.from_pandas(const), "x", "y")["spearman"].iloc[0])
+
+
+def test_curriculum_shards_ntile(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from temporalscope_ray.stages.sampling import curriculum_shards
+
+    n = 103                               # not divisible by 8
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({"id": np.arange(n), "score": rng.integers(0, 30, n)})
+    out = curriculum_shards(ray.data.from_pandas(df).repartition(4),
+                            order_by=["score", "id"], n_shards=8) \
+        .to_pandas().sort_values(["score", "id"]).reset_index(drop=True)
+    # NTILE: first n%8 shards get q+1 rows, contiguous in sorted order
+    sizes = out.groupby("shard").size()
+    q, r = divmod(n, 8)
+    assert sorted(sizes, reverse=True) == [q + 1] * r + [q] * (8 - r)
+    assert (out["shard"].to_numpy() == np.sort(out["shard"].to_numpy())).all()
+    # monotone: a later-sorted row never lands in an earlier shard
+    assert out["shard"].iloc[0] == 1 and out["shard"].iloc[-1] == 8
