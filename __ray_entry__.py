@@ -1204,6 +1204,36 @@ def q_dedup_keep_longest(sf_dir: str):
     return keep_best(docs, clusters, id_col="doc_id", score_col="n_chars")
 
 
+def q_image_curation_pipeline(sf_dir: str):
+    """North-rule showpiece composition: caption/metadata gate → phash
+    near-dup dedup → dense re-index → deterministic contrastive
+    negative pairing, end-to-end over a deterministic image view of
+    documents (phash families keyed on (lang, source) with id%16 bit
+    noise so pairs straddle the Hamming threshold)."""
+    from temporalscope_ray.pipelines.curation import curate_image_corpus
+    from temporalscope_ray.stages.dedup import _md5_lower64
+
+    docs = _read(sf_dir, "documents",
+                 columns=["doc_id", "text", "lang", "source"])
+
+    def mk(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["doc_id"].to_numpy()
+        keys = [f"{l}|{s}" for l, s in zip(b["lang"].fillna(""),
+                                           b["source"].fillna(""))]
+        h = _md5_lower64(keys)
+        noise = (d % 16).astype(np.uint64)
+        return pd.DataFrame({
+            "image_id": d,
+            "w": (16 + (d * 7) % 120).astype(np.int64),
+            "h": (16 + (d * 13) % 120).astype(np.int64),
+            "caption": b["text"].fillna("").str.slice(0, 120),
+            "phash": (h ^ noise).view(np.int64),
+        })
+
+    images = docs.map_batches(mk, batch_format="pandas")
+    return curate_image_corpus(images, num_buckets=8, concurrency=2)
+
+
 def q_trending_daily_types(sf_dir: str):
     """Daily trending event types (top-2 per day by count, ties by
     type name): combiner counts per (day, type), then group_top_k's
@@ -2425,6 +2455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spearman_qty_price": q_spearman_qty_price,
         "curriculum_shards_docs": q_curriculum_shards_docs,
         "trending_daily_types": q_trending_daily_types,
+        "image_curation_pipeline": q_image_curation_pipeline,
         "doc_keywords": q_doc_keywords,
         "target_encode_events": q_target_encode_events,
         "freq_encode_events": q_freq_encode_events,
@@ -3228,6 +3259,50 @@ def oracle_sql() -> dict[str, str]:
                   FROM a)
             SELECT b.doc_id, b.text, b.neg_doc_id, d.text AS neg_text
             FROM b JOIN documents d ON d.doc_id = b.neg_doc_id
+        """,
+        "image_curation_pipeline": """
+            WITH img AS (
+              SELECT doc_id AS image_id,
+                     CAST(16 + (doc_id * 7) % 120 AS BIGINT) AS w,
+                     CAST(16 + (doc_id * 13) % 120 AS BIGINT) AS h,
+                     substr(COALESCE(text, ''), 1, 120) AS caption,
+                     xor(md5_number_lower(COALESCE(lang, '') || '|'
+                                          || COALESCE(source, '')),
+                         (doc_id % 16)::UBIGINT) AS ph
+              FROM documents),
+            r AS (
+              SELECT image_id, w, h, caption, ph,
+                     len(regexp_extract_all(caption, '\\S+')) AS ntok,
+                     length(regexp_replace(caption, '[^a-zA-Z0-9]', '', 'g')) AS nalnum,
+                     length(caption) AS clen
+              FROM img),
+            kept AS (
+              SELECT image_id, caption, ph FROM r
+              WHERE NOT (w < 64 OR h < 64)
+                AND NOT (GREATEST(w, h)::DOUBLE / LEAST(w, h) > 3.0)
+                AND ntok BETWEEN 2 AND 50
+                AND (CASE WHEN clen = 0 THEN 0.0
+                          ELSE nalnum::DOUBLE / clen END) >= 0.5),
+            dd AS (
+              SELECT image_id, caption FROM kept t1
+              WHERE NOT EXISTS (
+                SELECT 1 FROM kept t2
+                WHERE t2.image_id < t1.image_id
+                  AND bit_count(xor(t1.ph, t2.ph)) <= 3)),
+            ix AS (SELECT image_id, caption,
+                          row_number() OVER (ORDER BY image_id) - 1 AS idx,
+                          COUNT(*) OVER () AS n
+                   FROM dd),
+            a2 AS (SELECT *, CAST(md5_number_lower(CAST(idx AS VARCHAR) || 'neg')
+                                  % CAST(n AS UBIGINT) AS BIGINT) AS raw
+                   FROM ix),
+            b2 AS (SELECT image_id, caption, idx,
+                          CASE WHEN raw = idx THEN (raw + 1) % n ELSE raw END AS neg_idx
+                   FROM a2)
+            SELECT b2.image_id, b2.caption, CAST(b2.idx AS BIGINT) AS idx,
+                   b2.neg_idx, d2.image_id AS neg_image_id,
+                   d2.caption AS neg_caption
+            FROM b2 JOIN ix d2 ON d2.idx = b2.neg_idx
         """,
         "trending_daily_types": """
             WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day,

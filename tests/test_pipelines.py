@@ -187,3 +187,41 @@ def test_partitioned_attach_schema_stable_when_bucket_has_no_features(tmp_path):
     # inner-join semantics: the victim bucket's rows drop
     assert set(got["image_id"]) == {i for i, b in zip(df["image_id"], buckets) if b != victim}
     assert np.allclose(got["feat"], got["score"] * 2.0)
+
+
+def test_curate_image_corpus_on_synth_table(ray_session, tmp_path):
+    import numpy as np
+    import ray.data
+
+    from temporalscope_ray import synth
+    from temporalscope_ray.pipelines.curation import curate_image_corpus
+
+    path = synth.materialize_image_table(str(tmp_path / "imgtbl"), 300,
+                                         num_entities=30)
+    # the synth table's image_id is the ENTITY key of its (id, ts)
+    # series (30 entities x 10 stamps); curation wants one unique id
+    # per image, so key on (entity, timestamp)
+    def uniq(b):
+        b = b.copy()
+        b["image_id"] = b["image_id"] + "@" + b["ts"].astype("int64").astype(str)
+        return b.drop(columns=["ts"])
+
+    images = ray.data.read_parquet(path).map_batches(uniq, batch_format="pandas")
+    out = curate_image_corpus(
+        images, num_buckets=4, concurrency=2,
+        gate_kwargs={"min_side": 8, "max_tokens": 400},
+    ).to_pandas()
+    # survivors exist; triplets well-formed
+    assert 0 < len(out) <= 300
+    assert (out["neg_idx"] != out["idx"]).all()
+    assert set(out.columns) >= {"image_id", "caption", "idx", "neg_idx",
+                                "neg_image_id", "neg_caption"}
+    # the dense index is a 0..n-1 permutation and negatives resolve in-corpus
+    n = len(out)
+    assert sorted(out["idx"]) == list(range(n))
+    assert out["neg_idx"].between(0, n - 1).all()
+    # negative payloads are consistent: neg_caption is the caption of neg_image_id
+    cap = out.set_index("idx")["caption"]
+    assert (out["neg_caption"].to_numpy() == cap.loc[out["neg_idx"]].to_numpy()).all()
+    # phash dedup actually dropped near-dups (synth table plants them)
+    assert n < 300
