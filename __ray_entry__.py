@@ -1204,6 +1204,19 @@ def q_dedup_keep_longest(sf_dir: str):
     return keep_best(docs, clusters, id_col="doc_id", score_col="n_chars")
 
 
+def q_target_encode_asof_events(sf_dir: str):
+    """LEAKAGE-FREE target encoding: mean value over all strictly
+    earlier DAYS of the row's event type (the as-of-date feature-store
+    aggregate; the whole-corpus encoder sees the row's own label).
+    Combiner to the type×day grid, driver-side exclusive prefix,
+    broadcast merge — exact integer units end-to-end."""
+    from temporalscope_ray.stages.stats import target_encode_expanding_daily
+
+    ev = _events(sf_dir, ("event_id", "ts", "event_type", "value"))
+    return target_encode_expanding_daily(ev, cat_col="event_type",
+                                         target_col="value", time_col="ts")
+
+
 def q_image_curation_pipeline(sf_dir: str):
     """North-rule showpiece composition: caption/metadata gate → phash
     near-dup dedup → dense re-index → deterministic contrastive
@@ -2456,6 +2469,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curriculum_shards_docs": q_curriculum_shards_docs,
         "trending_daily_types": q_trending_daily_types,
         "image_curation_pipeline": q_image_curation_pipeline,
+        "target_encode_asof_events": q_target_encode_asof_events,
         "doc_keywords": q_doc_keywords,
         "target_encode_events": q_target_encode_events,
         "freq_encode_events": q_freq_encode_events,
@@ -3259,6 +3273,25 @@ def oracle_sql() -> dict[str, str]:
                   FROM a)
             SELECT b.doc_id, b.text, b.neg_doc_id, d.text AS neg_text
             FROM b JOIN documents d ON d.doc_id = b.neg_doc_id
+        """,
+        "target_encode_asof_events": """
+            WITH d AS (
+              SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                     COALESCE(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)), 0) AS s,
+                     COUNT(value) AS c
+              FROM events GROUP BY 1, 2),
+            x AS (
+              SELECT event_type, day,
+                     SUM(s) OVER w AS cs, SUM(c) OVER w AS cc
+              FROM d
+              WINDOW w AS (PARTITION BY event_type ORDER BY day
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+            SELECT e.event_id, e.ts, e.event_type, e.value,
+                   CASE WHEN x.cc IS NULL OR x.cc = 0 THEN NULL
+                        ELSE CAST(x.cs AS DOUBLE) / x.cc / 100.0
+                   END AS value_te_asof
+            FROM events e JOIN x ON x.event_type = e.event_type
+                                AND x.day = epoch_us(e.ts) // 86400000000
         """,
         "image_curation_pipeline": """
             WITH img AS (

@@ -13,6 +13,7 @@ import sys
 import time
 
 import ray
+import ray.data
 
 
 def main() -> int:
@@ -23,7 +24,6 @@ def main() -> int:
 
     DataContext.get_current().enable_progress_bars = False
     import pyarrow as pa
-    import ray.data
 
     import __ray_entry__ as e
 

@@ -1343,3 +1343,72 @@ def spearman_corr(
             scale = 10.0 ** round_to
             rho = float(np.sign(r) * np.floor(np.abs(r) * scale + 0.5) / scale)
     return pd.DataFrame({"n_pairs": [int(n)], "spearman": [rho]})
+
+
+def target_encode_expanding_daily(
+    ds: ray.data.Dataset,
+    *,
+    cat_col: str,
+    target_col: str,
+    time_col: str,
+    out_col: str | None = None,
+    scale: float = 100.0,
+    num_buckets: int = 8,
+) -> ray.data.Dataset:
+    """LEAKAGE-FREE target encoding: each row gets the mean target over
+    all STRICTLY EARLIER DAYS for its category — the as-of-date
+    aggregate a production feature store serves, where the whole-corpus
+    ``target_encode`` (which sees the row's own day, including the row
+    itself) would leak the label into training. Rows of a category's
+    first observed day get null (no history ≠ zero).
+
+    Shape: one combiner pass reduces the stream to the (category × day)
+    grid of integer-unit target sums and counts; the exclusive per-
+    category prefix runs on the driver over that VOCAB-SIZED grid (types
+    × days — never row-scale); the encoded values broadcast once into a
+    zero-shuffle vectorized merge. Exactness: sums are int64 units
+    (``rint(x·scale)``), prefixes are exact integer arithmetic, and the
+    finish ``cs / cc / scale`` is the same two divisions in both
+    engines — bit-exact, SQL-replayable.
+    """
+    import ray as _ray
+
+    dst = out_col or f"{target_col}_te_asof"
+    day_col = "__ted_day__"
+
+    def part(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[target_col].to_numpy(dtype=np.float64)
+        units = np.rint(v * scale)
+        df = pd.DataFrame({
+            cat_col: b[cat_col].to_numpy(),
+            day_col: (b[time_col].astype("int64") // 86_400_000_000).to_numpy(),
+            "__s__": np.where(np.isnan(v), 0, units).astype(np.int64),
+            "__c__": (~np.isnan(v)).astype(np.int64),
+        })
+        return df.groupby([cat_col, day_col], sort=False).sum().reset_index()
+
+    grid = hash_groupby_aggregate(
+        ds.select_columns([cat_col, target_col, time_col]).map_batches(
+            part, batch_format="pandas"),
+        [cat_col, day_col],
+        {"__s__": ("__s__", "sum"), "__c__": ("__c__", "sum")},
+        num_buckets=num_buckets,
+    ).to_pandas().sort_values([cat_col, day_col], kind="mergesort")
+
+    gb = grid.groupby(cat_col, sort=False)
+    cs = (gb["__s__"].cumsum() - grid["__s__"]).to_numpy(dtype=np.int64)
+    cc = (gb["__c__"].cumsum() - grid["__c__"]).to_numpy(dtype=np.int64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        enc = np.where(cc > 0, cs.astype(np.float64) / cc / scale, np.nan)
+    lut = pd.DataFrame({cat_col: grid[cat_col].to_numpy(),
+                        day_col: grid[day_col].to_numpy(), dst: enc})
+    ref = _ray.put(lut)
+
+    def attach(b: pd.DataFrame) -> pd.DataFrame:
+        table: pd.DataFrame = _ray.get(ref)
+        out = b.copy()
+        out[day_col] = (b[time_col].astype("int64") // 86_400_000_000).to_numpy()
+        out = out.merge(table, on=[cat_col, day_col], how="left")
+        return out.drop(columns=[day_col])
+
+    return ds.map_batches(attach, batch_format="pandas")

@@ -997,3 +997,46 @@ def test_curriculum_shards_ntile(ray_session):
     assert (out["shard"].to_numpy() == np.sort(out["shard"].to_numpy())).all()
     # monotone: a later-sorted row never lands in an earlier shard
     assert out["shard"].iloc[0] == 1 and out["shard"].iloc[-1] == 8
+
+
+def test_target_encode_expanding_daily(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from temporalscope_ray.stages.stats import target_encode_expanding_daily
+
+    rng = np.random.default_rng(41)
+    n = 400
+    df = pd.DataFrame({
+        "id": np.arange(n),
+        "ts": pd.to_datetime(rng.integers(0, 10, n), unit="D")
+              + pd.to_timedelta(rng.integers(0, 86400, n), unit="s"),
+        "cat": rng.choice(["a", "b", "c"], n),
+        "y": np.round(rng.normal(10, 3, n), 2),
+    })
+    df.loc[rng.choice(n, 25, replace=False), "y"] = np.nan
+    out = target_encode_expanding_daily(
+        ray.data.from_pandas(df).repartition(4), cat_col="cat",
+        target_col="y", time_col="ts",
+    ).to_pandas().set_index("id").sort_index()
+    day = (df["ts"].astype("int64") // 86_400_000_000).to_numpy()
+    for i in range(n):
+        mask = (df["cat"] == df["cat"].iloc[i]).to_numpy() & (day < day[i])
+        prior = df.loc[mask, "y"].dropna()
+        got = out.loc[i, "y_te_asof"]
+        if len(prior) == 0:
+            assert np.isnan(got), i
+        else:
+            cents = np.rint(prior.to_numpy() * 100).astype(np.int64)
+            assert got == cents.sum() / len(cents) / 100.0, i
+    # leakage check: a huge same-day outlier must NOT move its own encoding
+    probe = df.copy()
+    probe.loc[0, "y"] = 1e6
+    o2 = target_encode_expanding_daily(
+        ray.data.from_pandas(probe), cat_col="cat", target_col="y",
+        time_col="ts").to_pandas().set_index("id").sort_index()
+    same_day_cat = (df["cat"] == df["cat"].iloc[0]).to_numpy() & (day == day[0])
+    for j in np.flatnonzero(same_day_cat):
+        a, b = out.loc[j, "y_te_asof"], o2.loc[j, "y_te_asof"]
+        assert (np.isnan(a) and np.isnan(b)) or a == b
