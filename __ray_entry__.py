@@ -1204,6 +1204,34 @@ def q_dedup_keep_longest(sf_dir: str):
     return keep_best(docs, clusters, id_col="doc_id", score_col="n_chars")
 
 
+def q_session_coactivity_30min(sf_dir: str):
+    """Cross-user co-activity: how often each user pair had overlapping
+    30-min sessions — the interval overlap self-join under time-bucket
+    replication with owner-bucket exactly-once emission, then a tiny
+    user-pair count aggregate."""
+    from temporalscope_ray.stages.grouped import hash_groupby_aggregate
+    from temporalscope_ray.stages.join import interval_overlap_pairs
+    from temporalscope_ray.stages.window_features import session_stats
+
+    ev = _events(sf_dir, ("event_id", "ts", "user_id"))
+    sess = session_stats(ev, id_col="user_id", time_col="ts",
+                         gap=pd.Timedelta("30min"), tiebreak=["event_id"])
+    pairs = interval_overlap_pairs(
+        sess, key_cols=["user_id"], start_col="session_start",
+        end_col="session_end", bucket_width_us=3_600_000_000, num_buckets=8)
+
+    def canon(b: pd.DataFrame) -> pd.DataFrame:
+        ua = b["a_user_id"].to_numpy()
+        ub = b["b_user_id"].to_numpy()
+        keep = ua != ub
+        return pd.DataFrame({"user_a": np.minimum(ua, ub)[keep],
+                             "user_b": np.maximum(ua, ub)[keep]})
+
+    cp = pairs.map_batches(canon, batch_format="pandas")
+    return hash_groupby_aggregate(cp, ["user_a", "user_b"],
+                                  {"n_overlaps": (None, "count")}, num_buckets=8)
+
+
 def q_target_encode_asof_events(sf_dir: str):
     """LEAKAGE-FREE target encoding: mean value over all strictly
     earlier DAYS of the row's event type (the as-of-date feature-store
@@ -2470,6 +2498,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trending_daily_types": q_trending_daily_types,
         "image_curation_pipeline": q_image_curation_pipeline,
         "target_encode_asof_events": q_target_encode_asof_events,
+        "session_coactivity_30min": q_session_coactivity_30min,
         "doc_keywords": q_doc_keywords,
         "target_encode_events": q_target_encode_events,
         "freq_encode_events": q_freq_encode_events,
@@ -3273,6 +3302,27 @@ def oracle_sql() -> dict[str, str]:
                   FROM a)
             SELECT b.doc_id, b.text, b.neg_doc_id, d.text AS neg_text
             FROM b JOIN documents d ON d.doc_id = b.neg_doc_id
+        """,
+        "session_coactivity_30min": """
+            WITH sess AS (
+              SELECT user_id, session_id, MIN(ts) AS s, MAX(ts) AS e
+              FROM (SELECT user_id, ts,
+                           CAST(SUM(brk) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+                    FROM (SELECT *, CASE WHEN ts - LAG(ts) OVER (
+                                              PARTITION BY user_id
+                                              ORDER BY ts, event_id)
+                                              > INTERVAL 30 MINUTE
+                                         THEN 1 ELSE 0 END AS brk
+                          FROM events))
+              GROUP BY user_id, session_id),
+            p AS (
+              SELECT a.user_id AS user_a, b.user_id AS user_b
+              FROM sess a JOIN sess b
+                ON a.s <= b.e AND b.s <= a.e AND a.user_id < b.user_id)
+            SELECT user_a, user_b, COUNT(*) AS n_overlaps
+            FROM p GROUP BY 1, 2
         """,
         "target_encode_asof_events": """
             WITH d AS (

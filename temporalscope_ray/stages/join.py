@@ -237,3 +237,103 @@ def equi_join(
         bucketed.groupby(BUCKET_COL)
         .map_groups(per_bucket, batch_format="pyarrow", num_cpus=2)
     )
+
+
+def interval_overlap_pairs(
+    ds: ray.data.Dataset,
+    *,
+    key_cols: Sequence[str],
+    start_col: str,
+    end_col: str,
+    bucket_width_us: int = 3_600_000_000,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+) -> ray.data.Dataset:
+    """Interval overlap SELF-join: every unordered pair of intervals
+    with ``s_a ≤ e_b AND s_b ≤ e_a`` (closed ends), emitted once as
+    ``a_* / b_*`` key columns with the later-starting interval on the
+    ``b`` side — the co-occurrence primitive (concurrent sessions,
+    overlapping campaigns, co-active devices) that neither the equality
+    join nor the as-of family expresses.
+
+    Partitioning pattern (new in this repo): TIME-BUCKET REPLICATION
+    with owner-bucket emission. Each interval replicates to every
+    ``bucket_width_us`` bucket its span touches (one exchange of
+    replicated interval-stub rows — never payloads); a pair is detected
+    in every shared bucket but EMITTED only in the bucket that owns
+    ``max(s_a, s_b)`` — exactly-once without any dedup exchange. Per
+    bucket the sweep is sort-by-start + one ``searchsorted`` (each
+    interval pairs with the contiguous run of later starts ≤ its end),
+    so work is O(b log b + pairs), never a blind b² scan. Size
+    ``bucket_width_us`` near the typical interval span: too wide packs
+    unrelated intervals into one task, too narrow replicates long
+    intervals many times.
+    """
+    import pandas as _pd
+
+    from .grouped import with_bucket
+
+    key_cols = list(key_cols)
+    W = int(bucket_width_us)
+    if W <= 0:
+        raise ValueError("interval_overlap_pairs: bucket_width_us must be > 0")
+    tb = "__tbucket__"
+
+    def explode(b: _pd.DataFrame) -> _pd.DataFrame:
+        s = b[start_col].astype("int64").to_numpy()
+        e = b[end_col].astype("int64").to_numpy()
+        if (e < s).any():
+            raise ValueError("interval_overlap_pairs: end before start")
+        lo = s // W
+        hi = e // W
+        reps = (hi - lo + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(b)), reps)
+        # bucket id per replica: lo[i], lo[i]+1, ..., hi[i]
+        offs = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(reps)[:-1])), reps)
+        out = _pd.DataFrame({c: b[c].to_numpy()[idx] for c in key_cols})
+        out["__s__"] = s[idx]
+        out["__e__"] = e[idx]
+        out[tb] = lo[idx] + offs
+        return out
+
+    stubs = ds.select_columns([*key_cols, start_col, end_col]).map_batches(
+        explode, batch_format="pandas")
+    bucketed = with_bucket(stubs, tb, num_buckets)
+
+    def per_hash_bucket(g: _pd.DataFrame) -> _pd.DataFrame:
+        outs = []
+        for tbv, sub in g.groupby(tb, sort=False):
+            s = sub["__s__"].to_numpy()
+            order = np.argsort(s, kind="mergesort")
+            s = s[order]
+            e = sub["__e__"].to_numpy()[order]
+            n = len(s)
+            if n < 2:
+                continue
+            k = np.searchsorted(s, e, side="right") - np.arange(n) - 1
+            k = np.maximum(k, 0)
+            total = int(k.sum())
+            if total == 0:
+                continue
+            ii = np.repeat(np.arange(n), k)
+            offs = np.arange(total, dtype=np.int64) - np.repeat(
+                np.concatenate(([0], np.cumsum(k)[:-1])), k)
+            jj = ii + 1 + offs
+            own = (s[jj] // W) == tbv          # later start owns the pair
+            ii, jj = ii[own], jj[own]
+            if not len(ii):
+                continue
+            cols = {}
+            for c in key_cols:
+                v = sub[c].to_numpy()[order]
+                cols[f"a_{c}"] = v[ii]
+                cols[f"b_{c}"] = v[jj]
+            outs.append(_pd.DataFrame(cols))
+        if not outs:
+            return _pd.DataFrame({f"{p}_{c}": _pd.Series([], dtype=g[c].dtype)
+                                  for p in ("a", "b") for c in key_cols})
+        return _pd.concat(outs, ignore_index=True)
+
+    return bucketed.groupby(BUCKET_COL).map_groups(
+        lambda g: per_hash_bucket(g.drop(columns=[BUCKET_COL])),
+        batch_format="pandas")

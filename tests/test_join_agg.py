@@ -404,3 +404,46 @@ def test_attach_transition_prob(ray_session):
     assert np.allclose(a_rows, 2 / 3) and a_rows.notna().all()
     assert (out[out["t"] == "b"]["p_next_buy"] == 0.0).all()
     assert out[out["t"].isin(["buy", "end"])]["p_next_buy"].isna().all()
+
+
+def test_interval_overlap_pairs_brute(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from temporalscope_ray.stages.join import interval_overlap_pairs
+
+    rng = np.random.default_rng(11)
+    n = 250
+    s = rng.integers(0, 5_000, n)
+    df = pd.DataFrame({
+        "iv_id": np.arange(n),
+        "s": s,
+        "e": s + rng.integers(0, 800, n),    # spans cross many width-100 buckets
+    })
+    ds = ray.data.from_pandas(df).repartition(4)
+
+    def got_pairs(width):
+        out = interval_overlap_pairs(
+            ds, key_cols=["iv_id"], start_col="s", end_col="e",
+            bucket_width_us=width, num_buckets=4,
+        ).to_pandas()
+        return sorted((min(a, b), max(a, b))
+                      for a, b in zip(out["a_iv_id"], out["b_iv_id"]))
+
+    # brute reference: closed-end overlap, unordered, once
+    ref = sorted(
+        (i, j)
+        for i in range(n) for j in range(i + 1, n)
+        if df["s"][i] <= df["e"][j] and df["s"][j] <= df["e"][i]
+    )
+    p100 = got_pairs(100)
+    assert p100 == ref                        # exact + exactly-once
+    assert got_pairs(1000) == ref             # width-invariant
+    assert got_pairs(37) == ref               # odd width, heavy replication
+    # closed-end touch counts as overlap
+    touch = pd.DataFrame({"iv_id": [0, 1], "s": [0, 10], "e": [10, 20]})
+    t = interval_overlap_pairs(ray.data.from_pandas(touch), key_cols=["iv_id"],
+                               start_col="s", end_col="e",
+                               bucket_width_us=7, num_buckets=2).to_pandas()
+    assert len(t) == 1
