@@ -1204,6 +1204,25 @@ def q_dedup_keep_longest(sf_dir: str):
     return keep_best(docs, clusters, id_col="doc_id", score_col="n_chars")
 
 
+def q_top_journeys_30min(sf_dir: str):
+    """Journey mining: the 10 most common session-opening paths (first
+    3 event types per 30-min session, '>'-joined) — sessionize + rn +
+    vectorized path concat in ONE bucket pass, then a tiny path count
+    and the blockwise partial top-k merge."""
+    from temporalscope_ray.stages.agg import top_k_rows
+    from temporalscope_ray.stages.grouped import hash_groupby_aggregate
+    from temporalscope_ray.stages.window_features import session_paths
+
+    ev = _events(sf_dir, ("event_id", "ts", "user_id", "event_type"))
+    paths = session_paths(ev, id_col="user_id", time_col="ts",
+                          type_col="event_type", gap=pd.Timedelta("30min"),
+                          k=3, tiebreak=["event_id"])
+    counts = hash_groupby_aggregate(
+        paths.select_columns(["path"]), ["path"],
+        {"n_sessions": (None, "count")}, num_buckets=4)
+    return top_k_rows(counts, "n_sessions", 10, tiebreak=["path"])
+
+
 def q_session_coactivity_30min(sf_dir: str):
     """Cross-user co-activity: how often each user pair had overlapping
     30-min sessions — the interval overlap self-join under time-bucket
@@ -2499,6 +2518,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_curation_pipeline": q_image_curation_pipeline,
         "target_encode_asof_events": q_target_encode_asof_events,
         "session_coactivity_30min": q_session_coactivity_30min,
+        "top_journeys_30min": q_top_journeys_30min,
         "doc_keywords": q_doc_keywords,
         "target_encode_events": q_target_encode_events,
         "freq_encode_events": q_freq_encode_events,
@@ -3302,6 +3322,29 @@ def oracle_sql() -> dict[str, str]:
                   FROM a)
             SELECT b.doc_id, b.text, b.neg_doc_id, d.text AS neg_text
             FROM b JOIN documents d ON d.doc_id = b.neg_doc_id
+        """,
+        "top_journeys_30min": """
+            WITH s AS (
+              SELECT user_id, ts, event_id, event_type,
+                     CAST(SUM(brk) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+              FROM (SELECT *, CASE WHEN ts - LAG(ts) OVER (
+                                        PARTITION BY user_id
+                                        ORDER BY ts, event_id)
+                                        > INTERVAL 30 MINUTE
+                                   THEN 1 ELSE 0 END AS brk
+                    FROM events)),
+            r AS (SELECT user_id, session_id, event_type,
+                         row_number() OVER (PARTITION BY user_id, session_id
+                                            ORDER BY ts, event_id) AS rn
+                  FROM s),
+            p AS (SELECT user_id, session_id,
+                         string_agg(event_type, '>' ORDER BY rn) AS path
+                  FROM r WHERE rn <= 3 GROUP BY 1, 2),
+            c AS (SELECT path, COUNT(*) AS n_sessions FROM p GROUP BY 1)
+            SELECT path, n_sessions FROM c
+            ORDER BY n_sessions DESC, path LIMIT 10
         """,
         "session_coactivity_30min": """
             WITH sess AS (

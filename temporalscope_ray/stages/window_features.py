@@ -1556,6 +1556,61 @@ def add_rolling_distinct(
     return grouped.grouped_ordered_map(ds, id_col, order, fn, num_buckets=num_buckets)
 
 
+def session_paths(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str,
+    time_col: str,
+    type_col: str,
+    gap,
+    k: int = 3,
+    sep: str = ">",
+    out_col: str = "path",
+    tiebreak: Optional[Sequence[str]] = None,
+    num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+) -> ray.data.Dataset:
+    """User-journey signatures: one row per (entity, session) holding
+    the session's first ``k`` event types joined by ``sep`` (SQL
+    ``string_agg`` semantics: null types consume their position slot
+    but contribute nothing — no doubled separator). The journey-mining
+    primitive: count the paths and you have the top flows, diff them
+    across cohorts and you have the behavior drift.
+
+    One entity-bucket exchange; sessionization, within-session row
+    numbers and the path concat all run in the SAME pass — the concat
+    is ``k`` vectorized masked appends over pivoted type columns, not a
+    per-session join loop.
+    """
+    gap_val = gap
+    order = [time_col, *(tiebreak or [])]
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        segs = grouped.entity_segments(g[id_col].to_numpy())
+        sess = _seg_session_ids(g[time_col].to_numpy(), segs, gap_val)
+        key = pd.DataFrame({id_col: g[id_col].to_numpy(), "session_id": sess,
+                            type_col: g[type_col].to_numpy()})
+        rn = key.groupby([id_col, "session_id"], sort=False).cumcount()
+        sub = key[rn < k].copy()
+        sub["__rn__"] = rn[rn < k]
+        w = sub.pivot(index=[id_col, "session_id"], columns="__rn__",
+                      values=type_col)
+        acc = np.full(len(w), "", dtype=object)
+        has = np.zeros(len(w), dtype=bool)
+        for i in range(k):
+            if i not in w.columns:
+                continue
+            v = w[i]
+            m = v.notna().to_numpy()
+            sv = v.fillna("").astype(str).to_numpy(dtype=object)
+            acc = np.where(m & has, acc + sep + sv, np.where(m, sv, acc))
+            has |= m
+        out = w.index.to_frame(index=False)
+        out[out_col] = acc
+        return out
+
+    return grouped.grouped_ordered_map(ds, id_col, order, fn, num_buckets=num_buckets)
+
+
 def add_cusum(
     ds: ray.data.Dataset,
     *,

@@ -782,3 +782,25 @@ def test_cusum_recursion_and_exactness(ray_session):
                     value_col="v", num_buckets=2).to_pandas().sort_values("ts")
     assert res["v_cusum"].iloc[49] == 0.0         # at-mean prefix never rises
     assert res["v_cusum"].iloc[-1] > 200.0        # 50 rows x +5 drift
+
+
+def test_session_paths_semantics(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from temporalscope_ray.stages.window_features import session_paths
+
+    # user 1: session A = [a, b, c, d] (path a>b>c), 40-min gap,
+    # session B = [x]; user 2: [None, p] (null consumes slot, no sep)
+    df = pd.DataFrame({
+        "id": [1, 1, 1, 1, 1, 2, 2],
+        "ts": pd.to_datetime([0, 60, 120, 180, 3000, 0, 60], unit="s"),
+        "t": ["a", "b", "c", "d", "x", None, "p"],
+    })
+    out = session_paths(ray.data.from_pandas(df).repartition(3), id_col="id",
+                        time_col="ts", type_col="t",
+                        gap=pd.Timedelta("30min"), k=3, num_buckets=2) \
+        .to_pandas().sort_values(["id", "session_id"]).reset_index(drop=True)
+    assert list(out["path"]) == ["a>b>c", "x", "p"]
+    assert list(out["id"]) == [1, 1, 2]
