@@ -1204,6 +1204,36 @@ def q_dedup_keep_longest(sf_dir: str):
     return keep_best(docs, clusters, id_col="doc_id", score_col="n_chars")
 
 
+def q_late_events_5min(sf_dir: str):
+    """Watermark lateness report: per event (in event_id ARRIVAL
+    order), the high-water mark of strictly earlier arrivals'
+    timestamps and how far behind it this event's timestamp is — the
+    streaming out-of-orderness monitor that sizes allowed-lateness.
+    Built on the new global_running_max two-pass scan (int64 us
+    end-to-end)."""
+    from temporalscope_ray.stages.scan import global_running_max
+
+    ev = _events(sf_dir, ("event_id", "ts"))
+    wm = global_running_max(ev, order_by=["event_id"], value_col="ts",
+                            out_col="watermark", exclusive=True)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["ts"].astype("int64").to_numpy()
+        mask = pd.notna(b["watermark"]).to_numpy()
+        wi = b["watermark"].fillna(pd.Timestamp(0)).astype("int64").to_numpy()
+        late = np.maximum(wi - t, 0).astype(np.float64)
+        out = pd.DataFrame({
+            "event_id": b["event_id"].to_numpy(),
+            "ts": b["ts"].to_numpy(),
+            "watermark": b["watermark"].to_numpy(),
+            "lateness_us": np.where(mask, late, np.nan),
+            "is_late": np.where(mask & (wi - t > 300_000_000), 1, 0).astype(np.int64),
+        })
+        return out
+
+    return wm.map_batches(finish, batch_format="pandas")
+
+
 def q_top_journeys_30min(sf_dir: str):
     """Journey mining: the 10 most common session-opening paths (first
     3 event types per 30-min session, '>'-joined) — sessionize + rn +
@@ -2519,6 +2549,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "target_encode_asof_events": q_target_encode_asof_events,
         "session_coactivity_30min": q_session_coactivity_30min,
         "top_journeys_30min": q_top_journeys_30min,
+        "late_events_5min": q_late_events_5min,
         "doc_keywords": q_doc_keywords,
         "target_encode_events": q_target_encode_events,
         "freq_encode_events": q_freq_encode_events,
@@ -3322,6 +3353,22 @@ def oracle_sql() -> dict[str, str]:
                   FROM a)
             SELECT b.doc_id, b.text, b.neg_doc_id, d.text AS neg_text
             FROM b JOIN documents d ON d.doc_id = b.neg_doc_id
+        """,
+        "late_events_5min": """
+            WITH w AS (
+              SELECT event_id, ts,
+                     MAX(ts) OVER (ORDER BY event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS watermark
+              FROM events)
+            SELECT event_id, ts, watermark,
+                   CASE WHEN watermark IS NULL THEN NULL
+                        ELSE CAST(GREATEST(epoch_us(watermark) - epoch_us(ts),
+                                           0) AS DOUBLE) END AS lateness_us,
+                   CAST(CASE WHEN watermark IS NOT NULL
+                             AND epoch_us(watermark) - epoch_us(ts) > 300000000
+                             THEN 1 ELSE 0 END AS BIGINT) AS is_late
+            FROM w
         """,
         "top_journeys_30min": """
             WITH s AS (

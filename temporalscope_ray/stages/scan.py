@@ -140,3 +140,97 @@ def pack_by_budget(
         )
 
     return summed.map_batches(chunk, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def global_running_max(
+    ds: ray.data.Dataset,
+    *,
+    order_by: Sequence[str],
+    value_col: str,
+    out_col: str = "running_max",
+    exclusive: bool = False,
+) -> ray.data.Dataset:
+    """Running MAX of ``value_col`` over the total ``order_by`` order —
+    the watermark primitive (``exclusive=True`` gives the high-water
+    mark of strictly preceding rows: null on the first row, the SQL
+    ``MAX() OVER (... ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+    PRECEDING)`` frame). Same two-pass block-offset shape as
+    ``global_running_sum``: pass 1 reduces each block to its max
+    (O(blocks) driver bytes), the driver prefix-maxes the offsets, pass
+    2 folds ``maximum(offset, local cummax)`` per block. Integer and
+    timestamp inputs stay int64 END-TO-END (never a float64 round-trip
+    — above 2^53 that silently corrupts snowflake-style ids; INT64_MIN
+    is the internal null sentinel and is rejected as a value); nulls
+    never raise the watermark and inherit it.
+    """
+    import pyarrow.compute as pc
+
+    order_by = list(order_by)
+    sorted_ds = ds.sort(order_by).materialize()
+    from ..core import _schema
+
+    vt = _schema(sorted_ds).field(value_col).type
+    is_int = pa.types.is_integer(vt) or pa.types.is_timestamp(vt)
+    INT_MIN = np.iinfo(np.int64).min
+
+    def part(batch: pa.Table) -> pa.Table:
+        first = batch.select(order_by).slice(0, min(1, batch.num_rows))
+        n = first.num_rows
+        sig = pa.array([_sig(batch, order_by, value_col)] * n, type=pa.string())
+        first = first.append_column("__sig__", sig)
+        if is_int:
+            m = pc.max(batch.column(value_col).cast(pa.int64()))
+            mx = m.as_py() if m.is_valid else INT_MIN
+            if mx == INT_MIN and m.is_valid:
+                raise ValueError("global_running_max: INT64_MIN value collides "
+                                 "with the null sentinel")
+            return first.append_column(
+                "__max__", pa.array([mx] * n, type=pa.int64()))
+        v = batch.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        mx = float(np.nanmax(v)) if n and not np.isnan(v).all() else float("-inf")
+        return first.append_column("__max__", pa.array([mx] * n))
+
+    parts = sorted_ds.map_batches(part, batch_size=None, batch_format="pyarrow").to_pandas()
+    ordered = parts.sort_values(order_by, kind="mergesort").reset_index(drop=True)
+    if is_int:
+        maxes = ordered["__max__"].to_numpy(dtype=np.int64)
+        offsets = np.concatenate(
+            ([INT_MIN], np.maximum.accumulate(maxes)[:-1])).astype(np.int64)
+    else:
+        maxes = ordered["__max__"].to_numpy(dtype=np.float64)
+        offsets = np.concatenate(([-np.inf], np.maximum.accumulate(maxes)[:-1]))
+    offset_by_sig = dict(zip(ordered["__sig__"], offsets))
+    ref = ray.put(offset_by_sig)
+    is_excl = exclusive
+
+    def apply(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            ot = vt if pa.types.is_timestamp(vt) else (
+                pa.int64() if is_int else pa.float64())
+            return batch.append_column(out_col, pa.array([], type=ot))
+        off = ray.get(ref)[_sig(batch, order_by, value_col)]
+        if is_int:
+            ci = batch.column(value_col).cast(pa.int64())
+            if isinstance(ci, pa.ChunkedArray):
+                ci = ci.combine_chunks()
+            vals = np.asarray(ci.fill_null(INT_MIN))
+            local = np.maximum.accumulate(vals)
+            if is_excl:
+                local = np.concatenate(([INT_MIN], local[:-1]))
+            out = np.maximum(local, np.int64(off))
+            isnull = out == INT_MIN
+            arr = pc.if_else(pa.array(~isnull), pa.array(out, type=pa.int64()),
+                             pa.scalar(None, type=pa.int64()))
+            if pa.types.is_timestamp(vt):
+                arr = arr.cast(vt)
+            return batch.append_column(out_col, arr)
+        v = batch.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        filled = np.where(np.isnan(v), -np.inf, v)
+        local = np.maximum.accumulate(filled)
+        if is_excl:
+            local = np.concatenate(([-np.inf], local[:-1]))
+        out = np.maximum(local, off)
+        res = np.where(np.isinf(out), np.nan, out)
+        return batch.append_column(out_col, pa.array(res, type=pa.float64()))
+
+    return sorted_ds.map_batches(apply, batch_size=None, batch_format="pyarrow")

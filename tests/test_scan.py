@@ -128,3 +128,40 @@ def test_running_sum_composite_order_key():
         .reset_index(drop=True)
     )
     np.testing.assert_array_equal(out["rs"].to_numpy(), np.arange(1, 201))
+
+
+def test_global_running_max(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from temporalscope_ray.stages.scan import global_running_max
+
+    df = pd.DataFrame({"k": np.arange(10),
+                       "v": pd.array([3, None, 5, 1, None, 9, 2, 9, 1, 12],
+                                     dtype="Int64")})
+    ds = ray.data.from_pandas(df).repartition(3)
+    incl = global_running_max(ds, order_by=["k"], value_col="v") \
+        .to_pandas().sort_values("k")["running_max"].tolist()
+    assert incl == [3, 3, 5, 5, 5, 9, 9, 9, 9, 12]
+    excl = global_running_max(ds, order_by=["k"], value_col="v",
+                              exclusive=True) \
+        .to_pandas().sort_values("k")["running_max"]
+    assert pd.isna(excl.iloc[0]) and excl.iloc[1:].tolist() == [3, 3, 5, 5, 5, 9, 9, 9, 9]
+    # int64 beyond 2^53 must survive bit-exact (no float round-trip)
+    big = pd.DataFrame({"k": [0, 1], "v": [2**62 + 3, 2**62 + 1]})
+    ob = global_running_max(ray.data.from_pandas(big), order_by=["k"],
+                            value_col="v").to_pandas().sort_values("k")
+    assert ob["running_max"].tolist() == [2**62 + 3, 2**62 + 3]
+    # floats with NaN: skipped, inherited
+    fl = pd.DataFrame({"k": np.arange(5), "v": [1.5, np.nan, 0.5, 7.25, np.nan]})
+    of = global_running_max(ray.data.from_pandas(fl).repartition(2),
+                            order_by=["k"], value_col="v") \
+        .to_pandas().sort_values("k")
+    assert of["running_max"].tolist() == [1.5, 1.5, 1.5, 7.25, 7.25]
+    # timestamps keep their type
+    tsdf = pd.DataFrame({"k": [0, 1, 2],
+                         "v": pd.to_datetime([30, 10, 50], unit="s")})
+    ot = global_running_max(ray.data.from_pandas(tsdf), order_by=["k"],
+                            value_col="v").to_pandas()
+    assert list(ot["running_max"]) == list(pd.to_datetime([30, 30, 50], unit="s"))
