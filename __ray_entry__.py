@@ -2059,6 +2059,22 @@ def q_hourly_event_stats(sf_dir: str):
     return _round_cols(out, ["sum_v"])
 
 
+def q_ohlc_hourly_by_user(sf_dir: str):
+    """Per-user hourly OHLC bars (open/high/low/close/n) — first/last-
+    by-time carried as distributive partials with their order keys, so
+    the exchange moves one row per (block, user, hour), never facts;
+    boundary values pass through untouched (bit-exact vs the SQL
+    row_number form), high/low skip nulls like SQL MAX/MIN."""
+    from temporalscope_ray.stages.agg import ohlc_bars
+
+    ev = _events(sf_dir, ("event_id", "ts", "user_id", "value"))
+    out = ohlc_bars(ev, "ts", "value", "1h", by=["user_id"], tiebreak=["event_id"])
+    return out.map_batches(
+        lambda t: t.select(["user_id", "bucket_start", "open_v", "high_v",
+                            "low_v", "close_v", "n"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_distinct_users_by_type(sf_dir: str):
     """Exact COUNT(DISTINCT user_id) per event_type — the exchange
     moves per-block distinct pairs only."""
@@ -2580,6 +2596,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "left_join_orders_customer": q_left_join_orders_customer,
         "full_join_orders_customer": q_full_join_orders_customer,
         "hourly_event_stats": q_hourly_event_stats,
+        "ohlc_hourly_by_user": q_ohlc_hourly_by_user,
         "distinct_users_by_type": q_distinct_users_by_type,
         "event_type_pivot": q_event_type_pivot,
         "value_histogram_events": q_value_histogram_events,
@@ -4354,6 +4371,28 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(value), 6) AS sum_v,
                    MAX(value) AS max_v
             FROM events GROUP BY 1
+        """,
+        "ohlc_hourly_by_user": """
+            WITH b AS (
+              SELECT user_id,
+                     CAST(to_timestamp((epoch_us(ts) // 3600000000) * 3600000000 / 1e6)
+                          AS TIMESTAMP) AS bucket_start,
+                     ts, event_id, value
+              FROM events),
+            r AS (
+              SELECT *,
+                     row_number() OVER (PARTITION BY user_id, bucket_start
+                                        ORDER BY ts, event_id) AS rn_a,
+                     row_number() OVER (PARTITION BY user_id, bucket_start
+                                        ORDER BY ts DESC, event_id DESC) AS rn_d
+              FROM b)
+            SELECT user_id, bucket_start,
+                   MAX(CASE WHEN rn_a = 1 THEN value END) AS open_v,
+                   MAX(value) AS high_v,
+                   MIN(value) AS low_v,
+                   MAX(CASE WHEN rn_d = 1 THEN value END) AS close_v,
+                   COUNT(*) AS n
+            FROM r GROUP BY 1, 2
         """,
         "distinct_users_by_type": """
             SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct

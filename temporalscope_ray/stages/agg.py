@@ -760,3 +760,93 @@ def attach_transition_prob(
         return out
 
     return ds.map_batches(attach, batch_format="pandas")
+
+def ohlc_bars(
+    ds: ray.data.Dataset,
+    ts_col: str,
+    value_col: str,
+    every: "str | int",
+    *,
+    by: Optional[Sequence[str]] = None,
+    tiebreak: Optional[Sequence[str]] = None,
+    bucket_col: str = "bucket_start",
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+) -> ray.data.Dataset:
+    """OHLC downsampling: per ``(by, tumbling bucket)`` emit the value
+    at the FIRST row (open), MAX/MIN over non-null values (high/low),
+    the value at the LAST row (close) and ``COUNT(*)`` — the bar
+    constructor that turns an irregular event stream into the fixed
+    training grid of a financial / telemetry model.
+
+    first/last-by-time are DISTRIBUTIVE once the order key rides along:
+    each block reduces to one partial row per (by, bucket) carrying
+    ``(order key, value)`` for both boundaries plus high/low/n, the
+    exchange moves only partials, and the per-bucket final re-applies
+    the same boundary pick over partial rows (min-of-mins is the min).
+    ``tiebreak`` extends the order to a total one under duplicate
+    timestamps; the boundary value is the value AT the boundary row
+    (null if that row's value is null — SQL ``CASE WHEN rn=1`` form),
+    while high/low skip nulls like SQL MAX/MIN.
+
+    The reference has no resampling surface at all; this is the
+    wide-step counterpart of its per-partition pandas-style access
+    (`/root/reference/src/temporalscope/core/temporal_data_loader.py`).
+    """
+    width = _parse_every(every)
+    by = list(by or [])
+    order = [ts_col, *(tiebreak or [])]
+    gcols = [*by, bucket_col]
+
+    def tag(t: pa.Table) -> pa.Table:
+        # normalize to us first: a pandas-born timestamp[ns] column would
+        # otherwise be floor-divided as if its int64 were microseconds
+        ts = pc.cast(t.column(ts_col), pa.timestamp("us"))
+        us = pc.cast(ts, pa.int64()).to_numpy(zero_copy_only=False)
+        start = (us // width) * width
+        return t.append_column(
+            bucket_col, pa.array(start, type=pa.int64()).cast(pa.timestamp("us"))
+        )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # Positional alignment between first/last/groupby frames is
+        # safe: all are ordered primarily by ``gcols`` after the sort,
+        # so the group sequence is identical across them.
+        a = df.sort_values([*gcols, *order], kind="mergesort")
+        first = a.loc[~a.duplicated(subset=gcols, keep="first")]
+        last = a.loc[~a.duplicated(subset=gcols, keep="last")]
+        g = a.groupby(gcols, sort=False, dropna=False)[value_col]
+        out = first[gcols].reset_index(drop=True)
+        for i, c in enumerate(order):
+            out[f"__ok{i}"] = first[c].to_numpy()
+            out[f"__ck{i}"] = last[c].to_numpy()
+        out["open_v"] = first[value_col].to_numpy()
+        out["close_v"] = last[value_col].to_numpy()
+        out["high_v"] = g.max().to_numpy()
+        out["low_v"] = g.min().to_numpy()
+        out["n"] = g.size().to_numpy().astype(np.int64)
+        return out
+
+    ok = [f"__ok{i}" for i in range(len(order))]
+    ck = [f"__ck{i}" for i in range(len(order))]
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if BUCKET_COL in df.columns:
+            df = df.drop(columns=[BUCKET_COL])
+        a = df.sort_values([*gcols, *ok], kind="mergesort")
+        first = a.loc[~a.duplicated(subset=gcols, keep="first")]
+        d = df.sort_values([*gcols, *ck], kind="mergesort")
+        last = d.loc[~d.duplicated(subset=gcols, keep="last")]
+        g = a.groupby(gcols, sort=False, dropna=False)
+        out = first[gcols].reset_index(drop=True)
+        out["open_v"] = first["open_v"].to_numpy()
+        out["high_v"] = g["high_v"].max().to_numpy()
+        out["low_v"] = g["low_v"].min().to_numpy()
+        out["close_v"] = last["close_v"].to_numpy()
+        out["n"] = g["n"].sum().to_numpy().astype(np.int64)
+        return out
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    partials = tagged.map_batches(partial, batch_format="pandas")
+    key = (by or [bucket_col])[0]
+    bucketed = with_bucket(partials, key, num_buckets)
+    return bucketed.groupby(BUCKET_COL).map_groups(final, batch_format="pandas")

@@ -447,3 +447,60 @@ def test_interval_overlap_pairs_brute(ray_session):
                                start_col="s", end_col="e",
                                bucket_width_us=7, num_buckets=2).to_pandas()
     assert len(t) == 1
+
+
+def test_ohlc_bars_matches_pandas_brute(ray_session):
+    from temporalscope_ray.stages.agg import ohlc_bars
+
+    rng = np.random.default_rng(7)
+    n = 600
+    df = pd.DataFrame({
+        "eid": np.arange(n, dtype=np.int64),
+        # coarse second grid so (uid, ts) duplicates occur -> tiebreak matters
+        "ts": pd.to_datetime(rng.integers(0, 40, n) * 600_000_000, unit="us"),
+        "uid": rng.integers(0, 5, n).astype(np.int64),
+        "v": rng.normal(size=n),
+    })
+    df.loc[rng.choice(n, 60, replace=False), "v"] = np.nan
+
+    ds = ray.data.from_pandas(df).repartition(7)
+    out = (
+        ohlc_bars(ds, "ts", "v", "1h", by=["uid"], tiebreak=["eid"])
+        .to_pandas().sort_values(["uid", "bucket_start"]).reset_index(drop=True)
+    )
+
+    g = df.assign(bucket_start=df["ts"].dt.floor("h")) \
+          .sort_values(["uid", "bucket_start", "ts", "eid"], kind="mergesort")
+    gb = g.groupby(["uid", "bucket_start"], sort=True)
+    exp = pd.DataFrame({
+        "open_v": gb["v"].agg(lambda s: s.iloc[0]),
+        "high_v": gb["v"].max(),
+        "low_v": gb["v"].min(),
+        "close_v": gb["v"].agg(lambda s: s.iloc[-1]),
+        "n": gb.size().astype(np.int64),
+    }).reset_index()
+
+    assert len(out) == len(exp)
+    pd.testing.assert_frame_equal(
+        out[["uid", "bucket_start", "open_v", "high_v", "low_v", "close_v", "n"]],
+        exp, check_dtype=False)
+
+
+def test_ohlc_bars_global_no_keys(ray_session):
+    from temporalscope_ray.stages.agg import ohlc_bars
+
+    df = pd.DataFrame({
+        "eid": [1, 2, 3, 4],
+        "ts": pd.to_datetime([0, 10, 3600, 3610], unit="s"),
+        "v": [5.0, np.nan, 1.0, 9.0],
+    })
+    out = (
+        ohlc_bars(ray.data.from_pandas(df).repartition(3), "ts", "v", "1h",
+                  tiebreak=["eid"])
+        .to_pandas().sort_values("bucket_start").reset_index(drop=True)
+    )
+    assert out["open_v"].tolist() == [5.0, 1.0]
+    # close of hour 0 lands on the NaN row: boundary value is the row's value
+    assert np.isnan(out["close_v"].iloc[0]) and out["close_v"].iloc[1] == 9.0
+    assert out["high_v"].tolist() == [5.0, 9.0]
+    assert out["n"].tolist() == [2, 2]
