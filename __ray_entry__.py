@@ -1377,6 +1377,19 @@ def q_next_purchase_prop_events(sf_dir: str):
                                   tiebreak=["event_id"])
 
 
+def q_surprisal_events(sf_dir: str):
+    """Markov surprisal: every event gains -ln P(cur | prev) under the
+    corpus transition matrix — the sequence-anomaly score. Two bounded
+    exchanges (type²-sized transition partials, then one entity-bucket
+    fact pass with the broadcast vocab² matrix); the log argument is an
+    exact int64 ratio so both engines take ln of the same double."""
+    from temporalscope_ray.stages.agg import attach_surprisal
+
+    ev = _events(sf_dir, ("event_id", "ts", "user_id", "event_type"))
+    return attach_surprisal(ev, id_col="user_id", time_col="ts",
+                            type_col="event_type", tiebreak=["event_id"])
+
+
 def q_cluster_cap_docs(sf_dir: str):
     """Cluster-cap subsampling (keep_best's softened k=2 form): each
     verified Jaccard duplicate family keeps its 2 longest documents
@@ -2558,6 +2571,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "caption_gate_images": q_caption_gate_images,
         "cluster_cap_docs": q_cluster_cap_docs,
         "next_purchase_prop_events": q_next_purchase_prop_events,
+        "surprisal_events": q_surprisal_events,
         "spearman_qty_price": q_spearman_qty_price,
         "curriculum_shards_docs": q_curriculum_shards_docs,
         "trending_daily_types": q_trending_daily_types,
@@ -3538,6 +3552,24 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN c.tot IS NULL OR c.tot = 0 THEN NULL
                         ELSE CAST(c.hits AS DOUBLE) / c.tot END AS p_next_purchase
             FROM events e LEFT JOIN c USING (event_type)
+        """,
+        "surprisal_events": """
+            WITH t AS (
+              SELECT event_id, ts, user_id, event_type,
+                     LAG(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS prev_type
+              FROM events),
+            c AS (
+              SELECT prev_type AS p, event_type AS c, COUNT(*) AS n
+              FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+            tot AS (SELECT p, SUM(n) AS tot FROM c GROUP BY p)
+            SELECT t.event_id, t.ts, t.user_id, t.event_type, t.prev_type,
+                   CASE WHEN t.prev_type IS NULL THEN NULL
+                        ELSE ROUND(-ln(CAST(c.n AS DOUBLE) / tot.tot), 6)
+                   END AS surprisal
+            FROM t
+            LEFT JOIN c ON t.prev_type = c.p AND t.event_type = c.c
+            LEFT JOIN tot ON t.prev_type = tot.p
         """,
         "caption_gate_images": """
             WITH img AS (

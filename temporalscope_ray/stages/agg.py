@@ -761,6 +761,82 @@ def attach_transition_prob(
 
     return ds.map_batches(attach, batch_format="pandas")
 
+
+def attach_surprisal(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str,
+    time_col: str,
+    type_col: str,
+    out_col: str = "surprisal",
+    prev_col: str = "prev_type",
+    tiebreak: Optional[Sequence[str]] = None,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+) -> ray.data.Dataset:
+    """Markov surprisal feature: every row gains
+    ``-ln P(cur_type | prev_type)`` under the corpus's own first-order
+    transition matrix — the sequence-anomaly score (how unexpected was
+    this step given the step before it) that session-fraud and
+    bot-detection models start from. Entity firsts (no predecessor) and
+    null-typed rows get a null score; every observed (prev, cur) pair
+    has count ≥ 1 by construction, so no smoothing is needed and the
+    log argument is an EXACT ratio of int64 counts — both engines take
+    ``ln`` of the identical double. The result is quantized at 6dp
+    because libm and DuckDB's ``ln`` may differ in the last ulp.
+
+    Plan: the transition matrix comes from ``transition_counts`` (one
+    exchange of type²-sized partials), broadcasts once via ``ray.put``,
+    and the per-row lag + lookup happen inside ONE entity-bucket
+    exchange of the fact table — two bounded exchanges total, only one
+    of which moves facts.
+
+    The reference has no sequence-model surface; this extends its
+    per-partition temporal ordering contract
+    (`/root/reference/src/temporalscope/core/temporal_data_loader.py`)
+    to a corpus-level conditional estimate.
+    """
+    import ray as _ray
+
+    from .grouped import entity_segments, grouped_ordered_map
+
+    tc = transition_counts(ds, id_col=id_col, time_col=time_col,
+                           type_col=type_col, tiebreak=tiebreak,
+                           num_buckets=num_buckets).to_pandas()
+    tot = tc.groupby("prev_type")["n"].sum()
+    p = tc["n"].to_numpy(np.float64) / tot.reindex(tc["prev_type"]).to_numpy(np.float64)
+    # vocab² surprisal matrix: NaN where the transition was never seen
+    # (only reachable for a type that appears solely as an entity-first)
+    vocab = pd.Index(sorted(set(tc["prev_type"]) | set(tc["cur_type"])))
+    mat = np.full((len(vocab), len(vocab)), np.nan)
+    # half-away-from-zero at 6dp (the SQL ROUND rule); -ln p >= 0 always
+    mat[vocab.get_indexer(tc["prev_type"]), vocab.get_indexer(tc["cur_type"])] = \
+        np.floor(-np.log(p) * 1e6 + 0.5) / 1e6
+    ref = _ray.put((vocab, mat))
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        voc, m = _ray.get(ref)
+        t = g[type_col].to_numpy(dtype=object)
+        n = len(g)
+        prev = np.empty(n, dtype=object)
+        prev[1:] = t[:-1]
+        prev[0] = None
+        segs = entity_segments(g[id_col].to_numpy())
+        prev[segs[:-1]] = None
+        pi = voc.get_indexer(prev)   # None / unseen → -1
+        ci = voc.get_indexer(t)
+        vals = np.full(n, np.nan)
+        ok = (pi >= 0) & (ci >= 0)
+        vals[ok] = m[pi[ok], ci[ok]]
+        out = g.copy()
+        out[prev_col] = prev
+        out[out_col] = vals
+        return out
+
+    return grouped_ordered_map(
+        ds, id_col, [time_col, *(tiebreak or [])], fn, num_buckets=num_buckets,
+    )
+
+
 def ohlc_bars(
     ds: ray.data.Dataset,
     ts_col: str,

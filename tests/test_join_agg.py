@@ -406,6 +406,39 @@ def test_attach_transition_prob(ray_session):
     assert out[out["t"].isin(["buy", "end"])]["p_next_buy"].isna().all()
 
 
+def test_attach_surprisal(ray_session):
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from temporalscope_ray.stages.agg import attach_surprisal
+
+    # user 1: a -> b -> a -> c ; user 2: a -> b ; user 3: z (first only)
+    df = pd.DataFrame({
+        "id": [1, 1, 1, 1, 2, 2, 3],
+        "ts": pd.to_datetime([1, 2, 3, 4, 1, 2, 1], unit="s"),
+        "t": ["a", "b", "a", "c", "a", "b", "z"],
+    })
+    out = attach_surprisal(
+        ray.data.from_pandas(df).repartition(3), id_col="id", time_col="ts",
+        type_col="t", num_buckets=2,
+    ).to_pandas().sort_values(["id", "ts"]).reset_index(drop=True)
+    # transitions: a->b x2, a->c x1 (P(b|a)=2/3, P(c|a)=1/3), b->a x1 (P=1)
+    s = out["surprisal"]
+    # entity firsts -> null
+    assert s[out.groupby("id").cumcount() == 0].isna().all()
+    by = out.set_index(["id", "ts"])["surprisal"]
+    assert math.isclose(by[(1, pd.Timestamp(2, unit="s"))], -np.log(2 / 3), abs_tol=1e-6)
+    assert math.isclose(by[(1, pd.Timestamp(4, unit="s"))], -np.log(1 / 3), abs_tol=1e-6)
+    assert by[(1, pd.Timestamp(3, unit="s"))] == 0.0  # b->a is certain
+    assert math.isclose(by[(2, pd.Timestamp(2, unit="s"))], -np.log(2 / 3), abs_tol=1e-6)
+    # prev_type carried
+    assert out.loc[out.groupby("id").cumcount() == 0, "prev_type"].isna().all()
+    assert (out.set_index(["id", "ts"])["prev_type"][(1, pd.Timestamp(2, unit="s"))]) == "a"
+
+
 def test_interval_overlap_pairs_brute(ray_session):
     import numpy as np
     import pandas as pd
