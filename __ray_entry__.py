@@ -1377,6 +1377,30 @@ def q_next_purchase_prop_events(sf_dir: str):
                                   tiebreak=["event_id"])
 
 
+def q_kmeans_step_embeddings(sf_dir: str):
+    """One Lloyd iteration of distributed k-means (k=4, deterministic
+    smallest-vec_id seeds): assignment is a zero-shuffle broadcast map,
+    the update is a pure combiner reduction (≤ k partial rows per
+    block through one k-sized exchange — bytes never a function of row
+    count). Emits (cluster, n, dim, centroid) long-form, 6dp."""
+    import numpy as np
+    import pandas as pd
+
+    from temporalscope_ray.stages.linalg import kmeans_iterate, kmeans_seed_centroids
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    seeds = kmeans_seed_centroids(emb, "embedding", 4, id_col="vec_id")
+    cents, counts = kmeans_iterate(emb, "embedding", seeds, iters=1)
+    k, d = cents.shape
+    q = np.sign(cents) * np.floor(np.abs(cents) * 1e6 + 0.5) / 1e6
+    return pd.DataFrame({
+        "cluster": np.repeat(np.arange(k, dtype=np.int64), d),
+        "n": np.repeat(counts, d),
+        "dim": np.tile(np.arange(d, dtype=np.int64), k),
+        "centroid": q.reshape(-1),
+    })
+
+
 def q_surprisal_events(sf_dir: str):
     """Markov surprisal: every event gains -ln P(cur | prev) under the
     corpus transition matrix — the sequence-anomaly score. Two bounded
@@ -2572,6 +2596,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_cap_docs": q_cluster_cap_docs,
         "next_purchase_prop_events": q_next_purchase_prop_events,
         "surprisal_events": q_surprisal_events,
+        "kmeans_step_embeddings": q_kmeans_step_embeddings,
         "spearman_qty_price": q_spearman_qty_price,
         "curriculum_shards_docs": q_curriculum_shards_docs,
         "trending_daily_types": q_trending_daily_types,
@@ -3552,6 +3577,31 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN c.tot IS NULL OR c.tot = 0 THEN NULL
                         ELSE CAST(c.hits AS DOUBLE) / c.tot END AS p_next_purchase
             FROM events e LEFT JOIN c USING (event_type)
+        """,
+        "kmeans_step_embeddings": """
+            WITH seeds AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                     CAST(embedding AS DOUBLE[]) AS c
+              FROM (SELECT vec_id, embedding FROM embeddings
+                    ORDER BY vec_id LIMIT 4)),
+            d AS (
+              SELECT e.vec_id, s.cid,
+                     list_distance(CAST(e.embedding AS DOUBLE[]), s.c) AS dist
+              FROM embeddings e CROSS JOIN seeds s),
+            asg AS (
+              SELECT vec_id, cid FROM d
+              QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY dist, cid) = 1),
+            cnt AS (SELECT cid, COUNT(*) AS n FROM asg GROUP BY 1),
+            cent AS (
+              SELECT a.cid, u.i - 1 AS dim,
+                     ROUND(AVG(CAST(e.embedding[u.i] AS DOUBLE)), 6) AS centroid
+              FROM asg a JOIN embeddings e USING (vec_id)
+              CROSS JOIN LATERAL (
+                SELECT unnest(generate_series(1, len(e.embedding))) AS i) u
+              GROUP BY 1, 2)
+            SELECT c.cid AS cluster, cnt.n, c.dim, c.centroid
+            FROM cent c JOIN cnt USING (cid)
         """,
         "surprisal_events": """
             WITH t AS (

@@ -233,3 +233,116 @@ def group_mean_embedding(
         return pd.concat(rows, ignore_index=True)
 
     return merged.map_batches(finish, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# distributed k-means (Lloyd's) — the corpus-clustering primitive behind
+# semantic dedup sharding, IVF index training and data-mix curation
+# ---------------------------------------------------------------------------
+
+def kmeans_seed_centroids(
+    ds: ray.data.Dataset, emb_col: str, k: int, *, id_col: str
+) -> np.ndarray:
+    """Deterministic seeds: the ``k`` vectors with the smallest
+    ``id_col`` (cid = rank in that order). Fetched with the partial
+    top-k combiner — O(blocks × k) driver rows, never a sort — so the
+    choice is reproducible across any partitioning and SQL-replayable
+    (``ORDER BY id LIMIT k``), unlike random inits that depend on block
+    layout."""
+    from .agg import top_k_rows
+
+    rows = top_k_rows(ds.select_columns([id_col, emb_col]), id_col, k, ascending=True)
+    if len(rows) < k:
+        raise ValueError(f"k={k} exceeds dataset rows ({len(rows)})")
+    return np.asarray([np.asarray(v, dtype=np.float64) for v in rows[emb_col]])
+
+
+def _nearest(x: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """Row-wise argmin of squared L2 distance; ties → smallest cid.
+    Distances use the direct ``Σ(x-c)²`` form (one n×d temp per
+    centroid, k passes) rather than the ‖x‖²-2x·c+‖c‖² expansion: same
+    flops vectorized, but the rounding matches a SQL ``list_distance``
+    replay so near-ties can't flip the assignment between engines."""
+    n = x.shape[0]
+    best = np.zeros(n, dtype=np.int64)
+    bestd = np.full(n, np.inf)
+    for cid in range(cents.shape[0]):
+        d2 = ((x - cents[cid]) ** 2).sum(axis=1)
+        upd = d2 < bestd  # strict: earlier (smaller) cid wins ties
+        best[upd] = cid
+        bestd[upd] = d2[upd]
+    return best
+
+
+def kmeans_iterate(
+    ds: ray.data.Dataset,
+    emb_col: str,
+    centroids: np.ndarray,
+    *,
+    iters: int = 1,
+    num_buckets: int = 8,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Lloyd iterations as pure combiner reductions: per iteration each
+    block reduces to at most k partial rows ``(cid, Σvec, n)``, one
+    k-sized hash exchange merges them, and the k×d result updates the
+    broadcast centroids on the driver. Exchanged bytes per round are
+    ``blocks × k × d × 8`` — never a function of row count — and the
+    vectors themselves never shuffle. Empty clusters keep their
+    previous centroid (count 0). Returns ``(centroids (k,d) float64,
+    counts (k,) int64)`` after ``iters`` rounds."""
+    import ray as _ray
+
+    k, d = centroids.shape
+    counts = np.zeros(k, dtype=np.int64)
+    for _ in range(int(iters)):
+        cref = _ray.put(centroids)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            x = _stack(batch, emb_col)
+            cid = _nearest(x, _ray.get(cref))
+            df = pd.DataFrame(x)
+            df["__c__"] = cid
+            agg = df.groupby("__c__", sort=False).agg(["sum", "count"])
+            sums = agg.xs("sum", axis=1, level=1)
+            out = pd.DataFrame({"__c__": sums.index.to_numpy().astype(np.int64)})
+            for j in range(x.shape[1]):
+                out[f"__s{j}__"] = sums[j].to_numpy()
+            out["__n__"] = agg.xs("count", axis=1, level=1).iloc[:, 0].to_numpy().astype(np.int64)
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        aggs = {f"__s{j}__": (f"__s{j}__", "sum") for j in range(d)}
+        aggs["__n__"] = ("__n__", "sum")
+        merged = hash_groupby_aggregate(
+            ds.select_columns([emb_col]).map_batches(partial, batch_format="pyarrow"),
+            ["__c__"], aggs, num_buckets=min(num_buckets, k),
+        ).to_pandas()
+        counts = np.zeros(k, dtype=np.int64)
+        new = centroids.copy()
+        cids = merged["__c__"].to_numpy(dtype=np.int64)
+        n = merged["__n__"].to_numpy(dtype=np.float64)
+        counts[cids] = merged["__n__"].to_numpy(dtype=np.int64)
+        sums = merged[[f"__s{j}__" for j in range(d)]].to_numpy(dtype=np.float64)
+        new[cids] = sums / n[:, None]
+        centroids = new
+    return centroids, counts
+
+
+def kmeans_assign(
+    ds: ray.data.Dataset,
+    emb_col: str,
+    centroids: np.ndarray,
+    *,
+    out_col: str = "cluster",
+) -> ray.data.Dataset:
+    """Attach the nearest-centroid id (ties → smallest cid) — a
+    zero-shuffle broadcast map over the fact stream."""
+    import ray as _ray
+
+    cref = _ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        x = _stack(batch, emb_col)
+        cid = _nearest(x, _ray.get(cref))
+        return batch.append_column(out_col, pa.array(cid, type=pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

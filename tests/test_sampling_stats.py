@@ -1040,3 +1040,56 @@ def test_target_encode_expanding_daily(ray_session):
     for j in np.flatnonzero(same_day_cat):
         a, b = out.loc[j, "y_te_asof"], o2.loc[j, "y_te_asof"]
         assert (np.isnan(a) and np.isnan(b)) or a == b
+
+
+def test_kmeans_recovers_blobs_and_is_layout_invariant(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from temporalscope_ray.stages.linalg import (
+        kmeans_assign, kmeans_iterate, kmeans_seed_centroids)
+
+    rng = np.random.default_rng(7)
+    centers = np.array([[8.0, 0.0], [-8.0, 0.0], [0.0, 8.0]])
+    pts = np.concatenate([rng.normal(c, 0.5, size=(60, 2)) for c in centers])
+    df = pd.DataFrame({"vec_id": np.arange(len(pts)),
+                       "embedding": [r.astype(np.float32) for r in pts]})
+    ds = ray.data.from_pandas(df).repartition(5)
+
+    seeds = kmeans_seed_centroids(ds, "embedding", 3, id_col="vec_id")
+    # seeds = 3 smallest vec_ids — all from blob 0; Lloyd must still
+    # separate the blobs within a few rounds
+    cents, counts = kmeans_iterate(ds, "embedding", seeds, iters=8)
+    assert counts.sum() == len(pts)
+    # every true center is within 0.5 of some learned centroid
+    for c in centers:
+        assert np.min(np.linalg.norm(cents - c, axis=1)) < 0.5
+    # layout invariance: different partitioning, identical centroids
+    cents2, counts2 = kmeans_iterate(ds.repartition(11), "embedding", seeds, iters=8)
+    assert np.allclose(cents, cents2) and (counts == counts2).all()
+
+    asg = kmeans_assign(ds, "embedding", cents).to_pandas()
+    # assignment is pure: each point belongs to its blob's centroid
+    lbl = asg.sort_values("vec_id")["cluster"].to_numpy()
+    for b in range(3):
+        blob = lbl[b * 60:(b + 1) * 60]
+        assert (blob == blob[0]).all()
+
+
+def test_kmeans_empty_cluster_keeps_centroid(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from temporalscope_ray.stages.linalg import kmeans_iterate
+
+    df = pd.DataFrame({"vec_id": [0, 1],
+                       "embedding": [np.array([0.0, 0.0], np.float32),
+                                     np.array([1.0, 1.0], np.float32)]})
+    ds = ray.data.from_pandas(df)
+    # third centroid far away: no point assigns to it, it must persist
+    seeds = np.array([[0.0, 0.0], [1.0, 1.0], [100.0, 100.0]])
+    cents, counts = kmeans_iterate(ds, "embedding", seeds, iters=3)
+    assert counts.tolist() == [1, 1, 0]
+    assert np.allclose(cents[2], [100.0, 100.0])
