@@ -1377,6 +1377,17 @@ def q_next_purchase_prop_events(sf_dir: str):
                                   tiebreak=["event_id"])
 
 
+def q_source_overlap_docs(sf_dir: str):
+    """Pairwise shingle-set Jaccard between document sources (the
+    training-mix overlap report): distinct (hash, source) combiner →
+    one shingle-hash exchange → in-bucket self-merge partials → a
+    sources²-sized finish. Text never moves; counts are exact int64."""
+    from temporalscope_ray.stages.dedup import source_overlap
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    return source_overlap(docs, shingle_k=5, portable=True)
+
+
 def q_kmeans_step_embeddings(sf_dir: str):
     """One Lloyd iteration of distributed k-means (k=4, deterministic
     smallest-vec_id seeds): assignment is a zero-shuffle broadcast map,
@@ -2597,6 +2608,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "next_purchase_prop_events": q_next_purchase_prop_events,
         "surprisal_events": q_surprisal_events,
         "kmeans_step_embeddings": q_kmeans_step_embeddings,
+        "source_overlap_docs": q_source_overlap_docs,
         "spearman_qty_price": q_spearman_qty_price,
         "curriculum_shards_docs": q_curriculum_shards_docs,
         "trending_daily_types": q_trending_daily_types,
@@ -3577,6 +3589,26 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN c.tot IS NULL OR c.tot = 0 THEN NULL
                         ELSE CAST(c.hits AS DOUBLE) / c.tot END AS p_next_purchase
             FROM events e LEFT JOIN c USING (event_type)
+        """,
+        "source_overlap_docs": """
+            WITH tok AS (SELECT source, regexp_extract_all(lower(text), '\\w+') AS t
+                         FROM documents),
+            sh AS (SELECT DISTINCT source,
+                          md5_number_lower(array_to_string(t[i : i + 4], ' ')) AS h
+                   FROM tok CROSS JOIN LATERAL (SELECT unnest(generate_series(1,
+                        CASE WHEN len(t) = 0 THEN 0
+                             WHEN len(t) < 5 THEN 1
+                             ELSE len(t) - 4 END)) AS i) g),
+            tot AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY 1),
+            inter AS (SELECT a.source AS source_a, b.source AS source_b,
+                             COUNT(*) AS n_common
+                      FROM sh a JOIN sh b USING (h)
+                      WHERE a.source < b.source GROUP BY 1, 2)
+            SELECT i.source_a, i.source_b, ta.n AS n_a, tb.n AS n_b, i.n_common,
+                   ROUND(CAST(i.n_common AS DOUBLE) / (ta.n + tb.n - i.n_common), 6)
+                     AS jaccard
+            FROM inter i JOIN tot ta ON i.source_a = ta.source
+                         JOIN tot tb ON i.source_b = tb.source
         """,
         "kmeans_step_embeddings": """
             WITH seeds AS (

@@ -1250,3 +1250,105 @@ def contamination_rate(
                              "contamination_rate": r})
 
     return sums.map_batches(finish, batch_format="pandas")
+
+
+def source_overlap(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    portable: bool = True,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Corpus-overlap matrix: pairwise shingle-set Jaccard between the
+    ``group_col`` partitions of the corpus (which crawls / dumps /
+    domains duplicate each other — the mix-deduplication report run
+    before blending training sources). Emits one row per UNORDERED pair
+    with at least one shared shingle: ``(source_a, source_b, n_a, n_b,
+    n_common, jaccard)`` where ``n_*`` are DISTINCT shingle counts and
+    ``jaccard = n_common / (n_a + n_b - n_common)`` — an exact ratio of
+    int64 counts, 6dp-quantized only for the cross-engine ln-free
+    division convention.
+
+    Shape: each block reduces to its distinct ``(hash, group)`` pairs
+    (text never moves), ONE hash exchange on the shingle hash
+    co-locates every occurrence of a shingle, and inside each bucket a
+    vectorized self-merge emits per-pair intersection partials (a
+    shingle shared by g groups costs g² partial rows, g ≤ #sources)
+    plus per-group distinct totals — each hash lives in exactly one
+    bucket, so bucket-local distinct counts sum globally. A final
+    sources²-sized combiner aggregate finishes. Exchange bytes are
+    bounded by distinct (shingle, source) pairs, never corpus bytes.
+    """
+    token_re = re.compile(r"\w+")
+    _TOT = "\x00__total__"
+
+    def block_pairs(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        groups = batch.column(group_col).to_pylist()
+        out_h, out_g = [], []
+        for txt, g in zip(texts, groups):
+            if g is None:
+                continue
+            hs = shingle_hashes(txt or "", shingle_k, token_re, portable)
+            if len(hs):
+                hs = np.unique(hs)
+                out_h.append(hs)
+                out_g.append(np.full(len(hs), g, dtype=object))
+        h = np.concatenate(out_h) if out_h else np.array([], dtype=np.uint64)
+        g = np.concatenate(out_g) if out_g else np.array([], dtype=object)
+        df = pd.DataFrame({"__h__": h, group_col: g}).drop_duplicates()
+        return pa.table({
+            "__h__": pa.array(df["__h__"].to_numpy(), type=pa.uint64()),
+            group_col: pa.array(df[group_col], type=pa.string()),
+        })
+
+    from .grouped import BUCKET_COL, hash_groupby_aggregate, hash_key_column
+
+    pairs = ds.select_columns([id_col, group_col, text_col]).map_batches(
+        block_pairs, batch_format="pyarrow")
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = hash_key_column(t.column("__h__"), num_buckets)
+        return t.append_column(BUCKET_COL, pa.array(b, type=pa.int32()))
+
+    bucketed = pairs.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "__h__": t.column("__h__").to_numpy(zero_copy_only=False),
+            group_col: t.column(group_col).to_pandas(),
+        }).drop_duplicates()  # block-level distinct → bucket-level distinct
+        tot = df.groupby(group_col, sort=False).size().reset_index(name="__n__")
+        m = df.merge(df, on="__h__")
+        m = m[m[f"{group_col}_x"] < m[f"{group_col}_y"]]
+        inter = m.groupby([f"{group_col}_x", f"{group_col}_y"], sort=False) \
+            .size().reset_index(name="__n__")
+        out = pd.concat([
+            pd.DataFrame({"ga": inter[f"{group_col}_x"], "gb": inter[f"{group_col}_y"],
+                          "__n__": inter["__n__"].astype(np.int64)}),
+            pd.DataFrame({"ga": tot[group_col], "gb": _TOT,
+                          "__n__": tot["__n__"].astype(np.int64)}),
+        ], ignore_index=True)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partials = bucketed.groupby(BUCKET_COL).map_groups(per_bucket, batch_format="pyarrow")
+    merged = hash_groupby_aggregate(
+        partials, ["ga", "gb"], {"n": ("__n__", "sum")}, num_buckets=8,
+    ).to_pandas()  # sources²-sized RESULT — driver finish by design
+
+    totals = merged[merged["gb"] == _TOT].set_index("ga")["n"]
+    inter = merged[merged["gb"] != _TOT]
+    na = totals.reindex(inter["ga"]).to_numpy(np.int64)
+    nb = totals.reindex(inter["gb"]).to_numpy(np.int64)
+    nc = inter["n"].to_numpy(np.int64)
+    jac = nc.astype(np.float64) / (na + nb - nc).astype(np.float64)
+    out = pd.DataFrame({
+        "source_a": inter["ga"].to_numpy(),
+        "source_b": inter["gb"].to_numpy(),
+        "n_a": na, "n_b": nb, "n_common": nc,
+        "jaccard": np.floor(jac * 1e6 + 0.5) / 1e6,
+    }).sort_values(["source_a", "source_b"]).reset_index(drop=True)
+    return ray.data.from_pandas(out)

@@ -71,3 +71,29 @@ def test_contamination_rate_graded(ray_session):
     assert 0.0 < out.loc[2, "contamination_rate"] < 0.5
     assert out.loc[3, "contamination_rate"] == 0.0
     assert out.loc[1, "n_shingles"] == 3  # 7 tokens -> 3 distinct 5-shingles
+
+
+def test_source_overlap_exact_jaccard(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from temporalscope_ray.stages.dedup import source_overlap
+
+    # A and B share one 5-token shingle set exactly (copied doc);
+    # C is disjoint from both → no (A,C)/(B,C) rows.
+    shared = "alpha beta gamma delta epsilon"
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "source": ["A", "A", "B", "C"],
+        "text": [shared, "one two three four five six",
+                 shared, "seven eight nine ten eleven"],
+    })
+    out = source_overlap(ray.data.from_pandas(df).repartition(3),
+                         shingle_k=5, num_buckets=4).to_pandas()
+    assert set(zip(out["source_a"], out["source_b"])) == {("A", "B")}
+    r = out.iloc[0]
+    # A has 3 distinct shingles (1 from the shared doc, 2 from the 6-token
+    # doc), B has 1, common = 1 → jaccard = 1/3
+    assert (r["n_a"], r["n_b"], r["n_common"]) == (3, 1, 1)
+    assert np.isclose(r["jaccard"], round(1 / 3, 6))
