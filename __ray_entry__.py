@@ -1377,6 +1377,16 @@ def q_next_purchase_prop_events(sf_dir: str):
                                   tiebreak=["event_id"])
 
 
+def q_label_coherence_vecs(sf_dir: str):
+    """Intra-class coherence: cosine of every embedding to its own
+    label's mean vector (the mislabel/outlier audit) — one combiner
+    centroid pass (labels×d partials), broadcast, zero-shuffle cosine."""
+    from temporalscope_ray.stages.linalg import label_centroid_cosine
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    return label_centroid_cosine(emb)
+
+
 def q_source_overlap_docs(sf_dir: str):
     """Pairwise shingle-set Jaccard between document sources (the
     training-mix overlap report): distinct (hash, source) combiner →
@@ -2609,6 +2619,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "surprisal_events": q_surprisal_events,
         "kmeans_step_embeddings": q_kmeans_step_embeddings,
         "source_overlap_docs": q_source_overlap_docs,
+        "label_coherence_vecs": q_label_coherence_vecs,
         "spearman_qty_price": q_spearman_qty_price,
         "curriculum_shards_docs": q_curriculum_shards_docs,
         "trending_daily_types": q_trending_daily_types,
@@ -3589,6 +3600,27 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN c.tot IS NULL OR c.tot = 0 THEN NULL
                         ELSE CAST(c.hits AS DOUBLE) / c.tot END AS p_next_purchase
             FROM events e LEFT JOIN c USING (event_type)
+        """,
+        "label_coherence_vecs": """
+            WITH cent AS (
+              SELECT label, u.i AS i, AVG(CAST(embedding[u.i] AS DOUBLE)) AS c
+              FROM embeddings
+              CROSS JOIN LATERAL (
+                SELECT unnest(generate_series(1, len(embedding))) AS i) u
+              GROUP BY 1, 2),
+            s AS (
+              SELECT e.vec_id, e.label,
+                     SUM(CAST(e.embedding[c.i] AS DOUBLE) * c.c) AS dot,
+                     SUM(CAST(e.embedding[c.i] AS DOUBLE)
+                         * CAST(e.embedding[c.i] AS DOUBLE)) AS ne2,
+                     SUM(c.c * c.c) AS nc2
+              FROM embeddings e JOIN cent c USING (label)
+              GROUP BY 1, 2)
+            SELECT vec_id, label,
+                   CASE WHEN ne2 = 0 OR nc2 = 0 THEN NULL
+                        ELSE ROUND(dot / (sqrt(ne2) * sqrt(nc2)), 6)
+                   END AS cos_centroid
+            FROM s
         """,
         "source_overlap_docs": """
             WITH tok AS (SELECT source, regexp_extract_all(lower(text), '\\w+') AS t

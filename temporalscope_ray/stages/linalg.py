@@ -346,3 +346,79 @@ def kmeans_assign(
         return batch.append_column(out_col, pa.array(cid, type=pa.int64()))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def label_centroid_cosine(
+    ds: ray.data.Dataset,
+    *,
+    emb_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    out_col: str = "cos_centroid",
+    round_to: int | None = 6,
+    num_buckets: int = 8,
+) -> ray.data.Dataset:
+    """Intra-class coherence score: every vector gains the cosine
+    similarity to ITS OWN label's mean embedding — the mislabel /
+    outlier detector run over supervised training corpora (a row far
+    from its class prototype is a labeling error or a hard case worth
+    auditing). Rows with a null label drop (SQL inner-join-on-label
+    semantics); a zero-norm side yields a null score.
+
+    Shape: the labels×d centroid table comes from one combiner pass
+    (each block reduces to per-label ``(Σvec, n)`` — O(labels × d)
+    regardless of rows) merged through one label-hash exchange, then
+    broadcasts into a zero-shuffle vectorized cosine map. Vectors never
+    shuffle; the only exchanged bytes are ``blocks × labels × d × 8``.
+    """
+    import ray as _ray
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = _stack(batch, emb_col)
+        g = batch.column(label_col).to_pandas()
+        keep = g.notna().to_numpy()
+        x, g = x[keep], g[keep]
+        df = pd.DataFrame(x)
+        df["__g__"] = g.to_numpy()
+        agg = df.groupby("__g__", sort=False).agg(["sum", "count"])
+        sums = agg.xs("sum", axis=1, level=1)
+        out = pd.DataFrame({label_col: sums.index.to_numpy()})
+        for j in range(x.shape[1]):
+            out[f"__s{j}__"] = sums[j].to_numpy()
+        out["__n__"] = agg.xs("count", axis=1, level=1).iloc[:, 0].to_numpy().astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    first = ds.limit(1).to_pandas()
+    d = len(first[emb_col].iloc[0])
+    parts = ds.select_columns([label_col, emb_col]).map_batches(partial, batch_format="pyarrow")
+    aggs = {f"__s{j}__": (f"__s{j}__", "sum") for j in range(d)}
+    aggs["__n__"] = ("__n__", "sum")
+    cent = hash_groupby_aggregate(parts, [label_col], aggs, num_buckets=num_buckets).to_pandas()
+    labels = cent[label_col].to_numpy()
+    mats = cent[[f"__s{j}__" for j in range(d)]].to_numpy(np.float64) \
+        / cent["__n__"].to_numpy(np.float64)[:, None]
+    cref = _ray.put((pd.Index(labels), mats))
+
+    def score(batch: pa.Table) -> pa.Table:
+        idx, m = _ray.get(cref)
+        x = _stack(batch, emb_col)
+        g = batch.column(label_col).to_pandas()
+        keep = g.notna().to_numpy()
+        t = batch.filter(pa.array(keep))
+        x = x[keep]
+        li = idx.get_indexer(g[keep].to_numpy())
+        c = m[li]
+        dot = np.einsum("ij,ij->i", x, c)
+        ne, nc = np.sqrt((x * x).sum(1)), np.sqrt((c * c).sum(1))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cos = dot / (ne * nc)
+        cos[(ne == 0) | (nc == 0)] = np.nan
+        if round_to is not None:
+            s = 10.0 ** round_to
+            with np.errstate(invalid="ignore"):
+                cos = np.sign(cos) * np.floor(np.abs(cos) * s + 0.5) / s
+        cols = [n for n in t.column_names if n != emb_col]
+        return t.select(cols).append_column(out_col, pa.array(cos, type=pa.float64()))
+
+    return ds.select_columns([id_col, label_col, emb_col]).map_batches(
+        score, batch_format="pyarrow")

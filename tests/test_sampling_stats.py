@@ -1093,3 +1093,30 @@ def test_kmeans_empty_cluster_keeps_centroid(ray_session):
     cents, counts = kmeans_iterate(ds, "embedding", seeds, iters=3)
     assert counts.tolist() == [1, 1, 0]
     assert np.allclose(cents[2], [100.0, 100.0])
+
+
+def test_label_centroid_cosine_semantics(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from temporalscope_ray.stages.linalg import label_centroid_cosine
+
+    # label 0: two colinear vectors -> centroid colinear -> cos = 1.0;
+    # label 1: two orthogonal unit vectors -> centroid at 45°, cos = 1/sqrt(2);
+    # label None dropped; zero vector -> null score
+    df = pd.DataFrame({
+        "vec_id": [0, 1, 2, 3, 4, 5],
+        "label": pd.array([0, 0, 1, 1, None, 2], dtype="Int64"),
+        "embedding": [np.array([1, 0], np.float32), np.array([2, 0], np.float32),
+                      np.array([1, 0], np.float32), np.array([0, 1], np.float32),
+                      np.array([9, 9], np.float32), np.array([0, 0], np.float32)],
+    })
+    out = label_centroid_cosine(ray.data.from_pandas(df).repartition(3)) \
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    assert out["vec_id"].tolist() == [0, 1, 2, 3, 5]  # null label dropped
+    c = out.set_index("vec_id")["cos_centroid"]
+    assert c[0] == 1.0 and c[1] == 1.0
+    assert np.isclose(c[2], round(1 / np.sqrt(2), 6))
+    assert np.isclose(c[3], round(1 / np.sqrt(2), 6))
+    assert np.isnan(c[5])  # zero-norm vector
