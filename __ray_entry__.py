@@ -1377,6 +1377,17 @@ def q_next_purchase_prop_events(sf_dir: str):
                                   tiebreak=["event_id"])
 
 
+def q_heavy_hitters_docs(sf_dir: str):
+    """Exact heavy-hitter terms (count >= 100) via the two-pass
+    count-min-sketch plan: fixed-size sketch merge (no vocabulary
+    exchange), then an exact recount of only the sketch's candidates —
+    bit-identical to the full GROUP BY ... HAVING."""
+    from temporalscope_ray.stages.text import heavy_hitter_terms
+
+    docs = _read(sf_dir, "documents", columns=["text"])
+    return heavy_hitter_terms(docs, threshold=100)
+
+
 def q_label_coherence_vecs(sf_dir: str):
     """Intra-class coherence: cosine of every embedding to its own
     label's mean vector (the mislabel/outlier audit) — one combiner
@@ -2620,6 +2631,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_step_embeddings": q_kmeans_step_embeddings,
         "source_overlap_docs": q_source_overlap_docs,
         "label_coherence_vecs": q_label_coherence_vecs,
+        "heavy_hitters_docs": q_heavy_hitters_docs,
         "spearman_qty_price": q_spearman_qty_price,
         "curriculum_shards_docs": q_curriculum_shards_docs,
         "trending_daily_types": q_trending_daily_types,
@@ -3600,6 +3612,12 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN c.tot IS NULL OR c.tot = 0 THEN NULL
                         ELSE CAST(c.hits AS DOUBLE) / c.tot END AS p_next_purchase
             FROM events e LEFT JOIN c USING (event_type)
+        """,
+        "heavy_hitters_docs": """
+            WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '\\w+')) AS term
+                         FROM documents)
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS n
+            FROM tok GROUP BY 1 HAVING COUNT(*) >= 100
         """,
         "label_coherence_vecs": """
             WITH cent AS (

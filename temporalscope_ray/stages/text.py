@@ -13,6 +13,7 @@ import re
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray.data
 
 from .grouped import clamp_concurrency
@@ -914,3 +915,108 @@ def bm25_score(
         return pa.Table.from_pandas(out, preserve_index=False)
 
     return ds.select_columns([id_col, text_col]).map_batches(score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# heavy hitters without a vocabulary exchange (count-min sketch + recount)
+# ---------------------------------------------------------------------------
+
+_CMS_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain constants)."""
+    x = x + _CMS_MIX
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def _cms_rows(terms: "pd.Index", depth: int, width: int) -> np.ndarray:
+    """(depth, n_terms) bucket indices: one base hash per term, one
+    splitmix64 remix per sketch row — fully vectorized."""
+    base = pd.util.hash_array(terms.to_numpy(dtype=object))
+    return np.stack([
+        _splitmix64(base ^ np.uint64((0xA076_1D64_78BD_642F * (i + 1))
+                                     & 0xFFFF_FFFF_FFFF_FFFF))
+        % np.uint64(width)
+        for i in range(depth)
+    ]).astype(np.int64)
+
+
+def heavy_hitter_terms(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    *,
+    threshold: int,
+    depth: int = 4,
+    width: int = 1 << 14,
+    num_buckets: int = 16,
+) -> ray.data.Dataset:
+    """EXACT heavy hitters (every term with corpus count ≥ ``threshold``)
+    WITHOUT ever exchanging the vocabulary long tail — the two-pass
+    count-min-sketch plan: pass 1 reduces each block to a fixed
+    ``depth × width`` int64 sketch merged associatively by Ray's
+    aggregate (bytes through the reduce are ``blocks × sketch``,
+    independent of vocabulary size); pass 2 broadcasts the merged
+    sketch and re-counts ONLY terms whose CMS estimate clears the
+    threshold. CMS never underestimates, so no true heavy hitter is
+    missed, and the exact recount discards the sketch's false
+    positives — the output is bit-identical to the full GROUP BY
+    (SQL ``HAVING COUNT(*) >= t``), at a fraction of the exchange.
+
+    Tokenization is the engine-wide portable convention (``\\w+`` over
+    lowered text). Output: ``(term, n)``, exact int64 counts.
+    """
+    import ray as _ray
+    from ray.data.aggregate import AggregateFnV2
+
+    from .grouped import hash_groupby_aggregate
+
+    def block_counts(batch: pa.Table) -> "pd.Series":
+        s = batch.column(text_col).to_pandas().fillna("").astype(str)
+        toks = s.str.lower().str.findall(r"\w+").explode().dropna()
+        return toks.value_counts(sort=False)
+
+    class CmsAgg(AggregateFnV2):
+        def __init__(self):
+            super().__init__("cms", lambda: np.zeros((depth, width), dtype=np.int64),
+                             on=None, ignore_nulls=False)
+
+        def aggregate_block(self, block):
+            t = pa.Table.from_pandas(block) if isinstance(block, pd.DataFrame) else block
+            counts = block_counts(t)
+            cms = np.zeros((depth, width), dtype=np.int64)
+            if len(counts):
+                rows = _cms_rows(counts.index, depth, width)
+                c = counts.to_numpy(dtype=np.int64)
+                for i in range(depth):
+                    np.add.at(cms[i], rows[i], c)
+            return cms
+
+        def combine(self, a, b):
+            if a is None:
+                return b
+            if b is None:
+                return a
+            return a + b
+
+    cms = ds.select_columns([text_col]).aggregate(CmsAgg())["cms"]
+    cref = _ray.put(cms)
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        counts = block_counts(batch)
+        if not len(counts):
+            return pa.table({"term": pa.array([], type=pa.string()),
+                             "cnt": pa.array([], type=pa.int64())})
+        g = _ray.get(cref)
+        rows = _cms_rows(counts.index, depth, width)
+        est = np.min(np.stack([g[i, rows[i]] for i in range(depth)]), axis=0)
+        keep = est >= threshold
+        return pa.table({"term": pa.array(counts.index.to_numpy()[keep], type=pa.string()),
+                         "cnt": pa.array(counts.to_numpy(dtype=np.int64)[keep])})
+
+    parts = ds.select_columns([text_col]).map_batches(candidates, batch_format="pyarrow")
+    agg = hash_groupby_aggregate(parts, ["term"], {"n": ("cnt", "sum")},
+                                 num_buckets=num_buckets)
+    return agg.filter(expr=f"n >= {int(threshold)}")

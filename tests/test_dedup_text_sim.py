@@ -452,3 +452,30 @@ def test_cap_clusters_semantics(ray_session):
     kb = sorted(keep_best(ds, cl, id_col="doc_id", score_col="score",
                           num_buckets=4).to_pandas()["doc_id"])
     assert k1 == kb == [2, 10, 20, 21]
+
+
+def test_heavy_hitter_terms_exact_even_under_collisions(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from temporalscope_ray.stages.text import heavy_hitter_terms
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(60)]
+    # planted heavies: h0 x300, h1 x120; the rest Zipf-ish light tail
+    words = ["h0"] * 300 + ["h1"] * 120 + list(rng.choice(vocab, size=2000))
+    rng.shuffle(words)
+    docs = [" ".join(words[i:i + 40]) for i in range(0, len(words), 40)]
+    df = pd.DataFrame({"text": docs})
+    ds = ray.data.from_pandas(df).repartition(6)
+
+    exact = (pd.Series(" ".join(docs).split()).value_counts())
+    expect = exact[exact >= 100].sort_index()
+
+    # width=16 forces heavy CMS collisions: candidates overshoot, but the
+    # exact recount must discard every false positive
+    out = heavy_hitter_terms(ds, threshold=100, depth=3, width=16) \
+        .to_pandas().sort_values("term").reset_index(drop=True)
+    assert out["term"].tolist() == expect.index.tolist()
+    assert out["n"].tolist() == expect.to_numpy().tolist()
