@@ -1377,6 +1377,37 @@ def q_next_purchase_prop_events(sf_dir: str):
                                   tiebreak=["event_id"])
 
 
+def q_split_leakage_images(sf_dir: str):
+    """Train/holdout leakage audit over the north-rule image table:
+    every val/test image whose EXACT phash also appears in train (the
+    split-contamination check run before any eval number is trusted).
+    Deterministic md5 split + size-adaptive phash semi-join — at scale
+    the train key set takes the bucketed exchange path, never the
+    driver. The derived phash is entropy-limited (doc_id % 97) so
+    cross-split collisions actually exist at test scale."""
+    import numpy as np
+    import pandas as pd
+
+    from temporalscope_ray.stages.asof import semi_join
+    from temporalscope_ray.stages.dedup import _md5_lower64
+    from temporalscope_ray.stages.sampling import with_split_column
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def mk(b: pd.DataFrame) -> pd.DataFrame:
+        ph = _md5_lower64([str(int(x) % 97) for x in b["doc_id"]])
+        # int64 wraparound view: the join is bit-equality, and Arrow's
+        # uint64 path trips on values above 2^63
+        return pd.DataFrame({"image_id": b["doc_id"].to_numpy(),
+                             "phash": ph.astype(np.uint64).view(np.int64)})
+
+    img = with_split_column(docs.map_batches(mk, batch_format="pandas"), "image_id")
+    train_keys = img.filter(expr="split == 'train'").select_columns(["phash"])
+    holdout = img.filter(expr="split != 'train'")
+    leaked = semi_join(holdout, train_keys, "phash")
+    return leaked.select_columns(["image_id", "split"])
+
+
 def q_heavy_hitters_docs(sf_dir: str):
     """Exact heavy-hitter terms (count >= 100) via the two-pass
     count-min-sketch plan: fixed-size sketch merge (no vocabulary
@@ -2632,6 +2663,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_overlap_docs": q_source_overlap_docs,
         "label_coherence_vecs": q_label_coherence_vecs,
         "heavy_hitters_docs": q_heavy_hitters_docs,
+        "split_leakage_images": q_split_leakage_images,
         "spearman_qty_price": q_spearman_qty_price,
         "curriculum_shards_docs": q_curriculum_shards_docs,
         "trending_daily_types": q_trending_daily_types,
@@ -3612,6 +3644,19 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN c.tot IS NULL OR c.tot = 0 THEN NULL
                         ELSE CAST(c.hits AS DOUBLE) / c.tot END AS p_next_purchase
             FROM events e LEFT JOIN c USING (event_type)
+        """,
+        "split_leakage_images": f"""
+            WITH img AS (
+              SELECT doc_id AS image_id,
+                     md5_number_lower(CAST(doc_id % 97 AS VARCHAR)) AS phash,
+                     CASE WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) < {_split_bounds[0][1]}::UBIGINT THEN '{_split_bounds[0][0]}'
+                          WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) < {_split_bounds[1][1]}::UBIGINT THEN '{_split_bounds[1][0]}'
+                          ELSE '{_split_bounds[2][0]}' END AS split
+              FROM documents)
+            SELECT v.image_id, v.split FROM img v
+            WHERE v.split <> 'train'
+              AND EXISTS (SELECT 1 FROM img t
+                          WHERE t.split = 'train' AND t.phash = v.phash)
         """,
         "heavy_hitters_docs": """
             WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '\\w+')) AS term
