@@ -1377,6 +1377,31 @@ def q_next_purchase_prop_events(sf_dir: str):
                                   tiebreak=["event_id"])
 
 
+def q_time_split_events(sf_dir: str):
+    """Purged temporal split (train < cutoff−embargo, test >= cutoff,
+    the 2-day embargo gap dropped so lookback features can't leak
+    across the boundary) — zero-shuffle stateless pass."""
+    from temporalscope_ray.stages.sampling import time_split_embargo
+
+    ev = _events(sf_dir, ("event_id", "ts"))
+    return time_split_embargo(ev, "ts", cutoff="2024-02-15",
+                              embargo_us=2 * 86_400_000_000)
+
+
+def q_rfm_features_events(sf_dir: str):
+    """Point-in-time RFM snapshot per user (recency/frequency/monetary
+    strictly before the cutoff — leakage-free by construction): scan-
+    level time prune, one combiner partial per (block, user), one
+    entity-hash exchange of partials."""
+    from temporalscope_ray.stages.agg import rfm_snapshot
+
+    ev = _events(sf_dir, ("ts", "user_id", "event_type", "value"))
+    out = rfm_snapshot(ev, id_col="user_id", time_col="ts",
+                       cutoff="2024-02-01", value_col="value",
+                       value_filter=("event_type", "purchase"))
+    return _round_cols(out, ["monetary"])
+
+
 def q_split_leakage_images(sf_dir: str):
     """Train/holdout leakage audit over the north-rule image table:
     every val/test image whose EXACT phash also appears in train (the
@@ -2664,6 +2689,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_coherence_vecs": q_label_coherence_vecs,
         "heavy_hitters_docs": q_heavy_hitters_docs,
         "split_leakage_images": q_split_leakage_images,
+        "rfm_features_events": q_rfm_features_events,
+        "time_split_events": q_time_split_events,
         "spearman_qty_price": q_spearman_qty_price,
         "curriculum_shards_docs": q_curriculum_shards_docs,
         "trending_daily_types": q_trending_daily_types,
@@ -3644,6 +3671,21 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN c.tot IS NULL OR c.tot = 0 THEN NULL
                         ELSE CAST(c.hits AS DOUBLE) / c.tot END AS p_next_purchase
             FROM events e LEFT JOIN c USING (event_type)
+        """,
+        "time_split_events": """
+            SELECT event_id, ts,
+                   CASE WHEN ts < TIMESTAMP '2024-02-13' THEN 'train'
+                        ELSE 'test' END AS split
+            FROM events
+            WHERE ts < TIMESTAMP '2024-02-13' OR ts >= TIMESTAMP '2024-02-15'
+        """,
+        "rfm_features_events": """
+            SELECT user_id, MAX(ts) AS last_ts,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   ROUND(SUM(CASE WHEN event_type = 'purchase'
+                                  THEN value ELSE 0 END), 6) AS monetary
+            FROM events WHERE ts < TIMESTAMP '2024-02-01'
+            GROUP BY 1
         """,
         "split_leakage_images": f"""
             WITH img AS (

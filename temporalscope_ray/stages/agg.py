@@ -926,3 +926,43 @@ def ohlc_bars(
     key = (by or [bucket_col])[0]
     bucketed = with_bucket(partials, key, num_buckets)
     return bucketed.groupby(BUCKET_COL).map_groups(final, batch_format="pandas")
+
+
+def rfm_snapshot(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str,
+    time_col: str,
+    cutoff,
+    value_col: Optional[str] = None,
+    value_filter: Optional[tuple[str, str]] = None,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+) -> ray.data.Dataset:
+    """Point-in-time RFM snapshot (Recency = last activity timestamp,
+    Frequency = event count, Monetary = value sum, all STRICTLY BEFORE
+    ``cutoff``) — the classic feature-store aggregate for churn / LTV
+    models, leakage-free by construction because the cutoff filter runs
+    before anything else. ``value_filter=(col, val)`` restricts the
+    monetary sum to matching rows (e.g. purchases), contributing 0
+    otherwise (SQL ``SUM(CASE ... ELSE 0 END)``).
+
+    Shape: the time filter prunes at the scan, each block reduces to
+    one partial per entity (combiner max/count/sum), one entity-hash
+    exchange of partials finishes — facts never shuffle."""
+    cutoff = pd.Timestamp(cutoff)
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b[time_col] < cutoff]
+        mv = b[value_col].fillna(0.0).to_numpy(np.float64) if value_col else np.zeros(len(b))
+        if value_filter is not None and value_col:
+            col, val = value_filter
+            mv = np.where(b[col].to_numpy() == val, mv, 0.0)
+        return pd.DataFrame({id_col: b[id_col], time_col: b[time_col], "__mv__": mv})
+
+    pre = ds.map_batches(prep, batch_format="pandas")
+    return hash_groupby_aggregate(
+        pre, [id_col],
+        {"last_ts": (time_col, "max"), "n_events": (None, "count"),
+         "monetary": ("__mv__", "sum")},
+        num_buckets=num_buckets,
+    )

@@ -470,3 +470,38 @@ def curriculum_shards(
         return t.drop_columns([idx_col]).append_column(out_col, pa.array(shard))
 
     return idx.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def time_split_embargo(
+    ds: ray.data.Dataset,
+    time_col: str,
+    *,
+    cutoff,
+    embargo_us: int = 0,
+    out_col: str = "split",
+) -> ray.data.Dataset:
+    """Temporal train/test split with an embargo gap (the purged split
+    of financial ML — de Prado 2018 §7): ``train`` = rows strictly
+    before ``cutoff - embargo``, ``test`` = rows at/after ``cutoff``,
+    and rows inside the embargo window ``[cutoff - embargo, cutoff)``
+    are DROPPED so that features with up-to-``embargo`` lookback
+    computed on test rows cannot overlap train labels. Zero shuffle —
+    one stateless vectorized pass; at the parquet layer the same
+    predicate should also prune row groups.
+    """
+    import pyarrow.compute as pc
+
+    cut = pa.scalar(pd.Timestamp(cutoff), type=pa.timestamp("us"))
+    lo = pa.scalar(pd.Timestamp(cutoff) - pd.Timedelta(microseconds=int(embargo_us)),
+                   type=pa.timestamp("us"))
+
+    def assign(t: pa.Table) -> pa.Table:
+        ts = t.column(time_col)
+        is_train = pc.less(ts, lo)
+        is_test = pc.greater_equal(ts, cut)
+        keep = pc.or_kleene(is_train, is_test)
+        t = t.filter(pc.fill_null(keep, False))
+        lab = pc.if_else(pc.less(t.column(time_col), lo), "train", "test")
+        return t.append_column(out_col, lab)
+
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)

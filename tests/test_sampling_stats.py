@@ -1120,3 +1120,23 @@ def test_label_centroid_cosine_semantics(ray_session):
     assert np.isclose(c[2], round(1 / np.sqrt(2), 6))
     assert np.isclose(c[3], round(1 / np.sqrt(2), 6))
     assert np.isnan(c[5])  # zero-norm vector
+
+
+def test_time_split_embargo_purges_gap(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from temporalscope_ray.stages.sampling import time_split_embargo
+
+    ts = pd.to_datetime(["2024-01-01", "2024-01-09 23:59:59.999999",
+                         "2024-01-10 00:00:00", "2024-01-11 12:00:00",
+                         "2024-01-12 00:00:00", "2024-01-20 00:00:00"],
+                        format="mixed")
+    df = pd.DataFrame({"i": range(6), "ts": ts})
+    out = time_split_embargo(
+        ray.data.from_pandas(df).repartition(2), "ts",
+        cutoff="2024-01-12", embargo_us=2 * 86_400_000_000,
+    ).to_pandas().sort_values("i").reset_index(drop=True)
+    # embargo window [01-10, 01-12) purged: rows 2 and 3 gone
+    assert out["i"].tolist() == [0, 1, 4, 5]
+    assert out["split"].tolist() == ["train", "train", "test", "test"]
