@@ -1377,6 +1377,16 @@ def q_next_purchase_prop_events(sf_dir: str):
                                   tiebreak=["event_id"])
 
 
+def q_throttle_6h_events(sf_dir: str):
+    """Per-user greedy debounce (keep a row only >= 6h after the last
+    KEPT row — each survivor re-arms the timer): one entity-bucket
+    exchange, a searchsorted jump per SURVIVOR, never per row."""
+    from temporalscope_ray.stages.window_features import throttle
+
+    ev = _events(sf_dir, ("event_id", "ts", "user_id"))
+    return throttle(ev, "user_id", "ts", min_gap_us=6 * 3_600_000_000)
+
+
 def q_time_split_events(sf_dir: str):
     """Purged temporal split (train < cutoff−embargo, test >= cutoff,
     the 2-day embargo gap dropped so lookback features can't leak
@@ -2691,6 +2701,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_leakage_images": q_split_leakage_images,
         "rfm_features_events": q_rfm_features_events,
         "time_split_events": q_time_split_events,
+        "throttle_6h_events": q_throttle_6h_events,
         "spearman_qty_price": q_spearman_qty_price,
         "curriculum_shards_docs": q_curriculum_shards_docs,
         "trending_daily_types": q_trending_daily_types,
@@ -3671,6 +3682,22 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN c.tot IS NULL OR c.tot = 0 THEN NULL
                         ELSE CAST(c.hits AS DOUBLE) / c.tot END AS p_next_purchase
             FROM events e LEFT JOIN c USING (event_type)
+        """,
+        "throttle_6h_events": """
+            WITH RECURSIVE keep AS (
+              SELECT user_id, MIN(ts) AS ts FROM events GROUP BY user_id
+              UNION ALL
+              SELECT k.user_id,
+                     (SELECT MIN(e.ts) FROM events e
+                      WHERE e.user_id = k.user_id
+                        AND epoch_us(e.ts) >= epoch_us(k.ts) + 21600000000) AS ts
+              FROM keep k
+              WHERE EXISTS (SELECT 1 FROM events e
+                            WHERE e.user_id = k.user_id
+                              AND epoch_us(e.ts) >= epoch_us(k.ts) + 21600000000)
+            )
+            SELECT e.event_id, e.ts, e.user_id
+            FROM keep JOIN events e USING (user_id, ts)
         """,
         "time_split_events": """
             SELECT event_id, ts,

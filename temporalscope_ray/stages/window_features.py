@@ -2044,3 +2044,52 @@ def drop_consecutive_duplicates(
         return g[~same]
 
     return grouped.grouped_ordered_map(ds, id_col, order, fn, num_buckets=num_buckets)
+
+
+def throttle(
+    ds: ray.data.Dataset,
+    id_col: str,
+    time_col: str,
+    *,
+    min_gap_us: int,
+    tiebreak: "Optional[Sequence[str]]" = None,
+    num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+) -> ray.data.Dataset:
+    """Per-entity greedy debounce / throttle: keep a row only when at
+    least ``min_gap_us`` has elapsed since the entity's LAST KEPT row
+    (entity firsts always kept) — the rate-limit / notification-dedup /
+    sensor-downsampling semantic. Unlike tumbling-bucket thinning, the
+    kept set is the greedy chain (each survivor re-arms the timer), so
+    two events 2·gap apart both survive regardless of bucket phase.
+
+    The chain has no parallel closed form (each keep depends on the
+    previous keep), but it resolves in ONE entity-bucket exchange with
+    per-segment work O(kept · log seg) — a C-speed ``searchsorted``
+    jump per SURVIVOR, never a per-row Python step; a billion-row
+    entity throttled to hourly keeps ~10⁴ rows and costs ~10⁴ jumps.
+    ``tiebreak`` totalizes the order under duplicate timestamps.
+
+    This is the streaming counterpart of the reference's
+    per-partition temporal-ordering contract
+    (`/root/reference/src/temporalscope/core/temporal_data_loader.py`);
+    the reference has no stream-compaction surface at all.
+    """
+    gap = int(min_gap_us)
+    order = [time_col, *(tiebreak or [])]
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g[time_col].to_numpy()
+        ts_us = ts.astype("datetime64[us]").astype(np.int64) if np.issubdtype(
+            ts.dtype, np.datetime64) else ts.astype(np.int64)
+        segs = grouped.entity_segments(g[id_col].to_numpy())
+        keep = np.zeros(len(g), dtype=bool)
+        for s, e in zip(segs[:-1], segs[1:]):
+            sub = ts_us[s:e]
+            i = 0
+            end = e - s
+            while i < end:
+                keep[s + i] = True
+                i = int(np.searchsorted(sub, sub[i] + gap, side="left"))
+        return g[keep]
+
+    return grouped.grouped_ordered_map(ds, id_col, order, fn, num_buckets=num_buckets)

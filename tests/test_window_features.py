@@ -804,3 +804,38 @@ def test_session_paths_semantics(ray_session):
         .to_pandas().sort_values(["id", "session_id"]).reset_index(drop=True)
     assert list(out["path"]) == ["a>b>c", "x", "p"]
     assert list(out["id"]) == [1, 1, 2]
+
+
+def test_throttle_greedy_chain_brute(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from temporalscope_ray.stages.window_features import throttle
+
+    rng = np.random.default_rng(11)
+    n = 800
+    df = pd.DataFrame({
+        "i": np.arange(n),
+        "id": rng.integers(0, 12, n),
+        "ts": pd.to_datetime(rng.integers(0, 3_600, n), unit="s"),
+    }).drop_duplicates(subset=["id", "ts"])  # unique (id, ts): total order without tiebreak
+
+    gap = 300_000_000  # 5 min in us
+    out = throttle(ray.data.from_pandas(df).repartition(5), "id", "ts",
+                   min_gap_us=gap, num_buckets=4).to_pandas()
+
+    # brute-force greedy reference
+    expect = []
+    for _, g in df.sort_values(["id", "ts"]).groupby("id"):
+        last = None
+        for _, r in g.iterrows():
+            t = r["ts"].value // 1000  # ns -> us
+            if last is None or t >= last + gap // 1:
+                expect.append(r["i"])
+                last = t
+    assert sorted(out["i"].tolist()) == sorted(expect)
+    # survivors within an entity are >= gap apart; firsts survive
+    for _, g in out.sort_values(["id", "ts"]).groupby("id"):
+        d = g["ts"].astype("datetime64[us]").astype(np.int64).diff().dropna()
+        assert (d >= gap).all()
