@@ -1377,6 +1377,17 @@ def q_next_purchase_prop_events(sf_dir: str):
                                   tiebreak=["event_id"])
 
 
+def q_twa_value_by_user(sf_dir: str):
+    """Per-user time-weighted average of value (hold-last semantics —
+    the irregular-sampling-honest mean): one entity-bucket exchange,
+    exact int64-microsecond weights, vectorized segment math."""
+    from temporalscope_ray.stages.window_features import time_weighted_average
+
+    ev = _events(sf_dir, ("event_id", "ts", "user_id", "value"))
+    return time_weighted_average(ev, "user_id", "ts", "value",
+                                 tiebreak=["event_id"])
+
+
 def q_throttle_6h_events(sf_dir: str):
     """Per-user greedy debounce (keep a row only >= 6h after the last
     KEPT row — each survivor re-arms the timer): one entity-bucket
@@ -2702,6 +2713,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rfm_features_events": q_rfm_features_events,
         "time_split_events": q_time_split_events,
         "throttle_6h_events": q_throttle_6h_events,
+        "twa_value_by_user": q_twa_value_by_user,
         "spearman_qty_price": q_spearman_qty_price,
         "curriculum_shards_docs": q_curriculum_shards_docs,
         "trending_daily_types": q_trending_daily_types,
@@ -3682,6 +3694,18 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN c.tot IS NULL OR c.tot = 0 THEN NULL
                         ELSE CAST(c.hits AS DOUBLE) / c.tot END AS p_next_purchase
             FROM events e LEFT JOIN c USING (event_type)
+        """,
+        "twa_value_by_user": """
+            WITH f AS (SELECT event_id, user_id, ts, value
+                       FROM events WHERE value IS NOT NULL),
+            d AS (SELECT user_id, value,
+                         epoch_us(LEAD(ts) OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id))
+                           - epoch_us(ts) AS w
+                  FROM f)
+            SELECT user_id, ROUND(SUM(value * w) / SUM(w), 6) AS twa
+            FROM d WHERE w IS NOT NULL
+            GROUP BY 1 HAVING SUM(w) > 0
         """,
         "throttle_6h_events": """
             WITH RECURSIVE keep AS (

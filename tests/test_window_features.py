@@ -839,3 +839,31 @@ def test_throttle_greedy_chain_brute(ray_session):
     for _, g in out.sort_values(["id", "ts"]).groupby("id"):
         d = g["ts"].astype("datetime64[us]").astype(np.int64).diff().dropna()
         assert (d >= gap).all()
+
+
+def test_time_weighted_average_hold_last(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from temporalscope_ray.stages.window_features import time_weighted_average
+
+    # user 1: v=10 holds 6h, v=0 holds 1min, final obs weightless
+    #         -> twa = (10*21600 + 0*60) / 21660
+    # user 2: nulls skipped (5 holds straight through), then 1 for 100s
+    # user 3: single observation -> no output row
+    df = pd.DataFrame({
+        "e": range(8),
+        "id": [1, 1, 1, 2, 2, 2, 2, 3],
+        "ts": pd.to_datetime([0, 21600, 21660, 0, 50, 100, 200, 7], unit="s"),
+        "v": [10.0, 0.0, 99.0, 5.0, None, 1.0, 2.0, 4.0],
+    })
+    out = time_weighted_average(
+        ray.data.from_pandas(df).repartition(3), "id", "ts", "v",
+        tiebreak=["e"], num_buckets=2,
+    ).to_pandas().sort_values("id").reset_index(drop=True)
+    assert out["id"].tolist() == [1, 2]
+    t = out.set_index("id")["twa"]
+    assert np.isclose(t[1], round(10 * 21600 / 21660, 6))
+    # user 2: v=5 holds 0->100s (through the null), v=1 holds 100->200s
+    assert np.isclose(t[2], round((5 * 100 + 1 * 100) / 200, 6))
