@@ -1377,6 +1377,26 @@ def q_next_purchase_prop_events(sf_dir: str):
                                   tiebreak=["event_id"])
 
 
+def q_aspect_batches_images(sf_dir: str):
+    """SDXL-style aspect-ratio bucketed batching over the north-rule
+    image table: integer mille-ratio buckets (SQL-exact), then a dense
+    within-bucket rank from the grouped two-pass block-offset scan —
+    a bucket holding a third of the corpus is never co-located."""
+    import pandas as pd
+
+    from temporalscope_ray.stages.multimodal import aspect_bucket_batches
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def mk(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["doc_id"].to_numpy()
+        return pd.DataFrame({"image_id": d, "w": 16 + (d * 7) % 120,
+                             "h": 16 + (d * 13) % 120})
+
+    img = docs.map_batches(mk, batch_format="pandas")
+    return aspect_bucket_batches(img, batch_size=16)
+
+
 def q_twa_value_by_user(sf_dir: str):
     """Per-user time-weighted average of value (hold-last semantics —
     the irregular-sampling-honest mean): one entity-bucket exchange,
@@ -2714,6 +2734,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "time_split_events": q_time_split_events,
         "throttle_6h_events": q_throttle_6h_events,
         "twa_value_by_user": q_twa_value_by_user,
+        "aspect_batches_images": q_aspect_batches_images,
         "spearman_qty_price": q_spearman_qty_price,
         "curriculum_shards_docs": q_curriculum_shards_docs,
         "trending_daily_types": q_trending_daily_types,
@@ -3694,6 +3715,24 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN c.tot IS NULL OR c.tot = 0 THEN NULL
                         ELSE CAST(c.hits AS DOUBLE) / c.tot END AS p_next_purchase
             FROM events e LEFT JOIN c USING (event_type)
+        """,
+        "aspect_batches_images": """
+            WITH img AS (SELECT doc_id AS image_id,
+                                16 + (doc_id * 7) % 120 AS w,
+                                16 + (doc_id * 13) % 120 AS h
+                         FROM documents),
+            b AS (SELECT image_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+                         CASE WHEN (w * 1000) // h < 500 THEN 0
+                              WHEN (w * 1000) // h < 800 THEN 1
+                              WHEN (w * 1000) // h < 1250 THEN 2
+                              WHEN (w * 1000) // h < 2000 THEN 3
+                              ELSE 4 END AS aspect_bucket
+                  FROM img)
+            SELECT image_id, w, h, CAST(aspect_bucket AS BIGINT) AS aspect_bucket,
+                   CAST((row_number() OVER (PARTITION BY aspect_bucket
+                                            ORDER BY image_id) - 1) // 16
+                        AS BIGINT) AS batch_idx
+            FROM b
         """,
         "twa_value_by_user": """
             WITH f AS (SELECT event_id, user_id, ts, value

@@ -376,3 +376,50 @@ def caption_image_gate(
         return out
 
     return ds.map_batches(gate, batch_format="pandas")
+
+
+def aspect_bucket_batches(
+    ds: "ray.data.Dataset",
+    *,
+    id_col: str = "image_id",
+    w_col: str = "w",
+    h_col: str = "h",
+    batch_size: int = 16,
+    ratio_breaks_e3: "Sequence[int]" = (500, 800, 1250, 2000),
+    bucket_col: str = "aspect_bucket",
+    out_col: str = "batch_idx",
+) -> "ray.data.Dataset":
+    """Aspect-ratio bucketed batch assignment — the SDXL-style batching
+    rule for image training: images group into fixed aspect buckets
+    (so a batch resizes to ONE target shape without destructive
+    cropping), and within each bucket rows pack into dense
+    ``batch_size``-row batches ordered by ``id_col``. The bucket id is
+    a searchsorted over INTEGER mille-ratios ``w*1000 // h`` (exact,
+    SQL CASE-replayable — no float aspect math to disagree on), and
+    the within-bucket dense rank is the grouped two-pass block-offset
+    scan: a bucket holding a third of the corpus is never co-located,
+    only its per-block counts reach the driver.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from .scan import grouped_global_index
+
+    breaks = np.asarray(list(ratio_breaks_e3), dtype=np.int64)
+
+    def tag(t: pa.Table) -> pa.Table:
+        w = t.column(w_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        h = t.column(h_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        r = (w * 1000) // h
+        b = np.searchsorted(breaks, r, side="right").astype(np.int64)
+        return t.append_column(bucket_col, pa.array(b))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    idx = grouped_global_index(tagged, bucket_col, order_by=[id_col], out_col="__gi__")
+
+    def finish(t: pa.Table) -> pa.Table:
+        gi = t.column("__gi__").to_numpy(zero_copy_only=False)
+        return t.drop_columns(["__gi__"]).append_column(
+            out_col, pa.array(gi // np.int64(batch_size), type=pa.int64()))
+
+    return idx.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

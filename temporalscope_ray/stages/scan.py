@@ -234,3 +234,72 @@ def global_running_max(
         return batch.append_column(out_col, pa.array(res, type=pa.float64()))
 
     return sorted_ds.map_batches(apply, batch_size=None, batch_format="pyarrow")
+
+
+def grouped_global_index(
+    ds: ray.data.Dataset,
+    group_col: str,
+    *,
+    order_by: Sequence[str],
+    out_col: str = "group_idx",
+) -> ray.data.Dataset:
+    """0-based dense index WITHIN each group over the total
+    ``(group, order_by)`` order — SQL ``row_number() OVER (PARTITION BY
+    group ORDER BY order_by) - 1`` — without ever co-locating a group:
+    the same two-pass block-offset scan as ``with_global_index``, with
+    the partials split per (block, group). A group larger than the
+    whole cluster's memory is fine because its rows NEVER meet; only
+    per-(block, group) counts reach the driver (O(blocks × groups-per-
+    block) rows), and the running per-group offsets broadcast back.
+
+    The driver holds one running counter per group — appropriate for
+    group vocabularies (aspect buckets, shards, languages), not for
+    entity-cardinality keys (use the bucket exchange there).
+    ``order_by`` must be globally unique within each group."""
+    gorder = [group_col, *order_by]
+    sorted_ds = ds.sort(gorder).materialize()
+    fcols = [f"__f{i}__" for i in range(len(gorder))]
+
+    def part(batch: pa.Table) -> pa.Table:
+        g = batch.column(group_col).to_pandas()
+        counts = g.groupby(g, sort=False, dropna=False).size()
+        n = len(counts)
+        first = tuple(batch.column(c)[0].as_py() for c in gorder) if batch.num_rows else ()
+        sig = repr((first, batch.num_rows))
+        cols = {
+            group_col: pa.array(counts.index.to_numpy(),
+                                type=batch.schema.field(group_col).type),
+            "__cnt__": pa.array(counts.to_numpy(np.int64)),
+            "__sig__": pa.array([sig] * n, type=pa.string()),
+        }
+        # typed block-first keys: the driver orders BLOCKS by these
+        for f, c in zip(fcols, gorder):
+            cols[f] = batch.column(c).slice(0, 1).take(
+                pa.array(np.zeros(n, dtype=np.int64))) if n else batch.column(c).slice(0, 0)
+        return pa.table(cols)
+
+    parts = sorted_ds.map_batches(part, batch_size=None, batch_format="pyarrow").to_pandas()
+    # canonical block order = typed first-key order (unique order key ⇒
+    # distinct block firsts); within that order accumulate one running
+    # counter per group
+    parts = parts.sort_values(fcols, kind="mergesort").reset_index(drop=True)
+    offsets: dict = {}
+    running: dict = {}
+    for sig, grp, cnt in zip(parts["__sig__"], parts[group_col], parts["__cnt__"]):
+        offsets[(sig, grp)] = running.get(grp, 0)
+        running[grp] = offsets[(sig, grp)] + int(cnt)
+    ref = ray.put(offsets)
+
+    def apply(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column(out_col, pa.array([], type=pa.int64()))
+        first = tuple(batch.column(c)[0].as_py() for c in gorder)
+        sig = repr((first, batch.num_rows))
+        table = ray.get(ref)
+        g = batch.column(group_col).to_pandas()
+        local = g.groupby(g, sort=False, dropna=False).cumcount().to_numpy(np.int64)
+        m = {grp: table.get((sig, grp), 0) for grp in pd.unique(g)}
+        off = g.map(m).to_numpy(np.int64)
+        return batch.append_column(out_col, pa.array(local + off, type=pa.int64()))
+
+    return sorted_ds.map_batches(apply, batch_size=None, batch_format="pyarrow")

@@ -165,3 +165,30 @@ def test_global_running_max(ray_session):
     ot = global_running_max(ray.data.from_pandas(tsdf), order_by=["k"],
                             value_col="v").to_pandas()
     assert list(ot["running_max"]) == list(pd.to_datetime([30, 30, 50], unit="s"))
+
+
+def test_grouped_global_index_matches_row_number(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from temporalscope_ray.stages.scan import grouped_global_index
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({
+        "id": np.arange(500),
+        "g": rng.choice(["a", "b", "c"], 500, p=[0.7, 0.2, 0.1]),
+    })
+    out = grouped_global_index(
+        ray.data.from_pandas(df).repartition(7), "g", order_by=["id"],
+    ).to_pandas()
+    expect = df.sort_values(["g", "id"]).assign(
+        gi=lambda d: d.groupby("g").cumcount())
+    merged = out.merge(expect[["id", "gi"]], on="id")
+    assert (merged["group_idx"] == merged["gi"]).all()
+    # layout invariance
+    out2 = grouped_global_index(
+        ray.data.from_pandas(df).repartition(2), "g", order_by=["id"],
+    ).to_pandas().sort_values("id").reset_index(drop=True)
+    assert (out2.merge(expect[["id", "gi"]], on="id")["group_idx"]
+            == out2.merge(expect[["id", "gi"]], on="id")["gi"]).all()
