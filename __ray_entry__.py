@@ -1377,6 +1377,17 @@ def q_next_purchase_prop_events(sf_dir: str):
                                   tiebreak=["event_id"])
 
 
+def q_pmi_pairs_docs(sf_dir: str):
+    """Top-30 document-level PMI collocations (pairs >= 5 docs): d²
+    pair partials per doc through one pair-hash exchange, vocabulary
+    table broadcast into a zero-shuffle PMI map, sort/limit on the
+    aggregate only."""
+    from temporalscope_ray.stages.text import pmi_pairs
+
+    docs = _read(sf_dir, "documents", columns=["text"])
+    return pmi_pairs(docs, min_pair_count=5, k=30)
+
+
 def q_aspect_batches_images(sf_dir: str):
     """SDXL-style aspect-ratio bucketed batching over the north-rule
     image table: integer mille-ratio buckets (SQL-exact), then a dense
@@ -2735,6 +2746,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "throttle_6h_events": q_throttle_6h_events,
         "twa_value_by_user": q_twa_value_by_user,
         "aspect_batches_images": q_aspect_batches_images,
+        "pmi_pairs_docs": q_pmi_pairs_docs,
         "spearman_qty_price": q_spearman_qty_price,
         "curriculum_shards_docs": q_curriculum_shards_docs,
         "trending_daily_types": q_trending_daily_types,
@@ -3715,6 +3727,23 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN c.tot IS NULL OR c.tot = 0 THEN NULL
                         ELSE CAST(c.hits AS DOUBLE) / c.tot END AS p_next_purchase
             FROM events e LEFT JOIN c USING (event_type)
+        """,
+        "pmi_pairs_docs": """
+            WITH t AS (
+              SELECT DISTINCT doc_id, unnest(regexp_extract_all(lower(text), '\\w+')) AS term
+              FROM documents),
+            df AS (SELECT term, COUNT(*) AS n FROM t GROUP BY 1),
+            nd AS (SELECT COUNT(*) AS n FROM documents),
+            p AS (SELECT a.term AS ta, b.term AS tb, COUNT(*) AS nab
+                  FROM t a JOIN t b USING (doc_id)
+                  WHERE a.term < b.term GROUP BY 1, 2)
+            SELECT p.ta, p.tb, p.nab,
+                   ROUND(ln(CAST(p.nab AS DOUBLE) * nd.n / (da.n * db.n)), 6) AS pmi
+            FROM p, nd
+            JOIN df da ON p.ta = da.term
+            JOIN df db ON p.tb = db.term
+            WHERE p.nab >= 5
+            QUALIFY row_number() OVER (ORDER BY pmi DESC, p.ta, p.tb) <= 30
         """,
         "aspect_batches_images": """
             WITH img AS (SELECT doc_id AS image_id,

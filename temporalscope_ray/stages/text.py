@@ -1020,3 +1020,78 @@ def heavy_hitter_terms(
     agg = hash_groupby_aggregate(parts, ["term"], {"n": ("cnt", "sum")},
                                  num_buckets=num_buckets)
     return agg.filter(expr=f"n >= {int(threshold)}")
+
+
+def pmi_pairs(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    *,
+    min_pair_count: int = 5,
+    k: int = 30,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Collocation mining: top-``k`` term pairs by document-level
+    pointwise mutual information ``ln(N·n_ab / (n_a·n_b))`` (terms that
+    co-occur in documents far more than independence predicts — the
+    phrase/topic probe of corpus analysis). Pair counts are
+    DOCUMENT-level (each doc contributes its distinct unordered pairs
+    once); ties order by (pmi desc, ta, tb) on the 6dp-quantized score.
+
+    Shape: each block reduces to its per-pair and per-term document
+    counts (a doc with d distinct terms costs d² pair partials — bound
+    d upstream for pathological docs), ONE pair-hash exchange merges
+    pair partials, the vocabulary-sized term-frequency table broadcasts
+    into a zero-shuffle PMI map, and the final sort/limit runs on the
+    pair AGGREGATE, never the corpus. The log argument is an exact
+    ratio of int64 products (< 2^53 territory), so both engines take
+    ``ln`` of the identical double."""
+    import ray as _ray
+
+    from .grouped import hash_groupby_aggregate
+
+    n_docs = ds.count()
+
+    def doc_terms(batch: pa.Table) -> pd.DataFrame:
+        s = batch.column(text_col).to_pandas().fillna("").astype(str)
+        toks = s.str.lower().str.findall(r"\w+")
+        long = toks.explode().dropna()
+        return pd.DataFrame({"__d__": long.index.to_numpy(), "term": long.to_numpy()}) \
+            .drop_duplicates()
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        d = doc_terms(batch)
+        m = d.merge(d, on="__d__")
+        m = m[m["term_x"] < m["term_y"]]
+        c = m.groupby(["term_x", "term_y"], sort=False).size().reset_index(name="n")
+        return pa.table({"ta": pa.array(c["term_x"], type=pa.string()),
+                         "tb": pa.array(c["term_y"], type=pa.string()),
+                         "n": pa.array(c["n"].to_numpy(np.int64))})
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        d = doc_terms(batch)
+        c = d.groupby("term", sort=False).size().reset_index(name="n")
+        return pa.table({"term": pa.array(c["term"], type=pa.string()),
+                         "n": pa.array(c["n"].to_numpy(np.int64))})
+
+    narrow = ds.select_columns([text_col])
+    pairs = hash_groupby_aggregate(
+        narrow.map_batches(pair_partial, batch_format="pyarrow"),
+        ["ta", "tb"], {"nab": ("n", "sum")}, num_buckets=num_buckets)
+    dfreq = hash_groupby_aggregate(
+        narrow.map_batches(df_partial, batch_format="pyarrow"),
+        ["term"], {"n": ("n", "sum")}, num_buckets=8).to_pandas()
+    ref = _ray.put(dict(zip(dfreq["term"], dfreq["n"].astype(np.int64))))
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        t = _ray.get(ref)
+        b = b[b["nab"] >= min_pair_count]
+        na = b["ta"].map(t).to_numpy(np.float64)
+        nb = b["tb"].map(t).to_numpy(np.float64)
+        arg = b["nab"].to_numpy(np.float64) * float(n_docs) / (na * nb)
+        pmi = np.log(arg)
+        pmi = np.sign(pmi) * np.floor(np.abs(pmi) * 1e6 + 0.5) / 1e6
+        return pd.DataFrame({"ta": b["ta"], "tb": b["tb"],
+                             "nab": b["nab"].astype(np.int64), "pmi": pmi})
+
+    scored = pairs.map_batches(score, batch_format="pandas")
+    return scored.sort(["pmi", "ta", "tb"], descending=[True, False, False]).limit(k)

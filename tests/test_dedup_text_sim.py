@@ -479,3 +479,26 @@ def test_heavy_hitter_terms_exact_even_under_collisions(ray_session):
         .to_pandas().sort_values("term").reset_index(drop=True)
     assert out["term"].tolist() == expect.index.tolist()
     assert out["n"].tolist() == expect.to_numpy().tolist()
+
+
+def test_pmi_pairs_known_collocation(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from temporalscope_ray.stages.text import pmi_pairs
+
+    # "alpha beta" always together (5 docs), "noise" everywhere (10 docs)
+    docs = (["alpha beta filler"] * 5
+            + ["noise filler other"] * 5)
+    ds = ray.data.from_pandas(pd.DataFrame({"text": docs})).repartition(3)
+    out = pmi_pairs(ds, min_pair_count=2, k=10).to_pandas()
+    top = out.iloc[0]
+    # perfect collocation: n_ab=5, n_a=n_b=5, N=10 -> pmi = ln(10*5/25) = ln 2
+    assert (top["ta"], top["tb"]) == ("alpha", "beta")
+    assert np.isclose(top["pmi"], round(np.log(2), 6))
+    assert top["nab"] == 5
+    # doc-level distinctness: repeated terms in one doc count once
+    ds2 = ray.data.from_pandas(pd.DataFrame({"text": ["x y x y x y"] * 3}))
+    out2 = pmi_pairs(ds2, min_pair_count=2, k=5).to_pandas()
+    assert out2.iloc[0]["nab"] == 3
