@@ -1377,6 +1377,25 @@ def q_next_purchase_prop_events(sf_dir: str):
                                   tiebreak=["event_id"])
 
 
+def q_time_since_purchase_events(sf_dir: str):
+    """Type-conditional recency per row (µs since the user's last
+    STRICTLY PRIOR purchase — 'days since last purchase', leakage-free):
+    one entity-bucket pass, masked cummax with segment resets."""
+    from temporalscope_ray.stages.window_features import add_time_since_event
+
+    ev = _events(sf_dir, ("event_id", "ts", "user_id", "event_type"))
+    out = add_time_since_event(ev, id_col="user_id", time_col="ts",
+                               type_col="event_type", target_type="purchase",
+                               tiebreak=["event_id"])
+    def as_double(b: pd.DataFrame) -> pd.DataFrame:
+        # exact int64 (< 2^53) surfaced as double — NOT rounded: the
+        # 6dp quantizer would push x*1e6 past float53 and corrupt it
+        b["us_since_purchase"] = b["us_since_purchase"].astype("float64")
+        return b
+
+    return out.map_batches(as_double, batch_format="pandas")
+
+
 def q_pmi_pairs_docs(sf_dir: str):
     """Top-30 document-level PMI collocations (pairs >= 5 docs): d²
     pair partials per doc through one pair-hash exchange, vocabulary
@@ -2747,6 +2766,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "twa_value_by_user": q_twa_value_by_user,
         "aspect_batches_images": q_aspect_batches_images,
         "pmi_pairs_docs": q_pmi_pairs_docs,
+        "time_since_purchase_events": q_time_since_purchase_events,
         "spearman_qty_price": q_spearman_qty_price,
         "curriculum_shards_docs": q_curriculum_shards_docs,
         "trending_daily_types": q_trending_daily_types,
@@ -3727,6 +3747,15 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN c.tot IS NULL OR c.tot = 0 THEN NULL
                         ELSE CAST(c.hits AS DOUBLE) / c.tot END AS p_next_purchase
             FROM events e LEFT JOIN c USING (event_type)
+        """,
+        "time_since_purchase_events": """
+            SELECT event_id, ts, user_id, event_type,
+                   epoch_us(ts) - MAX(CASE WHEN event_type = 'purchase'
+                                           THEN epoch_us(ts) END)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS us_since_purchase
+            FROM events
         """,
         "pmi_pairs_docs": """
             WITH t AS (

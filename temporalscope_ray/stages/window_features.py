@@ -2154,3 +2154,53 @@ def time_weighted_average(
         return pd.DataFrame({id_col: ids[firsts][keep], out_col: twa[keep]})
 
     return grouped.grouped_ordered_map(ds, id_col, order, fn, num_buckets=num_buckets)
+
+
+def add_time_since_event(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str,
+    time_col: str,
+    type_col: str,
+    target_type: str,
+    out_col: Optional[str] = None,
+    tiebreak: "Optional[Sequence[str]]" = None,
+    num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+) -> ray.data.Dataset:
+    """Type-conditional recency: microseconds since the entity's last
+    STRICTLY PRIOR event of ``target_type`` (null until the entity's
+    first such event; a target-type row measures to the PREVIOUS one,
+    not itself) — the "days since last purchase" feature, leakage-free
+    by the strict-priority frame. Exact int64; SQL replay
+    ``ts_us - MAX(CASE WHEN type = t THEN ts_us END) OVER (... ROWS
+    BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)``.
+
+    One entity-bucket exchange; the prior-match index is one masked
+    ``np.maximum.accumulate`` with segment-start resets — no per-row
+    work."""
+    dst = out_col or f"us_since_{target_type}"
+    order = [time_col, *(tiebreak or [])]
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.copy()
+        n = len(g)
+        ts = g[time_col].to_numpy()
+        ts_us = ts.astype("datetime64[us]").astype(np.int64) if np.issubdtype(
+            ts.dtype, np.datetime64) else ts.astype(np.int64)
+        segs = grouped.entity_segments(g[id_col].to_numpy())
+        seg_start = np.repeat(segs[:-1], np.diff(segs))
+        match = g[type_col].to_numpy() == target_type
+        idx = np.arange(n)
+        pm = np.maximum.accumulate(np.where(match, idx, -1))
+        # strict: a matching row looks at the accumulate one row back
+        prev = pm.copy()
+        prev[match] = np.concatenate(([-1], pm[:-1]))[match]
+        has = prev >= seg_start
+        vals = np.zeros(n, dtype=np.int64)
+        vals[has] = ts_us[has] - ts_us[prev[has]]
+        col = pd.array(vals, dtype="Int64")
+        col[~has] = pd.NA
+        out[dst] = col
+        return out
+
+    return grouped.grouped_ordered_map(ds, id_col, order, fn, num_buckets=num_buckets)

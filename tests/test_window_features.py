@@ -867,3 +867,29 @@ def test_time_weighted_average_hold_last(ray_session):
     assert np.isclose(t[1], round(10 * 21600 / 21660, 6))
     # user 2: v=5 holds 0->100s (through the null), v=1 holds 100->200s
     assert np.isclose(t[2], round((5 * 100 + 1 * 100) / 200, 6))
+
+
+def test_add_time_since_event_strict_prior(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from temporalscope_ray.stages.window_features import add_time_since_event
+
+    df = pd.DataFrame({
+        "e": range(6),
+        "id": [1, 1, 1, 1, 2, 2],
+        "ts": pd.to_datetime([0, 10, 20, 30, 5, 15], unit="s"),
+        "t": ["buy", "x", "buy", "x", "x", "buy"],
+    })
+    out = add_time_since_event(
+        ray.data.from_pandas(df).repartition(3), id_col="id", time_col="ts",
+        type_col="t", target_type="buy", tiebreak=["e"], num_buckets=2,
+    ).to_pandas().sort_values("e").reset_index(drop=True)
+    v = out["us_since_buy"].tolist()
+    # row0: first buy, no prior -> NA; row1: 10s after buy@0; row2: a buy
+    # measures to the PREVIOUS buy (20s), not itself; row3: 10s after buy@20
+    assert pd.isna(v[0])
+    assert v[1] == 10_000_000 and v[2] == 20_000_000 and v[3] == 10_000_000
+    # user 2: no prior buy until row5's own (strict -> NA on it too? no:
+    # row4 has no prior buy -> NA; row5 is a buy with no earlier buy -> NA
+    assert pd.isna(v[4]) and pd.isna(v[5])
