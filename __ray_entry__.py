@@ -1377,6 +1377,26 @@ def q_next_purchase_prop_events(sf_dir: str):
                                   tiebreak=["event_id"])
 
 
+def q_psi_daily_value(sf_dir: str):
+    """Day-over-day PSI drift series of events.value (the production
+    drift monitor): one extrema tree-reduce + one zero-shuffle
+    (day, bin) counting pass; per-day math on the days×bins aggregate."""
+    from temporalscope_ray.stages.stats import psi_daily
+
+    ev = _events(sf_dir, ("ts", "value"))
+    return psi_daily(ev, "value", "ts", bins=10)
+
+
+def q_source_token_share_docs(sf_dir: str):
+    """Training-mix composition: per-source token totals, share, and
+    cumulative share in descending order — combiner counts, one
+    sources-sized exchange, window math on the aggregate only."""
+    from temporalscope_ray.stages.text import source_token_share
+
+    docs = _read(sf_dir, "documents", columns=["source", "text"])
+    return source_token_share(docs)
+
+
 def q_time_since_purchase_events(sf_dir: str):
     """Type-conditional recency per row (µs since the user's last
     STRICTLY PRIOR purchase — 'days since last purchase', leakage-free):
@@ -2767,6 +2787,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "aspect_batches_images": q_aspect_batches_images,
         "pmi_pairs_docs": q_pmi_pairs_docs,
         "time_since_purchase_events": q_time_since_purchase_events,
+        "source_token_share_docs": q_source_token_share_docs,
+        "psi_daily_value": q_psi_daily_value,
         "spearman_qty_price": q_spearman_qty_price,
         "curriculum_shards_docs": q_curriculum_shards_docs,
         "trending_daily_types": q_trending_daily_types,
@@ -3747,6 +3769,47 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN c.tot IS NULL OR c.tot = 0 THEN NULL
                         ELSE CAST(c.hits AS DOUBLE) / c.tot END AS p_next_purchase
             FROM events e LEFT JOIN c USING (event_type)
+        """,
+        "psi_daily_value": """
+            WITH ext AS (SELECT MIN(value) AS lo, MAX(value) AS hi
+                         FROM events WHERE value IS NOT NULL),
+            f AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                         CAST(LEAST(FLOOR((value - lo) * 10 / (hi - lo)), 9)
+                              AS BIGINT) AS b
+                  FROM events, ext WHERE value IS NOT NULL),
+            days AS (SELECT DISTINCT day FROM f),
+            grid AS (SELECT d.day, g.b FROM days d
+                     CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS b) g),
+            c AS (SELECT grid.day, grid.b, COALESCE(cnt.n, 0) AS n
+                  FROM grid LEFT JOIN (SELECT day, b, COUNT(*) AS n
+                                       FROM f GROUP BY 1, 2) cnt
+                  USING (day, b)),
+            tot AS (SELECT day, SUM(n) AS t FROM c GROUP BY 1)
+            SELECT cur.day,
+                   ROUND(SUM(((cur.n + 0.5) / (tc.t + 5.0)
+                              - (prev.n + 0.5) / (tp.t + 5.0))
+                             * ln(((cur.n + 0.5) / (tc.t + 5.0))
+                                  / ((prev.n + 0.5) / (tp.t + 5.0)))), 6) AS psi,
+                   CAST(MIN(tp.t) AS BIGINT) AS n_ref,
+                   CAST(MIN(tc.t) AS BIGINT) AS n_cur
+            FROM c cur
+            JOIN c prev ON prev.day = cur.day - 1 AND prev.b = cur.b
+            JOIN tot tc ON tc.day = cur.day
+            JOIN tot tp ON tp.day = cur.day - 1
+            GROUP BY 1
+        """,
+        "source_token_share_docs": """
+            WITH tok AS (SELECT source,
+                                len(regexp_extract_all(lower(text), '\\w+')) AS n
+                         FROM documents),
+            s AS (SELECT source, CAST(SUM(n) AS BIGINT) AS tokens
+                  FROM tok GROUP BY 1),
+            t AS (SELECT SUM(tokens) AS tot FROM s)
+            SELECT source, tokens,
+                   ROUND(CAST(tokens AS DOUBLE) / tot, 6) AS share,
+                   ROUND(CAST(SUM(tokens) OVER (ORDER BY tokens DESC, source)
+                              AS DOUBLE) / tot, 6) AS cum_share
+            FROM s, t
         """,
         "time_since_purchase_events": """
             SELECT event_id, ts, user_id, event_type,

@@ -1412,3 +1412,76 @@ def target_encode_expanding_daily(
         return out.drop(columns=[day_col])
 
     return ds.map_batches(attach, batch_format="pandas")
+
+
+def psi_daily(
+    ds: ray.data.Dataset,
+    value_col: str,
+    time_col: str,
+    *,
+    bins: int = 10,
+    round_to: int = 6,
+) -> pd.DataFrame:
+    """Day-over-day Population Stability Index time series — the
+    production drift MONITOR (one PSI per calendar day vs the previous
+    calendar day) rather than the one-shot first/second-half probe of
+    ``population_stability``. Same bin expression, same +0.5 Laplace
+    smoothing, same exact-integer counts; a day emits a row only when
+    the previous calendar day was also observed.
+
+    Scale shape: one tree-reduce for the value extrema, then ONE
+    zero-shuffle pass reducing every block to its (day, bin) counts;
+    the exchange/merge carries ≤ days × bins rows and the per-day
+    window math runs on that DAYS-sized aggregate on the driver (a
+    deliberate small-result finish — the fact table is touched once).
+    Returns ``(day, psi, n_ref, n_cur)`` with ``day`` the int64 epoch
+    day of the CURRENT side."""
+    from ray.data.aggregate import Max, Min
+
+    from .grouped import hash_groupby_aggregate
+
+    agg = ds.aggregate(Min(value_col), Max(value_col))
+    lo, hi = float(agg[f"min({value_col})"]), float(agg[f"max({value_col})"])
+    k = bins
+    DAY_US = 86_400_000_000
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[value_col].to_numpy(dtype=np.float64)
+        ok = ~np.isnan(v)
+        ts_us = df[time_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        day = ts_us // DAY_US
+        with np.errstate(invalid="ignore"):
+            b = np.floor((v - lo) * k / (hi - lo)) if hi > lo else np.zeros(len(v))
+        b = np.minimum(b, k - 1)
+        out = pd.DataFrame({"day": day[ok], "b": b[ok].astype(np.int64)})
+        return out.groupby(["day", "b"], sort=False).size().reset_index(name="n")
+
+    parts = hash_groupby_aggregate(
+        ds.select_columns([value_col, time_col]).map_batches(partial, batch_format="pandas"),
+        ["day", "b"], {"n": ("n", "sum")}, num_buckets=8,
+    ).to_pandas()  # days × bins RESULT
+    if not len(parts):
+        return pd.DataFrame({"day": pd.array([], dtype="int64"), "psi": [],
+                             "n_ref": pd.array([], dtype="int64"),
+                             "n_cur": pd.array([], dtype="int64")})
+    grid = parts.pivot_table(index="day", columns="b", values="n",
+                             fill_value=0, aggfunc="sum") \
+        .reindex(columns=range(k), fill_value=0).sort_index()
+    days = grid.index.to_numpy(np.int64)
+    counts = grid.to_numpy(np.float64)
+    tots = counts.sum(axis=1)
+    rows = []
+    scale = 10.0 ** round_to
+    for i in range(1, len(days)):
+        if days[i] - days[i - 1] != 1:
+            continue
+        p = (counts[i - 1] + 0.5) / (tots[i - 1] + 0.5 * k)
+        q = (counts[i] + 0.5) / (tots[i] + 0.5 * k)
+        psi = float(np.sum((q - p) * np.log(q / p)))
+        psi = np.sign(psi) * np.floor(abs(psi) * scale + 0.5) / scale
+        rows.append((days[i], psi, int(tots[i - 1]), int(tots[i])))
+    out = pd.DataFrame(rows, columns=["day", "psi", "n_ref", "n_cur"])
+    out["day"] = out["day"].astype(np.int64)
+    out["n_ref"] = out["n_ref"].astype(np.int64)
+    out["n_cur"] = out["n_cur"].astype(np.int64)
+    return out

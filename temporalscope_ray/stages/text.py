@@ -1095,3 +1095,44 @@ def pmi_pairs(
 
     scored = pairs.map_batches(score, batch_format="pandas")
     return scored.sort(["pmi", "ta", "tb"], descending=[True, False, False]).limit(k)
+
+
+def source_token_share(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    group_col: str = "source",
+    num_buckets: int = 8,
+) -> ray.data.Dataset:
+    """Training-mix composition report: per ``group_col`` total token
+    count, corpus share, and cumulative share in descending-token order
+    (which sources fill the training budget, and how fast). Token
+    counts reduce per block (combiner), one sources-sized exchange
+    merges, and the window math runs on the SOURCES-sized aggregate —
+    shares are exact ratios of int64 sums, so both engines hold
+    identical doubles (6dp only for the division convention)."""
+    from .grouped import hash_groupby_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col).to_pandas().fillna("").astype(str)
+        n = s.str.lower().str.count(r"\w+").to_numpy(np.int64)
+        g = batch.column(group_col).to_pandas()
+        c = pd.DataFrame({group_col: g, "__n__": n}) \
+            .groupby(group_col, sort=False, dropna=False).sum().reset_index()
+        return pa.Table.from_pandas(c, preserve_index=False)
+
+    agg = hash_groupby_aggregate(
+        ds.select_columns([group_col, text_col]).map_batches(partial, batch_format="pyarrow"),
+        [group_col], {"tokens": ("__n__", "sum")}, num_buckets=num_buckets,
+    ).to_pandas()  # sources-sized RESULT by design
+    agg = agg.sort_values(["tokens", group_col], ascending=[False, True],
+                          kind="mergesort").reset_index(drop=True)
+    tot = float(agg["tokens"].sum())
+    cum = agg["tokens"].cumsum().to_numpy(np.float64)
+    out = pd.DataFrame({
+        group_col: agg[group_col],
+        "tokens": agg["tokens"].astype(np.int64),
+        "share": np.floor(agg["tokens"].to_numpy(np.float64) / tot * 1e6 + 0.5) / 1e6,
+        "cum_share": np.floor(cum / tot * 1e6 + 0.5) / 1e6,
+    })
+    return ray.data.from_pandas(out)

@@ -1140,3 +1140,29 @@ def test_time_split_embargo_purges_gap(ray_session):
     # embargo window [01-10, 01-12) purged: rows 2 and 3 gone
     assert out["i"].tolist() == [0, 1, 4, 5]
     assert out["split"].tolist() == ["train", "train", "test", "test"]
+
+
+def test_psi_daily_detects_planted_shift(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from temporalscope_ray.stages.stats import psi_daily
+
+    rng = np.random.default_rng(9)
+    # days 0-3 ~ N(0,1); day 4 shifted to N(3,1); day 6 observed but day
+    # 5 missing -> no row for day 6
+    frames = []
+    for d in [0, 1, 2, 3, 4, 6]:
+        mu = 3.0 if d == 4 else 0.0
+        frames.append(pd.DataFrame({
+            "ts": pd.to_datetime(d * 86_400 + np.arange(400), unit="s"),
+            "value": rng.normal(mu, 1, 400),
+        }))
+    df = pd.concat(frames, ignore_index=True)
+    out = psi_daily(ray.data.from_pandas(df).repartition(5), "value", "ts", bins=10)
+    assert out["day"].tolist() == [1, 2, 3, 4]  # day 6 skipped (gap)
+    psi = out.set_index("day")["psi"]
+    assert psi[4] > 1.0                      # the planted shift screams
+    assert (psi[[1, 2, 3]] < 0.1).all()      # stable days stay quiet
+    assert (out["n_ref"] == 400).all() and (out["n_cur"] == 400).all()
