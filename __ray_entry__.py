@@ -1377,6 +1377,39 @@ def q_next_purchase_prop_events(sf_dir: str):
                                   tiebreak=["event_id"])
 
 
+def q_group_kfold_events(sf_dir: str):
+    """Entity-level 5-fold assignment balance report (every row of a
+    user in the SAME fold — the leakage-safe CV split): zero-shuffle
+    fold tag, combiner row counts + exact distinct-user counts, 5-row
+    result."""
+    import pandas as pd
+
+    from temporalscope_ray.stages.agg import grouped_distinct_count
+    from temporalscope_ray.stages.grouped import hash_groupby_aggregate
+    from temporalscope_ray.stages.sampling import with_group_fold
+
+    ev = _events(sf_dir, ("event_id", "user_id"))
+    tagged = with_group_fold(ev, "user_id", k=5).materialize()
+    rows = hash_groupby_aggregate(tagged, ["fold"], {"n_rows": (None, "count")},
+                                  num_buckets=2).to_pandas()
+    users = grouped_distinct_count(tagged, "fold", "user_id",
+                                   out_col="n_users", num_buckets=2).to_pandas()
+    out = rows.merge(users, on="fold").sort_values("fold").reset_index(drop=True)
+    out["n_rows"] = out["n_rows"].astype("int64")
+    return out
+
+
+def q_seasonal_deviation_events(sf_dir: str):
+    """Seasonality-adjusted residual per event (value minus its
+    (type, hour-of-day) corpus baseline): one |types|×24 combiner pass,
+    broadcast baseline, zero-shuffle attach."""
+    from temporalscope_ray.stages.stats import seasonal_deviation
+
+    ev = _events(sf_dir, ("event_id", "ts", "event_type", "value"))
+    return seasonal_deviation(ev, time_col="ts", value_col="value",
+                              by="event_type")
+
+
 def q_psi_daily_value(sf_dir: str):
     """Day-over-day PSI drift series of events.value (the production
     drift monitor): one extrema tree-reduce + one zero-shuffle
@@ -2789,6 +2822,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "time_since_purchase_events": q_time_since_purchase_events,
         "source_token_share_docs": q_source_token_share_docs,
         "psi_daily_value": q_psi_daily_value,
+        "seasonal_deviation_events": q_seasonal_deviation_events,
+        "group_kfold_events": q_group_kfold_events,
         "spearman_qty_price": q_spearman_qty_price,
         "curriculum_shards_docs": q_curriculum_shards_docs,
         "trending_daily_types": q_trending_daily_types,
@@ -3769,6 +3804,27 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN c.tot IS NULL OR c.tot = 0 THEN NULL
                         ELSE CAST(c.hits AS DOUBLE) / c.tot END AS p_next_purchase
             FROM events e LEFT JOIN c USING (event_type)
+        """,
+        "group_kfold_events": """
+            WITH f AS (SELECT user_id,
+                              md5_number_lower(CAST(user_id AS VARCHAR)) % 5 AS fold
+                       FROM events)
+            SELECT CAST(fold AS BIGINT) AS fold,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM f GROUP BY 1
+        """,
+        "seasonal_deviation_events": """
+            WITH m AS (
+              SELECT event_type,
+                     CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS h,
+                     ROUND(AVG(value), 6) AS baseline
+              FROM events WHERE value IS NOT NULL GROUP BY 1, 2)
+            SELECT e.event_id, e.ts, e.event_type, e.value, m.baseline,
+                   ROUND(e.value - m.baseline, 6) AS deviation
+            FROM events e
+            LEFT JOIN m ON m.event_type = e.event_type
+                       AND m.h = CAST((epoch_us(e.ts) // 3600000000) % 24 AS BIGINT)
         """,
         "psi_daily_value": """
             WITH ext AS (SELECT MIN(value) AS lo, MAX(value) AS hi

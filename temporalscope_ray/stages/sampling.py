@@ -505,3 +505,30 @@ def time_split_embargo(
         return t.append_column(out_col, lab)
 
     return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def with_group_fold(
+    ds: ray.data.Dataset,
+    key_col: str,
+    *,
+    k: int = 5,
+    out_col: str = "fold",
+    salt: str = "",
+) -> ray.data.Dataset:
+    """Group k-fold assignment: ``fold = md5(key) % k`` — every row of
+    an entity lands in the SAME fold (the leakage-safe cross-validation
+    split: a user in both train and validation folds would leak
+    behavioral identity). Deterministic at any parallelism, zero
+    shuffle, SQL-replayable (``md5_number_lower(CAST(key AS VARCHAR) ||
+    salt) % k``)."""
+    if k < 2:
+        raise ValueError("with_group_fold: k must be >= 2")
+
+    def assign(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_pandas().astype(str) + salt
+        from .dedup import _md5_lower64
+
+        h = _md5_lower64(keys.tolist())
+        return batch.append_column(out_col, pa.array((h % np.uint64(k)).astype(np.int64)))
+
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)

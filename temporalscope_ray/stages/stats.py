@@ -1485,3 +1485,67 @@ def psi_daily(
     out["n_ref"] = out["n_ref"].astype(np.int64)
     out["n_cur"] = out["n_cur"].astype(np.int64)
     return out
+
+
+def seasonal_deviation(
+    ds: ray.data.Dataset,
+    *,
+    time_col: str,
+    value_col: str,
+    by: str,
+    round_to: int = 6,
+    num_buckets: int = 8,
+) -> ray.data.Dataset:
+    """Seasonality-adjusted deviation feature: every row gains its
+    ``(by, hour-of-day)`` corpus baseline mean and the residual
+    ``value − baseline`` — the de-seasonalized input an anomaly model
+    wants instead of the raw value (a 3am spike is not a 3pm spike).
+    One combiner pass reduces each block to ≤ |by|×24 (Σ, n) partials,
+    the tiny baseline table broadcasts, and the attach is zero-shuffle.
+    Baselines are quantized at ``round_to`` BEFORE the residual so the
+    subtraction is bit-exact and SQL-replayable; null values get null
+    residuals and don't contribute to the baseline."""
+    import ray as _ray
+
+    from .grouped import hash_groupby_aggregate
+
+    HOUR_US = 3_600_000_000
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[value_col].to_numpy(np.float64)
+        ok = ~np.isnan(v)
+        ts_us = df[time_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        hod = (ts_us // HOUR_US) % 24
+        d = pd.DataFrame({by: df[by], "__h__": hod, "__s__": np.where(ok, v, 0.0),
+                          "__n__": ok.astype(np.int64)})
+        return d.groupby([by, "__h__"], sort=False, dropna=False) \
+            .sum().reset_index()
+
+    base = hash_groupby_aggregate(
+        ds.select_columns([by, time_col, value_col]).map_batches(partial, batch_format="pandas"),
+        [by, "__h__"], {"s": ("__s__", "sum"), "n": ("__n__", "sum")},
+        num_buckets=num_buckets,
+    ).to_pandas()  # |by|×24-sized
+    scale = 10.0 ** round_to
+    with np.errstate(invalid="ignore", divide="ignore"):
+        mean = base["s"].to_numpy(np.float64) / base["n"].to_numpy(np.float64)
+    mean = np.sign(mean) * np.floor(np.abs(mean) * scale + 0.5) / scale
+    table = {(g, int(h)): m for g, h, m in zip(base[by], base["__h__"], mean)}
+    ref = _ray.put(table)
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        t = _ray.get(ref)
+        ts_us = df[time_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        hod = (ts_us // HOUR_US) % 24
+        keys = list(zip(df[by], hod))
+        m = {k: t.get(k, np.nan) for k in set(keys)}
+        baseline = np.fromiter((m[k] for k in keys), dtype=np.float64, count=len(keys))
+        v = df[value_col].to_numpy(np.float64)
+        resid = v - baseline
+        resid = np.sign(resid) * np.floor(np.abs(resid) * scale + 0.5) / scale
+        out = df.copy()
+        out["baseline"] = baseline
+        out["deviation"] = resid
+        return out
+
+    return ds.map_batches(attach, batch_format="pandas")
