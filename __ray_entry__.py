@@ -1377,6 +1377,28 @@ def q_next_purchase_prop_events(sf_dir: str):
                                   tiebreak=["event_id"])
 
 
+def q_last_touch_events(sf_dir: str):
+    """Last-touch attribution per purchase (type of the immediately
+    preceding in-session event, 30-min gap rule; null = direct): one
+    entity-bucket pass, two segment-safe shifts."""
+    from temporalscope_ray.stages.window_features import last_touch_attribution
+
+    ev = _events(sf_dir, ("event_id", "ts", "user_id", "event_type"))
+    return last_touch_attribution(ev, id_col="user_id", time_col="ts",
+                                  type_col="event_type", target_type="purchase",
+                                  gap_us=1_800_000_000, tiebreak=["event_id"])
+
+
+def q_latest_snapshot_events(sf_dir: str):
+    """CDC compaction: each user's single latest event row (change-log →
+    current-snapshot) — distributive per-block tail-per-key, the
+    exchange moves <= keys×blocks candidates, never the log."""
+    from temporalscope_ray.stages.agg import latest_row_per_key
+
+    ev = _events(sf_dir, ("event_id", "ts", "user_id", "event_type", "value"))
+    return latest_row_per_key(ev, "user_id", order_by=["ts", "event_id"])
+
+
 def q_group_kfold_events(sf_dir: str):
     """Entity-level 5-fold assignment balance report (every row of a
     user in the SAME fold — the leakage-safe CV split): zero-shuffle
@@ -2824,6 +2846,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "psi_daily_value": q_psi_daily_value,
         "seasonal_deviation_events": q_seasonal_deviation_events,
         "group_kfold_events": q_group_kfold_events,
+        "latest_snapshot_events": q_latest_snapshot_events,
+        "last_touch_events": q_last_touch_events,
         "spearman_qty_price": q_spearman_qty_price,
         "curriculum_shards_docs": q_curriculum_shards_docs,
         "trending_daily_types": q_trending_daily_types,
@@ -3804,6 +3828,24 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN c.tot IS NULL OR c.tot = 0 THEN NULL
                         ELSE CAST(c.hits AS DOUBLE) / c.tot END AS p_next_purchase
             FROM events e LEFT JOIN c USING (event_type)
+        """,
+        "last_touch_events": """
+            WITH t AS (
+              SELECT event_id, ts, user_id, event_type,
+                     LAG(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS pt,
+                     epoch_us(ts) - LAG(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+              FROM events)
+            SELECT event_id, ts, user_id,
+                   CASE WHEN gap IS NOT NULL AND gap <= 1800000000
+                        THEN pt END AS touch_type
+            FROM t WHERE event_type = 'purchase'
+        """,
+        "latest_snapshot_events": """
+            SELECT event_id, ts, user_id, event_type, value FROM events
+            QUALIFY row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts DESC, event_id DESC) = 1
         """,
         "group_kfold_events": """
             WITH f AS (SELECT user_id,

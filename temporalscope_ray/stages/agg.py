@@ -966,3 +966,35 @@ def rfm_snapshot(
          "monetary": ("__mv__", "sum")},
         num_buckets=num_buckets,
     )
+
+
+def latest_row_per_key(
+    ds: ray.data.Dataset,
+    key: str,
+    *,
+    order_by: Sequence[str],
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+) -> ray.data.Dataset:
+    """CDC compaction / upsert-apply: keep each key's single LATEST row
+    under the total ``order_by`` order (ties impossible when the caller
+    includes a unique column, e.g. ``(ts, event_id)``) — the
+    change-log → current-snapshot materialization every warehouse
+    needs. DISTRIBUTIVE: each block first reduces to one candidate row
+    per key it contains (a vectorized tail-per-key), the exchange moves
+    ≤ keys×blocks candidate rows (never the log), and the per-bucket
+    final re-applies the same pick — the latest of per-block latests is
+    the latest."""
+    order_by = list(order_by)
+
+    def block_latest(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(order_by, kind="mergesort")
+        return d.groupby(key, sort=False, dropna=False).tail(1)
+
+    parts = ds.map_batches(block_latest, batch_format="pandas")
+    bucketed = with_bucket(parts, key, num_buckets)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop(columns=[BUCKET_COL]).sort_values(order_by, kind="mergesort")
+        return d.groupby(key, sort=False, dropna=False).tail(1)
+
+    return bucketed.groupby(BUCKET_COL).map_groups(final, batch_format="pandas")

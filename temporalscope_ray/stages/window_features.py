@@ -2204,3 +2204,49 @@ def add_time_since_event(
         return out
 
     return grouped.grouped_ordered_map(ds, id_col, order, fn, num_buckets=num_buckets)
+
+
+def last_touch_attribution(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str,
+    time_col: str,
+    type_col: str,
+    target_type: str,
+    gap_us: int,
+    out_col: str = "touch_type",
+    tiebreak: "Optional[Sequence[str]]" = None,
+    num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+) -> ray.data.Dataset:
+    """Last-touch conversion attribution: for every ``target_type``
+    event (the conversion), the type of the immediately preceding event
+    in the SAME session (gap ≤ ``gap_us``; the predecessor IS the
+    latest strictly-prior in-session event) — null when the conversion
+    opens its session (direct conversion). The marketing-attribution
+    primitive; one entity-bucket exchange, two segment-safe shifts,
+    no session-id materialization needed."""
+    order = [time_col, *(tiebreak or [])]
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        n = len(g)
+        ts = g[time_col].to_numpy()
+        ts_us = ts.astype("datetime64[us]").astype(np.int64) if np.issubdtype(
+            ts.dtype, np.datetime64) else ts.astype(np.int64)
+        t = g[type_col].to_numpy(dtype=object)
+        prev_t = np.empty(n, dtype=object)
+        prev_t[1:] = t[:-1]
+        prev_t[0] = None
+        gap = np.empty(n, dtype=np.int64)
+        gap[1:] = ts_us[1:] - ts_us[:-1]
+        gap[0] = -1
+        segs = grouped.entity_segments(g[id_col].to_numpy())
+        firsts = np.zeros(n, dtype=bool)
+        firsts[segs[:-1]] = True
+        in_session = (~firsts) & (gap <= gap_us)
+        touch = np.where(in_session, prev_t, None)
+        conv = t == target_type
+        out = g[conv].drop(columns=[type_col]).copy()
+        out[out_col] = touch[conv]
+        return out
+
+    return grouped.grouped_ordered_map(ds, id_col, order, fn, num_buckets=num_buckets)

@@ -893,3 +893,28 @@ def test_add_time_since_event_strict_prior(ray_session):
     # user 2: no prior buy until row5's own (strict -> NA on it too? no:
     # row4 has no prior buy -> NA; row5 is a buy with no earlier buy -> NA
     assert pd.isna(v[4]) and pd.isna(v[5])
+
+
+def test_last_touch_attribution_session_rule(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from temporalscope_ray.stages.window_features import last_touch_attribution
+
+    df = pd.DataFrame({
+        "e": range(6),
+        "id": [1, 1, 1, 1, 2, 2],
+        "ts": pd.to_datetime([0, 60, 120, 4000, 0, 30], unit="s"),
+        "t": ["view", "click", "buy", "buy", "buy", "buy"],
+    })
+    out = last_touch_attribution(
+        ray.data.from_pandas(df).repartition(3), id_col="id", time_col="ts",
+        type_col="t", target_type="buy", gap_us=1_800_000_000,
+        tiebreak=["e"], num_buckets=2,
+    ).to_pandas().sort_values("e").reset_index(drop=True)
+    # buy@120 follows click in-session; buy@4000 opens a new session
+    # (gap 3880s > 1800s) -> null; user 2: first buy direct, second
+    # attributed to the prior buy (30s gap)
+    assert out["e"].tolist() == [2, 3, 4, 5]
+    v = out["touch_type"].tolist()
+    assert v[0] == "click" and v[1] is None and v[2] is None and v[3] == "buy"
