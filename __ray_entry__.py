@@ -1377,6 +1377,38 @@ def q_next_purchase_prop_events(sf_dir: str):
                                   tiebreak=["event_id"])
 
 
+def q_caption_spam_images(sf_dir: str):
+    """Caption-spam audit over the north-rule image table: caption keys
+    attached to >= 3 DISTINCT images (the LAION 'same boilerplate
+    caption, thousands of images' failure) — distinct-pair combiner,
+    one caption-hash exchange of pairs, never rows."""
+    import pandas as pd
+
+    from temporalscope_ray.stages.agg import grouped_distinct_count
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def mk(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"image_id": b["doc_id"],
+                             "caption": b["text"].fillna("").str.slice(0, 10)})
+
+    img = docs.map_batches(mk, batch_format="pandas")
+    out = grouped_distinct_count(img, "caption", "image_id", out_col="n_images")
+    return out.filter(expr="n_images >= 3")
+
+
+def q_langid_docs(sf_dir: str):
+    """Stopword-overlap language ID per document (en/de/fr/es/und) —
+    the actor-pool heuristic, now under a FULL value oracle: the SQL
+    replays the token regex, the four stopword tables, the exact
+    hit-ratio scores and the argmax tie order."""
+    from temporalscope_ray.stages.text import LangId
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = docs.map_batches(LangId(), batch_format="pandas", concurrency=2)
+    return out.select_columns(["doc_id", "lang_pred", "lang_score"])
+
+
 def q_last_touch_events(sf_dir: str):
     """Last-touch attribution per purchase (type of the immediately
     preceding in-session event, 30-min gap rule; null = direct): one
@@ -2848,6 +2880,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_kfold_events": q_group_kfold_events,
         "latest_snapshot_events": q_latest_snapshot_events,
         "last_touch_events": q_last_touch_events,
+        "langid_docs": q_langid_docs,
+        "caption_spam_images": q_caption_spam_images,
         "spearman_qty_price": q_spearman_qty_price,
         "curriculum_shards_docs": q_curriculum_shards_docs,
         "trending_daily_types": q_trending_daily_types,
@@ -3068,6 +3102,11 @@ def oracle_sql() -> dict[str, str]:
     def _rate_thr(stratum) -> int:
         r = SAMPLE_RATES.get(stratum, SAMPLE_DEFAULT_RATE) if stratum else SAMPLE_DEFAULT_RATE
         return min(2**64 - 1, int(r * _U64))
+
+    from temporalscope_ray.stages.text import _STOPWORDS as _SW
+
+    def _sw(lang: str) -> str:
+        return ", ".join(f"'{w}'" for w in sorted(_SW[lang]))
     return {
         "shift_lead1_by_user": """
             SELECT * FROM (
@@ -3829,6 +3868,37 @@ def oracle_sql() -> dict[str, str]:
                         ELSE CAST(c.hits AS DOUBLE) / c.tot END AS p_next_purchase
             FROM events e LEFT JOIN c USING (event_type)
         """,
+        "caption_spam_images": """
+            SELECT substr(COALESCE(text, ''), 1, 10) AS caption,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_images
+            FROM documents GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 3
+        """,
+        "langid_docs": f"""
+            WITH tok AS (
+              SELECT doc_id,
+                     lower(unnest(regexp_extract_all(COALESCE(text, ''),
+                           '[a-zA-ZäöüßéèêàçñÁ-ÿ]+'))) AS t
+              FROM documents),
+            s AS (SELECT doc_id, COUNT(*) AS nt,
+                         COUNT(*) FILTER (WHERE t IN ({{en}})) AS c_en,
+                         COUNT(*) FILTER (WHERE t IN ({{de}})) AS c_de,
+                         COUNT(*) FILTER (WHERE t IN ({{fr}})) AS c_fr,
+                         COUNT(*) FILTER (WHERE t IN ({{es}})) AS c_es
+                  FROM tok GROUP BY 1)
+            SELECT d.doc_id,
+                   CASE WHEN s.nt IS NULL OR s.nt = 0 THEN 'und'
+                        WHEN c_en = 0 AND c_de = 0 AND c_fr = 0 AND c_es = 0
+                             THEN 'und'
+                        WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es
+                             THEN 'en'
+                        WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
+                        WHEN c_fr >= c_es THEN 'fr'
+                        ELSE 'es' END AS lang_pred,
+                   CASE WHEN s.nt IS NULL OR s.nt = 0 THEN 0.0
+                        ELSE CAST(greatest(c_en, c_de, c_fr, c_es) AS DOUBLE)
+                             / s.nt END AS lang_score
+            FROM documents d LEFT JOIN s USING (doc_id)
+        """.format(en=_sw("en"), de=_sw("de"), fr=_sw("fr"), es=_sw("es")),
         "last_touch_events": """
             WITH t AS (
               SELECT event_id, ts, user_id, event_type,
