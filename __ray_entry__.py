@@ -1377,6 +1377,38 @@ def q_next_purchase_prop_events(sf_dir: str):
                                   tiebreak=["event_id"])
 
 
+def q_mad_value(sf_dir: str):
+    """Global median + MAD of events.value (robust location/scale for
+    outlier gating): two distributed-sort rank fetches, raw data-point
+    outputs, no rounding tolerance."""
+    from temporalscope_ray.stages.stats import median_absolute_deviation
+
+    ev = _events(sf_dir, ("value",))
+    return median_absolute_deviation(ev, "value")
+
+
+def q_fingerprint_docs(sf_dir: str):
+    """Portable content fingerprint per document (md5-lower-64 of the
+    whitespace-collapsed lowered text), surfaced modulo a prime so the
+    unsigned 64-bit value is SQL-comparable — the exact-dup key and
+    cache key of a corpus pipeline."""
+    import numpy as np
+    import pandas as pd
+
+    from temporalscope_ray.stages.text import Fingerprint
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = docs.map_batches(Fingerprint(portable=True), batch_format="pandas",
+                           concurrency=2)
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        u = b["fingerprint"].to_numpy(np.int64).view(np.uint64)
+        return pd.DataFrame({"doc_id": b["doc_id"],
+                             "fp_mod": (u % np.uint64(1_000_000_007)).astype(np.int64)})
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
 def q_caption_spam_images(sf_dir: str):
     """Caption-spam audit over the north-rule image table: caption keys
     attached to >= 3 DISTINCT images (the LAION 'same boilerplate
@@ -2882,6 +2914,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "last_touch_events": q_last_touch_events,
         "langid_docs": q_langid_docs,
         "caption_spam_images": q_caption_spam_images,
+        "fingerprint_docs": q_fingerprint_docs,
+        "mad_value": q_mad_value,
         "spearman_qty_price": q_spearman_qty_price,
         "curriculum_shards_docs": q_curriculum_shards_docs,
         "trending_daily_types": q_trending_daily_types,
@@ -3867,6 +3901,29 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN c.tot IS NULL OR c.tot = 0 THEN NULL
                         ELSE CAST(c.hits AS DOUBLE) / c.tot END AS p_next_purchase
             FROM events e LEFT JOIN c USING (event_type)
+        """,
+        "mad_value": """
+            WITH v AS (SELECT value FROM events),
+            n AS (SELECT COUNT(*) AS n FROM v),
+            med AS (SELECT value AS m
+                    FROM (SELECT value, row_number() OVER (ORDER BY value) AS rn
+                          FROM v), n
+                    WHERE rn = CAST(FLOOR(0.5 * (n - 1)) AS BIGINT) + 1),
+            d AS (SELECT ABS(value - m) AS av FROM v, med),
+            n2 AS (SELECT COUNT(*) AS n FROM d),
+            mad AS (SELECT av
+                    FROM (SELECT av, row_number() OVER (ORDER BY av) AS rn
+                          FROM d), n2
+                    WHERE rn = CAST(FLOOR(0.5 * (n - 1)) AS BIGINT) + 1)
+            SELECT med.m AS median, mad.av AS mad FROM med, mad
+        """,
+        "fingerprint_docs": """
+            SELECT doc_id,
+                   CAST(md5_number_lower(
+                        regexp_replace(trim(lower(COALESCE(text, ''))),
+                                       '\\s+', ' ', 'g'))
+                        % 1000000007 AS BIGINT) AS fp_mod
+            FROM documents
         """,
         "caption_spam_images": """
             SELECT substr(COALESCE(text, ''), 1, 10) AS caption,

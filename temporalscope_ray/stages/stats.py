@@ -1549,3 +1549,23 @@ def seasonal_deviation(
         return out
 
     return ds.map_batches(attach, batch_format="pandas")
+
+
+def median_absolute_deviation(ds: ray.data.Dataset, col: str) -> pd.DataFrame:
+    """Global median and MAD (median of |x − median|) — the robust
+    location/scale pair an outlier gate should use instead of mean/std
+    (one corrupted shard can move a mean arbitrarily; it cannot move a
+    median). Two exact lower-rank quantile passes (distributed sort +
+    ``split_at_indices`` rank fetch — the data never reaches the
+    driver); the absolute deviations are a zero-shuffle projection, and
+    both emitted values are raw data points, so no rounding tolerance
+    is needed anywhere. Assumes a non-null column (filter upstream)."""
+    med = float(exact_quantiles(ds, col, [0.5])["value"].iloc[0])
+
+    def dev(t: pa.Table) -> pa.Table:
+        v = t.column(col).to_numpy(zero_copy_only=False)
+        return pa.table({"__ad__": pa.array(np.abs(v - med))})
+
+    devs = ds.select_columns([col]).map_batches(dev, batch_format="pyarrow")
+    mad = float(exact_quantiles(devs, "__ad__", [0.5])["value"].iloc[0])
+    return pd.DataFrame({"median": [med], "mad": [mad]})

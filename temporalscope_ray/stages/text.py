@@ -125,14 +125,22 @@ class Fingerprint:
     vectorized — normalization via pandas str kernels, hashing in C, no
     per-character Python loop."""
 
-    def __init__(self, text_col: str = "text"):
+    def __init__(self, text_col: str = "text", *, portable: bool = False):
+        # portable=True hashes with md5-lower-64 — slower, but replicable
+        # by any SQL engine (md5_number_lower of the same normalization)
         self.text_col = text_col
+        self.portable = portable
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         norm = (
             batch[self.text_col].fillna("").str.strip().str.lower().str.replace(r"\s+", " ", regex=True)
         )
-        h = pd.util.hash_array(norm.to_numpy(dtype=object))
+        if self.portable:
+            from .dedup import _md5_lower64
+
+            h = _md5_lower64(norm.tolist())
+        else:
+            h = pd.util.hash_array(norm.to_numpy(dtype=object))
         batch["fingerprint"] = h.astype(np.int64)  # wrap-around view: stable, sign-agnostic
         return batch
 
