@@ -1377,6 +1377,19 @@ def q_next_purchase_prop_events(sf_dir: str):
                                   tiebreak=["event_id"])
 
 
+def q_crowding_10min_events(sf_dir: str):
+    """Global trailing-10-min count + value sum per event (the
+    crowding / system-load feature — keyless, so the entity exchange
+    can't express it): time-bucket replication with bucket width =
+    window, 2× stub traffic, two searchsorted per bucket, no global
+    sort."""
+    from temporalscope_ray.stages.agg import trailing_global_aggregate
+
+    ev = _events(sf_dir, ("event_id", "ts", "value"))
+    return trailing_global_aggregate(ev, "ts", window_us=600_000_000,
+                                     value_col="value")
+
+
 def q_mad_value(sf_dir: str):
     """Global median + MAD of events.value (robust location/scale for
     outlier gating): two distributed-sort rank fetches, raw data-point
@@ -2916,6 +2929,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "caption_spam_images": q_caption_spam_images,
         "fingerprint_docs": q_fingerprint_docs,
         "mad_value": q_mad_value,
+        "crowding_10min_events": q_crowding_10min_events,
         "spearman_qty_price": q_spearman_qty_price,
         "curriculum_shards_docs": q_curriculum_shards_docs,
         "trending_daily_types": q_trending_daily_types,
@@ -3901,6 +3915,15 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN c.tot IS NULL OR c.tot = 0 THEN NULL
                         ELSE CAST(c.hits AS DOUBLE) / c.tot END AS p_next_purchase
             FROM events e LEFT JOIN c USING (event_type)
+        """,
+        "crowding_10min_events": """
+            SELECT event_id, ts, value,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS w_count,
+                   ROUND(SUM(value) OVER w, 6) AS w_sum
+            FROM events
+            WINDOW w AS (ORDER BY ts
+                         RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING
+                               AND CURRENT ROW)
         """,
         "mad_value": """
             WITH v AS (SELECT value FROM events),

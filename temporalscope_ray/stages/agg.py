@@ -998,3 +998,84 @@ def latest_row_per_key(
         return d.groupby(key, sort=False, dropna=False).tail(1)
 
     return bucketed.groupby(BUCKET_COL).map_groups(final, batch_format="pandas")
+
+
+def trailing_global_aggregate(
+    ds: ray.data.Dataset,
+    time_col: str,
+    *,
+    window_us: int,
+    value_col: Optional[str] = None,
+    count_col: str = "w_count",
+    sum_col: str = "w_sum",
+    round_to: int | None = 6,
+) -> ray.data.Dataset:
+    """GLOBAL trailing-window aggregate per event: for every row, the
+    count (and optional value sum) of ALL rows — any entity — with
+    ``ts ∈ [t − window, t]`` (inclusive both ends, peers included: SQL
+    ``RANGE BETWEEN <w> PRECEDING AND CURRENT ROW``). This is the
+    crowding / system-load / traffic-spike feature, and it is the
+    window the entity-bucket exchange CANNOT express (no key).
+
+    Plan — time-bucket replication, never a global sort: with bucket
+    width = ``window_us``, a row's window can only reach into its own
+    bucket and the one before, so each row ships once to its owner
+    bucket and once (ts + value only, a stub) to the NEXT bucket as
+    context; one bucket exchange co-locates them, and inside each
+    bucket two ``searchsorted`` calls against the sorted local+context
+    timestamps answer every row — O(b log b) per bucket, exchange
+    exactly 2× stub traffic. Timestamps are exact int64 µs; the sum is
+    quantized at ``round_to`` (summation-order tolerance), the count is
+    exact."""
+    w = int(window_us)
+    if w <= 0:
+        raise ValueError("window_us must be positive")
+    has_val = value_col is not None
+    SIDE = "__ctx__"
+
+    def _us(col: "pa.ChunkedArray") -> np.ndarray:
+        # normalize to us BEFORE integer math: a pandas-born ns column
+        # would land buckets 1000x off
+        if pa.types.is_timestamp(col.type):
+            col = pc.cast(col, pa.timestamp("us"))
+        return pc.cast(col, pa.int64()).to_numpy(zero_copy_only=False)
+
+    def replicate(t: pa.Table) -> pa.Table:
+        us = _us(t.column(time_col))
+        b = us // w
+        cols = {c: t.column(c) for c in t.column_names}
+        own = pa.table({**cols, BUCKET_COL: pa.array((b % (1 << 31)).astype(np.int32)),
+                        SIDE: pa.array(np.zeros(len(us), dtype=np.int8))})
+        # context stub: only ts (+ value) matter downstream; other
+        # columns ride along null-free by reuse (cheap at stub scale)
+        ctx = pa.table({**cols, BUCKET_COL: pa.array(((b + 1) % (1 << 31)).astype(np.int32)),
+                        SIDE: pa.array(np.ones(len(us), dtype=np.int8))})
+        return pa.concat_tables([own, ctx])
+
+    keep = [time_col] + ([value_col] if has_val else [])
+    rest = [c for c in ds.schema().names if c not in keep]
+    bucketed = ds.map_batches(replicate, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        side = t.column(SIDE).to_numpy(zero_copy_only=False)
+        us = _us(t.column(time_col))
+        order = np.argsort(us, kind="stable")
+        s_us = us[order]
+        own_mask = side == 0
+        own = t.filter(pa.array(own_mask)).drop_columns([SIDE])
+        o_us = us[own_mask]
+        hi = np.searchsorted(s_us, o_us, side="right")
+        lo = np.searchsorted(s_us, o_us - w, side="left")
+        out = own.append_column(count_col, pa.array((hi - lo).astype(np.int64)))
+        if has_val:
+            v = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+            sv = np.concatenate(([0.0], np.cumsum(np.nan_to_num(v[order]))))
+            ws = sv[hi] - sv[lo]
+            if round_to is not None:
+                sc = 10.0 ** round_to
+                ws = np.sign(ws) * np.floor(np.abs(ws) * sc + 0.5) / sc
+            out = out.append_column(sum_col, pa.array(ws))
+        return out
+
+    return bucketed.groupby(BUCKET_COL).map_groups(
+        lambda t: per_bucket(t.drop_columns([BUCKET_COL])), batch_format="pyarrow")

@@ -537,3 +537,32 @@ def test_ohlc_bars_global_no_keys(ray_session):
     assert np.isnan(out["close_v"].iloc[0]) and out["close_v"].iloc[1] == 9.0
     assert out["high_v"].tolist() == [5.0, 9.0]
     assert out["n"].tolist() == [2, 2]
+
+
+def test_trailing_global_aggregate_brute(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from temporalscope_ray.stages.agg import trailing_global_aggregate
+
+    rng = np.random.default_rng(17)
+    n = 1500
+    ts_s = np.sort(rng.integers(0, 5_000, n))
+    # force duplicate timestamps (peer semantics) and bucket-boundary hits
+    ts_s[10:20] = ts_s[10]
+    ts_s[100] = 600  # exactly one window width
+    df = pd.DataFrame({"e": np.arange(n),
+                       "ts": pd.to_datetime(ts_s, unit="s"),
+                       "v": rng.normal(0, 1, n)})
+    w = 600_000_000  # 10 min
+    out = trailing_global_aggregate(
+        ray.data.from_pandas(df.sample(frac=1, random_state=0)).repartition(6),
+        "ts", window_us=w, value_col="v",
+    ).to_pandas().sort_values("e").reset_index(drop=True)
+
+    us = (ts_s.astype(np.int64)) * 1_000_000
+    for i in [0, 10, 15, 100, 700, n - 1]:
+        m = (us >= us[i] - w) & (us <= us[i])
+        assert out.loc[i, "w_count"] == m.sum()
+        assert np.isclose(out.loc[i, "w_sum"], df["v"].to_numpy()[m].sum(), atol=1e-5)
