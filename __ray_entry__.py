@@ -1377,6 +1377,16 @@ def q_next_purchase_prop_events(sf_dir: str):
                                   tiebreak=["event_id"])
 
 
+def q_trimmed_mean_by_type(sf_dir: str):
+    """Per-type 5% trimmed mean of value (robust central tendency a
+    corrupted shard can't move): quantile bounds from one projected-
+    pair exchange, broadcast, then an ordinary combiner sum/count."""
+    from temporalscope_ray.stages.agg import grouped_trimmed_mean
+
+    ev = _events(sf_dir, ("event_type", "value"))
+    return grouped_trimmed_mean(ev, "event_type", "value", trim=0.05)
+
+
 def q_crowding_10min_events(sf_dir: str):
     """Global trailing-10-min count + value sum per event (the
     crowding / system-load feature — keyless, so the entity exchange
@@ -2930,6 +2940,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_docs": q_fingerprint_docs,
         "mad_value": q_mad_value,
         "crowding_10min_events": q_crowding_10min_events,
+        "trimmed_mean_by_type": q_trimmed_mean_by_type,
         "spearman_qty_price": q_spearman_qty_price,
         "curriculum_shards_docs": q_curriculum_shards_docs,
         "trending_daily_types": q_trending_daily_types,
@@ -3915,6 +3926,19 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN c.tot IS NULL OR c.tot = 0 THEN NULL
                         ELSE CAST(c.hits AS DOUBLE) / c.tot END AS p_next_purchase
             FROM events e LEFT JOIN c USING (event_type)
+        """,
+        "trimmed_mean_by_type": """
+            WITH b AS (SELECT event_type,
+                              quantile_cont(value, 0.05) AS lo,
+                              quantile_cont(value, 0.95) AS hi
+                       FROM events GROUP BY 1)
+            SELECT e.event_type,
+                   ROUND(AVG(e.value) FILTER (WHERE e.value BETWEEN b.lo AND b.hi),
+                         6) AS trimmed_mean,
+                   CAST(COUNT(*) FILTER (WHERE e.value BETWEEN b.lo AND b.hi)
+                        AS BIGINT) AS n_kept
+            FROM events e JOIN b USING (event_type)
+            GROUP BY 1
         """,
         "crowding_10min_events": """
             SELECT event_id, ts, value,

@@ -1079,3 +1079,72 @@ def trailing_global_aggregate(
 
     return bucketed.groupby(BUCKET_COL).map_groups(
         lambda t: per_bucket(t.drop_columns([BUCKET_COL])), batch_format="pyarrow")
+
+
+def grouped_trimmed_mean(
+    ds: ray.data.Dataset,
+    keys: "str | Sequence[str]",
+    value_col: str,
+    *,
+    trim: float = 0.05,
+    out_col: str = "trimmed_mean",
+    round_to: int | None = 6,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+) -> ray.data.Dataset:
+    """Per-group trimmed mean: the mean of values inside the group's
+    ``[q_trim, q_(1-trim)]`` interpolated quantile band (bounds
+    INCLUSIVE — a value equal to the cut survives, SQL ``BETWEEN``) —
+    the robust central-tendency metric that one corrupted shard cannot
+    move, unlike the raw mean.
+
+    Two stages, neither moving facts twice: the quantile bounds come
+    from ``grouped_quantile`` (one projected-pair exchange), the
+    groups-sized bound table broadcasts, and the trimmed sum/count
+    reduce as an ordinary combiner. Groups with no in-band values (or
+    all nulls) emit null."""
+    import ray as _ray
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    if not (0.0 <= trim < 0.5):
+        raise ValueError("grouped_trimmed_mean: trim must be in [0, 0.5)")
+    qlo, qhi = trim, 1.0 - trim
+    bounds = grouped_quantile(ds, keys, value_col, q=[qlo, qhi],
+                              num_buckets=num_buckets).to_pandas()
+    cols = [c for c in bounds.columns if c not in keys]
+    lo_c, hi_c = cols[0], cols[1]
+    table = {tuple(r[k] for k in keys): (r[lo_c], r[hi_c])
+             for _, r in bounds.iterrows()}
+    ref = _ray.put(table)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = _ray.get(ref)
+        v = df[value_col].to_numpy(np.float64)
+        kt = list(zip(*(df[k] for k in keys)))
+        m = {k: t.get(k, (np.nan, np.nan)) for k in set(kt)}
+        lo = np.fromiter((m[k][0] for k in kt), dtype=np.float64, count=len(kt))
+        hi = np.fromiter((m[k][1] for k in kt), dtype=np.float64, count=len(kt))
+        ok = ~np.isnan(v) & (v >= lo) & (v <= hi)
+        d = pd.DataFrame({**{k: df[k] for k in keys},
+                          "__s__": np.where(ok, v, 0.0),
+                          "__n__": ok.astype(np.int64)})
+        return d.groupby(keys, sort=False, dropna=False).sum().reset_index()
+
+    parts = ds.select_columns([*keys, value_col]).map_batches(partial, batch_format="pandas")
+    merged = hash_groupby_aggregate(parts, keys, {"s": ("__s__", "sum"), "n": ("__n__", "sum")},
+                                    num_buckets=num_buckets)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            tm = df["s"].to_numpy(np.float64) / n
+        tm = np.where(n > 0, tm, np.nan)
+        if round_to is not None:
+            sc = 10.0 ** round_to
+            with np.errstate(invalid="ignore"):
+                tm = np.sign(tm) * np.floor(np.abs(tm) * sc + 0.5) / sc
+        out = df[keys].copy()
+        out[out_col] = tm
+        out["n_kept"] = df["n"].astype(np.int64)
+        return out
+
+    return merged.map_batches(finish, batch_format="pandas")
