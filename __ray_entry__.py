@@ -1377,6 +1377,18 @@ def q_next_purchase_prop_events(sf_dir: str):
                                   tiebreak=["event_id"])
 
 
+def q_rollup_lineitem(sf_dir: str):
+    """GROUP BY ROLLUP(returnflag, linestatus) — finest grain exchanged
+    once, every subtotal derived from the groups-sized aggregate."""
+    from temporalscope_ray.stages.agg import rollup_aggregate
+
+    li = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_quantity"])
+    out = rollup_aggregate(li, ["l_returnflag", "l_linestatus"],
+                           {"sum_qty": ("l_quantity", "sum"),
+                            "n": (None, "count")})
+    return _round_cols(out, ["sum_qty"])
+
+
 def q_trimmed_mean_by_type(sf_dir: str):
     """Per-type 5% trimmed mean of value (robust central tendency a
     corrupted shard can't move): quantile bounds from one projected-
@@ -2941,6 +2953,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_value": q_mad_value,
         "crowding_10min_events": q_crowding_10min_events,
         "trimmed_mean_by_type": q_trimmed_mean_by_type,
+        "rollup_lineitem": q_rollup_lineitem,
         "spearman_qty_price": q_spearman_qty_price,
         "curriculum_shards_docs": q_curriculum_shards_docs,
         "trending_daily_types": q_trending_daily_types,
@@ -3926,6 +3939,12 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN c.tot IS NULL OR c.tot = 0 THEN NULL
                         ELSE CAST(c.hits AS DOUBLE) / c.tot END AS p_next_purchase
             FROM events e LEFT JOIN c USING (event_type)
+        """,
+        "rollup_lineitem": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 6) AS sum_qty,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         """,
         "trimmed_mean_by_type": """
             WITH b AS (SELECT event_type,

@@ -1148,3 +1148,63 @@ def grouped_trimmed_mean(
         return out
 
     return merged.map_batches(finish, batch_format="pandas")
+
+
+def rollup_aggregate(
+    ds: ray.data.Dataset,
+    keys: Sequence[str],
+    aggs: dict,
+    *,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+) -> ray.data.Dataset:
+    """SQL ``GROUP BY ROLLUP(k1, k2, …)``: the finest-grain aggregate
+    plus every prefix subtotal and the grand total, with NULLs in the
+    rolled-up key positions. Aggregation functions must be MERGEABLE
+    (sum/count/min/max) — that is the whole point of the plan: the fact
+    table is scanned and exchanged exactly ONCE for the finest grain,
+    and every coarser level derives from the groups-sized aggregate
+    (count re-merges as sum), never from facts. ``aggs`` follows the
+    ``hash_groupby_aggregate`` convention ``out -> (src, fn)``."""
+    keys = list(keys)
+    allowed = {"sum", "count", "min", "max"}
+    for out, (_, fn) in aggs.items():
+        if fn not in allowed:
+            raise ValueError(f"rollup_aggregate: {fn} is not mergeable (use {allowed})")
+    from ..core import _schema
+
+    finest = hash_groupby_aggregate(ds, keys, aggs, num_buckets=num_buckets)
+    fschema = _schema(finest)
+    key_types = {k: fschema.field(k).type for k in keys}
+    order = [*keys, *aggs]
+    levels = [finest.map_batches(lambda t: t.select(order), batch_format="pyarrow",
+                                 zero_copy_batch=True)]
+    cur = finest
+    for depth in range(len(keys) - 1, -1, -1):
+        gk = keys[:depth]
+        merge = {out: (out, "sum" if fn in ("sum", "count") else fn)
+                 for out, (_, fn) in aggs.items()}
+        if gk:
+            lvl = hash_groupby_aggregate(cur, gk, merge, num_buckets=4)
+        else:
+            import ray as _ray
+
+            df = cur.to_pandas()  # groups-sized by construction
+            row = {}
+            for out, (_, fn) in merge.items():
+                col = df[out]
+                row[out] = [col.sum() if fn == "sum" else
+                            (col.min() if fn == "min" else col.max())]
+            lvl = ray.data.from_pandas(pd.DataFrame(row))
+
+        def pad(t: pa.Table, _gk=tuple(gk), _types=dict(key_types)) -> pa.Table:
+            for k in keys:
+                if k not in _gk:
+                    t = t.append_column(k, pa.nulls(t.num_rows, type=_types[k]))
+            return t.select(order)
+
+        levels.append(lvl.map_batches(pad, batch_format="pyarrow"))
+        cur = lvl
+    out = levels[0]
+    for l in levels[1:]:
+        out = out.union(l)
+    return out
