@@ -1377,6 +1377,16 @@ def q_next_purchase_prop_events(sf_dir: str):
                                   tiebreak=["event_id"])
 
 
+def q_wau_sketch_daily(sf_dir: str):
+    """Trailing-7-day distinct users per day from MERGEABLE daily KMV
+    sketches (k=16): exchange capped at k×blocks per day, window
+    re-aggregation merges sketches — facts are never re-touched."""
+    from temporalscope_ray.stages.agg import rolling_distinct_sketch
+
+    ev = _events(sf_dir, ("ts", "user_id"))
+    return rolling_distinct_sketch(ev, "ts", "user_id", window_days=7, k=16)
+
+
 def q_rollup_lineitem(sf_dir: str):
     """GROUP BY ROLLUP(returnflag, linestatus) — finest grain exchanged
     once, every subtotal derived from the groups-sized aggregate."""
@@ -2954,6 +2964,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crowding_10min_events": q_crowding_10min_events,
         "trimmed_mean_by_type": q_trimmed_mean_by_type,
         "rollup_lineitem": q_rollup_lineitem,
+        "wau_sketch_daily": q_wau_sketch_daily,
         "spearman_qty_price": q_spearman_qty_price,
         "curriculum_shards_docs": q_curriculum_shards_docs,
         "trending_daily_types": q_trending_daily_types,
@@ -3939,6 +3950,27 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN c.tot IS NULL OR c.tot = 0 THEN NULL
                         ELSE CAST(c.hits AS DOUBLE) / c.tot END AS p_next_purchase
             FROM events e LEFT JOIN c USING (event_type)
+        """,
+        "wau_sketch_daily": """
+            WITH p AS (SELECT DISTINCT
+                              CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                              md5_number_lower(CAST(user_id AS VARCHAR)) AS hv
+                       FROM events),
+            days AS (SELECT DISTINCT day FROM p),
+            u AS (SELECT d.day, pp.hv FROM days d
+                  JOIN p pp ON pp.day BETWEEN d.day - 6 AND d.day
+                  GROUP BY 1, 2),
+            r AS (SELECT day, hv,
+                         row_number() OVER (PARTITION BY day ORDER BY hv) AS rn,
+                         COUNT(*) OVER (PARTITION BY day) AS n
+                  FROM u)
+            SELECT day,
+                   CASE WHEN MAX(n) < 16 THEN CAST(MAX(n) AS DOUBLE)
+                        ELSE ROUND(15.0 * 18446744073709551616.0
+                                   / CAST(MAX(CASE WHEN rn = 16 THEN hv END)
+                                          AS DOUBLE), 6)
+                   END AS approx_active
+            FROM r GROUP BY day
         """,
         "rollup_lineitem": """
             SELECT l_returnflag, l_linestatus,

@@ -1208,3 +1208,63 @@ def rollup_aggregate(
     for l in levels[1:]:
         out = out.union(l)
     return out
+
+
+def rolling_distinct_sketch(
+    ds: ray.data.Dataset,
+    time_col: str,
+    key_col: str,
+    *,
+    window_days: int = 7,
+    k: int = 64,
+    round_to: int = 6,
+    num_buckets: int = 16,
+) -> pd.DataFrame:
+    """Trailing-window distinct-count series from MERGEABLE daily KMV
+    sketches: per observed day, the estimated distinct ``key_col``
+    over the last ``window_days`` days — the monitoring-grade
+    WAU/MAU curve. The exact path (``rolling_active_entities``)
+    exchanges every distinct (day, entity) pair; this one caps the
+    exchange at ``k × blocks`` rows per day AND — the property that
+    matters — window re-aggregation merges SKETCHES, never re-touching
+    facts: the k smallest of a union of per-day k-smallest sets IS the
+    union's k smallest, so any window recomposes from the days×k driver
+    table for free. md5-deterministic, SQL-replayable (same estimate
+    expression as ``approx_distinct_kmv``)."""
+    from .dedup import _md5_lower64
+
+    DAY_US = 86_400_000_000
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ts_us = df[time_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        d = pd.DataFrame({"day": ts_us // DAY_US,
+                          "__h__": _md5_lower64(df[key_col].astype(str).tolist())})
+        d = d.drop_duplicates().sort_values(["day", "__h__"], kind="mergesort")
+        return d.groupby("day", sort=False).head(k)
+
+    parts = ds.select_columns([time_col, key_col]).map_batches(partial, batch_format="pandas")
+    bucketed = with_bucket(parts, "day", num_buckets)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["day", "__h__"]].drop_duplicates().sort_values(
+            ["day", "__h__"], kind="mergesort")
+        return d.groupby("day", sort=False).head(k)
+
+    daily = bucketed.groupby(BUCKET_COL).map_groups(
+        lambda g: final(g.drop(columns=[BUCKET_COL])), batch_format="pandas"
+    ).to_pandas()  # days × k RESULT — the mergeable sketch store
+
+    days = np.sort(daily["day"].unique())
+    by_day = {d: g["__h__"].to_numpy(np.uint64)
+              for d, g in daily.groupby("day", sort=False)}
+    rows = []
+    for d in days:
+        window = [by_day[x] for x in by_day if d - window_days < x <= d]
+        merged = np.unique(np.concatenate(window))[:k]
+        n = len(merged)
+        if n < k:
+            est = float(n)
+        else:
+            est = float(np.round((k - 1) * 2.0 ** 64 / float(merged[-1]), round_to))
+        rows.append((int(d), est))
+    return pd.DataFrame(rows, columns=["day", "approx_active"])

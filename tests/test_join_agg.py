@@ -566,3 +566,39 @@ def test_trailing_global_aggregate_brute(ray_session):
         m = (us >= us[i] - w) & (us <= us[i])
         assert out.loc[i, "w_count"] == m.sum()
         assert np.isclose(out.loc[i, "w_sum"], df["v"].to_numpy()[m].sum(), atol=1e-5)
+
+
+def test_rolling_distinct_sketch_merge_property(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from temporalscope_ray.stages.agg import rolling_distinct_sketch
+
+    rng = np.random.default_rng(23)
+    # 14 days, 80 users/day drawn from 300 — sketch estimate must track
+    # the exact trailing-7-day distinct within KMV error (~1/sqrt(k))
+    frames = []
+    for d in range(14):
+        u = rng.choice(300, 80, replace=False)
+        frames.append(pd.DataFrame({
+            "ts": pd.to_datetime(d * 86_400 + np.arange(80), unit="s"),
+            "uid": u,
+        }))
+    df = pd.concat(frames, ignore_index=True)
+    out = rolling_distinct_sketch(
+        ray.data.from_pandas(df).repartition(6), "ts", "uid",
+        window_days=7, k=64,
+    ).set_index("day")["approx_active"]
+
+    day = (df["ts"].astype("datetime64[us]").astype(np.int64) // 86_400_000_000)
+    for d in range(14):
+        exact = df.loc[(day > d - 7) & (day <= d), "uid"].nunique()
+        rel = abs(out[d] - exact) / exact
+        assert rel < 0.35, (d, out[d], exact)
+    # layout invariance
+    out2 = rolling_distinct_sketch(
+        ray.data.from_pandas(df).repartition(2), "ts", "uid",
+        window_days=7, k=64,
+    ).set_index("day")["approx_active"]
+    assert (out == out2).all()
