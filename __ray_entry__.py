@@ -1377,6 +1377,17 @@ def q_next_purchase_prop_events(sf_dir: str):
                                   tiebreak=["event_id"])
 
 
+def q_theil_sen_by_user(sf_dir: str):
+    """Per-user Theil–Sen slope (median pairwise slope, units/hour) —
+    the robust trend beside the OLS grouped_trend: one entity-bucket
+    exchange, vectorized upper-triangle pair slopes per entity."""
+    from temporalscope_ray.stages.stats import theil_sen_by_entity
+
+    ev = _events(sf_dir, ("ts", "user_id", "value"))
+    return theil_sen_by_entity(ev, id_col="user_id", time_col="ts",
+                               value_col="value")
+
+
 def q_wau_sketch_daily(sf_dir: str):
     """Trailing-7-day distinct users per day from MERGEABLE daily KMV
     sketches (k=16): exchange capped at k×blocks per day, window
@@ -2965,6 +2976,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trimmed_mean_by_type": q_trimmed_mean_by_type,
         "rollup_lineitem": q_rollup_lineitem,
         "wau_sketch_daily": q_wau_sketch_daily,
+        "theil_sen_by_user": q_theil_sen_by_user,
         "spearman_qty_price": q_spearman_qty_price,
         "curriculum_shards_docs": q_curriculum_shards_docs,
         "trending_daily_types": q_trending_daily_types,
@@ -3950,6 +3962,19 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN c.tot IS NULL OR c.tot = 0 THEN NULL
                         ELSE CAST(c.hits AS DOUBLE) / c.tot END AS p_next_purchase
             FROM events e LEFT JOIN c USING (event_type)
+        """,
+        "theil_sen_by_user": """
+            WITH f AS (SELECT user_id, ts, value FROM events
+                       WHERE value IS NOT NULL),
+            p AS (SELECT a.user_id,
+                         (b.value - a.value)
+                           / (epoch_us(b.ts) - epoch_us(a.ts))
+                           * 3600000000.0 AS sl
+                  FROM f a JOIN f b ON a.user_id = b.user_id AND a.ts < b.ts),
+            m AS (SELECT user_id, ROUND(quantile_cont(sl, 0.5), 6) AS ts_slope
+                  FROM p GROUP BY 1)
+            SELECT u.user_id, m.ts_slope
+            FROM (SELECT DISTINCT user_id FROM f) u LEFT JOIN m USING (user_id)
         """,
         "wau_sketch_daily": """
             WITH p AS (SELECT DISTINCT

@@ -1569,3 +1569,57 @@ def median_absolute_deviation(ds: ray.data.Dataset, col: str) -> pd.DataFrame:
     devs = ds.select_columns([col]).map_batches(dev, batch_format="pyarrow")
     mad = float(exact_quantiles(devs, "__ad__", [0.5])["value"].iloc[0])
     return pd.DataFrame({"median": [med], "mad": [mad]})
+
+
+def theil_sen_by_entity(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str,
+    time_col: str,
+    value_col: str,
+    out_col: str = "ts_slope",
+    per_unit_us: float = 3_600_000_000.0,
+    round_to: int | None = 6,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Per-entity Theil–Sen slope (median of all pairwise slopes,
+    units per ``per_unit_us`` µs — default units/hour): the robust
+    trend estimate a single corrupted reading cannot move, unlike the
+    OLS slope (``grouped_trend``). Null values drop; entities with < 2
+    distinct-time observations emit null.
+
+    One entity-bucket exchange; per entity the pairwise slopes are a
+    vectorized upper-triangle broadcast — O(n²) slopes per entity, so
+    this estimator is for BOUNDED per-entity histories (sensor/user
+    grain); for an unbounded entity, window or subsample upstream (the
+    same contract as the reference's per-partition operations)."""
+    from .grouped import grouped_ordered_map
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        from .grouped import entity_segments
+
+        g2 = g[g[value_col].notna()]
+        ids = g2[id_col].to_numpy()
+        ts = g2[time_col].to_numpy()
+        ts_us = ts.astype("datetime64[us]").astype(np.float64) if np.issubdtype(
+            ts.dtype, np.datetime64) else ts.astype(np.float64)
+        v = g2[value_col].to_numpy(np.float64)
+        segs = entity_segments(ids)
+        out_ids, out_sl = [], []
+        for s, e in zip(segs[:-1], segs[1:]):
+            t_, v_ = ts_us[s:e], v[s:e]
+            i, j = np.triu_indices(e - s, k=1)
+            dt = t_[j] - t_[i]
+            ok = dt != 0
+            if not ok.any():
+                sl = np.nan
+            else:
+                sl = float(np.median((v_[j][ok] - v_[i][ok]) / dt[ok] * per_unit_us))
+                if round_to is not None:
+                    sc = 10.0 ** round_to
+                    sl = np.sign(sl) * np.floor(abs(sl) * sc + 0.5) / sc
+            out_ids.append(ids[s])
+            out_sl.append(sl)
+        return pd.DataFrame({id_col: out_ids, out_col: np.array(out_sl, dtype=np.float64)})
+
+    return grouped_ordered_map(ds, id_col, [time_col], fn, num_buckets=num_buckets)
