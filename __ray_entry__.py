@@ -1377,6 +1377,31 @@ def q_next_purchase_prop_events(sf_dir: str):
                                   tiebreak=["event_id"])
 
 
+def q_burstiness_by_user(sf_dir: str):
+    """Per-user Fano factor of daily event counts (~1 Poisson, >>1
+    bursty bot/batch traffic): facts reduce once to (user, day, n)
+    partials, then per-user exact-int moment sums."""
+    from temporalscope_ray.stages.agg import burstiness_fano
+
+    ev = _events(sf_dir, ("ts", "user_id"))
+    return burstiness_fano(ev, id_col="user_id", time_col="ts")
+
+
+def q_purchase_cadence_by_user(sf_dir: str):
+    """Median µs between consecutive purchases per user (the
+    replenishment-cadence feature): type filter, segment diff and the
+    per-entity interpolated quantile all inside ONE bucket pass. No
+    rounding — interpolated midpoints of int64 gaps are exact doubles
+    (quantizing ~1e10-µs gaps at 6dp would cross float53)."""
+    from temporalscope_ray.stages.window_features import grouped_gap_quantile
+
+    ev = _events(sf_dir, ("event_id", "ts", "user_id", "event_type"))
+    return grouped_gap_quantile(ev, id_col="user_id", time_col="ts", q=0.5,
+                                out_col="median_gap_us", type_col="event_type",
+                                only_type="purchase", tiebreak=["event_id"],
+                                round_to=None)
+
+
 def q_theil_sen_by_user(sf_dir: str):
     """Per-user Theil–Sen slope (median pairwise slope, units/hour) —
     the robust trend beside the OLS grouped_trend: one entity-bucket
@@ -2977,6 +3002,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_lineitem": q_rollup_lineitem,
         "wau_sketch_daily": q_wau_sketch_daily,
         "theil_sen_by_user": q_theil_sen_by_user,
+        "purchase_cadence_by_user": q_purchase_cadence_by_user,
+        "burstiness_by_user": q_burstiness_by_user,
         "spearman_qty_price": q_spearman_qty_price,
         "curriculum_shards_docs": q_curriculum_shards_docs,
         "trending_daily_types": q_trending_daily_types,
@@ -3962,6 +3989,30 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN c.tot IS NULL OR c.tot = 0 THEN NULL
                         ELSE CAST(c.hits AS DOUBLE) / c.tot END AS p_next_purchase
             FROM events e LEFT JOIN c USING (event_type)
+        """,
+        "burstiness_by_user": """
+            WITH d AS (SELECT user_id,
+                              CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                              COUNT(*) AS n
+                       FROM events GROUP BY 1, 2)
+            SELECT user_id,
+                   CASE WHEN COUNT(*) > 1
+                        THEN ROUND(var_samp(n) / AVG(n), 6) END AS fano,
+                   CAST(COUNT(*) AS BIGINT) AS n_days
+            FROM d GROUP BY 1
+        """,
+        "purchase_cadence_by_user": """
+            WITH p AS (SELECT user_id, ts, event_id FROM events
+                       WHERE event_type = 'purchase'),
+            d AS (SELECT user_id,
+                         CAST(epoch_us(ts) - LAG(epoch_us(ts))
+                              OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS DOUBLE) AS g
+                  FROM p),
+            m AS (SELECT user_id, quantile_cont(g, 0.5) AS median_gap_us
+                  FROM d WHERE g IS NOT NULL GROUP BY 1)
+            SELECT u.user_id, m.median_gap_us
+            FROM (SELECT DISTINCT user_id FROM p) u LEFT JOIN m USING (user_id)
         """,
         "theil_sen_by_user": """
             WITH f AS (SELECT user_id, ts, value FROM events

@@ -1268,3 +1268,65 @@ def rolling_distinct_sketch(
             est = float(np.round((k - 1) * 2.0 ** 64 / float(merged[-1]), round_to))
         rows.append((int(d), est))
     return pd.DataFrame(rows, columns=["day", "approx_active"])
+
+
+def burstiness_fano(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str,
+    time_col: str,
+    out_col: str = "fano",
+    round_to: int | None = 6,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+) -> ray.data.Dataset:
+    """Per-entity burstiness: the Fano factor ``var_samp / mean`` of
+    the entity's DAILY event counts over its observed days — ≈1 for a
+    Poisson visitor, ≫1 for bursty bot/batch traffic, the behavioral
+    regularity feature. Entities observed on a single day emit null
+    (sample variance undefined).
+
+    Two combiner exchanges, neither moving facts twice: facts reduce
+    once to (entity, day, n) partials, those reduce to per-entity
+    (Σn, Σn², days) — the variance closes from exact int64 sums, so
+    the only float work is the final expression (``round_to``-quantized
+    to absorb SQL's incremental-variance ulp)."""
+    DAY_US = 86_400_000_000
+
+    def tag(t: pa.Table) -> pa.Table:
+        col = t.column(time_col)
+        if pa.types.is_timestamp(col.type):
+            col = pc.cast(col, pa.timestamp("us"))
+        us = pc.cast(col, pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({id_col: t.column(id_col),
+                         "__day__": pa.array(us // DAY_US)})
+
+    daily = hash_groupby_aggregate(
+        ds.select_columns([id_col, time_col]).map_batches(tag, batch_format="pyarrow"),
+        [id_col, "__day__"], {"n": (None, "count")}, num_buckets=num_buckets)
+
+    def sq(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy(np.int64)
+        return pd.DataFrame({id_col: df[id_col], "__s__": n, "__s2__": n * n,
+                             "__d__": np.ones(len(df), dtype=np.int64)})
+
+    per = hash_groupby_aggregate(
+        daily.map_batches(sq, batch_format="pandas"), [id_col],
+        {"s": ("__s__", "sum"), "s2": ("__s2__", "sum"), "d": ("__d__", "sum")},
+        num_buckets=num_buckets)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["s"].to_numpy(np.float64)
+        s2 = df["s2"].to_numpy(np.float64)
+        d = df["d"].to_numpy(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            var = (s2 - s * s / d) / (d - 1.0)
+            fano = var / (s / d)
+        fano = np.where(d > 1, fano, np.nan)
+        if round_to is not None:
+            sc = 10.0 ** round_to
+            with np.errstate(invalid="ignore"):
+                fano = np.sign(fano) * np.floor(np.abs(fano) * sc + 0.5) / sc
+        return pd.DataFrame({id_col: df[id_col], out_col: fano,
+                             "n_days": df["d"].astype(np.int64)})
+
+    return per.map_batches(finish, batch_format="pandas")

@@ -2250,3 +2250,60 @@ def last_touch_attribution(
         return out
 
     return grouped.grouped_ordered_map(ds, id_col, order, fn, num_buckets=num_buckets)
+
+
+def grouped_gap_quantile(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str,
+    time_col: str,
+    q: float = 0.5,
+    out_col: str = "gap_q_us",
+    type_col: "Optional[str]" = None,
+    only_type: "Optional[str]" = None,
+    tiebreak: "Optional[Sequence[str]]" = None,
+    round_to: int | None = 6,
+    num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+) -> ray.data.Dataset:
+    """Per-entity quantile of consecutive inter-arrival gaps (µs),
+    optionally restricted to one event type first — e.g. the median
+    inter-PURCHASE time, the cadence feature behind replenishment and
+    churn models. Entities with < 2 qualifying rows emit null.
+
+    One entity-bucket exchange does everything: the type filter, the
+    segment-safe diff, and the per-entity interpolated quantile
+    (numpy = SQL ``quantile_cont``) all run inside the same bucket
+    pass — gaps never become a second exchange."""
+    order = [time_col, *(tiebreak or [])]
+    cols = [id_col, time_col, *(tiebreak or [])]
+    if type_col:
+        cols.append(type_col)
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        if only_type is not None and type_col:
+            g = g[g[type_col] == only_type]
+        ids = g[id_col].to_numpy()
+        ts = g[time_col].to_numpy()
+        ts_us = ts.astype("datetime64[us]").astype(np.int64) if np.issubdtype(
+            ts.dtype, np.datetime64) else ts.astype(np.int64)
+        segs = grouped.entity_segments(ids)
+        d = np.diff(ts_us).astype(np.float64)
+        seg_id = _segment_ids(segs)
+        same = seg_id[1:] == seg_id[:-1] if len(g) > 1 else np.array([], dtype=bool)
+        gaps = pd.DataFrame({id_col: ids[1:][same], "__g__": d[same]})
+        qv = gaps.groupby(id_col, sort=False)["__g__"].quantile(q)
+        firsts = np.zeros(len(g), dtype=bool)
+        if len(g):
+            firsts[segs[:-1]] = True
+        out = pd.DataFrame({id_col: ids[firsts]})
+        vals = qv.reindex(out[id_col]).to_numpy(np.float64)
+        if round_to is not None:
+            sc = 10.0 ** round_to
+            with np.errstate(invalid="ignore"):
+                vals = np.sign(vals) * np.floor(np.abs(vals) * sc + 0.5) / sc
+        out[out_col] = vals
+        return out
+
+    return grouped.grouped_ordered_map(
+        ds.select_columns(list(dict.fromkeys(cols))), id_col, order, fn,
+        num_buckets=num_buckets)
