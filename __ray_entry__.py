@@ -1377,6 +1377,17 @@ def q_next_purchase_prop_events(sf_dir: str):
                                   tiebreak=["event_id"])
 
 
+def q_volume_anomalies_daily(sf_dir: str):
+    """Daily volume-anomaly flags per event type (|z| >= 3 of the
+    type's own daily-count distribution — catches dead producers and
+    runaway bots before value-level drift fires): facts reduce once to
+    (type, day, n); moments close from exact int sums."""
+    from temporalscope_ray.stages.agg import daily_volume_anomalies
+
+    ev = _events(sf_dir, ("ts", "event_type"))
+    return daily_volume_anomalies(ev, time_col="ts", by="event_type")
+
+
 def q_burstiness_by_user(sf_dir: str):
     """Per-user Fano factor of daily event counts (~1 Poisson, >>1
     bursty bot/batch traffic): facts reduce once to (user, day, n)
@@ -3004,6 +3015,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "theil_sen_by_user": q_theil_sen_by_user,
         "purchase_cadence_by_user": q_purchase_cadence_by_user,
         "burstiness_by_user": q_burstiness_by_user,
+        "volume_anomalies_daily": q_volume_anomalies_daily,
         "spearman_qty_price": q_spearman_qty_price,
         "curriculum_shards_docs": q_curriculum_shards_docs,
         "trending_daily_types": q_trending_daily_types,
@@ -3989,6 +4001,22 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN c.tot IS NULL OR c.tot = 0 THEN NULL
                         ELSE CAST(c.hits AS DOUBLE) / c.tot END AS p_next_purchase
             FROM events e LEFT JOIN c USING (event_type)
+        """,
+        "volume_anomalies_daily": """
+            WITH d AS (SELECT event_type,
+                              CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                              COUNT(*) AS n
+                       FROM events GROUP BY 1, 2),
+            s AS (SELECT event_type, COUNT(*) AS cnt, AVG(n) AS mu,
+                         stddev_samp(n) AS sd
+                  FROM d GROUP BY 1),
+            z AS (SELECT d.event_type, d.day, CAST(d.n AS BIGINT) AS n,
+                         CASE WHEN s.cnt > 1 AND s.sd > 0
+                              THEN ROUND((d.n - s.mu) / s.sd, 6) END AS z
+                  FROM d JOIN s USING (event_type))
+            SELECT event_type, day, n, z,
+                   COALESCE(ABS(z) >= 3.0, FALSE) AS is_anomaly
+            FROM z
         """,
         "burstiness_by_user": """
             WITH d AS (SELECT user_id,

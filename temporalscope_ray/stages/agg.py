@@ -1330,3 +1330,59 @@ def burstiness_fano(
                              "n_days": df["d"].astype(np.int64)})
 
     return per.map_batches(finish, batch_format="pandas")
+
+
+def daily_volume_anomalies(
+    ds: ray.data.Dataset,
+    *,
+    time_col: str,
+    by: str,
+    z_threshold: float = 3.0,
+    round_to: int = 6,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+) -> ray.data.Dataset:
+    """Volume-anomaly report: per ``(by, day)`` event count with its
+    z-score against the group's own daily-count distribution, flagging
+    |z| ≥ ``z_threshold`` — the pipeline-health monitor that catches a
+    dead producer (volume crater) or a runaway bot (volume spike)
+    before any value-level drift test fires. Groups observed on < 2
+    days get a null z (sample std undefined); zero-variance groups
+    likewise.
+
+    Facts reduce ONCE to (by, day, n) partials; the per-group moments
+    close from exact int64 sums on the groups×days aggregate; the
+    z-scores are a broadcast-free second pass over that same small
+    table. Output: ``(by, day, n, z, is_anomaly)``."""
+    DAY_US = 86_400_000_000
+
+    def tag(t: pa.Table) -> pa.Table:
+        col = t.column(time_col)
+        if pa.types.is_timestamp(col.type):
+            col = pc.cast(col, pa.timestamp("us"))
+        us = pc.cast(col, pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({by: t.column(by), "day": pa.array(us // DAY_US)})
+
+    daily = hash_groupby_aggregate(
+        ds.select_columns([by, time_col]).map_batches(tag, batch_format="pyarrow"),
+        [by, "day"], {"n": (None, "count")}, num_buckets=num_buckets)
+
+    def per_group(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy(np.float64)
+        g = df.groupby(by, sort=False, dropna=False)["n"]
+        d = g.transform("size").to_numpy(np.float64)
+        s = g.transform("sum").to_numpy(np.float64)
+        s2 = g.transform(lambda x: (x.astype(np.float64) ** 2).sum()).to_numpy(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            var = (s2 - s * s / d) / (d - 1.0)
+            z = (n - s / d) / np.sqrt(var)
+        z = np.where((d > 1) & (var > 0), z, np.nan)
+        sc = 10.0 ** round_to
+        with np.errstate(invalid="ignore"):
+            zq = np.sign(z) * np.floor(np.abs(z) * sc + 0.5) / sc
+        return pd.DataFrame({by: df[by], "day": df["day"].astype(np.int64),
+                             "n": df["n"].astype(np.int64), "z": zq,
+                             "is_anomaly": np.abs(zq) >= z_threshold})
+
+    bucketed = with_bucket(daily, by, 8)
+    return bucketed.groupby(BUCKET_COL).map_groups(
+        lambda g: per_group(g.drop(columns=[BUCKET_COL])), batch_format="pandas")
