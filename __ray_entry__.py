@@ -1377,6 +1377,36 @@ def q_next_purchase_prop_events(sf_dir: str):
                                   tiebreak=["event_id"])
 
 
+def q_behavior_features_pipeline(sf_dir: str):
+    """Behavioral feature-store showpiece — three of this round's
+    operators composed into one plan and gated END-TO-END by a single
+    chained oracle: 6h greedy throttle (stream compaction) → Markov
+    surprisal OVER THE SURVIVORS (the transition matrix is re-estimated
+    on the compacted stream, not the raw one) → strict-prior
+    time-since-purchase. Three entity-bucket exchanges, facts never
+    widen."""
+    import pandas as pd
+
+    from temporalscope_ray.stages.agg import attach_surprisal
+    from temporalscope_ray.stages.window_features import (
+        add_time_since_event, throttle)
+
+    ev = _events(sf_dir, ("event_id", "ts", "user_id", "event_type"))
+    kept = throttle(ev, "user_id", "ts", min_gap_us=6 * 3_600_000_000,
+                    tiebreak=["event_id"])
+    surp = attach_surprisal(kept, id_col="user_id", time_col="ts",
+                            type_col="event_type", tiebreak=["event_id"])
+    out = add_time_since_event(surp, id_col="user_id", time_col="ts",
+                               type_col="event_type", target_type="purchase",
+                               tiebreak=["event_id"])
+
+    def as_double(b: pd.DataFrame) -> pd.DataFrame:
+        b["us_since_purchase"] = b["us_since_purchase"].astype("float64")
+        return b
+
+    return out.map_batches(as_double, batch_format="pandas")
+
+
 def q_volume_anomalies_daily(sf_dir: str):
     """Daily volume-anomaly flags per event type (|z| >= 3 of the
     type's own daily-count distribution — catches dead producers and
@@ -3016,6 +3046,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_cadence_by_user": q_purchase_cadence_by_user,
         "burstiness_by_user": q_burstiness_by_user,
         "volume_anomalies_daily": q_volume_anomalies_daily,
+        "behavior_features_pipeline": q_behavior_features_pipeline,
         "spearman_qty_price": q_spearman_qty_price,
         "curriculum_shards_docs": q_curriculum_shards_docs,
         "trending_daily_types": q_trending_daily_types,
@@ -4001,6 +4032,39 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN c.tot IS NULL OR c.tot = 0 THEN NULL
                         ELSE CAST(c.hits AS DOUBLE) / c.tot END AS p_next_purchase
             FROM events e LEFT JOIN c USING (event_type)
+        """,
+        "behavior_features_pipeline": """
+            WITH RECURSIVE keep AS (
+              SELECT user_id, MIN(ts) AS ts FROM events GROUP BY user_id
+              UNION ALL
+              SELECT k.user_id,
+                     (SELECT MIN(e.ts) FROM events e
+                      WHERE e.user_id = k.user_id
+                        AND epoch_us(e.ts) >= epoch_us(k.ts) + 21600000000) AS ts
+              FROM keep k
+              WHERE EXISTS (SELECT 1 FROM events e
+                            WHERE e.user_id = k.user_id
+                              AND epoch_us(e.ts) >= epoch_us(k.ts) + 21600000000)),
+            s AS (SELECT e.event_id, e.ts, e.user_id, e.event_type
+                  FROM keep JOIN events e USING (user_id, ts)),
+            t AS (SELECT *, LAG(event_type) OVER (PARTITION BY user_id
+                                                  ORDER BY ts, event_id) AS prev_type
+                  FROM s),
+            c AS (SELECT prev_type AS p, event_type AS c, COUNT(*) AS n
+                  FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+            tot AS (SELECT p, SUM(n) AS tot FROM c GROUP BY p)
+            SELECT t.event_id, t.ts, t.user_id, t.event_type, t.prev_type,
+                   CASE WHEN t.prev_type IS NULL THEN NULL
+                        ELSE ROUND(-ln(CAST(c.n AS DOUBLE) / tot.tot), 6)
+                   END AS surprisal,
+                   CAST(epoch_us(t.ts) - MAX(CASE WHEN t.event_type = 'purchase'
+                                                  THEN epoch_us(t.ts) END)
+                          OVER (PARTITION BY t.user_id ORDER BY t.ts, t.event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        AS DOUBLE) AS us_since_purchase
+            FROM t
+            LEFT JOIN c ON t.prev_type = c.p AND t.event_type = c.c
+            LEFT JOIN tot ON t.prev_type = tot.p
         """,
         "volume_anomalies_daily": """
             WITH d AS (SELECT event_type,
