@@ -1377,6 +1377,18 @@ def q_next_purchase_prop_events(sf_dir: str):
                                   tiebreak=["event_id"])
 
 
+def q_readability_docs(sf_dir: str):
+    """Flesch-style reading-ease per document (vowel-group syllable
+    surrogate, [.!?]+ sentences, \\w+ words — all SQL-replayable exact
+    counts): zero shuffle, one vectorized actor pass."""
+    from temporalscope_ray.stages.text import Readability
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = docs.map_batches(Readability(), batch_format="pandas", concurrency=2)
+    return out.select_columns(["doc_id", "n_sentences", "n_words",
+                               "n_syllables", "flesch"])
+
+
 def q_behavior_features_pipeline(sf_dir: str):
     """Behavioral feature-store showpiece — three of this round's
     operators composed into one plan and gated END-TO-END by a single
@@ -3047,6 +3059,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "burstiness_by_user": q_burstiness_by_user,
         "volume_anomalies_daily": q_volume_anomalies_daily,
         "behavior_features_pipeline": q_behavior_features_pipeline,
+        "readability_docs": q_readability_docs,
         "spearman_qty_price": q_spearman_qty_price,
         "curriculum_shards_docs": q_curriculum_shards_docs,
         "trending_daily_types": q_trending_daily_types,
@@ -4032,6 +4045,26 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN c.tot IS NULL OR c.tot = 0 THEN NULL
                         ELSE CAST(c.hits AS DOUBLE) / c.tot END AS p_next_purchase
             FROM events e LEFT JOIN c USING (event_type)
+        """,
+        "readability_docs": """
+            WITH c AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(lower(COALESCE(text, '')),
+                                            '[.!?]+')) AS n_sentences,
+                     len(regexp_extract_all(lower(COALESCE(text, '')),
+                                            '\\w+')) AS n_words,
+                     len(regexp_extract_all(lower(COALESCE(text, '')),
+                                            '[aeiouy]+')) AS n_syllables
+              FROM documents)
+            SELECT doc_id, CAST(n_sentences AS BIGINT) AS n_sentences,
+                   CAST(n_words AS BIGINT) AS n_words,
+                   CAST(n_syllables AS BIGINT) AS n_syllables,
+                   CASE WHEN n_words > 0 AND n_sentences > 0
+                        THEN ROUND(206.835
+                                   - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                                   - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words),
+                                   6) END AS flesch
+            FROM c
         """,
         "behavior_features_pipeline": """
             WITH RECURSIVE keep AS (
