@@ -1377,6 +1377,45 @@ def q_next_purchase_prop_events(sf_dir: str):
                                   tiebreak=["event_id"])
 
 
+def q_log_return_by_user(sf_dir: str):
+    """Per-user log return ln(v_t / v_{t-1}) — scale-free change
+    feature; null on entity firsts and non-positive ratios (SQL ln
+    domain). One bucket exchange, one segment-safe shift."""
+    from temporalscope_ray.stages.window_features import add_log_return
+
+    ev = _events(sf_dir, ("event_id", "ts", "user_id", "value"))
+    return add_log_return(ev, id_col="user_id", time_col="ts",
+                          value_col="value", tiebreak=["event_id"])
+
+
+def q_hourly_rank_users(sf_dir: str):
+    """Cross-sectional leaderboard: each user's dense activity rank
+    among ALL users active the same hour (count desc, user asc) — the
+    panel-data rank feature; facts reduce once to (hour, user, n)
+    partials, ranking runs on that aggregate inside an hour-bucket
+    pass, never on facts."""
+    import pandas as pd
+
+    from temporalscope_ray.stages.agg import time_bucket_aggregate
+    from temporalscope_ray.stages.grouped import BUCKET_COL, with_bucket
+
+    ev = _events(sf_dir, ("ts", "user_id"))
+    hourly = time_bucket_aggregate(ev, "ts", "1h", {"n": (None, "count")},
+                                   by=["user_id"])
+    bucketed = with_bucket(hourly, "bucket_start", 16)
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=[BUCKET_COL]).sort_values(
+            ["bucket_start", "n", "user_id"], ascending=[True, False, True],
+            kind="mergesort")
+        g["rnk"] = g.groupby("bucket_start", sort=False).cumcount() + 1
+        g["n"] = g["n"].astype("int64")
+        g["rnk"] = g["rnk"].astype("int64")
+        return g
+
+    return bucketed.groupby(BUCKET_COL).map_groups(rank, batch_format="pandas")
+
+
 def q_readability_docs(sf_dir: str):
     """Flesch-style reading-ease per document (vowel-group syllable
     surrogate, [.!?]+ sentences, \\w+ words — all SQL-replayable exact
@@ -3060,6 +3099,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "volume_anomalies_daily": q_volume_anomalies_daily,
         "behavior_features_pipeline": q_behavior_features_pipeline,
         "readability_docs": q_readability_docs,
+        "log_return_by_user": q_log_return_by_user,
+        "hourly_rank_users": q_hourly_rank_users,
         "spearman_qty_price": q_spearman_qty_price,
         "curriculum_shards_docs": q_curriculum_shards_docs,
         "trending_daily_types": q_trending_daily_types,
@@ -4045,6 +4086,29 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN c.tot IS NULL OR c.tot = 0 THEN NULL
                         ELSE CAST(c.hits AS DOUBLE) / c.tot END AS p_next_purchase
             FROM events e LEFT JOIN c USING (event_type)
+        """,
+        "log_return_by_user": """
+            WITH t AS (
+              SELECT event_id, ts, user_id, value,
+                     LAG(value) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS pv
+              FROM events)
+            SELECT event_id, ts, user_id, value,
+                   CASE WHEN pv IS NOT NULL AND value / pv > 0
+                        THEN ROUND(ln(value / pv), 6) END AS log_return
+            FROM t
+        """,
+        "hourly_rank_users": """
+            WITH h AS (
+              SELECT CAST(to_timestamp((epoch_us(ts) // 3600000000)
+                          * 3600000000 / 1e6) AS TIMESTAMP) AS bucket_start,
+                     user_id, CAST(COUNT(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2)
+            SELECT bucket_start, user_id, n,
+                   CAST(row_number() OVER (PARTITION BY bucket_start
+                                           ORDER BY n DESC, user_id)
+                        AS BIGINT) AS rnk
+            FROM h
         """,
         "readability_docs": """
             WITH c AS (

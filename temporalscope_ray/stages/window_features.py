@@ -2307,3 +2307,40 @@ def grouped_gap_quantile(
     return grouped.grouped_ordered_map(
         ds.select_columns(list(dict.fromkeys(cols))), id_col, order, fn,
         num_buckets=num_buckets)
+
+
+def add_log_return(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str,
+    time_col: str,
+    value_col: str,
+    out_col: str = "log_return",
+    tiebreak: "Optional[Sequence[str]]" = None,
+    round_to: int | None = 6,
+    num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+) -> ray.data.Dataset:
+    """Per-entity log return ``ln(v_t / v_{t-1})`` — the scale-free
+    change feature of financial/telemetry modeling (additive across
+    steps, symmetric up/down). Null on entity firsts and whenever the
+    ratio is undefined or non-positive (null/zero/negative values, SQL
+    ``ln`` domain). One entity-bucket exchange, one segment-safe shift."""
+    order = [time_col, *(tiebreak or [])]
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.copy()
+        v = g[value_col].to_numpy(np.float64)
+        seg = _segment_ids(grouped.entity_segments(g[id_col].to_numpy()))
+        prev = _seg_shift(v, seg, 1)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            ratio = v / prev
+            lr = np.log(ratio)
+        lr = np.where(np.isfinite(lr) & (ratio > 0), lr, np.nan)
+        if round_to is not None:
+            sc = 10.0 ** round_to
+            with np.errstate(invalid="ignore"):
+                lr = np.sign(lr) * np.floor(np.abs(lr) * sc + 0.5) / sc
+        out[out_col] = lr
+        return out
+
+    return grouped.grouped_ordered_map(ds, id_col, order, fn, num_buckets=num_buckets)
