@@ -1377,6 +1377,31 @@ def q_next_purchase_prop_events(sf_dir: str):
                                   tiebreak=["event_id"])
 
 
+def q_type_share_by_user(sf_dir: str):
+    """Behavioral profile: each user's share of activity per event type
+    (n / user_total, exact int ratio — identical doubles both engines):
+    one combiner exchange of (user, type, n) partials, the per-user
+    total derived INSIDE the same user-bucket pass (entities are
+    bucket-complete), zero extra exchange."""
+    import pandas as pd
+
+    from temporalscope_ray.stages.grouped import BUCKET_COL, hash_groupby_aggregate, with_bucket
+
+    ev = _events(sf_dir, ("user_id", "event_type"))
+    counts = hash_groupby_aggregate(ev, ["user_id", "event_type"],
+                                    {"n": (None, "count")})
+    bucketed = with_bucket(counts, "user_id", 16)
+
+    def share(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=[BUCKET_COL])
+        tot = g.groupby("user_id", sort=False)["n"].transform("sum")
+        g["n"] = g["n"].astype("int64")
+        g["share"] = g["n"].astype("float64") / tot.astype("float64")
+        return g
+
+    return bucketed.groupby(BUCKET_COL).map_groups(share, batch_format="pandas")
+
+
 def q_log_return_by_user(sf_dir: str):
     """Per-user log return ln(v_t / v_{t-1}) — scale-free change
     feature; null on entity firsts and non-positive ratios (SQL ln
@@ -3100,6 +3125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "behavior_features_pipeline": q_behavior_features_pipeline,
         "readability_docs": q_readability_docs,
         "log_return_by_user": q_log_return_by_user,
+        "type_share_by_user": q_type_share_by_user,
         "hourly_rank_users": q_hourly_rank_users,
         "spearman_qty_price": q_spearman_qty_price,
         "curriculum_shards_docs": q_curriculum_shards_docs,
@@ -4086,6 +4112,12 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN c.tot IS NULL OR c.tot = 0 THEN NULL
                         ELSE CAST(c.hits AS DOUBLE) / c.tot END AS p_next_purchase
             FROM events e LEFT JOIN c USING (event_type)
+        """,
+        "type_share_by_user": """
+            SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS DOUBLE)
+                     / SUM(COUNT(*)) OVER (PARTITION BY user_id) AS share
+            FROM events GROUP BY 1, 2
         """,
         "log_return_by_user": """
             WITH t AS (

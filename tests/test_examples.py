@@ -30,6 +30,7 @@ def _run(name: str) -> None:
     "06_feature_engineering.py",
     "07_behavioral_analytics.py",
     "08_warehouse_analytics.py",
+    "09_behavioral_feature_store.py",
 ])
 def test_example_runs(name, capsys):
     _run(name)
