@@ -1377,6 +1377,16 @@ def q_next_purchase_prop_events(sf_dir: str):
                                   tiebreak=["event_id"])
 
 
+def q_acf_hourly_events(sf_dir: str):
+    """ACF of global hourly event counts, lags 1..6 (periodicity
+    diagnostic): facts reduce once to hours-sized partials, grid
+    densification + per-lag corr on that aggregate."""
+    from temporalscope_ray.stages.stats import hourly_count_acf
+
+    ev = _events(sf_dir, ("ts",))
+    return hourly_count_acf(ev, "ts", max_lag=6)
+
+
 def q_type_share_by_user(sf_dir: str):
     """Behavioral profile: each user's share of activity per event type
     (n / user_total, exact int ratio — identical doubles both engines):
@@ -3126,6 +3136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "readability_docs": q_readability_docs,
         "log_return_by_user": q_log_return_by_user,
         "type_share_by_user": q_type_share_by_user,
+        "acf_hourly_events": q_acf_hourly_events,
         "hourly_rank_users": q_hourly_rank_users,
         "spearman_qty_price": q_spearman_qty_price,
         "curriculum_shards_docs": q_curriculum_shards_docs,
@@ -4112,6 +4123,22 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN c.tot IS NULL OR c.tot = 0 THEN NULL
                         ELSE CAST(c.hits AS DOUBLE) / c.tot END AS p_next_purchase
             FROM events e LEFT JOIN c USING (event_type)
+        """,
+        "acf_hourly_events": """
+            WITH b AS (SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+                              COUNT(*) AS n
+                       FROM events GROUP BY 1),
+            r AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM b),
+            grid AS (SELECT unnest(generate_series(lo, hi)) AS h FROM r),
+            d AS (SELECT g.h, CAST(COALESCE(b.n, 0) AS DOUBLE) AS n
+                  FROM grid g LEFT JOIN b USING (h)),
+            lags AS (SELECT unnest(generate_series(1, 6)) AS lag)
+            SELECT CAST(lags.lag AS BIGINT) AS lag,
+                   ROUND(corr(a.n, f.n), 6) AS acf
+            FROM lags
+            JOIN d a ON TRUE
+            JOIN d f ON f.h = a.h + lags.lag
+            GROUP BY 1
         """,
         "type_share_by_user": """
             SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n,

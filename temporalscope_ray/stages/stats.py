@@ -33,6 +33,7 @@ from typing import Sequence
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -1623,3 +1624,51 @@ def theil_sen_by_entity(
         return pd.DataFrame({id_col: out_ids, out_col: np.array(out_sl, dtype=np.float64)})
 
     return grouped_ordered_map(ds, id_col, [time_col], fn, num_buckets=num_buckets)
+
+
+def hourly_count_acf(
+    ds: ray.data.Dataset,
+    time_col: str,
+    *,
+    max_lag: int = 6,
+    round_to: int = 6,
+) -> pd.DataFrame:
+    """Autocorrelation function of the GLOBAL hourly event-count series
+    (Pearson corr of x_t vs x_{t+lag} for lag = 1..max_lag over the
+    dense hour grid, missing hours = 0) — the periodicity diagnostic
+    (a 24-lag peak = daily seasonality) run before fitting any temporal
+    model. Facts reduce ONCE to hours-sized count partials; the grid
+    densification and per-lag correlations run on that aggregate on the
+    driver (hours are bounded: a decade is <9e4 rows). Null for a lag
+    whose overlap is constant or shorter than 2 points."""
+    from .grouped import hash_groupby_aggregate
+
+    HOUR_US = 3_600_000_000
+
+    def tag(t: pa.Table) -> pa.Table:
+        col = t.column(time_col)
+        if pa.types.is_timestamp(col.type):
+            col = pc.cast(col, pa.timestamp("us"))
+        us = pc.cast(col, pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"h": pa.array(us // HOUR_US)})
+
+    hourly = hash_groupby_aggregate(
+        ds.select_columns([time_col]).map_batches(tag, batch_format="pyarrow"),
+        ["h"], {"n": (None, "count")}, num_buckets=8).to_pandas()
+    if not len(hourly):
+        return pd.DataFrame({"lag": pd.array([], dtype="int64"), "acf": []})
+    lo, hi = int(hourly["h"].min()), int(hourly["h"].max())
+    dense = np.zeros(hi - lo + 1, dtype=np.float64)
+    dense[hourly["h"].to_numpy(np.int64) - lo] = hourly["n"].to_numpy(np.float64)
+    rows = []
+    sc = 10.0 ** round_to
+    for lag in range(1, max_lag + 1):
+        a, b = dense[:-lag], dense[lag:]
+        if len(a) < 2 or a.std() == 0 or b.std() == 0:
+            rows.append((lag, np.nan))
+            continue
+        r = float(np.corrcoef(a, b)[0, 1])
+        rows.append((lag, np.sign(r) * np.floor(abs(r) * sc + 0.5) / sc))
+    out = pd.DataFrame(rows, columns=["lag", "acf"])
+    out["lag"] = out["lag"].astype(np.int64)
+    return out
