@@ -1377,6 +1377,16 @@ def q_next_purchase_prop_events(sf_dir: str):
                                   tiebreak=["event_id"])
 
 
+def q_chi2_source_lang(sf_dir: str):
+    """Chi² independence of source × lang (is the language filter
+    skewing the source mix?): facts reduce once to a |A|×|B|
+    contingency table; the statistic closes from exact int counts."""
+    from temporalscope_ray.stages.stats import chi2_independence
+
+    docs = _read(sf_dir, "documents", columns=["source", "lang"])
+    return chi2_independence(docs, "source", "lang")
+
+
 def q_acf_hourly_events(sf_dir: str):
     """ACF of global hourly event counts, lags 1..6 (periodicity
     diagnostic): facts reduce once to hours-sized partials, grid
@@ -3137,6 +3147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "log_return_by_user": q_log_return_by_user,
         "type_share_by_user": q_type_share_by_user,
         "acf_hourly_events": q_acf_hourly_events,
+        "chi2_source_lang": q_chi2_source_lang,
         "hourly_rank_users": q_hourly_rank_users,
         "spearman_qty_price": q_spearman_qty_price,
         "curriculum_shards_docs": q_curriculum_shards_docs,
@@ -4123,6 +4134,24 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN c.tot IS NULL OR c.tot = 0 THEN NULL
                         ELSE CAST(c.hits AS DOUBLE) / c.tot END AS p_next_purchase
             FROM events e LEFT JOIN c USING (event_type)
+        """,
+        "chi2_source_lang": """
+            WITH f AS (SELECT source AS a, lang AS b FROM documents
+                       WHERE source IS NOT NULL AND lang IS NOT NULL),
+            c AS (SELECT a, b, COUNT(*) AS n FROM f GROUP BY 1, 2),
+            aa AS (SELECT DISTINCT a FROM f),
+            bb AS (SELECT DISTINCT b FROM f),
+            grid AS (SELECT aa.a, bb.b, COALESCE(c.n, 0) AS o
+                     FROM aa CROSS JOIN bb LEFT JOIN c USING (a, b)),
+            tot AS (SELECT CAST(SUM(o) AS DOUBLE) AS n FROM grid),
+            rs AS (SELECT a, CAST(SUM(o) AS DOUBLE) AS r FROM grid GROUP BY 1),
+            cs AS (SELECT b, CAST(SUM(o) AS DOUBLE) AS cc FROM grid GROUP BY 1)
+            SELECT ROUND(SUM(power(g.o - rs.r * cs.cc / tot.n, 2)
+                             / (rs.r * cs.cc / tot.n)), 6) AS chi2,
+                   CAST((COUNT(DISTINCT g.a) - 1)
+                        * (COUNT(DISTINCT g.b) - 1) AS BIGINT) AS dof,
+                   CAST(MAX(tot.n) AS BIGINT) AS n
+            FROM grid g JOIN rs USING (a) JOIN cs USING (b), tot
         """,
         "acf_hourly_events": """
             WITH b AS (SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,

@@ -1672,3 +1672,50 @@ def hourly_count_acf(
     out = pd.DataFrame(rows, columns=["lag", "acf"])
     out["lag"] = out["lag"].astype(np.int64)
     return out
+
+
+def chi2_independence(
+    ds: ray.data.Dataset,
+    col_a: str,
+    col_b: str,
+    *,
+    round_to: int = 6,
+) -> pd.DataFrame:
+    """Pearson chi² test of independence between two categorical
+    columns — the corpus-QA probe ("is language independent of source?"
+    — if not, a language filter silently skews the source mix). Facts
+    reduce ONCE to |A|×|B| contingency partials; the statistic closes
+    on that vocabulary-sized table from exact int64 counts (expected
+    cells are exact ratios of int products, so both engines share the
+    same doubles; the final cell sum rounds at ``round_to``). Rows with
+    a null on either side drop (SQL GROUP BY would keep them as
+    categories — the engine matches the scipy convention instead and
+    the oracle filters nulls explicitly). Returns one row:
+    ``(chi2, dof, n)``."""
+    from .grouped import hash_groupby_aggregate
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[[col_a, col_b]].dropna()
+        return d.groupby([col_a, col_b], sort=False).size().reset_index(name="__n__")
+
+    cont = hash_groupby_aggregate(
+        ds.select_columns([col_a, col_b]).map_batches(partial, batch_format="pandas"),
+        [col_a, col_b], {"n": ("__n__", "sum")}, num_buckets=4,
+    ).to_pandas()  # |A|×|B|-sized
+    if not len(cont):
+        return pd.DataFrame({"chi2": [np.nan], "dof": pd.array([0], dtype="int64"),
+                             "n": pd.array([0], dtype="int64")})
+    pivot = cont.pivot_table(index=col_a, columns=col_b, values="n",
+                             fill_value=0, aggfunc="sum").to_numpy(np.float64)
+    n = pivot.sum()
+    row = pivot.sum(axis=1, keepdims=True)
+    col = pivot.sum(axis=0, keepdims=True)
+    e = row @ col / n
+    with np.errstate(invalid="ignore", divide="ignore"):
+        cells = (pivot - e) ** 2 / e
+    chi2 = float(np.nansum(np.where(e > 0, cells, 0.0)))
+    sc = 10.0 ** round_to
+    chi2 = np.sign(chi2) * np.floor(abs(chi2) * sc + 0.5) / sc
+    dof = (pivot.shape[0] - 1) * (pivot.shape[1] - 1)
+    return pd.DataFrame({"chi2": [chi2], "dof": pd.array([dof], dtype="int64"),
+                         "n": pd.array([int(n)], dtype="int64")})

@@ -1166,3 +1166,27 @@ def test_psi_daily_detects_planted_shift(ray_session):
     assert psi[4] > 1.0                      # the planted shift screams
     assert (psi[[1, 2, 3]] < 0.1).all()      # stable days stay quiet
     assert (out["n_ref"] == 400).all() and (out["n_cur"] == 400).all()
+
+
+def test_chi2_independence_matches_scipy_formula(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from temporalscope_ray.stages.stats import chi2_independence
+
+    rng = np.random.default_rng(31)
+    # dependent: b follows a 70% of the time
+    a = rng.choice(["x", "y", "z"], 600)
+    b = np.where(rng.random(600) < 0.7, a, rng.choice(["x", "y", "z"], 600))
+    df = pd.DataFrame({"a": a, "b": b})
+    out = chi2_independence(ray.data.from_pandas(df).repartition(4), "a", "b")
+    # reference: the closed-form Pearson statistic
+    piv = pd.crosstab(df["a"], df["b"]).to_numpy(np.float64)
+    n = piv.sum()
+    e = piv.sum(1, keepdims=True) @ piv.sum(0, keepdims=True) / n
+    ref = ((piv - e) ** 2 / e).sum()
+    assert np.isclose(out["chi2"].iloc[0], ref, atol=1e-5)
+    assert out["dof"].iloc[0] == 4 and out["n"].iloc[0] == 600
+    # strong dependence must register
+    assert out["chi2"].iloc[0] > 100
