@@ -1377,6 +1377,19 @@ def q_next_purchase_prop_events(sf_dir: str):
                                   tiebreak=["event_id"])
 
 
+def q_top_type_trigrams(sf_dir: str):
+    """Top-20 event-type trigram sequences across user timelines (the
+    funnel-discovery / bot-signature miner): n shifted concats masked
+    at entity boundaries inside one bucket pass, vocabulary³-bounded
+    aggregate, sort/limit on the aggregate only."""
+    from temporalscope_ray.stages.agg import top_type_ngrams
+
+    ev = _events(sf_dir, ("event_id", "ts", "user_id", "event_type"))
+    return top_type_ngrams(ev, id_col="user_id", time_col="ts",
+                           type_col="event_type", n=3, k=20,
+                           tiebreak=["event_id"])
+
+
 def q_chi2_source_lang(sf_dir: str):
     """Chi² independence of source × lang (is the language filter
     skewing the source mix?): facts reduce once to a |A|×|B|
@@ -3148,6 +3161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_share_by_user": q_type_share_by_user,
         "acf_hourly_events": q_acf_hourly_events,
         "chi2_source_lang": q_chi2_source_lang,
+        "top_type_trigrams": q_top_type_trigrams,
         "hourly_rank_users": q_hourly_rank_users,
         "spearman_qty_price": q_spearman_qty_price,
         "curriculum_shards_docs": q_curriculum_shards_docs,
@@ -4134,6 +4148,18 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN c.tot IS NULL OR c.tot = 0 THEN NULL
                         ELSE CAST(c.hits AS DOUBLE) / c.tot END AS p_next_purchase
             FROM events e LEFT JOIN c USING (event_type)
+        """,
+        "top_type_trigrams": """
+            WITH t AS (
+              SELECT user_id, event_type,
+                     LEAD(event_type, 1) OVER w AS t1,
+                     LEAD(event_type, 2) OVER w AS t2
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT event_type || '>' || t1 || '>' || t2 AS seq,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM t WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+            GROUP BY 1 ORDER BY cnt DESC, seq LIMIT 20
         """,
         "chi2_source_lang": """
             WITH f AS (SELECT source AS a, lang AS b FROM documents

@@ -1386,3 +1386,53 @@ def daily_volume_anomalies(
     bucketed = with_bucket(daily, by, 8)
     return bucketed.groupby(BUCKET_COL).map_groups(
         lambda g: per_group(g.drop(columns=[BUCKET_COL])), batch_format="pandas")
+
+
+def top_type_ngrams(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str,
+    time_col: str,
+    type_col: str,
+    n: int = 3,
+    k: int = 20,
+    sep: str = ">",
+    tiebreak: Optional[Sequence[str]] = None,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+) -> ray.data.Dataset:
+    """Top-k most frequent length-``n`` event-type sequences across all
+    entity timelines (every sliding window, entity-bounded) — the
+    sequence-pattern miner behind funnel discovery and bot-signature
+    detection. Ties order by the sequence string.
+
+    One entity-bucket exchange; inside each bucket the n-grams come
+    from n shifted array concats masked at entity boundaries (no
+    per-row Python), reduce to per-bucket counts (combiner), and a tiny
+    vocabulary^n-bounded aggregate + sort/limit finishes."""
+    from .grouped import grouped_ordered_map
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        from .grouped import entity_segments
+
+        t = g[type_col].to_numpy(dtype=object).astype(str)
+        m = len(g) - (n - 1)
+        if m <= 0:
+            return pd.DataFrame({"seq": pd.Series([], dtype=object),
+                                 "cnt": pd.Series([], dtype=np.int64)})
+        segs = entity_segments(g[id_col].to_numpy())
+        seg_id = np.repeat(np.arange(len(segs) - 1), np.diff(segs))
+        same = seg_id[: m] == seg_id[n - 1:]
+        parts = [t[i: m + i] for i in range(n)]
+        seq = parts[0]
+        for p in parts[1:]:
+            seq = np.char.add(np.char.add(seq, sep), p)
+        c = pd.Series(seq[same]).value_counts(sort=False)
+        return pd.DataFrame({"seq": c.index.to_numpy(),
+                             "cnt": c.to_numpy(np.int64)})
+
+    parts = grouped_ordered_map(
+        ds.select_columns([id_col, time_col, type_col, *(tiebreak or [])]),
+        id_col, [time_col, *(tiebreak or [])], fn, num_buckets=num_buckets)
+    agg = hash_groupby_aggregate(parts, ["seq"], {"cnt": ("cnt", "sum")},
+                                 num_buckets=4)
+    return agg.sort(["cnt", "seq"], descending=[True, False]).limit(k)
