@@ -1377,6 +1377,16 @@ def q_next_purchase_prop_events(sf_dir: str):
                                   tiebreak=["event_id"])
 
 
+def q_max_streak_by_user(sf_dir: str):
+    """Longest consecutive-active-day streak per user (gaps-and-
+    islands): facts reduce once to distinct (user, day) pairs; the run
+    length is a vectorized diff==1 scan over each user's sorted days."""
+    from temporalscope_ray.stages.agg import max_streak_days
+
+    ev = _events(sf_dir, ("ts", "user_id"))
+    return max_streak_days(ev, id_col="user_id", time_col="ts")
+
+
 def q_top_type_trigrams(sf_dir: str):
     """Top-20 event-type trigram sequences across user timelines (the
     funnel-discovery / bot-signature miner): n shifted concats masked
@@ -3162,6 +3172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "acf_hourly_events": q_acf_hourly_events,
         "chi2_source_lang": q_chi2_source_lang,
         "top_type_trigrams": q_top_type_trigrams,
+        "max_streak_by_user": q_max_streak_by_user,
         "hourly_rank_users": q_hourly_rank_users,
         "spearman_qty_price": q_spearman_qty_price,
         "curriculum_shards_docs": q_curriculum_shards_docs,
@@ -4148,6 +4159,19 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN c.tot IS NULL OR c.tot = 0 THEN NULL
                         ELSE CAST(c.hits AS DOUBLE) / c.tot END AS p_next_purchase
             FROM events e LEFT JOIN c USING (event_type)
+        """,
+        "max_streak_by_user": """
+            WITH d AS (SELECT DISTINCT user_id,
+                              CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+                       FROM events),
+            i AS (SELECT user_id, day,
+                         day - row_number() OVER (PARTITION BY user_id
+                                                  ORDER BY day) AS island
+                  FROM d),
+            r AS (SELECT user_id, COUNT(*) AS len
+                  FROM i GROUP BY user_id, island)
+            SELECT user_id, CAST(MAX(len) AS BIGINT) AS max_streak
+            FROM r GROUP BY 1
         """,
         "top_type_trigrams": """
             WITH t AS (

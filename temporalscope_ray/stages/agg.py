@@ -1436,3 +1436,56 @@ def top_type_ngrams(
     agg = hash_groupby_aggregate(parts, ["seq"], {"cnt": ("cnt", "sum")},
                                  num_buckets=4)
     return agg.sort(["cnt", "seq"], descending=[True, False]).limit(k)
+
+
+def max_streak_days(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str,
+    time_col: str,
+    out_col: str = "max_streak",
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+) -> ray.data.Dataset:
+    """Longest consecutive-active-day streak per entity (the engagement
+    / habit-formation metric; the classic gaps-and-islands query): facts
+    reduce ONCE to distinct (entity, day) pairs (combiner), one
+    entity-hash exchange co-locates each entity's days, and the longest
+    run is a vectorized diff==1 run-length over the sorted day list —
+    nothing event-sized moves, no per-row Python."""
+    DAY_US = 86_400_000_000
+
+    def pairs(t: pa.Table) -> pa.Table:
+        col = t.column(time_col)
+        if pa.types.is_timestamp(col.type):
+            col = pc.cast(col, pa.timestamp("us"))
+        us = pc.cast(col, pa.int64()).to_numpy(zero_copy_only=False)
+        d = pd.DataFrame({id_col: t.column(id_col).to_pandas(),
+                          "__day__": us // DAY_US}).drop_duplicates()
+        return pa.Table.from_pandas(d, preserve_index=False)
+
+    p = ds.select_columns([id_col, time_col]).map_batches(pairs, batch_format="pyarrow")
+    bucketed = with_bucket(p, id_col, num_buckets)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop(columns=[BUCKET_COL]).drop_duplicates() \
+            .sort_values([id_col, "__day__"], kind="mergesort")
+        ids = d[id_col].to_numpy()
+        days = d["__day__"].to_numpy(np.int64)
+        n = len(d)
+        if n == 0:
+            return pd.DataFrame({id_col: ids, out_col: days})
+        # island id = day - dense index within entity; runs share it
+        new_ent = np.ones(n, dtype=bool)
+        new_ent[1:] = ids[1:] != ids[:-1]
+        idx_in_ent = np.arange(n) - np.maximum.accumulate(
+            np.where(new_ent, np.arange(n), 0))
+        island = days - idx_in_ent
+        key = pd.DataFrame({id_col: ids, "__i__": island})
+        run_len = key.groupby([id_col, "__i__"], sort=False)[id_col] \
+            .transform("size").to_numpy(np.int64)
+        out = pd.DataFrame({id_col: ids, out_col: run_len}) \
+            .groupby(id_col, sort=False, dropna=False).max().reset_index()
+        out[out_col] = out[out_col].astype(np.int64)
+        return out
+
+    return bucketed.groupby(BUCKET_COL).map_groups(final, batch_format="pandas")

@@ -602,3 +602,22 @@ def test_rolling_distinct_sketch_merge_property(ray_session):
         window_days=7, k=64,
     ).set_index("day")["approx_active"]
     assert (out == out2).all()
+
+
+def test_max_streak_days_islands(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from temporalscope_ray.stages.agg import max_streak_days
+
+    # user 1: days 0,1,2, 5,6 -> streak 3; user 2: days 10 only -> 1;
+    # user 3: 0,2,4 (no consecutive) -> 1
+    days = {1: [0, 1, 2, 5, 6], 2: [10], 3: [0, 2, 4]}
+    rows = [(u, d * 86_400 + 5) for u, ds_ in days.items() for d in ds_ for _ in (0, 1)]
+    df = pd.DataFrame(rows, columns=["id", "sec"])
+    df["ts"] = pd.to_datetime(df["sec"], unit="s")
+    out = max_streak_days(
+        ray.data.from_pandas(df[["id", "ts"]]).repartition(3),
+        id_col="id", time_col="ts", num_buckets=2,
+    ).to_pandas().sort_values("id").reset_index(drop=True)
+    assert out.set_index("id")["max_streak"].to_dict() == {1: 3, 2: 1, 3: 1}
