@@ -1377,6 +1377,68 @@ def q_next_purchase_prop_events(sf_dir: str):
                                   tiebreak=["event_id"])
 
 
+def q_dn_retention_events(sf_dir: str):
+    """Global D1/D7 retention (fraction of users active exactly 1 / 7
+    days after their first day — the product health-check number):
+    facts reduce once to distinct (user, day) pairs, one user-bucket
+    pass computes first-day + offset flags, three scalars close from
+    exact int counts."""
+    import numpy as np
+    import pandas as pd
+
+    from temporalscope_ray.stages.grouped import BUCKET_COL, with_bucket
+
+    ev = _events(sf_dir, ("ts", "user_id"))
+
+    def pairs(b: pd.DataFrame) -> pd.DataFrame:
+        day = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64) // 86_400_000_000
+        return pd.DataFrame({"user_id": b["user_id"], "day": day}).drop_duplicates()
+
+    p = ev.map_batches(pairs, batch_format="pandas")
+    bucketed = with_bucket(p, "user_id", 16)
+
+    def flags(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop(columns=[BUCKET_COL]).drop_duplicates()
+        f = d.groupby("user_id", sort=False)["day"].min()
+        have = set(zip(d["user_id"], d["day"]))
+        d1 = np.fromiter(((u, fd + 1) in have for u, fd in f.items()), bool, len(f))
+        d7 = np.fromiter(((u, fd + 7) in have for u, fd in f.items()), bool, len(f))
+        return pd.DataFrame({"n": [len(f)], "d1": [int(d1.sum())], "d7": [int(d7.sum())]})
+
+    part = bucketed.groupby(BUCKET_COL).map_groups(flags, batch_format="pandas").to_pandas()
+    n, d1, d7 = int(part["n"].sum()), int(part["d1"].sum()), int(part["d7"].sum())
+    return pd.DataFrame({
+        "n_users": pd.array([n], dtype="int64"),
+        "d1_rate": [np.floor(d1 / n * 1e6 + 0.5) / 1e6 if n else np.nan],
+        "d7_rate": [np.floor(d7 / n * 1e6 + 0.5) / 1e6 if n else np.nan],
+    })
+
+
+def q_entropy_rate_events(sf_dir: str):
+    """Markov entropy rate of the event stream: H(next | cur) =
+    Σ_p P(p) Σ_c −P(c|p) ln P(c|p) over the corpus transition matrix —
+    the sequence-predictability scalar (0 = deterministic journeys).
+    One type²-partial exchange; the scalar closes from exact int
+    counts on the vocab²-sized aggregate."""
+    import numpy as np
+    import pandas as pd
+
+    from temporalscope_ray.stages.agg import transition_counts
+
+    ev = _events(sf_dir, ("event_id", "ts", "user_id", "event_type"))
+    tc = transition_counts(ev, id_col="user_id", time_col="ts",
+                           type_col="event_type",
+                           tiebreak=["event_id"]).to_pandas()
+    tot = tc.groupby("prev_type")["n"].sum()
+    grand = float(tc["n"].sum())
+    p_cond = tc["n"].to_numpy(np.float64) / tot.reindex(tc["prev_type"]).to_numpy(np.float64)
+    w = tot.reindex(tc["prev_type"]).to_numpy(np.float64) / grand
+    h = float(np.sum(-w * p_cond * np.log(p_cond)))
+    h = np.floor(abs(h) * 1e6 + 0.5) / 1e6 * (1 if h >= 0 else -1)
+    return pd.DataFrame({"entropy_rate": [h],
+                         "n_transitions": pd.array([int(grand)], dtype="int64")})
+
+
 def q_max_streak_by_user(sf_dir: str):
     """Longest consecutive-active-day streak per user (gaps-and-
     islands): facts reduce once to distinct (user, day) pairs; the run
@@ -3173,6 +3235,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chi2_source_lang": q_chi2_source_lang,
         "top_type_trigrams": q_top_type_trigrams,
         "max_streak_by_user": q_max_streak_by_user,
+        "entropy_rate_events": q_entropy_rate_events,
+        "dn_retention_events": q_dn_retention_events,
         "hourly_rank_users": q_hourly_rank_users,
         "spearman_qty_price": q_spearman_qty_price,
         "curriculum_shards_docs": q_curriculum_shards_docs,
@@ -4159,6 +4223,37 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN c.tot IS NULL OR c.tot = 0 THEN NULL
                         ELSE CAST(c.hits AS DOUBLE) / c.tot END AS p_next_purchase
             FROM events e LEFT JOIN c USING (event_type)
+        """,
+        "dn_retention_events": """
+            WITH d AS (SELECT DISTINCT user_id,
+                              CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+                       FROM events),
+            f AS (SELECT user_id, MIN(day) AS fd FROM d GROUP BY 1)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+                   ROUND(CAST(COUNT(d1.user_id) AS DOUBLE) / COUNT(*), 6)
+                     AS d1_rate,
+                   ROUND(CAST(COUNT(d7.user_id) AS DOUBLE) / COUNT(*), 6)
+                     AS d7_rate
+            FROM f
+            LEFT JOIN d d1 ON d1.user_id = f.user_id AND d1.day = f.fd + 1
+            LEFT JOIN d d7 ON d7.user_id = f.user_id AND d7.day = f.fd + 7
+        """,
+        "entropy_rate_events": """
+            WITH t AS (
+              SELECT event_type AS c,
+                     LAG(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS p
+              FROM events),
+            cnt AS (SELECT p, c, COUNT(*) AS n FROM t
+                    WHERE p IS NOT NULL GROUP BY 1, 2),
+            tot AS (SELECT p, SUM(n) AS tp FROM cnt GROUP BY 1),
+            g AS (SELECT SUM(n) AS grand FROM cnt)
+            SELECT ROUND(SUM(-(CAST(tot.tp AS DOUBLE) / g.grand)
+                              * (CAST(cnt.n AS DOUBLE) / tot.tp)
+                              * ln(CAST(cnt.n AS DOUBLE) / tot.tp)), 6)
+                     AS entropy_rate,
+                   CAST(MAX(g.grand) AS BIGINT) AS n_transitions
+            FROM cnt JOIN tot USING (p), g
         """,
         "max_streak_by_user": """
             WITH d AS (SELECT DISTINCT user_id,
