@@ -1377,6 +1377,38 @@ def q_next_purchase_prop_events(sf_dir: str):
                                   tiebreak=["event_id"])
 
 
+def q_activation_lag_events(sf_dir: str):
+    """Signup → first-purchase activation lag per user (µs; null when
+    either anchor is missing): two minimum.reduceat segment reduces in
+    one bucket pass, exact integer difference surfaced as double."""
+    from temporalscope_ray.stages.agg import activation_lag
+
+    ev = _events(sf_dir, ("ts", "user_id", "event_type"))
+    return activation_lag(ev, id_col="user_id", time_col="ts",
+                          type_col="event_type", start_type="signup",
+                          goal_type="purchase")
+
+
+def q_daily_value_bands(sf_dir: str):
+    """Daily P50/P90 bands of events.value (the monitoring envelope a
+    dashboards draws around the metric): one projected-pair exchange
+    keyed on the day, per-day interpolated quantiles on the aggregate."""
+    import numpy as np
+    import pandas as pd
+
+    from temporalscope_ray.stages.agg import grouped_quantile
+
+    ev = _events(sf_dir, ("ts", "value"))
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        day = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64) // 86_400_000_000
+        return pd.DataFrame({"day": day, "value": b["value"]})
+
+    tagged = ev.map_batches(tag, batch_format="pandas")
+    out = grouped_quantile(tagged, "day", "value", q=[0.5, 0.9])
+    return _round_cols(out, ["value_p50", "value_p90"])
+
+
 def q_dn_retention_events(sf_dir: str):
     """Global D1/D7 retention (fraction of users active exactly 1 / 7
     days after their first day — the product health-check number):
@@ -3237,6 +3269,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "max_streak_by_user": q_max_streak_by_user,
         "entropy_rate_events": q_entropy_rate_events,
         "dn_retention_events": q_dn_retention_events,
+        "daily_value_bands": q_daily_value_bands,
+        "activation_lag_events": q_activation_lag_events,
         "hourly_rank_users": q_hourly_rank_users,
         "spearman_qty_price": q_spearman_qty_price,
         "curriculum_shards_docs": q_curriculum_shards_docs,
@@ -4223,6 +4257,24 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN c.tot IS NULL OR c.tot = 0 THEN NULL
                         ELSE CAST(c.hits AS DOUBLE) / c.tot END AS p_next_purchase
             FROM events e LEFT JOIN c USING (event_type)
+        """,
+        "activation_lag_events": """
+            WITH s AS (SELECT user_id, MIN(ts) AS st FROM events
+                       WHERE event_type = 'signup' GROUP BY 1),
+            p AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS pt
+                  FROM events e JOIN s ON s.user_id = e.user_id
+                  WHERE e.event_type = 'purchase' AND e.ts >= s.st
+                  GROUP BY 1)
+            SELECT u.user_id,
+                   CAST(p.pt - epoch_us(s.st) AS DOUBLE) AS activation_us
+            FROM (SELECT DISTINCT user_id FROM events) u
+            LEFT JOIN s USING (user_id) LEFT JOIN p USING (user_id)
+        """,
+        "daily_value_bands": """
+            SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                   ROUND(quantile_cont(value, 0.5), 6) AS value_p50,
+                   ROUND(quantile_cont(value, 0.9), 6) AS value_p90
+            FROM events GROUP BY 1
         """,
         "dn_retention_events": """
             WITH d AS (SELECT DISTINCT user_id,

@@ -1489,3 +1489,45 @@ def max_streak_days(
         return out
 
     return bucketed.groupby(BUCKET_COL).map_groups(final, batch_format="pandas")
+
+
+def activation_lag(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str,
+    time_col: str,
+    type_col: str,
+    start_type: str,
+    goal_type: str,
+    out_col: str = "activation_us",
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+) -> ray.data.Dataset:
+    """Activation lag per entity: microseconds from the FIRST
+    ``start_type`` event to the first ``goal_type`` event AT OR AFTER
+    it (signup → first purchase — the activation-funnel health metric);
+    null when either anchor is missing. One entity-bucket exchange;
+    both anchors come from two ``np.minimum.reduceat`` segment reduces
+    — no per-entity Python loop. Surfaced as double (µs magnitudes
+    cross float53 when 6dp-quantized, so the value is NOT rounded —
+    it is an exact integer difference)."""
+    from .grouped import entity_segments, grouped_ordered_map
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy()
+        ts = g[time_col].to_numpy()
+        ts_us = ts.astype("datetime64[us]").astype(np.int64).astype(np.float64) \
+            if np.issubdtype(ts.dtype, np.datetime64) else ts.astype(np.float64)
+        t = g[type_col].to_numpy()
+        segs = entity_segments(ids)
+        starts = segs[:-1]
+        fs = np.minimum.reduceat(np.where(t == start_type, ts_us, np.inf), starts)
+        fs_b = np.repeat(fs, np.diff(segs))
+        goal = np.where((t == goal_type) & (ts_us >= fs_b), ts_us, np.inf)
+        fp = np.minimum.reduceat(goal, starts)
+        lag = fp - fs
+        lag[~np.isfinite(lag)] = np.nan
+        return pd.DataFrame({id_col: ids[starts], out_col: lag})
+
+    return grouped_ordered_map(
+        ds.select_columns([id_col, time_col, type_col]), id_col, [time_col],
+        fn, num_buckets=num_buckets)
