@@ -1377,6 +1377,43 @@ def q_next_purchase_prop_events(sf_dir: str):
                                   tiebreak=["event_id"])
 
 
+def q_seasonality_strength_value(sf_dir: str):
+    """Seasonality strength of events.value: eta² of the hour-of-day
+    grouping (SS_between / SS_total — how much of the variance the
+    daily cycle explains; the 'is a seasonal model worth it'
+    diagnostic). One combiner pass to 24 (sum, sum², n) partials; the
+    scalar closes on that tiny table."""
+    import numpy as np
+    import pandas as pd
+
+    from temporalscope_ray.stages.grouped import hash_groupby_aggregate
+
+    ev = _events(sf_dir, ("ts", "value"))
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        v = b["value"].to_numpy(np.float64)
+        ok = ~np.isnan(v)
+        hod = (b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+               // 3_600_000_000) % 24
+        return pd.DataFrame({"hod": hod[ok], "__s__": v[ok],
+                             "__s2__": v[ok] * v[ok],
+                             "__n__": np.ones(ok.sum(), dtype=np.int64)})
+
+    agg = hash_groupby_aggregate(
+        ev.map_batches(tag, batch_format="pandas"), ["hod"],
+        {"s": ("__s__", "sum"), "s2": ("__s2__", "sum"), "n": ("__n__", "sum")},
+        num_buckets=2).to_pandas()
+    s, s2, n = (agg["s"].to_numpy(np.float64), agg["s2"].to_numpy(np.float64),
+                agg["n"].to_numpy(np.float64))
+    S, S2, N = s.sum(), s2.sum(), n.sum()
+    ss_total = S2 - S * S / N
+    ss_between = float(np.sum(s * s / n)) - S * S / N
+    eta2 = ss_between / ss_total if ss_total > 0 else np.nan
+    eta2 = np.floor(abs(eta2) * 1e6 + 0.5) / 1e6 * (1 if eta2 >= 0 else -1)
+    return pd.DataFrame({"eta2_hod": [eta2],
+                         "n": pd.array([int(N)], dtype="int64")})
+
+
 def q_activation_lag_events(sf_dir: str):
     """Signup → first-purchase activation lag per user (µs; null when
     either anchor is missing): two minimum.reduceat segment reduces in
@@ -3271,6 +3308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dn_retention_events": q_dn_retention_events,
         "daily_value_bands": q_daily_value_bands,
         "activation_lag_events": q_activation_lag_events,
+        "seasonality_strength_value": q_seasonality_strength_value,
         "hourly_rank_users": q_hourly_rank_users,
         "spearman_qty_price": q_spearman_qty_price,
         "curriculum_shards_docs": q_curriculum_shards_docs,
@@ -4257,6 +4295,20 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN c.tot IS NULL OR c.tot = 0 THEN NULL
                         ELSE CAST(c.hits AS DOUBLE) / c.tot END AS p_next_purchase
             FROM events e LEFT JOIN c USING (event_type)
+        """,
+        "seasonality_strength_value": """
+            WITH h AS (SELECT CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT)
+                              AS hod,
+                              SUM(value) AS s,
+                              SUM(value * value) AS s2,
+                              CAST(COUNT(value) AS BIGINT) AS n
+                       FROM events WHERE value IS NOT NULL GROUP BY 1),
+            g AS (SELECT SUM(s) AS S, SUM(s2) AS S2, SUM(n) AS N,
+                         SUM(s * s / n) AS sb
+                  FROM h)
+            SELECT ROUND((sb - S * S / N) / (S2 - S * S / N), 6) AS eta2_hod,
+                   CAST(N AS BIGINT) AS n
+            FROM g
         """,
         "activation_lag_events": """
             WITH s AS (SELECT user_id, MIN(ts) AS st FROM events
