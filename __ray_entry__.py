@@ -1377,6 +1377,38 @@ def q_next_purchase_prop_events(sf_dir: str):
                                   tiebreak=["event_id"])
 
 
+def q_gini_user_activity(sf_dir: str):
+    """Gini coefficient of per-user event counts (activity inequality —
+    a concentration spike means bots or a broken producer): facts
+    reduce once to per-user counts, the USERS-sized aggregate gets a
+    dense rank from the two-pass block-offset index scan (no driver
+    sort of users), and the Gini closes from exact int64 term sums."""
+    import numpy as np
+    import pandas as pd
+
+    from temporalscope_ray.stages.grouped import hash_groupby_aggregate
+    from temporalscope_ray.stages.scan import with_global_index
+
+    ev = _events(sf_dir, ("user_id",))
+    counts = hash_groupby_aggregate(ev, ["user_id"], {"n": (None, "count")})
+    idx = with_global_index(counts, order_by=["n", "user_id"], out_col="i")
+
+    def terms(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["n"].to_numpy(np.int64)
+        i = b["i"].to_numpy(np.int64) + 1  # 1-based rank
+        return pd.DataFrame({"t": (2 * i) * n, "tn": n,
+                             "one": np.ones(len(b), dtype=np.int64)})
+
+    part = idx.map_batches(terms, batch_format="pandas").to_pandas()
+    N, T = int(part["one"].sum()), int(part["tn"].sum())
+    # Σ(2i - N - 1)·n = Σ2i·n - (N+1)·T  (exact int arithmetic)
+    num = int(part["t"].sum()) - (N + 1) * T
+    gini = num / (N * T) if N and T else np.nan
+    gini = np.floor(abs(gini) * 1e6 + 0.5) / 1e6 * (1 if gini >= 0 else -1)
+    return pd.DataFrame({"gini": [gini],
+                         "n_users": pd.array([N], dtype="int64")})
+
+
 def q_seasonality_strength_value(sf_dir: str):
     """Seasonality strength of events.value: eta² of the hour-of-day
     grouping (SS_between / SS_total — how much of the variance the
@@ -3309,6 +3341,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_value_bands": q_daily_value_bands,
         "activation_lag_events": q_activation_lag_events,
         "seasonality_strength_value": q_seasonality_strength_value,
+        "gini_user_activity": q_gini_user_activity,
         "hourly_rank_users": q_hourly_rank_users,
         "spearman_qty_price": q_spearman_qty_price,
         "curriculum_shards_docs": q_curriculum_shards_docs,
@@ -4295,6 +4328,18 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN c.tot IS NULL OR c.tot = 0 THEN NULL
                         ELSE CAST(c.hits AS DOUBLE) / c.tot END AS p_next_purchase
             FROM events e LEFT JOIN c USING (event_type)
+        """,
+        "gini_user_activity": """
+            WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),
+            r AS (SELECT n,
+                         row_number() OVER (ORDER BY n, user_id) AS i,
+                         COUNT(*) OVER () AS nu,
+                         SUM(n) OVER () AS t
+                  FROM c)
+            SELECT ROUND(CAST(SUM((2 * i - nu - 1) * n) AS DOUBLE)
+                         / (MAX(nu) * MAX(t)), 6) AS gini,
+                   CAST(MAX(nu) AS BIGINT) AS n_users
+            FROM r
         """,
         "seasonality_strength_value": """
             WITH h AS (SELECT CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT)
