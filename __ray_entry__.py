@@ -1377,6 +1377,49 @@ def q_next_purchase_prop_events(sf_dir: str):
                                   tiebreak=["event_id"])
 
 
+def q_dedup_rate_by_source(sf_dir: str):
+    """Duplication health per source: distinct-text count, total, and
+    the duplicate rate 1 − distinct/total (which feeds are copy farms):
+    distinct (source, text-hash) pairs through one combiner exchange."""
+    import numpy as np
+    import pandas as pd
+
+    from temporalscope_ray.stages.agg import grouped_distinct_count
+    from temporalscope_ray.stages.dedup import _md5_lower64
+    from temporalscope_ray.stages.grouped import hash_groupby_aggregate
+
+    docs = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def h(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"source": b["source"],
+                             "th": _md5_lower64(b["text"].fillna("").tolist())
+                             .view(np.int64)})
+
+    hashed = docs.map_batches(h, batch_format="pandas").materialize()
+    uniq = grouped_distinct_count(hashed, "source", "th", out_col="n_distinct")
+    tot = hash_groupby_aggregate(hashed, ["source"], {"n_docs": (None, "count")},
+                                 num_buckets=4)
+    out = tot.to_pandas().merge(uniq.to_pandas(), on="source")
+    out["n_docs"] = out["n_docs"].astype("int64")
+    rate = 1.0 - out["n_distinct"].to_numpy(np.float64) / out["n_docs"].to_numpy(np.float64)
+    out["dup_rate"] = np.floor(np.abs(rate) * 1e6 + 0.5) / 1e6 * np.sign(rate)
+    return out
+
+
+def q_peak_error_burst(sf_dir: str):
+    """Worst error burst: the single event maximizing the trailing-1h
+    global error count (ties → earliest, then event id) — the incident
+    headline number. Filter → keyless time-bucket-replication window →
+    partial top-k; never a global sort."""
+    from temporalscope_ray.stages.agg import top_k_rows, trailing_global_aggregate
+
+    ev = _events(sf_dir, ("event_id", "ts", "event_type"))
+    errs = ev.filter(expr="event_type == 'error'").drop_columns(["event_type"])
+    win = trailing_global_aggregate(errs, "ts", window_us=3_600_000_000)
+    top = top_k_rows(win, "w_count", 1, tiebreak=["ts", "event_id"])
+    return top[["event_id", "ts", "w_count"]]
+
+
 def q_gini_user_activity(sf_dir: str):
     """Gini coefficient of per-user event counts (activity inequality —
     a concentration spike means bots or a broken producer): facts
@@ -3342,6 +3385,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "activation_lag_events": q_activation_lag_events,
         "seasonality_strength_value": q_seasonality_strength_value,
         "gini_user_activity": q_gini_user_activity,
+        "dedup_rate_by_source": q_dedup_rate_by_source,
+        "peak_error_burst": q_peak_error_burst,
         "hourly_rank_users": q_hourly_rank_users,
         "spearman_qty_price": q_spearman_qty_price,
         "curriculum_shards_docs": q_curriculum_shards_docs,
@@ -4328,6 +4373,26 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN c.tot IS NULL OR c.tot = 0 THEN NULL
                         ELSE CAST(c.hits AS DOUBLE) / c.tot END AS p_next_purchase
             FROM events e LEFT JOIN c USING (event_type)
+        """,
+        "dedup_rate_by_source": """
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(COUNT(DISTINCT md5_number_lower(COALESCE(text, '')))
+                        AS BIGINT) AS n_distinct,
+                   ROUND(1.0 - CAST(COUNT(DISTINCT
+                                    md5_number_lower(COALESCE(text, '')))
+                                    AS DOUBLE) / COUNT(*), 6) AS dup_rate
+            FROM documents GROUP BY 1
+        """,
+        "peak_error_burst": """
+            WITH e AS (SELECT event_id, ts FROM events
+                       WHERE event_type = 'error'),
+            w AS (SELECT event_id, ts,
+                         CAST(COUNT(*) OVER (ORDER BY ts
+                              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                                    AND CURRENT ROW) AS BIGINT) AS w_count
+                  FROM e)
+            SELECT event_id, ts, w_count FROM w
+            ORDER BY w_count DESC, ts, event_id LIMIT 1
         """,
         "gini_user_activity": """
             WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),
