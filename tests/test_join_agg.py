@@ -621,3 +621,34 @@ def test_max_streak_days_islands(ray_session):
         id_col="id", time_col="ts", num_buckets=2,
     ).to_pandas().sort_values("id").reset_index(drop=True)
     assert out.set_index("id")["max_streak"].to_dict() == {1: 3, 2: 1, 3: 1}
+
+
+def test_latest_row_per_key_distributive(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from temporalscope_ray.stages.agg import latest_row_per_key
+
+    rng = np.random.default_rng(41)
+    n = 400
+    df = pd.DataFrame({
+        "k": rng.integers(0, 25, n),
+        "ts": pd.to_datetime(rng.integers(0, 1000, n), unit="s"),
+        "seq": np.arange(n),
+        "v": rng.normal(size=n),
+    })
+    out = latest_row_per_key(
+        ray.data.from_pandas(df).repartition(7), "k",
+        order_by=["ts", "seq"], num_buckets=4,
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    expect = df.sort_values(["ts", "seq"]).groupby("k").tail(1) \
+        .sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        out[["k", "ts", "seq", "v"]], expect[["k", "ts", "seq", "v"]])
+    # layout invariance
+    out2 = latest_row_per_key(
+        ray.data.from_pandas(df).repartition(2), "k",
+        order_by=["ts", "seq"], num_buckets=4,
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    assert (out["seq"].to_numpy() == out2["seq"].to_numpy()).all()
