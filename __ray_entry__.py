@@ -2031,7 +2031,8 @@ def q_throttle_6h_events(sf_dir: str):
     from temporalscope_ray.stages.window_features import throttle
 
     ev = _events(sf_dir, ("event_id", "ts", "user_id"))
-    return throttle(ev, "user_id", "ts", min_gap_us=6 * 3_600_000_000)
+    return throttle(ev, "user_id", "ts", min_gap_us=6 * 3_600_000_000,
+                    tiebreak=["event_id"])
 
 
 def q_time_split_events(sf_dir: str):
@@ -4590,7 +4591,9 @@ def oracle_sql() -> dict[str, str]:
                             WHERE e.user_id = k.user_id
                               AND epoch_us(e.ts) >= epoch_us(k.ts) + 21600000000)),
             s AS (SELECT e.event_id, e.ts, e.user_id, e.event_type
-                  FROM keep JOIN events e USING (user_id, ts)),
+                  FROM keep JOIN events e USING (user_id, ts)
+                  QUALIFY row_number() OVER (PARTITION BY e.user_id, e.ts
+                                             ORDER BY e.event_id) = 1),
             t AS (SELECT *, LAG(event_type) OVER (PARTITION BY user_id
                                                   ORDER BY ts, event_id) AS prev_type
                   FROM s),
@@ -4728,10 +4731,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT med.m AS median, mad.av AS mad FROM med, mad
         """,
         "fingerprint_docs": """
+            -- collapse \\s+ BEFORE trimming: DuckDB trim() strips only
+            -- spaces, but the engine's .str.strip() strips \\n/\\t/\\r
+            -- too; collapsing first reduces any edge whitespace to one
+            -- plain space, which trim then removes on both sides
             SELECT doc_id,
                    CAST(md5_number_lower(
-                        regexp_replace(trim(lower(COALESCE(text, ''))),
-                                       '\\s+', ' ', 'g'))
+                        trim(regexp_replace(lower(COALESCE(text, '')),
+                                            '\\s+', ' ', 'g')))
                         % 1000000007 AS BIGINT) AS fp_mod
             FROM documents
         """,
@@ -4915,8 +4922,13 @@ def oracle_sql() -> dict[str, str]:
                             WHERE e.user_id = k.user_id
                               AND epoch_us(e.ts) >= epoch_us(k.ts) + 21600000000)
             )
+            -- QUALIFY: under duplicate (user_id, ts) the engine keeps
+            -- exactly ONE row per kept timestamp (min event_id via the
+            -- tiebreak); the bare join would fan out to every dup
             SELECT e.event_id, e.ts, e.user_id
             FROM keep JOIN events e USING (user_id, ts)
+            QUALIFY row_number() OVER (PARTITION BY e.user_id, e.ts
+                                       ORDER BY e.event_id) = 1
         """,
         "time_split_events": """
             SELECT event_id, ts,

@@ -542,9 +542,14 @@ def top_k_rows(
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df[by].notna()]
         if len(df) > k:
+            # tie-safe block prune: keep EVERY row at least as good as
+            # the kth value (ties included), so the tiebreak sort below
+            # decides among equals — argpartition alone would drop an
+            # arbitrary tied candidate before the tiebreak ever runs
             v = df[by].to_numpy()
-            idx = np.argpartition(-v if not ascending else v, k - 1)[:k]
-            df = df.iloc[idx]
+            key = v if ascending else -v
+            kth = np.partition(key, k - 1)[k - 1]
+            df = df[key <= kth]
         return df.sort_values([by, *tb], ascending=asc, kind="mergesort").head(k)
 
     cand = ds.map_batches(partial, batch_format="pandas").to_pandas()
@@ -987,14 +992,18 @@ def latest_row_per_key(
     order_by = list(order_by)
 
     def block_latest(df: pd.DataFrame) -> pd.DataFrame:
-        d = df.sort_values(order_by, kind="mergesort")
+        # na_position="first": a null order key must never win over a
+        # real one (SQL ORDER BY ... DESC ranks NULLs last) — tail(1)
+        # picks the max NON-null; an all-null key still emits its row
+        d = df.sort_values(order_by, kind="mergesort", na_position="first")
         return d.groupby(key, sort=False, dropna=False).tail(1)
 
     parts = ds.map_batches(block_latest, batch_format="pandas")
     bucketed = with_bucket(parts, key, num_buckets)
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
-        d = df.drop(columns=[BUCKET_COL]).sort_values(order_by, kind="mergesort")
+        d = df.drop(columns=[BUCKET_COL]).sort_values(
+            order_by, kind="mergesort", na_position="first")
         return d.groupby(key, sort=False, dropna=False).tail(1)
 
     return bucketed.groupby(BUCKET_COL).map_groups(final, batch_format="pandas")
