@@ -20,6 +20,7 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from .. import synth
@@ -30,10 +31,12 @@ from ..stages.window_features import add_temporal_features
 
 
 def temporal_feature_pipeline(
-    sf_dir: str, *, num_buckets: int = 32, concurrency=8
+    sf_dir: str, *, num_buckets: int = 32, concurrency=8,
+    asof_broadcast_limit_rows: int = 5_000_000,
 ) -> ray.data.Dataset:
     """events ⟕asof orders → lag/rolling/session features → target shift."""
     from ..sources.reader import sized_read_parquet
+    from ..stages.grouped import hash_groupby_aggregate
 
     events = sized_read_parquet(
         os.path.join(sf_dir, "events.parquet"),
@@ -44,17 +47,35 @@ def temporal_feature_pipeline(
         columns=["o_custkey", "o_orderdate", "o_totalprice"],
     )
     # point-in-time order state per user: latest order strictly known
-    # at ts, one row per (custkey, date). The broadcast as-of path
-    # driver-materializes the dimension side anyway, so the dedupe runs
-    # in pandas on the materialized frame — no distributed groupby (a
-    # full shuffle + barrier) for a dimension table.
-    odf = orders.to_pandas()
-    odf = odf.groupby(["o_custkey", "o_orderdate"], as_index=False)["o_totalprice"].max()
-    odf = odf.rename(columns={"o_custkey": "user_id", "o_orderdate": "ts"})
-    odf["ts"] = odf["ts"].astype("datetime64[us]")
+    # at ts, one row per (custkey, date). Compacted DISTRIBUTED (orders
+    # is a fact table that grows with scale — never .to_pandas() it):
+    # combiner → one partial-row hash exchange, then the key-renamed
+    # dimension flows into asof_join's size adaptivity, which picks
+    # broadcast only while the compacted side fits the bound.
+    dim = hash_groupby_aggregate(
+        orders, ["o_custkey", "o_orderdate"],
+        {"o_totalprice": ("o_totalprice", "max")},
+        num_buckets=num_buckets,
+    )
+
+    def to_asof_keys(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t.column("o_custkey"),
+            "ts": pc.cast(t.column("o_orderdate"), pa.timestamp("us")),
+            "o_totalprice": t.column("o_totalprice"),
+        })
+
+    # materialize the COMPACTED side only (post-aggregation, bounded by
+    # distinct (custkey, date) — the small side by construction): the
+    # size probe inside asof_join would otherwise re-run the compaction
+    dim = dim.map_batches(
+        to_asof_keys, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
     enriched = asof_join(
-        events, odf, on="ts", by="user_id", broadcast=True, concurrency=concurrency,
-        right_cols=["o_totalprice"],
+        events, dim, on="ts", by="user_id", broadcast=None,
+        broadcast_limit_rows=asof_broadcast_limit_rows,
+        concurrency=concurrency, right_cols=["o_totalprice"],
+        num_buckets=num_buckets,
     )
     # features AND the zero-leakage label shift in ONE bucket shuffle
     return add_temporal_features(

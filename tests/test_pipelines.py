@@ -225,3 +225,27 @@ def test_curate_image_corpus_on_synth_table(ray_session, tmp_path):
     assert (out["neg_caption"].to_numpy() == cap.loc[out["neg_idx"]].to_numpy()).all()
     # phash dedup actually dropped near-dups (synth table plants them)
     assert n < 300
+
+
+def test_flagship_size_adaptive_asof_path(ray_session):
+    # the dimension side is compacted DISTRIBUTED and asof_join's size
+    # adaptivity picks the path: broadcast while the compacted side fits
+    # the bound, bucketed sort-merge when it exceeds it — identical rows
+    # either way (the scale-safety contract for the headline pipeline)
+    import pandas as pd
+
+    from temporalscope_ray.pipelines.flagship import temporal_feature_pipeline
+
+    sf = "/root/testdata/sf0.001"
+    bc = temporal_feature_pipeline(sf).materialize()
+    assert "_BroadcastAsof" in bc.stats()
+
+    bkt = temporal_feature_pipeline(sf, asof_broadcast_limit_rows=0).materialize()
+    assert "_BroadcastAsof" not in bkt.stats()
+
+    a = bc.to_pandas()
+    b = bkt.to_pandas()
+    key = sorted(a.columns)
+    a = a[key].sort_values(key).reset_index(drop=True)
+    b = b[key].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
