@@ -272,6 +272,54 @@ def q_global_shift(sf_dir: str):
     return shift_column_global(ev, value_col="value", time_col="ts", n=1, out_col="value_shift_1")
 
 
+def q_global_shift_dist(sf_dir: str):
+    """Same series as global_shift_lead1 but with
+    ``single_task_threshold=0`` forcing the DISTRIBUTED sort +
+    block-boundary head exchange (the branch the round-2 verdict
+    flagged as test-dead), and n=2 so successor heads carry >1 row."""
+    from temporalscope_ray.stages.shift import shift_column_global
+
+    ev = _events(sf_dir, ("ts", "user_id", "value")).filter(expr="user_id == 7")
+    ev = ev.select_columns(["ts", "value"]).repartition(8)
+    return shift_column_global(
+        ev, value_col="value", time_col="ts", n=2, out_col="value_shift_2",
+        single_task_threshold=0,
+    )
+
+
+def q_shift_multi_target(sf_dir: str):
+    """MODE_MULTI_TARGET through the FULL TemporalDataset →
+    SingleStepTargetShifter lifecycle (reference core_utils.py:40-72
+    seq2seq semantics): target becomes the next-3 value vector, last 3
+    rows per entity drop. Exploded to (row, step, value) for the
+    oracle compare, like expand_targets_h3."""
+    from temporalscope_ray import MODE_MULTI_TARGET, SingleStepTargetShifter, TemporalDataset
+
+    ev = _events(sf_dir, ("event_id", "ts", "user_id", "value"))
+    td = TemporalDataset(ev, time_col="ts", target_col="value", id_col="user_id", sort=False)
+    out = SingleStepTargetShifter(
+        n_lags=3, mode=MODE_MULTI_TARGET, drop_target=False, tiebreak=["event_id"]
+    ).fit_transform(td)
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        h = 3
+        n = len(b)
+        seqs = np.concatenate([np.asarray(s) for s in b["value_seq_3"]]) if n else np.array([], dtype=np.float64)
+        rep = np.repeat(np.arange(n), h)
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"].to_numpy()[rep],
+                "ts": b["ts"].to_numpy()[rep],
+                "user_id": b["user_id"].to_numpy()[rep],
+                "value": b["value"].to_numpy()[rep],
+                "step": np.tile(np.arange(1, h + 1), n),
+                "target_value": np.asarray(seqs, dtype=np.float64),
+            }
+        )
+
+    return out.ds.map_batches(explode, batch_format="pandas")
+
+
 def q_null_counts(sf_dir: str):
     from temporalscope_ray.core import count_dataset_column_nulls
 
@@ -3255,6 +3303,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_nearest_order": q_asof_nearest_order,
         "asof_bucketed": q_asof_bucketed,
         "global_shift_lead1": q_global_shift,
+        "global_shift_lead1_dist": q_global_shift_dist,
+        "shift_multi_target": q_shift_multi_target,
         "null_counts_events": q_null_counts,
         "dup_ts_pairs": q_dup_ts_pairs,
         "equidistant_by_user": q_equidistant_by_user,
@@ -3721,6 +3771,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM (
               SELECT ts, value, LEAD(value) OVER (ORDER BY ts) AS value_shift_1
               FROM events WHERE user_id = 7) WHERE value_shift_1 IS NOT NULL
+        """,
+        "global_shift_lead1_dist": """
+            SELECT * FROM (
+              SELECT ts, value, LEAD(value, 2) OVER (ORDER BY ts) AS value_shift_2
+              FROM events WHERE user_id = 7) WHERE value_shift_2 IS NOT NULL
+        """,
+        "shift_multi_target": """
+            SELECT event_id, ts, user_id, value, s.step,
+                   CASE s.step WHEN 1 THEN v1 WHEN 2 THEN v2 ELSE v3 END AS target_value
+            FROM (
+              SELECT event_id, ts, user_id, value,
+                     LEAD(value, 1) OVER w AS v1,
+                     LEAD(value, 2) OVER w AS v2,
+                     LEAD(value, 3) OVER w AS v3,
+                     ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+                     COUNT(*) OVER (PARTITION BY user_id) AS n
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ) CROSS JOIN (SELECT unnest([1, 2, 3]) AS step) s
+            WHERE rn <= n - 3
         """,
         "null_counts_events": """
             SELECT COUNT(*) - COUNT(event_id) AS event_id,

@@ -29,6 +29,7 @@ from .core import (
     validate_temporal_ordering,
 )
 from .dataset import TemporalDataset
+from .stages.shift import SingleStepTargetShifter
 from .exceptions import (
     DataFrameValidationError,
     ModeValidationError,
@@ -39,6 +40,7 @@ from .exceptions import (
 
 __all__ = [
     "TemporalDataset",
+    "SingleStepTargetShifter",
     "MODE_SINGLE_TARGET",
     "MODE_MULTI_TARGET",
     "VALID_MODES",

@@ -112,7 +112,11 @@ class TemporalDataset:
                 continue
             t = schema.field(name).type
             if self._mode != MODE_SINGLE_TARGET and name == self._target_col and pa.types.is_list(t):
-                continue  # multi-target list column allowed
+                # multi-target list column allowed — but its elements
+                # must still be numeric (Y = (num_samples, seq_len))
+                if not core._is_numeric(t.value_type):
+                    raise ValueError(f"Column '{name}' must be numeric")
+                continue
             if not core._is_numeric(t):
                 raise ValueError(f"Column '{name}' must be numeric")
 

@@ -33,7 +33,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from ..core import MODE_SINGLE_TARGET
+from ..core import MODE_MULTI_TARGET, MODE_SINGLE_TARGET, VALID_MODES
 from ..dataset import TemporalDataset
 from . import grouped
 
@@ -88,7 +88,7 @@ def shift_column_global(
     n: int,
     out_col: str,
     drop_null_shift: bool = True,
-    single_task_threshold: int = 20_000_000,
+    single_task_threshold: int = 2_000_000,
 ) -> ray.data.Dataset:
     """Global-order lead over the total time order.
 
@@ -98,7 +98,9 @@ def shift_column_global(
     sort at single-node scale, so small series take the local path
     (matching the reference's single-node throughput). Above the
     threshold: distributed sort + block-boundary exchange — only the
-    first ``n`` rows of every sorted block travel to the driver.
+    first ``n`` rows of every sorted block travel to the driver. The
+    2M-row default keeps the single task under ~100 MB of pandas; pass
+    ``single_task_threshold=0`` to force the distributed branch.
     """
     if n <= 0:
         raise ValueError("global shift currently supports n > 0 (lead)")
@@ -113,49 +115,13 @@ def shift_column_global(
 
         return ds.repartition(1).map_batches(local, batch_size=None, batch_format="pandas")
     sorted_ds = ds.sort(time_col).materialize()  # pin so both passes see identical blocks
-
-    # pass 1: head rows + a per-block signature (start value, row count,
-    # checksum of the head values). The signature identifies MY block in
-    # pass 2 so only my own heads are excluded — excluding by start
-    # value alone would wrongly drop a successor block that happens to
-    # start with the same (duplicate) timestamp. NOTE: when duplicate
-    # timestamps span a block boundary, the global order among the ties
-    # is one valid sort order, not a canonical one (same as any
-    # unstable distributed sort); provide a unique time key for strict
-    # determinism.
-    def _blk_sig(batch: pa.Table) -> tuple:
-        k = min(n, batch.num_rows)
-        head_vals = batch.column(value_col).slice(0, k).to_numpy(zero_copy_only=False)
-        return (
-            batch.column(time_col)[0].as_py(),
-            batch.num_rows,
-            float(np.nansum(head_vals)),
-        )
-
-    def head_rows(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            t = batch.select([time_col, value_col])
-            return t.append_column("__blk_sig__", pa.array([], type=pa.string()))
-        k = min(n, batch.num_rows)
-        head = batch.select([time_col, value_col]).slice(0, k)
-        sig = repr(_blk_sig(batch))
-        return head.append_column("__blk_sig__", pa.array([sig] * k, type=pa.string()))
-
-    heads = sorted_ds.map_batches(head_rows, batch_size=None, batch_format="pyarrow").to_pandas()
-    heads = heads.sort_values([time_col]).reset_index(drop=True)
-    heads_ref = ray.put(heads)
+    heads_ref = _collect_block_heads(sorted_ds, time_col, value_col, n)
 
     # pass 2: shift inside each block with successor head rows appended
     def shift_block(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return batch.append_column(out_col, pa.array([], type=pa.float64()))
-        h: pd.DataFrame = ray.get(heads_ref)
-        my_sig = repr(_blk_sig(batch))
-        last = batch.column(time_col)[batch.num_rows - 1].as_py()
-        # successor rows: head rows at/after my last ts, in time order,
-        # excluding exactly my own block's heads (full signature match)
-        succ = h[(h["__blk_sig__"] != my_sig) & (h[time_col] >= last)].sort_values(time_col)
-        extra = succ[value_col].to_numpy(dtype=np.float64)[: n]
+        extra = _successor_values(batch, heads_ref, time_col, value_col, n)
         vals = np.concatenate([batch.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64), extra])
         shifted = vals[n : n + batch.num_rows]
         pad = batch.num_rows - len(shifted)
@@ -169,6 +135,121 @@ def shift_column_global(
     return sorted_ds.map_batches(shift_block, batch_size=None, batch_format="pyarrow")
 
 
+def _block_sig(batch: pa.Table, time_col: str, value_col: str, n: int) -> str:
+    """Per-block signature (start ts, row count, checksum of the first
+    ``n`` values) identifying MY block in the pass-2 successor lookup —
+    excluding by start ts alone would wrongly drop a successor block
+    that happens to start with the same (duplicate) timestamp. NOTE:
+    when duplicate timestamps span a block boundary, the global order
+    among the ties is one valid sort order, not a canonical one (same
+    as any unstable distributed sort); provide a unique time key for
+    strict determinism."""
+    k = min(n, batch.num_rows)
+    head_vals = batch.column(value_col).slice(0, k).to_numpy(zero_copy_only=False)
+    return repr((
+        batch.column(time_col)[0].as_py(),
+        batch.num_rows,
+        float(np.nansum(head_vals)),
+    ))
+
+
+def _collect_block_heads(sorted_ds: ray.data.Dataset, time_col: str, value_col: str, n: int) -> "ray.ObjectRef":
+    """Pass 1 of the block-boundary exchange: collect each sorted
+    block's first ``n`` (ts, value) rows plus its signature — tiny
+    (``n × num_blocks`` rows) — and broadcast the merged frame."""
+
+    def head_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            t = batch.select([time_col, value_col])
+            return t.append_column("__blk_sig__", pa.array([], type=pa.string()))
+        k = min(n, batch.num_rows)
+        head = batch.select([time_col, value_col]).slice(0, k)
+        sig = _block_sig(batch, time_col, value_col, n)
+        return head.append_column("__blk_sig__", pa.array([sig] * k, type=pa.string()))
+
+    heads = sorted_ds.map_batches(head_rows, batch_size=None, batch_format="pyarrow").to_pandas()
+    heads = heads.sort_values([time_col]).reset_index(drop=True)
+    return ray.put(heads)
+
+
+def _successor_values(batch: pa.Table, heads_ref, time_col: str, value_col: str, n: int) -> np.ndarray:
+    """The first ``n`` values strictly AFTER this block in the global
+    order: head rows at/after my last ts, excluding exactly my own
+    block's heads (full signature match). Blocks smaller than ``n``
+    contribute their whole head, so the first ``n`` successors are
+    always covered even when they span several blocks."""
+    h: pd.DataFrame = ray.get(heads_ref)
+    my_sig = _block_sig(batch, time_col, value_col, n)
+    last = batch.column(time_col)[batch.num_rows - 1].as_py()
+    succ = h[(h["__blk_sig__"] != my_sig) & (h[time_col] >= last)].sort_values(time_col)
+    return succ[value_col].to_numpy(dtype=np.float64)[:n]
+
+
+def expand_targets_global(
+    ds: ray.data.Dataset,
+    *,
+    target_col: str,
+    horizon: int,
+    time_col: str,
+    out_col: Optional[str] = None,
+    single_task_threshold: int = 2_000_000,
+) -> ray.data.Dataset:
+    """MODE_MULTI_TARGET expanded targets over the GLOBAL time order
+    (no entity key): per row, the list<float64> of the next ``horizon``
+    target values; the last ``horizon`` rows of the series drop.
+
+    Same adaptive plan as ``shift_column_global``: one worker task
+    below ``single_task_threshold``, else a distributed sort + the
+    block-boundary head exchange (each block needs only its ``horizon``
+    successor values — never another full block)."""
+    if horizon <= 0:
+        raise ValueError("expand_targets_global: horizon must be > 0")
+    out_col = out_col or f"{target_col}_seq_{horizon}"
+
+    def _window_lists(vals: np.ndarray, n_keep: int) -> pa.ListArray:
+        # vectorized: row i's window = vals[i+1 : i+1+horizon]; callers
+        # guarantee vals has >= n_keep + horizon entries
+        if n_keep <= 0:
+            return pa.ListArray.from_arrays(
+                pa.array([0], type=pa.int32()), pa.array([], type=pa.float64()))
+        win = np.lib.stride_tricks.sliding_window_view(vals, horizon)[1 : n_keep + 1]
+        flat = np.ascontiguousarray(win).ravel()
+        offsets = np.arange(0, (n_keep + 1) * horizon, horizon, dtype=np.int32)
+        return pa.ListArray.from_arrays(pa.array(offsets), pa.array(flat, type=pa.float64()))
+
+    total = ds.count()
+    if total is not None and total <= single_task_threshold:
+        def local(batch: pd.DataFrame) -> pd.DataFrame:
+            out = batch.sort_values(time_col, kind="mergesort")
+            vals = out[target_col].to_numpy(dtype=np.float64)
+            n_keep = max(0, len(out) - horizon)
+            out = out.iloc[:n_keep].copy()
+            out[out_col] = _window_lists(vals, n_keep).to_pylist()
+            return out
+
+        return ds.repartition(1).map_batches(local, batch_size=None, batch_format="pandas")
+
+    sorted_ds = ds.sort(time_col).materialize()
+    heads_ref = _collect_block_heads(sorted_ds, time_col, target_col, horizon)
+
+    def expand_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column(out_col, pa.array([], type=pa.list_(pa.float64())))
+        extra = _successor_values(batch, heads_ref, time_col, target_col, horizon)
+        vals = np.concatenate([
+            batch.column(target_col).to_numpy(zero_copy_only=False).astype(np.float64),
+            extra,
+            np.full(horizon, np.nan),  # sliding-window slack; kept rows never read it
+        ])
+        # row i keeps iff its whole horizon exists: i + horizon <= num_rows + len(extra) - 1
+        n_keep = min(batch.num_rows, batch.num_rows + len(extra) - horizon)
+        n_keep = max(0, n_keep)
+        out = batch.slice(0, n_keep)
+        return out.append_column(out_col, _window_lists(vals, n_keep))
+
+    return sorted_ds.map_batches(expand_block, batch_size=None, batch_format="pyarrow")
+
+
 class SingleStepTargetShifter:
     """sklearn-style shifter over ``TemporalDataset`` / ``ray.data.Dataset``.
 
@@ -177,6 +258,15 @@ class SingleStepTargetShifter:
     ``n`` steps, row count shrinks by exactly ``n_lags`` per ordered
     series, output target renamed ``{target}_shift_{n}``; error
     messages verbatim.
+
+    ``mode=MODE_MULTI_TARGET`` implements the seq2seq semantics the
+    reference documents but never ships (core_utils.py:40-72): the
+    target becomes the VECTOR of the next ``n_lags`` values
+    (list<float64> column ``{target}_seq_{n}``, shape
+    (num_samples, sequence_length)); the last ``n_lags`` rows per
+    ordered series drop, preserving the zero-leakage contract.
+    ``tiebreak`` columns extend the per-entity time sort key for
+    deterministic output under duplicate (id, time) pairs.
     """
 
     def __init__(
@@ -187,15 +277,21 @@ class SingleStepTargetShifter:
         verbose: bool = False,
         mode: str = MODE_SINGLE_TARGET,
         num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+        tiebreak: Optional[list[str]] = None,
+        single_task_threshold: Optional[int] = None,
     ):
         if n_lags <= 0:
             raise ValueError("`n_lags` must be greater than 0")
+        if mode not in VALID_MODES:
+            raise ValueError(f"Invalid mode '{mode}'. Must be one of {VALID_MODES}.")
         self.target_col = target_col
         self.n_lags = n_lags
         self.drop_target = drop_target
         self.verbose = verbose
         self.mode = mode
         self.num_buckets = num_buckets
+        self.tiebreak = tiebreak
+        self.single_task_threshold = single_task_threshold
 
     def fit(self, X: Union[TemporalDataset, ray.data.Dataset], y=None) -> "SingleStepTargetShifter":
         if isinstance(X, TemporalDataset):
@@ -222,6 +318,8 @@ class SingleStepTargetShifter:
         if rows_before == 0:
             raise ValueError("Cannot transform empty DataFrame")
 
+        if self.mode == MODE_MULTI_TARGET:
+            return self._transform_multi_target(X, ds, time_col, id_col, rows_before)
         out_col = f"{self.target_col}_shift_{self.n_lags}"
         if id_col is not None:
             shifted = shift_column_per_entity(
@@ -232,10 +330,14 @@ class SingleStepTargetShifter:
                 n=self.n_lags,
                 out_col=out_col,
                 num_buckets=self.num_buckets,
+                tiebreak=self.tiebreak,
             )
         elif time_col is not None:
+            kw = {} if self.single_task_threshold is None else {
+                "single_task_threshold": self.single_task_threshold}
             shifted = shift_column_global(
-                ds, value_col=self.target_col, time_col=time_col, n=self.n_lags, out_col=out_col
+                ds, value_col=self.target_col, time_col=time_col, n=self.n_lags, out_col=out_col,
+                **kw,
             )
         else:
             # bare Dataset: the reference shifts the frame in its
@@ -254,6 +356,49 @@ class SingleStepTargetShifter:
                 return out[~out[ocol].isna()]
 
             shifted = ds.repartition(1).map_batches(local, batch_size=None, batch_format="pandas")
+        return self._finalize(X, is_td, shifted, rows_before, out_col)
+
+    def _transform_multi_target(self, X, ds: ray.data.Dataset, time_col, id_col, rows_before):
+        """MODE_MULTI_TARGET branch: the target becomes the vector of
+        the next ``n_lags`` values (list<float64>), routed to the
+        per-entity / global / current-order expanded-target stage the
+        same way the scalar shift routes."""
+        out_col = f"{self.target_col}_seq_{self.n_lags}"
+        if id_col is not None:
+            shifted = expand_targets_multi_step(
+                ds,
+                target_col=self.target_col,
+                horizon=self.n_lags,
+                id_col=id_col,
+                time_col=time_col,
+                out_col=out_col,
+                num_buckets=self.num_buckets,
+                tiebreak=self.tiebreak,
+            )
+        elif time_col is not None:
+            kw = {} if self.single_task_threshold is None else {
+                "single_task_threshold": self.single_task_threshold}
+            shifted = expand_targets_global(
+                ds, target_col=self.target_col, horizon=self.n_lags, time_col=time_col,
+                out_col=out_col, **kw,
+            )
+        else:
+            # bare Dataset: current order, single task (small-data
+            # semantics — same contract as the scalar branch)
+            ds.context.execution_options.preserve_order = True
+            h, ocol, vcol = self.n_lags, out_col, self.target_col
+
+            def local(batch: pd.DataFrame) -> pd.DataFrame:
+                vals = batch[vcol].to_numpy(dtype=np.float64)
+                n_keep = max(0, len(batch) - h)
+                out = batch.iloc[:n_keep].copy()
+                out[ocol] = [vals[i + 1 : i + 1 + h].tolist() for i in range(n_keep)]
+                return out
+
+            shifted = ds.repartition(1).map_batches(local, batch_size=None, batch_format="pandas")
+        return self._finalize(X, isinstance(X, TemporalDataset), shifted, rows_before, out_col)
+
+    def _finalize(self, X, is_td: bool, shifted: ray.data.Dataset, rows_before: int, out_col: str):
         if self.drop_target:
             shifted = shifted.drop_columns([self.target_col])
 

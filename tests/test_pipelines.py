@@ -249,3 +249,31 @@ def test_flagship_size_adaptive_asof_path(ray_session):
     a = a[key].sort_values(key).reset_index(drop=True)
     b = b[key].sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_attach_auto_size_gates_to_partitioned(tmp_path):
+    """attach="auto" must pick broadcast under the row bound and the
+    partitioned (100 TB) path above it — observable via feature_dir
+    materializing only on the partitioned path — with identical rows
+    either way (round-2 verdict finding #3)."""
+    import os
+
+    path = str(tmp_path / "imgtbl")
+    synth.materialize_image_table(path, 120, num_entities=10, seed=13, num_blocks=3)
+
+    fdir_small = str(tmp_path / "feats_small")
+    a = image_pipeline_over(path, num_buckets=4, concurrency=2, with_decode=False,
+                            attach="auto", broadcast_limit_rows=1_000_000,
+                            feature_dir=fdir_small).to_pandas()
+    assert not os.path.exists(fdir_small)  # broadcast chosen: nothing written
+
+    fdir_big = str(tmp_path / "feats_big")
+    b = image_pipeline_over(path, num_buckets=4, concurrency=2, with_decode=False,
+                            attach="auto", broadcast_limit_rows=10,
+                            feature_dir=fdir_big).to_pandas()
+    assert os.path.isdir(fdir_big)  # partitioned chosen above the bound
+
+    cols = sorted(c for c in a.columns if c != "bytes")
+    a2 = a[cols].sort_values(["image_id", "ts"]).reset_index(drop=True)
+    b2 = b[cols].sort_values(["image_id", "ts"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a2, b2)
