@@ -1018,6 +1018,8 @@ def trailing_global_aggregate(
     count_col: str = "w_count",
     sum_col: str = "w_sum",
     round_to: int | None = 6,
+    max_bucket_rows: int | None = 4_000_000,
+    sub_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """GLOBAL trailing-window aggregate per event: for every row, the
     count (and optional value sum) of ALL rows — any entity — with
@@ -1027,15 +1029,24 @@ def trailing_global_aggregate(
     window the entity-bucket exchange CANNOT express (no key).
 
     Plan — time-bucket replication, never a global sort: with bucket
-    width = ``window_us``, a row's window can only reach into its own
-    bucket and the one before, so each row ships once to its owner
-    bucket and once (ts + value only, a stub) to the NEXT bucket as
+    width = ``window_us / s``, a row's window can only reach into its
+    own bucket and the ``s`` before, so each row ships once to its
+    owner bucket and once per successor bucket within window reach as
     context; one bucket exchange co-locates them, and inside each
     bucket two ``searchsorted`` calls against the sorted local+context
     timestamps answer every row — O(b log b) per bucket, exchange
-    exactly 2× stub traffic. Timestamps are exact int64 µs; the sum is
+    ``(1+s)×`` stub traffic. Timestamps are exact int64 µs; the sum is
     quantized at ``round_to`` (summation-order tolerance), the count is
-    exact."""
+    exact.
+
+    Burst guard (round-2 verdict #4): with ``s = 1`` a traffic burst
+    concentrated inside ONE window lands in one giant bucket. When
+    ``sub_buckets`` is None, a cheap pre-scan (ts column only, per-batch
+    combiner counts; driver table = one row per distinct time bucket)
+    measures the largest bucket and splits it to ``≈ max_bucket_rows``
+    rows by shrinking the bucket width — replication cost rises
+    linearly while the straggler bucket shrinks. Pass ``sub_buckets``
+    explicitly (or ``max_bucket_rows=None``) to skip the pre-scan."""
     w = int(window_us)
     if w <= 0:
         raise ValueError("window_us must be positive")
@@ -1049,17 +1060,39 @@ def trailing_global_aggregate(
             col = pc.cast(col, pa.timestamp("us"))
         return pc.cast(col, pa.int64()).to_numpy(zero_copy_only=False)
 
+    if sub_buckets is None:
+        s = 1
+        if max_bucket_rows is not None:
+            # combiner pre-scan: per-batch counts of ts // w, summed on
+            # the driver (rows = distinct coarse buckets, bounded by
+            # time-range / window — a metadata-scale table)
+            def bucket_counts(t: pa.Table) -> pa.Table:
+                b, n = np.unique(_us(t.column(time_col)) // w, return_counts=True)
+                return pa.table({"b": pa.array(b), "n": pa.array(n.astype(np.int64))})
+
+            counts = ds.select_columns([time_col]).map_batches(
+                bucket_counts, batch_format="pyarrow", zero_copy_batch=True
+            ).to_pandas()
+            if len(counts):
+                biggest = int(counts.groupby("b")["n"].sum().max())
+                s = min(64, -(-biggest // int(max_bucket_rows)))
+    else:
+        s = max(1, int(sub_buckets))
+    wb = -(-w // s)  # ceil: s sub-buckets always cover a full window
+
     def replicate(t: pa.Table) -> pa.Table:
         us = _us(t.column(time_col))
-        b = us // w
+        b = us // wb
         cols = {c: t.column(c) for c in t.column_names}
-        own = pa.table({**cols, BUCKET_COL: pa.array((b % (1 << 31)).astype(np.int32)),
-                        SIDE: pa.array(np.zeros(len(us), dtype=np.int8))})
-        # context stub: only ts (+ value) matter downstream; other
+        parts = [pa.table({**cols, BUCKET_COL: pa.array((b % (1 << 31)).astype(np.int32)),
+                           SIDE: pa.array(np.zeros(len(us), dtype=np.int8))})]
+        # context stubs: a successor bucket within window reach may look
+        # back into this row; only ts (+ value) matter downstream; other
         # columns ride along null-free by reuse (cheap at stub scale)
-        ctx = pa.table({**cols, BUCKET_COL: pa.array(((b + 1) % (1 << 31)).astype(np.int32)),
-                        SIDE: pa.array(np.ones(len(us), dtype=np.int8))})
-        return pa.concat_tables([own, ctx])
+        for k in range(1, s + 1):
+            parts.append(pa.table({**cols, BUCKET_COL: pa.array(((b + k) % (1 << 31)).astype(np.int32)),
+                                   SIDE: pa.array(np.ones(len(us), dtype=np.int8))}))
+        return pa.concat_tables(parts)
 
     keep = [time_col] + ([value_col] if has_val else [])
     rest = [c for c in ds.schema().names if c not in keep]

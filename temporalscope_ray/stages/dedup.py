@@ -214,13 +214,28 @@ def _payload_map_for_candidates(
     id_col: str,
     payload_fn,
     payload_cols: Sequence[str],
+    max_candidates: int = 5_000_000,
 ) -> "ray.ObjectRef":
     """Broadcast {id -> payload} for ONLY the candidate ids: a
     semi-join narrows the corpus to the candidate rows (ids from the
     pair list — the small side), ``payload_fn(batch) -> dict[id, obj]``
     computes the per-row verification payloads distributed, and the
-    merged map goes to the object store once (``ray.put``)."""
+    merged map goes to the object store once (``ray.put``).
+
+    The candidate set must stay object-store-sized: past
+    ``max_candidates`` distinct ids this raises LOUDLY instead of
+    silently building an unbounded driver dict (round-2 verdict watch
+    item) — a corpus that dense in near-dup candidates needs coarser
+    banding (raise band width / ``max_group``) or a pre-pass exact
+    dedup, both of which shrink the pair list upstream."""
     cand_ids = np.unique(np.concatenate([pairs_df["id_a"].to_numpy(), pairs_df["id_b"].to_numpy()])) if len(pairs_df) else np.array([], dtype=np.int64)
+    if len(cand_ids) > max_candidates:
+        raise ValueError(
+            f"near-dup verification candidate set has {len(cand_ids)} distinct ids, "
+            f"over the broadcast bound max_candidates={max_candidates}; banding is too "
+            "fine for this corpus — widen bands/num_perm bands, lower max_group, or "
+            "run exact dedup first to shrink the candidate pair list"
+        )
     cand = semi_join(ds.select_columns(list(dict.fromkeys([id_col, *payload_cols]))), cand_ids.tolist(), id_col)
     maps = cand.map_batches(
         lambda b: pd.DataFrame({"__pickle__": [payload_fn(b)]}), batch_format="pandas", batch_size=4096
@@ -595,6 +610,7 @@ def jaccard_dedup(
     bands: int = 16,
     seed: int = 7,
     concurrency=8,
+    max_candidates: int = 5_000_000,
 ) -> ray.data.Dataset:
     """MinHash-LSH candidate pairs + EXACT n-gram Jaccard verification.
 
@@ -625,7 +641,7 @@ def jaccard_dedup(
             for i, t in zip(b[id_col], b[text_col].fillna(""))
         }
 
-    sig_ref = _payload_map_for_candidates(ds, pairs_df, id_col=id_col, payload_fn=sig_map, payload_cols=[text_col])
+    sig_ref = _payload_map_for_candidates(ds, pairs_df, id_col=id_col, payload_fn=sig_map, payload_cols=[text_col], max_candidates=max_candidates)
 
     def verify(b: pd.DataFrame) -> pd.DataFrame:
         sigs: dict = ray.get(sig_ref)
@@ -687,6 +703,7 @@ def embedding_dedup(
     num_tables: int = 8,
     seed: int = 11,
     concurrency=8,
+    max_candidates: int = 5_000_000,
 ) -> ray.data.Dataset:
     """Cosine near-dup, two-phase: banded hyperplane candidate pairs
     (vectors never shuffled), exact pairwise cosine verification over a
@@ -713,7 +730,7 @@ def embedding_dedup(
         unit = mat / norms[:, None]
         return {i: unit[j] for j, i in enumerate(b[id_col])}
 
-    vec_ref = _payload_map_for_candidates(ds, pairs_df, id_col=id_col, payload_fn=vec_map, payload_cols=[emb_col])
+    vec_ref = _payload_map_for_candidates(ds, pairs_df, id_col=id_col, payload_fn=vec_map, payload_cols=[emb_col], max_candidates=max_candidates)
 
     def verify(b: pd.DataFrame) -> pd.DataFrame:
         vecs: dict = ray.get(vec_ref)
@@ -966,6 +983,7 @@ def jaccard_pairs(
     bands: int = 16,
     seed: int = 7,
     concurrency=8,
+    max_candidates: int = 5_000_000,
 ) -> ray.data.Dataset:
     """Verified near-duplicate PAIRS by exact n-gram Jaccard — the
     pair-emitting sibling of ``jaccard_dedup`` (identical LSH candidate
@@ -993,7 +1011,8 @@ def jaccard_pairs(
         }
 
     sig_ref = _payload_map_for_candidates(
-        ds, pairs_df, id_col=id_col, payload_fn=sig_map, payload_cols=[text_col]
+        ds, pairs_df, id_col=id_col, payload_fn=sig_map, payload_cols=[text_col],
+        max_candidates=max_candidates,
     )
 
     def verify(b: pd.DataFrame) -> pd.DataFrame:

@@ -16,6 +16,7 @@ from typing import Optional
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray
 import ray.data
 
@@ -26,6 +27,61 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     norms = np.linalg.norm(mat, axis=1)
     norms[norms == 0] = 1.0
     return mat / norms[:, None]
+
+
+def _emb_matrix(col: "pa.ChunkedArray | pa.Array", n_rows: int) -> np.ndarray:
+    """Zero-copy-ish (rows, dim) float64 matrix from an Arrow
+    list<float> / fixed_size_list<float> column — embeddings stay
+    Arrow-native through the bucket shuffle (half the exchange bytes of
+    a pandas object column of numpy arrays, round-2 verdict #9)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if not (pa.types.is_list(col.type) or pa.types.is_large_list(col.type)
+            or pa.types.is_fixed_size_list(col.type)):
+        # Ray tensor-extension (or other ndarray-like) column
+        arr = np.asarray(col.to_numpy(zero_copy_only=False))
+        if arr.dtype == object:
+            arr = np.stack(arr)
+        return arr.astype(np.float64)
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    dim = col.type.list_size if pa.types.is_fixed_size_list(col.type) else flat.size // max(n_rows, 1)
+    return flat.reshape(n_rows, dim).astype(np.float64)
+
+
+def _emb_list_array(mat: np.ndarray) -> pa.FixedSizeListArray:
+    return pa.FixedSizeListArray.from_arrays(
+        pa.array(np.ascontiguousarray(mat, dtype=np.float64).ravel()), mat.shape[1])
+
+
+def _bucket_scorer(probe_ref, id_col: str, k: int):
+    """Shared per-bucket scorer for the IVF / LSH probe phase: exact
+    cosine of every bucket vector against ONLY the queries probing this
+    bucket, partial top-k per query. Arrow in, Arrow out."""
+
+    def score(g: pa.Table) -> pa.Table:
+        pm, q_unit = ray.get(probe_ref)
+        id_arr = g.column(id_col)
+        q_idx = pm.get(int(g.column("bucket")[0].as_py()), [])
+        if not q_idx:
+            return pa.table({"query_idx": pa.array([], type=pa.int64()),
+                             id_col: pa.array([], type=id_arr.type),
+                             "cos_sim": pa.array([], type=pa.float64())})
+        mat = _normalize(_emb_matrix(g.column("emb"), g.num_rows))
+        cos = mat @ q_unit[q_idx].T
+        ids = id_arr.to_numpy(zero_copy_only=False)
+        kk = min(k, len(ids))
+        tops, out_q, out_cos = [], [], []
+        for col, qi in enumerate(q_idx):
+            top = np.argpartition(-cos[:, col], kk - 1)[:kk]
+            tops.append(top)
+            out_q.append(np.full(kk, qi, dtype=np.int64))
+            out_cos.append(cos[top, col])
+        sel = np.concatenate(tops)
+        return pa.table({"query_idx": pa.array(np.concatenate(out_q)),
+                         id_col: pa.array(ids[sel], type=id_arr.type),
+                         "cos_sim": pa.array(np.concatenate(out_cos), type=pa.float64())})
+
+    return score
 
 
 class _BruteScorer:
@@ -99,12 +155,12 @@ class _IvfIndexer:
         self.centroids = ray.get(centroids_ref)
         self.emb_col, self.id_col = emb_col, id_col
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        mat = np.stack(batch[self.emb_col].to_numpy()).astype(np.float64)
+    def __call__(self, t: pa.Table) -> pa.Table:
+        mat = _emb_matrix(t.column(self.emb_col), t.num_rows)
         d = ((mat[:, None, :] - self.centroids[None, :, :]) ** 2).sum(axis=2)
-        out = pd.DataFrame({self.id_col: batch[self.id_col].to_numpy(), "bucket": d.argmin(axis=1)})
-        out["emb"] = list(mat)
-        return out
+        return pa.table({self.id_col: t.column(self.id_col),
+                         "bucket": pa.array(d.argmin(axis=1).astype(np.int64)),
+                         "emb": _emb_list_array(mat)})
 
 
 def knn_ivf(
@@ -144,7 +200,8 @@ def knn_ivf(
     cref = ray.put(centroids)
 
     bucketed = ds.select_columns([id_col, emb_col]).map_batches(
-        _IvfIndexer, batch_format="pandas", concurrency=clamp_concurrency(concurrency),
+        _IvfIndexer, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=clamp_concurrency(concurrency),
         fn_constructor_args=(cref, emb_col, id_col),
     )
     qd = ((q[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
@@ -155,24 +212,8 @@ def knn_ivf(
             probe_map.setdefault(int(b), []).append(qi)
     probe_ref = ray.put((probe_map, _normalize(q)))
 
-    def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        pm, q_unit = ray.get(probe_ref)
-        q_idx = pm.get(int(g["bucket"].iloc[0]), [])
-        if not q_idx:
-            return pd.DataFrame({"query_idx": [], id_col: [], "cos_sim": []})
-        mat = _normalize(np.stack(g["emb"].to_numpy()))
-        cos = mat @ q_unit[q_idx].T
-        ids = g[id_col].to_numpy()
-        kk = min(k, len(ids))
-        out_q, out_id, out_cos = [], [], []
-        for col, qi in enumerate(q_idx):
-            top = np.argpartition(-cos[:, col], kk - 1)[:kk]
-            out_q.extend([qi] * kk)
-            out_id.extend(ids[top])
-            out_cos.extend(cos[top, col])
-        return pd.DataFrame({"query_idx": out_q, id_col: out_id, "cos_sim": out_cos})
-
-    partials = bucketed.groupby("bucket").map_groups(score_bucket, batch_format="pandas").to_pandas()
+    partials = bucketed.groupby("bucket").map_groups(
+        _bucket_scorer(probe_ref, id_col, k), batch_format="pyarrow").to_pandas()
     if len(partials) == 0:
         return partials
     return (
@@ -188,13 +229,13 @@ class _LshIndexer:
         self.planes = ray.get(planes_ref)
         self.emb_col, self.id_col = emb_col, id_col
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        mat = np.stack(batch[self.emb_col].to_numpy()).astype(np.float64)
+    def __call__(self, t: pa.Table) -> pa.Table:
+        mat = _emb_matrix(t.column(self.emb_col), t.num_rows)
         signs = (mat @ self.planes) > 0
         bucket = signs @ (1 << np.arange(signs.shape[1], dtype=np.int64))
-        out = pd.DataFrame({self.id_col: batch[self.id_col].to_numpy(), "bucket": bucket})
-        out["emb"] = list(mat)
-        return out
+        return pa.table({self.id_col: t.column(self.id_col),
+                         "bucket": pa.array(bucket.astype(np.int64)),
+                         "emb": _emb_list_array(mat)})
 
 
 def knn_lsh(
@@ -221,7 +262,8 @@ def knn_lsh(
     planes_ref = ray.put(planes)
 
     bucketed = ds.select_columns([id_col, emb_col]).map_batches(
-        _LshIndexer, batch_format="pandas", concurrency=clamp_concurrency(concurrency),
+        _LshIndexer, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=clamp_concurrency(concurrency),
         fn_constructor_args=(planes_ref, emb_col, id_col),
     )
 
@@ -238,25 +280,8 @@ def knn_lsh(
             probe_map.setdefault(p, []).append(qi)
     probe_ref = ray.put((probe_map, _normalize(q)))
 
-    def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        pm, q_unit = ray.get(probe_ref)
-        bucket = int(g["bucket"].iloc[0])
-        q_idx = pm.get(bucket, [])
-        if not q_idx:
-            return pd.DataFrame({"query_idx": [], id_col: [], "cos_sim": []})
-        mat = _normalize(np.stack(g["emb"].to_numpy()))
-        cos = mat @ q_unit[q_idx].T
-        ids = g[id_col].to_numpy()
-        out_q, out_id, out_cos = [], [], []
-        kk = min(k, len(ids))
-        for col, qi in enumerate(q_idx):
-            top = np.argpartition(-cos[:, col], kk - 1)[:kk]
-            out_q.extend([qi] * kk)
-            out_id.extend(ids[top])
-            out_cos.extend(cos[top, col])
-        return pd.DataFrame({"query_idx": out_q, id_col: out_id, "cos_sim": out_cos})
-
-    partials = bucketed.groupby("bucket").map_groups(score_bucket, batch_format="pandas").to_pandas()
+    partials = bucketed.groupby("bucket").map_groups(
+        _bucket_scorer(probe_ref, id_col, k), batch_format="pyarrow").to_pandas()
     if len(partials) == 0:
         return partials
     partials = partials.drop_duplicates(["query_idx", id_col])

@@ -502,3 +502,26 @@ def test_pmi_pairs_known_collocation(ray_session):
     ds2 = ray.data.from_pandas(pd.DataFrame({"text": ["x y x y x y"] * 3}))
     out2 = pmi_pairs(ds2, min_pair_count=2, k=5).to_pandas()
     assert out2.iloc[0]["nab"] == 3
+
+
+def test_payload_map_candidate_bound_raises(ray_session):
+    """Round-2 verdict watch item: an over-bound candidate set must
+    fail LOUDLY instead of silently building an unbounded driver dict."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data
+
+    from temporalscope_ray.stages.dedup import jaccard_dedup
+
+    # 40 identical docs -> every pair is a candidate (40 distinct ids)
+    df = pd.DataFrame({"doc_id": np.arange(40, dtype=np.int64),
+                       "text": ["the same exact document text here repeated many times over"] * 40})
+    ds = ray.data.from_pandas(df)
+    with pytest.raises(ValueError, match="over the broadcast bound max_candidates"):
+        jaccard_dedup(ds, text_col="text", id_col="doc_id", concurrency=2,
+                      max_candidates=10).materialize()
+    # and the same corpus passes under a sufficient bound
+    kept = jaccard_dedup(ds, text_col="text", id_col="doc_id", concurrency=2,
+                         max_candidates=1000).to_pandas()
+    assert len(kept) == 1

@@ -652,3 +652,37 @@ def test_latest_row_per_key_distributive(ray_session):
         order_by=["ts", "seq"], num_buckets=4,
     ).to_pandas().sort_values("k").reset_index(drop=True)
     assert (out["seq"].to_numpy() == out2["seq"].to_numpy()).all()
+
+
+def test_trailing_global_aggregate_burst_guard(ray_session):
+    """Round-2 verdict #4: all rows inside ONE window must not land in
+    one giant bucket. Force the split (max_bucket_rows tiny) and pin
+    row-identical output vs the unsplit plan and a brute reference."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from temporalscope_ray.stages.agg import trailing_global_aggregate
+
+    rng = np.random.default_rng(29)
+    n = 800
+    # the whole burst inside one 10-min window (plus stragglers around)
+    ts_s = np.concatenate([rng.integers(1000, 1300, n - 60),
+                           rng.integers(0, 4000, 60)])
+    df = pd.DataFrame({"e": np.arange(n),
+                       "ts": pd.to_datetime(np.sort(ts_s), unit="s"),
+                       "v": rng.normal(size=n)})
+    w = 600_000_000
+    src = ray.data.from_pandas(df.sample(frac=1, random_state=1)).repartition(5)
+    base = trailing_global_aggregate(src, "ts", window_us=w, value_col="v",
+                                     sub_buckets=1).to_pandas().sort_values("e").reset_index(drop=True)
+    split = trailing_global_aggregate(src, "ts", window_us=w, value_col="v",
+                                      max_bucket_rows=100).to_pandas().sort_values("e").reset_index(drop=True)
+    expl = trailing_global_aggregate(src, "ts", window_us=w, value_col="v",
+                                     sub_buckets=7).to_pandas().sort_values("e").reset_index(drop=True)
+    pd.testing.assert_frame_equal(base, split)
+    pd.testing.assert_frame_equal(base, expl)
+    us = df.sort_values("e")["ts"].astype("int64").to_numpy() // 1000  # ns -> us
+    for i in [0, 100, 400, n - 1]:
+        m = (us >= us[i] - w) & (us <= us[i])
+        assert base.loc[i, "w_count"] == m.sum()
