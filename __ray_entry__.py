@@ -320,6 +320,38 @@ def q_shift_multi_target(sf_dir: str):
     return out.ds.map_batches(explode, batch_format="pandas")
 
 
+def q_incremental_features(sf_dir: str):
+    """CDC-style feature refresh: a delta (every 5th user's events)
+    arrives; ONLY those entities are recomputed — untouched entities
+    pass through from the prior feature table without re-execution —
+    and the result must equal the full recompute over base ∪ delta
+    (the invariant the SQL oracle expresses as one window query over
+    the whole events table)."""
+    from temporalscope_ray.stages.incremental import incremental_temporal_features
+    from temporalscope_ray.stages.window_features import add_temporal_features
+
+    kw = dict(id_col="user_id", time_col="ts", value_cols=["value"], lags=[1],
+              rolling_windows=[4], rolling_fns=("mean",),
+              label_shift={"value_col": "value", "n": 1, "out_col": "value_shift_1"},
+              tiebreak=["event_id"])
+    def split(keep_delta: bool):
+        def f(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            mod = pc.subtract(t.column("user_id"),
+                              pc.multiply(pc.divide(t.column("user_id"), 5), 5))
+            m = pc.equal(mod, 0) if keep_delta else pc.not_equal(mod, 0)
+            return t.filter(m)
+        return f
+
+    ev = _events(sf_dir, ("event_id", "ts", "user_id", "value"))
+    base = ev.map_batches(split(False), batch_format="pyarrow", zero_copy_batch=True)
+    delta = ev.map_batches(split(True), batch_format="pyarrow", zero_copy_batch=True)
+    base_feats = add_temporal_features(base, **kw)
+    out = incremental_temporal_features(base_feats, base, delta, **kw)
+    return _round_cols(out, ["value_roll_mean_4"], ndigits=6)
+
+
 def q_null_counts(sf_dir: str):
     from temporalscope_ray.core import count_dataset_column_nulls
 
@@ -3305,6 +3337,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_shift_lead1": q_global_shift,
         "global_shift_lead1_dist": q_global_shift_dist,
         "shift_multi_target": q_shift_multi_target,
+        "incremental_features_refresh": q_incremental_features,
         "null_counts_events": q_null_counts,
         "dup_ts_pairs": q_dup_ts_pairs,
         "equidistant_by_user": q_equidistant_by_user,
@@ -3776,6 +3809,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM (
               SELECT ts, value, LEAD(value, 2) OVER (ORDER BY ts) AS value_shift_2
               FROM events WHERE user_id = 7) WHERE value_shift_2 IS NOT NULL
+        """,
+        "incremental_features_refresh": """
+            SELECT * FROM (
+              SELECT event_id, ts, user_id, value,
+                     LAG(value, 1) OVER w AS value_lag_1,
+                     ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS value_roll_mean_4,
+                     LEAD(value, 1) OVER w AS value_shift_1
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ) WHERE value_shift_1 IS NOT NULL
         """,
         "shift_multi_target": """
             SELECT event_id, ts, user_id, value, s.step,

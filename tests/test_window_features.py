@@ -918,3 +918,54 @@ def test_last_touch_attribution_session_rule(ray_session):
     assert out["e"].tolist() == [2, 3, 4, 5]
     v = out["touch_type"].tolist()
     assert v[0] == "click" and v[1] is None and v[2] is None and v[3] == "buy"
+
+
+def test_incremental_temporal_features_refresh(ray_session):
+    """CDC refresh: delta entities fully recomputed from their whole
+    history, untouched entities' rows pass through from the PRIOR
+    feature table (proven by a sentinel perturbation that survives),
+    and the result equals the full recompute over base ∪ delta."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from temporalscope_ray.stages.incremental import incremental_temporal_features
+    from temporalscope_ray.stages.window_features import add_temporal_features
+
+    rng = np.random.default_rng(31)
+    rows = []
+    for e in ["A", "B", "C"]:
+        for t in range(40):
+            rows.append({"id": e, "time": float(t), "value": float(rng.normal())})
+    full = pd.DataFrame(rows)
+    # delta: the last 8 rows of entity B (late-arriving data for B only)
+    is_delta = (full["id"] == "B") & (full["time"] >= 32)
+    base_df, delta_df = full[~is_delta], full[is_delta]
+
+    kw = dict(id_col="id", time_col="time", value_cols=["value"], lags=[1],
+              rolling_windows=[4], rolling_fns=("mean",),
+              label_shift={"value_col": "value", "n": 1, "out_col": "value_shift_1"},
+              num_buckets=4)
+    base_feats = add_temporal_features(ray.data.from_pandas(base_df), **kw).to_pandas()
+    # sentinel: perturb untouched entity A's features — the refresh must
+    # carry these rows through verbatim (proof it never recomputes A)
+    sent = base_feats.copy()
+    sent.loc[sent["id"] == "A", "value_roll_mean_4"] += 1000.0
+
+    out = incremental_temporal_features(
+        ray.data.from_pandas(sent), ray.data.from_pandas(base_df),
+        ray.data.from_pandas(delta_df), **kw,
+    ).to_pandas().sort_values(["id", "time"]).reset_index(drop=True)
+
+    ref = add_temporal_features(ray.data.from_pandas(full), **kw).to_pandas()
+    ref = ref.sort_values(["id", "time"]).reset_index(drop=True)
+    assert len(out) == len(ref)
+    # A carries the sentinel (pass-through), B and C match the full recompute
+    a = out[out["id"] == "A"]["value_roll_mean_4"].to_numpy()
+    a_ref = ref[ref["id"] == "A"]["value_roll_mean_4"].to_numpy()
+    assert np.allclose(a, a_ref + 1000.0)
+    for e in ["B", "C"]:
+        for c in ["value_lag_1", "value_roll_mean_4", "value_shift_1"]:
+            x = out[out["id"] == e][c].to_numpy(dtype=float)
+            y = ref[ref["id"] == e][c].to_numpy(dtype=float)
+            assert np.allclose(x, y, equal_nan=True), (e, c)
