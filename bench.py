@@ -116,8 +116,14 @@ def run_scale_probe(num_cpus: int) -> dict:
     the untimed warm-up run)."""
     import ray
 
+    # worker_process_setup_hook: the vectorized shuffle partitioner must be
+    # patched into TASK WORKER processes too (see tuning.install_fast_hash_partition).
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
+             ignore_reinit_error=True, logging_level="ERROR",
+             runtime_env={"env_vars": {"PYTHONPATH": repo_dir},
+                          "worker_process_setup_hook":
+                          "temporalscope_ray.tuning.install_fast_hash_partition"})
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False

@@ -173,7 +173,13 @@ def detect_hot_keys(
             counts = pa.concat_tables([counts, marker])
         return counts
 
-    parts = ds.select_columns([key]).map_batches(partial, batch_format="pyarrow").to_pandas()
+    # batch_size=None → whole-block batches: per-batch group_by over the
+    # default 1024-row micro-batches gives near-zero reduction at high key
+    # cardinality (the driver merge would receive ~one partial row per
+    # input row); block-sized partials reduce ~256x before the merge.
+    parts = ds.select_columns([key]).map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
     if p > 1:
         num_partials = int((parts["cnt"] < 0).sum())
         parts = parts[parts["cnt"] >= 0]

@@ -954,7 +954,14 @@ def add_temporal_features_auto(
         session_col=session_col, label_shift=label_shift, num_buckets=num_buckets, tiebreak=tiebreak,
     )
     probe = detect_on if detect_on is not None else ds
-    hot_df = grouped.detect_hot_keys(probe, id_col, min_count=hot_min_rows, top_k=32)
+    # prune: drop sub-threshold per-block counts before the driver merge —
+    # lossless for layouts up to ~2048 blocks (pigeonhole, see
+    # detect_hot_keys); beyond that a too-thinly-spread hot key could be
+    # missed, which only costs a straggler task, never correctness.
+    hot_df = grouped.detect_hot_keys(
+        probe, id_col, min_count=hot_min_rows, top_k=32,
+        prune=max(2, hot_min_rows // 2048),
+    )
     if hot_df.empty:
         return add_temporal_features(ds, **kw)
     chunks = int(np.ceil(hot_df["cnt"].max() / float(chunk_target_rows)))

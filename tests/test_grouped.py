@@ -139,3 +139,55 @@ def test_hash_groupby_aggregate_rejects_bad_fn():
         grouped.hash_groupby_aggregate(ds, ["k"], {"o": ("v", "median")})
     with pytest.raises(ValueError, match="only valid with 'count'"):
         grouped.hash_groupby_aggregate(ds, ["k"], {"o": (None, "sum")})
+
+
+def test_fast_hash_partition_contract():
+    """The vectorized shuffle partitioner (tuning._fast_hash_partition)
+    must preserve every row exactly once, route every occurrence of a
+    key to ONE partition (consistently across calls/blocks), keep input
+    order within a partition, and fall back to Ray's original
+    implementation for non-int or nullable keys."""
+    import pyarrow as pa
+    from temporalscope_ray.tuning import _fast_hash_partition, install_fast_hash_partition
+    import temporalscope_ray.tuning as tuning
+
+    install_fast_hash_partition()  # idempotent; captures the original
+    rng = np.random.default_rng(11)
+    n = 5000
+    tbl = pa.table({
+        "k": pa.array(rng.integers(0, 64, n), type=pa.int32()),
+        "k2": pa.array(rng.integers(0, 7, n), type=pa.int64()),
+        "eid": pa.array(np.arange(n), type=pa.int64()),
+        "txt": pa.array([f"r{i%13}" for i in range(n)]),
+    })
+    for cols in (["k"], ["k", "k2"]):
+        parts = _fast_hash_partition(tbl, hash_cols=cols, num_partitions=16)
+        assert sum(t.num_rows for t in parts.values()) == n
+        seen = {}
+        for p, t in parts.items():
+            eid = t.column("eid").to_numpy()
+            assert np.all(np.diff(eid) > 0)  # stable within-partition order
+            keys = list(zip(*(t.column(c).to_numpy() for c in cols)))
+            for kv in set(keys):
+                assert seen.setdefault(kv, p) == p  # one partition per key
+        # split blocks of the same data must route identically
+        half = _fast_hash_partition(tbl.slice(0, n // 2), hash_cols=cols, num_partitions=16)
+        for p, t in half.items():
+            for kv in set(zip(*(t.column(c).to_numpy() for c in cols))):
+                assert seen[kv] == p
+
+    # fallback paths must EQUAL the original implementation bit-for-bit
+    orig = tuning._ORIGINAL_HASH_PARTITION
+    nullable = tbl.set_column(0, "k", pa.array(
+        [None if i % 97 == 0 else int(v) for i, v in enumerate(tbl.column("k").to_pylist())],
+        type=pa.int32()))
+    for t2, cols in ((tbl, ["txt"]), (nullable, ["k"])):
+        a = _fast_hash_partition(t2, hash_cols=cols, num_partitions=8)
+        b = orig(t2, hash_cols=cols, num_partitions=8)
+        assert set(a) == set(b)
+        for p in a:
+            assert a[p].equals(b[p])
+
+    assert _fast_hash_partition(tbl.slice(0, 0), hash_cols=["k"], num_partitions=4) == {}
+    single = _fast_hash_partition(tbl, hash_cols=["k"], num_partitions=1)
+    assert single[0] is tbl
