@@ -141,8 +141,9 @@ def grouped_ordered_map(
 
 def detect_hot_keys(
     ds: ray.data.Dataset, key: str, *, min_count: int = 100_000, top_k: int = 20,
-    prune: Optional[int] = None,
-) -> pd.DataFrame:
+    prune: Optional[int] = None, sample_col: Optional[str] = None,
+    samples_per_key_per_block: int = 64,
+):
     """Cheap hot-key pre-pass: ONE scan emitting per-block partial
     counts, merged on the driver (no Ray groupby/sort — those cost two
     extra all-to-all barriers for a result that is tiny by
@@ -158,12 +159,26 @@ def detect_hot_keys(
     number of partials B and compensates the ≤ prune×B undercount by
     accepting keys at ``min_count − prune×B`` (possible mild false
     positives — harmless for skew routing, which merely chunks them
-    too). With ``prune=None`` (default) the merge is exact."""
+    too). With ``prune=None`` (default) the merge is exact.
+
+    ``sample_col`` piggybacks a value sample on the SAME scan: for each
+    key whose in-block count reaches the candidate bar (``prune``, or
+    min_count/64 when prune is off), up to
+    ``samples_per_key_per_block`` evenly-strided values of that column
+    ride along. The chunked window path uses this for per-hot-entity ts
+    quantiles WITHOUT a second full read + materialize of the hot
+    subset. Returns ``(hot_df, samples_df)`` in this mode (samples_df
+    columns: key, sample_col; filtered to the returned hot keys)."""
     p = int(prune) if prune else 0
+    s_bar = p if p > 1 else max(2, min_count // 64)
+    s_n = int(samples_per_key_per_block)
 
     def partial(batch: pa.Table) -> pa.Table:
         counts = batch.group_by(key).aggregate([(key, "count")])
         counts = counts.rename_columns([key, "cnt"])
+        cand_keys = counts.filter(
+            pa.compute.greater_equal(counts.column("cnt"), s_bar)
+        ).column(key) if sample_col is not None else None
         if p > 1:
             counts = counts.filter(pa.compute.greater_equal(counts.column("cnt"), p))
             marker = pa.table(
@@ -171,15 +186,36 @@ def detect_hot_keys(
                  "cnt": pa.array([-1], type=counts.schema.field("cnt").type)}
             )
             counts = pa.concat_tables([counts, marker])
-        return counts
+        if sample_col is None:
+            return counts
+        sv_type = batch.schema.field(sample_col).type
+        counts = counts.append_column("__sv__", pa.nulls(counts.num_rows, type=sv_type))
+        samp_tables = []
+        if len(cand_keys):
+            keys_np = batch.column(key).to_numpy(zero_copy_only=False)
+            vals = batch.column(sample_col)
+            for kv in cand_keys.to_pylist():
+                idx = np.flatnonzero(keys_np == kv)
+                idx = idx[:: max(1, len(idx) // s_n)][:s_n]
+                samp_tables.append(pa.table({
+                    key: pa.array([kv] * len(idx), type=counts.schema.field(key).type),
+                    "cnt": pa.array(np.full(len(idx), -2), type=counts.schema.field("cnt").type),
+                    "__sv__": vals.take(pa.array(idx)),
+                }))
+        return pa.concat_tables([counts, *samp_tables])
 
     # batch_size=None → whole-block batches: per-batch group_by over the
     # default 1024-row micro-batches gives near-zero reduction at high key
     # cardinality (the driver merge would receive ~one partial row per
     # input row); block-sized partials reduce ~256x before the merge.
-    parts = ds.select_columns([key]).map_batches(
+    cols = [key] if sample_col is None else [key, sample_col]
+    parts = ds.select_columns(cols).map_batches(
         partial, batch_format="pyarrow", batch_size=None
     ).to_pandas()
+    samples = None
+    if sample_col is not None:
+        samples = parts[parts["cnt"] == -2][[key, "__sv__"]].rename(columns={"__sv__": sample_col})
+        parts = parts[parts["cnt"] != -2].drop(columns="__sv__")
     if p > 1:
         num_partials = int((parts["cnt"] < 0).sum())
         parts = parts[parts["cnt"] >= 0]
@@ -188,7 +224,10 @@ def detect_hot_keys(
         cutoff = min_count
     merged = parts.groupby(key, sort=False)["cnt"].sum().reset_index()
     out = merged[merged["cnt"] >= cutoff].nlargest(top_k, "cnt").reset_index(drop=True)
-    return out
+    if sample_col is None:
+        return out
+    samples = samples[samples[key].isin(set(out[key]))].reset_index(drop=True)
+    return out, samples
 
 
 def salted_group_aggregate(

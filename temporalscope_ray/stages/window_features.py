@@ -25,6 +25,54 @@ import ray.data
 
 from . import grouped
 
+
+def _ts_quantile_bounds(samp: pd.DataFrame, key: str, ts_col: str, chunks_per_hot: int) -> dict:
+    """Per-hot-entity chunk boundaries: interior ts quantiles of the
+    entity's sampled timestamps (dtype-preserving for datetime64)."""
+    bounds: dict = {}
+    for ent, sub in samp.groupby(key):
+        ts_np = sub[ts_col].to_numpy()
+        is_dt = ts_np.dtype.kind == "M"
+        vals = ts_np.view("int64") if is_dt else ts_np.astype(np.float64)
+        qs = np.quantile(vals, np.linspace(0, 1, chunks_per_hot + 1)[1:-1]) if len(vals) else np.array([])
+        qs = np.unique(qs)
+        bounds[ent] = qs.astype("int64").view(ts_np.dtype) if is_dt else qs
+    return bounds
+
+
+def _chain_entity(sub: pd.DataFrame, *, session_gap, carry_back: int, carry_fwd: int):
+    """Chain ONE entity's per-chunk pass-1 summaries into effective
+    tail/head carries and cumulative session offsets. Returns
+    ``(chunks, tails, heads, offsets)`` keyed by chunk id."""
+    import pickle
+
+    sub = sub.sort_values("__chunk__")
+    eff_tail = pickle.loads(sub["tail_blob"].iloc[0]).head(0)  # empty, right schema
+    off = 0
+    prev_last = None
+    tails, offs = {}, {}
+    for _, row in sub.iterrows():
+        c = int(row["__chunk__"])
+        tails[c] = eff_tail
+        offs[c] = off
+        boundary = 0
+        if session_gap is not None and prev_last is not None:
+            gv = session_gap
+            if isinstance(gv, pd.Timedelta):
+                gv = np.timedelta64(gv.to_timedelta64())
+            boundary = int((row["first_ts"] - prev_last) > gv)
+        off = off + boundary + int(row["internal_breaks"])
+        eff_tail = pd.concat([eff_tail, pickle.loads(row["tail_blob"])]).tail(carry_back)
+        prev_last = row["last_ts"]
+    heads = {}
+    eff_head = pickle.loads(sub["head_blob"].iloc[0]).head(0)
+    for _, row in sub.iloc[::-1].iterrows():
+        c = int(row["__chunk__"])
+        heads[c] = eff_head
+        eff_head = pd.concat([pickle.loads(row["head_blob"]), eff_head]).head(carry_fwd)
+    chunks = sorted(tails)
+    return chunks, tails, heads, offs
+
 _ROLL_FNS = {"mean", "sum", "min", "max", "std", "count", "median"}
 _FAST_ROLL_FNS = {"mean", "sum", "count", "std", "min", "max"}
 # min/max go vectorized only while window·n passes beat a deque; above
@@ -657,6 +705,7 @@ def add_temporal_features_chunked(
     chunks_per_hot: int = 8,
     num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
     tiebreak: Optional[Sequence[str]] = None,
+    bounds: Optional[dict] = None,
 ) -> ray.data.Dataset:
     """``add_temporal_features`` with HOT-ENTITY overflow handling — the
     window-family counterpart of the as-of join's right-replication
@@ -700,35 +749,43 @@ def add_temporal_features_chunked(
     hot_arr = pa.array(hot)
     hot_ref = _ray.put(hot_arr)
 
-    def split_hot(t: pa.Table, want_hot: bool) -> pa.Table:
+    def split_hot(t: pa.Table):
+        """Yield the block's hot rows (schema-metadata-stripped), or
+        nothing: empty blocks must not enter the summary exchange — a
+        schema-less empty RefBundle intermittently poisons the hash
+        aggregator's schema broadcast (observed: finalize sort failing
+        on a zero-column block)."""
         mask = pa.compute.is_in(t.column(id_col), value_set=_ray.get(hot_ref))
-        return t.filter(mask if want_hot else pa.compute.invert(mask))
+        sub = t.filter(mask)
+        if sub.num_rows:
+            yield sub.replace_schema_metadata(None)
 
-    # The hot subset is consumed twice before the main pass (boundary
-    # sample, pass-1 carry collection); materialize it ONCE into the
-    # object store instead of re-running the upstream read+filter per
-    # consumer. Bounded by the hot-entity mass — small relative to the
-    # corpus, distributed and spillable, never driver-resident.
-    hot_ds = ds.map_batches(
-        lambda t: split_hot(t, True), batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()
+    if bounds is None:
+        # Legacy path (direct callers without precomputed boundaries):
+        # the hot subset is consumed twice before the main pass (boundary
+        # sample, pass-1 carry collection); materialize it ONCE into the
+        # object store instead of re-running the upstream read+filter per
+        # consumer. Bounded by the hot-entity mass — small relative to
+        # the corpus, distributed and spillable, never driver-resident.
+        hot_ds = ds.map_batches(
+            split_hot, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
 
-    # --- chunk boundaries: per-hot-entity ts quantiles from a sample ---
-    def sample_ts(t: pa.Table) -> pa.Table:
-        sub = t.select([id_col, time_col])
-        n = sub.num_rows
-        step = max(1, n // 256)
-        return sub.take(np.arange(0, n, step))
+        def sample_ts(t: pa.Table) -> pa.Table:
+            sub = t.select([id_col, time_col])
+            n = sub.num_rows
+            step = max(1, n // 256)
+            return sub.take(np.arange(0, n, step))
 
-    samp = hot_ds.map_batches(sample_ts, batch_format="pyarrow").to_pandas()
-    bounds: dict = {}
-    for ent, sub in samp.groupby(id_col):
-        ts_np = sub[time_col].to_numpy()
-        is_dt = ts_np.dtype.kind == "M"
-        vals = ts_np.view("int64") if is_dt else ts_np.astype(np.float64)
-        qs = np.quantile(vals, np.linspace(0, 1, chunks_per_hot + 1)[1:-1]) if len(vals) else np.array([])
-        qs = np.unique(qs)
-        bounds[ent] = qs.astype("int64").view(ts_np.dtype) if is_dt else qs
+        samp = hot_ds.map_batches(sample_ts, batch_format="pyarrow").to_pandas()
+        bounds = _ts_quantile_bounds(samp, id_col, time_col, chunks_per_hot)
+    else:
+        # Bounds precomputed (add_temporal_features_auto piggybacks a ts
+        # sample on the detect scan): the hot subset has exactly ONE
+        # consumer (pass 1), so keep it lazy — no materialize barrier.
+        hot_ds = ds.map_batches(
+            split_hot, batch_format="pyarrow", zero_copy_batch=True
+        )
     bounds_ref = _ray.put(bounds)
 
     def add_chunk(t: pa.Table) -> pa.Table:
@@ -740,7 +797,7 @@ def add_temporal_features_chunked(
             m = ids == ent
             if m.any() and len(bs):
                 chunk[m] = np.searchsorted(bs, ts[m], side="right").astype(np.int32)
-        return t.append_column("__chunk__", pa.array(chunk))
+        return t.append_column("__chunk__", pa.array(chunk)).replace_schema_metadata(None)
 
     chunked = hot_ds.map_batches(add_chunk, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -760,45 +817,37 @@ def add_temporal_features_chunked(
         tail = g.tail(carry_back)[carry_cols] if carry_back else g.tail(0)[carry_cols]
         import pickle
 
-        return pd.DataFrame([{
+        out = pd.DataFrame([{
             id_col: g[id_col].iloc[0], "__chunk__": int(g["__chunk__"].iloc[0]),
             "n_rows": len(g), "first_ts": ts[0], "last_ts": ts[-1], "internal_breaks": brk,
             "head_blob": pickle.dumps(head), "tail_blob": pickle.dumps(tail),
         }])
+        # clean Arrow out: pandas-origin schema metadata in the summary
+        # exchange triggers the aggregators' mixed-schema slow path
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
-    meta = chunked.groupby([id_col, "__chunk__"]).map_groups(pass1, batch_format="pandas").to_pandas()
-    import pickle
-
+    # Pass 1 runs as its own (small) exchange over the hot subset, then
+    # the per-entity chain closes on the driver over the tiny summary
+    # table. Two rejected alternatives, both measured slower/unsound on
+    # the 16M-row probe: (a) overlapping pass 1 via a rendezvous actor
+    # that pass 2 blocks on — tasks blocked in ray.get release their
+    # CPU slot, so narrow sessions oversubscribe (64 workers on a 4-cpu
+    # session) and scaling measurements lie; (b) routing carries as
+    # rows through a chained summaries→chain→union dataflow in ONE plan
+    # — three concurrent hash-shuffle aggregator pools each sized as if
+    # alone starve the maps (20.6→34 s at 16 cpus, 38.7 s at 4).
+    meta = chunked.groupby([id_col, "__chunk__"]).map_groups(
+        pass1, batch_format="pandas"
+    ).to_pandas()
     carries: dict = {}
     offsets: dict = {}
     for ent, sub in meta.groupby(id_col):
-        sub = sub.sort_values("__chunk__")
-        eff_tail = pickle.loads(sub["tail_blob"].iloc[0]).head(0)  # empty, right schema
-        off = 0
-        prev_last = None
-        tails, offs = {}, {}
-        for _, row in sub.iterrows():
-            c = int(row["__chunk__"])
-            tails[c] = eff_tail
-            offs[c] = off
-            boundary = 0
-            if session_gap is not None and prev_last is not None:
-                gv = session_gap
-                if isinstance(gv, pd.Timedelta):
-                    gv = np.timedelta64(gv.to_timedelta64())
-                boundary = int((row["first_ts"] - prev_last) > gv)
-            off = off + boundary + int(row["internal_breaks"])
-            eff_tail = pd.concat([eff_tail, pickle.loads(row["tail_blob"])]).tail(carry_back)
-            prev_last = row["last_ts"]
-        heads = {}
-        eff_head = pickle.loads(sub["head_blob"].iloc[0]).head(0)
-        for _, row in sub.iloc[::-1].iterrows():
-            c = int(row["__chunk__"])
-            heads[c] = eff_head
-            eff_head = pd.concat([pickle.loads(row["head_blob"]), eff_head]).head(carry_fwd)
-        for c in tails:
-            carries[(ent, c)] = (tails[c], heads[c])
-            offsets[(ent, c)] = offs[c]
+        e_chunks, e_tails, e_heads, e_offs = _chain_entity(
+            sub, session_gap=session_gap, carry_back=carry_back, carry_fwd=carry_fwd
+        )
+        for c in e_chunks:
+            carries[(ent, c)] = (e_tails[c], e_heads[c])
+            offsets[(ent, c)] = e_offs[c]
     carry_ref = _ray.put((carries, offsets))
 
     # pass2 emits only sum/mean/count from the cumsum kernel; everything
@@ -816,6 +865,7 @@ def add_temporal_features_chunked(
         drop = [col for col in ("__chunk__", grouped.BUCKET_COL) if col in g.columns]
         g = g.drop(columns=drop).sort_values(order, kind="mergesort").reset_index(drop=True)
         tail, head = carries_m.get((ent, c), (g.head(0), g.head(0)))
+        sess_offset = offsets_m.get((ent, c), 0)
         n_tail, n_own = len(tail), len(g)
         full = pd.concat([tail, g[carry_cols], head], ignore_index=True)
         out = g.copy()
@@ -848,7 +898,7 @@ def add_temporal_features_chunked(
             # last row), not sess[own][0] — the boundary break between
             # chunk c-1 and c belongs to the own rows' session index
             sess_tail_end = sess[n_tail - 1] if n_tail else 0
-            out[session_col] = sess[own] - sess_tail_end + offsets_m.get((ent, c), 0)
+            out[session_col] = sess[own] - sess_tail_end + sess_offset
         if label_shift is not None:
             n = label_shift.get("n", 1)
             vcol = label_shift["value_col"]
@@ -863,7 +913,7 @@ def add_temporal_features_chunked(
     # range, so a single groupby("__bucket__") shuffle co-locates cold
     # entities per hash bucket and each hot chunk in its own task; the
     # per-group function dispatches on the ``__chunk__`` marker. (Two
-    # parallel sort-based exchanges in one DAG — the previous
+    # parallel DATA-sized sort exchanges in one DAG — the previous
     # cold.union(hot) design — thrash the streaming executor: measured
     # 52 s where the single exchange runs the same work in ~25 s.)
     hot_index = {ent: i for i, ent in enumerate(hot)}
@@ -958,16 +1008,20 @@ def add_temporal_features_auto(
     # lossless for layouts up to ~2048 blocks (pigeonhole, see
     # detect_hot_keys); beyond that a too-thinly-spread hot key could be
     # missed, which only costs a straggler task, never correctness.
-    hot_df = grouped.detect_hot_keys(
+    # sample_col piggybacks the chunk-boundary ts sample on the SAME
+    # scan, so the chunked path needs no second read + materialize.
+    hot_df, samp = grouped.detect_hot_keys(
         probe, id_col, min_count=hot_min_rows, top_k=32,
-        prune=max(2, hot_min_rows // 2048),
+        prune=max(2, hot_min_rows // 2048), sample_col=time_col,
     )
     if hot_df.empty:
         return add_temporal_features(ds, **kw)
     chunks = int(np.ceil(hot_df["cnt"].max() / float(chunk_target_rows)))
     chunks = max(2, min(chunks, max_chunks_per_hot))
+    bounds = _ts_quantile_bounds(samp, id_col, time_col, chunks)
     return add_temporal_features_chunked(
-        ds, hot_entities=hot_df[id_col].tolist(), chunks_per_hot=chunks, **kw
+        ds, hot_entities=hot_df[id_col].tolist(), chunks_per_hot=chunks,
+        bounds=bounds, **kw
     )
 
 

@@ -131,3 +131,9 @@ def configure_exchange(num_cpus: int, ctx=None) -> None:
     # partitions object transfers) outweighs the shorter tail.
     ctx.default_hash_shuffle_parallelism = max(8, num_cpus * 2)
     ctx.max_hash_shuffle_aggregators = max(2, num_cpus // 2)
+    # NOTE: halving the per-aggregator CPU reservation (the
+    # hash_shuffle_operator_actor_num_cpus_per_partition_override knob)
+    # to let concurrent pools coexist was measured WORSE on the 16M-row
+    # exchange (20.6 -> 34 s at 16 cpus): the main exchange's
+    # aggregation is real work and a starved pool serializes it. Keep
+    # single-exchange plans instead (see window_features' pass-1 note).

@@ -191,3 +191,21 @@ def test_fast_hash_partition_contract():
     assert _fast_hash_partition(tbl.slice(0, 0), hash_cols=["k"], num_partitions=4) == {}
     single = _fast_hash_partition(tbl, hash_cols=["k"], num_partitions=1)
     assert single[0] is tbl
+
+
+def test_detect_hot_keys_with_sample_col():
+    """sample_col piggybacks a value sample for hot keys on the same
+    scan; samples must cover each returned hot key and span its value
+    range well enough for quantile chunking."""
+    rng = np.random.default_rng(5)
+    hot_ts = np.arange(6000, dtype=np.int64)
+    cold = pd.DataFrame({"k": rng.integers(0, 50, 2000), "ts": rng.integers(0, 6000, 2000)})
+    df = pd.concat([pd.DataFrame({"k": np.full(6000, 7), "ts": hot_ts}), cold])
+    ds = ray.data.from_pandas(df.sample(frac=1.0, random_state=0)).repartition(8)
+    hot, samp = grouped.detect_hot_keys(ds, "k", min_count=3000, top_k=3, prune=8, sample_col="ts")
+    assert hot["k"].tolist() == [7]
+    s7 = samp[samp["k"] == 7]["ts"].to_numpy()
+    assert len(s7) >= 64  # enough for quantiles
+    assert set(samp["k"]) == {7}  # filtered to hot keys only
+    # samples span the hot key's range (loose: within 10% of both ends)
+    assert s7.min() < 600 and s7.max() > 5400
