@@ -3316,6 +3316,84 @@ def q_gopher_quality_docs(sf_dir: str):
     )
 
 
+def q_calendar_features_events(sf_dir: str):
+    """Calendar/cyclical encodings (ISO dow) — zero shuffle, one
+    vectorized pass; numpy and SQL trig agree bit-for-bit on these grid
+    inputs (probed), so no rounding is needed."""
+    from temporalscope_ray.stages.window_features import add_calendar_features
+
+    ev = _events(sf_dir, ("event_id", "ts"))
+    out = add_calendar_features(ev, time_col="ts")
+    return out.select_columns(
+        ["event_id", "hour", "dow", "hour_sin", "hour_cos",
+         "dow_sin", "dow_cos", "is_weekend"])
+
+
+def q_volume_bars_by_user(sf_dir: str):
+    """Activity-driven (volume) bars: bar boundaries from the per-entity
+    exclusive prefix sum of |value| — busy periods get more bars
+    (fixed-information resampling). Cumsum + per-bar OHLC close inside
+    ONE entity-bucket exchange."""
+    from temporalscope_ray.stages.agg import volume_bars
+
+    ev = _events(sf_dir, ("event_id", "ts", "user_id", "value"))
+    return volume_bars(ev, "user_id", "ts", "value", threshold=250.0,
+                       tiebreak=["event_id"], num_buckets=16)
+
+
+def q_feature_hash_type_by_user(sf_dir: str):
+    """Hashing-trick categorical encoding (md5-lower-64 mod 8, DuckDB-
+    portable): per-block combiner partials, facts never move."""
+    from temporalscope_ray.stages.agg import feature_hash_counts
+
+    ev = _events(sf_dir, ("user_id", "event_type"))
+    return feature_hash_counts(ev, "user_id", "event_type", num_hash_buckets=8)
+
+
+def q_mase_by_user(sf_dir: str):
+    """Per-entity forecastability triage: MASE ratio of seasonal-naive
+    to last-value-naive MAE (row lags 24 and 1). One bucket exchange,
+    shared segment-shift kernel."""
+    from temporalscope_ray.stages.stats import mase_by_entity
+
+    ev = _events(sf_dir, ("event_id", "ts", "user_id", "value"))
+    return mase_by_entity(ev, "user_id", "ts", "value", period=24,
+                          tiebreak=["event_id"], num_buckets=16)
+
+
+def q_cusum_changepoint_by_user(sf_dir: str):
+    """Drift LOCALIZATION per entity: the CUSUM |S_k| argmax row (where
+    the mean shifted), ties to the earliest (ts, event_id). One bucket
+    exchange, vectorized cumsum per segment."""
+    from temporalscope_ray.stages.stats import cusum_changepoint_by_entity
+
+    ev = _events(sf_dir, ("event_id", "ts", "user_id", "value"))
+    return cusum_changepoint_by_entity(ev, "user_id", "ts", "value",
+                                       tiebreak=["event_id"], num_buckets=16)
+
+
+def q_residual_q90_by_user(sf_dir: str):
+    """Conformal-style prediction-band width per entity: q90 of
+    |value − trailing-mean₄| residuals (quantile_cont interpolation)."""
+    from temporalscope_ray.stages.stats import residual_quantile_by_entity
+
+    ev = _events(sf_dir, ("event_id", "ts", "user_id", "value"))
+    return residual_quantile_by_entity(ev, "user_id", "ts", "value", window=4,
+                                       q=0.9, tiebreak=["event_id"], num_buckets=16)
+
+
+def q_grid_ffill_1h_by_user(sf_dir: str):
+    """Upsample each user to a regular epoch-aligned 1h grid with
+    last-observation-carried-forward (duplicate timestamps resolve to
+    the max event_id — deterministic). arange + one searchsorted per
+    entity inside ONE bucket exchange; loud bound on grid blow-up."""
+    from temporalscope_ray.stages.window_features import regularize_grid
+
+    ev = _events(sf_dir, ("event_id", "ts", "user_id", "value"))
+    return regularize_grid(ev, id_col="user_id", time_col="ts", value_col="value",
+                           step=pd.Timedelta("1h"), tiebreak=["event_id"], num_buckets=16)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
     return q_flagship("/root/testdata/sf0.001")
@@ -3511,6 +3589,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "full_join_orders_customer": q_full_join_orders_customer,
         "hourly_event_stats": q_hourly_event_stats,
         "ohlc_hourly_by_user": q_ohlc_hourly_by_user,
+        "calendar_features_events": q_calendar_features_events,
+        "volume_bars_by_user": q_volume_bars_by_user,
+        "feature_hash_type_by_user": q_feature_hash_type_by_user,
+        "mase_by_user": q_mase_by_user,
+        "cusum_changepoint_by_user": q_cusum_changepoint_by_user,
+        "residual_q90_by_user": q_residual_q90_by_user,
+        "grid_ffill_1h_by_user": q_grid_ffill_1h_by_user,
         "distinct_users_by_type": q_distinct_users_by_type,
         "event_type_pivot": q_event_type_pivot,
         "value_histogram_events": q_value_histogram_events,
@@ -6278,5 +6363,128 @@ def oracle_sql() -> dict[str, str]:
               FROM tf JOIN df USING (term) JOIN dl USING (doc_id) GROUP BY 1)
             SELECT d.doc_id, ROUND(COALESCE(sc.s, 0), 6) AS bm25
             FROM documents d LEFT JOIN sc USING (doc_id)
+        """,
+        "calendar_features_events": """
+            SELECT event_id,
+                   EXTRACT(hour FROM ts)::BIGINT AS hour,
+                   isodow(ts)::BIGINT AS dow,
+                   sin(2 * pi() * EXTRACT(hour FROM ts) / 24) AS hour_sin,
+                   cos(2 * pi() * EXTRACT(hour FROM ts) / 24) AS hour_cos,
+                   sin(2 * pi() * isodow(ts) / 7) AS dow_sin,
+                   cos(2 * pi() * isodow(ts) / 7) AS dow_cos,
+                   CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END AS is_weekend
+            FROM events
+        """,
+        "volume_bars_by_user": """
+            WITH q AS (
+              SELECT user_id, ts, event_id, value,
+                     CAST(FLOOR(COALESCE(ABS(value), 0) * 1000 + 0.5) AS BIGINT) AS volmil
+              FROM events),
+            o AS (
+              SELECT *, COALESCE(SUM(volmil) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfx
+              FROM q),
+            b AS (
+              SELECT *, pfx // 250000 AS bar_id,
+                     row_number() OVER (PARTITION BY user_id, pfx // 250000
+                                        ORDER BY ts, event_id) AS rn_a,
+                     row_number() OVER (PARTITION BY user_id, pfx // 250000
+                                        ORDER BY ts DESC, event_id DESC) AS rn_d
+              FROM o)
+            SELECT user_id, bar_id,
+                   MAX(CASE WHEN rn_a = 1 THEN ts END) AS bar_start_ts,
+                   MAX(CASE WHEN rn_a = 1 THEN value END) AS open_v,
+                   MAX(value) AS high_v, MIN(value) AS low_v,
+                   MAX(CASE WHEN rn_d = 1 THEN value END) AS close_v,
+                   CAST(SUM(volmil) AS DOUBLE) / 1000.0 AS volume,
+                   COUNT(*) AS n
+            FROM b GROUP BY 1, 2
+        """,
+        "feature_hash_type_by_user": """
+            SELECT user_id,
+                   CAST(md5_number_lower(event_type) % 8 AS BIGINT) AS fh_bucket,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        """,
+        "mase_by_user": """
+            WITH q AS (
+              SELECT user_id, ts, event_id,
+                     CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS vmil
+              FROM events),
+            l AS (
+              SELECT user_id, vmil,
+                     lag(vmil, 1)  OVER w AS l1,
+                     lag(vmil, 24) OVER w AS l24,
+                     COUNT(*) OVER (PARTITION BY user_id) AS n
+              FROM q WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            a AS (
+              SELECT user_id, n,
+                     SUM(ABS(vmil - l1))  AS sd, COUNT(ABS(vmil - l1))  AS cd,
+                     SUM(ABS(vmil - l24)) AS sn, COUNT(ABS(vmil - l24)) AS cn
+              FROM l GROUP BY 1, 2)
+            SELECT user_id,
+                   (CAST(sn AS DOUBLE) * cd) / (CAST(sd AS DOUBLE) * cn) AS mase,
+                   CAST(sn AS DOUBLE) / cn / 1000.0 AS seasonal_mae,
+                   CAST(sd AS DOUBLE) / cd / 1000.0 AS naive_mae, n
+            FROM a
+            WHERE n > 24 AND cd > 0 AND cn > 0 AND sd <> 0
+        """,
+        "cusum_changepoint_by_user": """
+            WITH q AS (
+              SELECT user_id, ts, event_id, value,
+                     CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS vmil
+              FROM events),
+            s AS (
+              SELECT user_id, ts, vmil,
+                     SUM(vmil) OVER w AS cs,
+                     row_number() OVER w AS k,
+                     SUM(vmil) OVER (PARTITION BY user_id) AS stot,
+                     COUNT(*) OVER (PARTITION BY user_id) AS n,
+                     COUNT(CASE WHEN value IS NULL THEN 1 END)
+                       OVER (PARTITION BY user_id) AS nnull
+              FROM q WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            d AS (
+              SELECT user_id, ts, k, n, ABS(n * cs - k * stot) AS keyint
+              FROM s WHERE n >= 8 AND nnull = 0),
+            r AS (
+              SELECT *, row_number() OVER (PARTITION BY user_id
+                          ORDER BY keyint DESC, k ASC) AS rn
+              FROM d)
+            SELECT user_id, ts AS cp_ts, CAST(k AS BIGINT) AS cp_index,
+                   CAST(keyint AS DOUBLE) / (n * 1000.0) AS s_max, n
+            FROM r WHERE rn = 1
+        """,
+        "residual_q90_by_user": """
+            WITH r AS (
+              SELECT user_id,
+                     ABS(value - AVG(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)) AS resid
+              FROM events)
+            SELECT user_id, ROUND(quantile_cont(resid, 0.9), 6) AS resid_q90,
+                   COUNT(resid) AS n_resid
+            FROM r WHERE resid IS NOT NULL GROUP BY 1
+        """,
+        "grid_ffill_1h_by_user": """
+            WITH b AS (
+              SELECT user_id, MIN(epoch_us(ts)) AS fmin, MAX(epoch_us(ts)) AS fmax
+              FROM events GROUP BY 1),
+            g AS (
+              SELECT user_id, gs * 3600000000 AS gus
+              FROM b, LATERAL unnest(generate_series(
+                     (fmin + 3599999999) // 3600000000, fmax // 3600000000)) AS t(gs)),
+            u AS (
+              SELECT user_id, epoch_us(ts) AS tsu, event_id, value, 0 AS is_grid FROM events
+              UNION ALL
+              SELECT user_id, gus, NULL, NULL, 1 FROM g),
+            f AS (
+              SELECT user_id, tsu, is_grid,
+                     (last_value(CASE WHEN is_grid = 0 THEN {'v': value} END IGNORE NULLS)
+                        OVER (PARTITION BY user_id ORDER BY tsu, is_grid, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)).v AS v
+              FROM u)
+            SELECT user_id, make_timestamp(tsu) AS ts_grid, v AS value_ffill
+            FROM f WHERE is_grid = 1
         """,
     }

@@ -1573,3 +1573,109 @@ def activation_lag(
     return grouped_ordered_map(
         ds.select_columns([id_col, time_col, type_col]), id_col, [time_col],
         fn, num_buckets=num_buckets)
+
+
+def volume_bars(
+    ds: ray.data.Dataset,
+    id_col: str,
+    time_col: str,
+    value_col: str,
+    *,
+    threshold: float,
+    tiebreak: Sequence[str] = (),
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+) -> ray.data.Dataset:
+    """Activity-driven (volume) bars per entity: instead of fixed time
+    buckets, a new bar starts every ``threshold`` units of cumulative
+    |value| — the event-time-warped resample quant pipelines use so
+    busy periods get MORE bars, quiet ones fewer (fixed-information
+    bars). bar_id = floor(exclusive-prefix-sum(|v|) / threshold) over
+    the entity's (ts, tiebreak) order, then OHLC + volume close per
+    (entity, bar) INSIDE the same bucket pass (entities are
+    bucket-complete, so the cumulative sum and the per-bar reduction
+    never need a second exchange). Null values count as zero volume.
+
+    Volume is quantized to milli-units so the prefix sum and the bar
+    boundary (integer floor-division) are EXACT int64 arithmetic —
+    a float prefix sum flipped bar boundaries vs the SQL window-sum
+    form at ~6k rows/entity — and the emitted volume is the shared
+    exact-int ratio Σvolmil/1000 (unrounded: bit-identical everywhere).
+
+    Output: (id, bar_id, bar_start_ts, open_v, high_v, low_v, close_v,
+    volume, n).
+    """
+    from .grouped import entity_segments, grouped_ordered_map
+
+    order = [time_col, *tiebreak]
+
+    thr_mil = int(round(float(threshold) * 1000.0))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy()
+        v = g[value_col].to_numpy(dtype=np.float64)
+        vol = np.floor(np.abs(np.nan_to_num(v, nan=0.0)) * 1000.0 + 0.5).astype(np.int64)
+        segs = entity_segments(ids)
+        # exclusive prefix sum restarting at each entity — exact int64
+        cs = np.cumsum(vol)
+        base = np.repeat(cs[segs[:-1]] - vol[segs[:-1]], np.diff(segs))
+        prefix = cs - vol - base  # exclusive, per-entity
+        bar = prefix // thr_mil
+        out = g[[id_col]].copy()
+        out["bar_id"] = bar
+        out["__ts"] = g[time_col].to_numpy()
+        out["__v"] = v
+        grp = out.groupby([id_col, "bar_id"], sort=False)
+        res = grp.agg(
+            bar_start_ts=("__ts", "first"), open_v=("__v", "first"),
+            close_v=("__v", "last"), n=("__v", "size"),
+        )
+        res["high_v"] = grp["__v"].max()
+        res["low_v"] = grp["__v"].min()
+        vols = pd.Series(vol, index=out.index).groupby(
+            [out[id_col], out["bar_id"]], sort=False).sum()
+        res["volume"] = vols.astype(np.float64) / 1000.0
+        res = res.reset_index()
+        return res[[id_col, "bar_id", "bar_start_ts", "open_v", "high_v",
+                    "low_v", "close_v", "volume", "n"]]
+
+    return grouped_ordered_map(ds, id_col, order, per_bucket, num_buckets=num_buckets)
+
+
+def feature_hash_counts(
+    ds: ray.data.Dataset,
+    id_col: str,
+    cat_col: str,
+    *,
+    num_hash_buckets: int = 8,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+) -> ray.data.Dataset:
+    """Hashing-trick categorical encoding: category → md5-lower-64 mod
+    ``num_hash_buckets`` (portable — bit-identical to DuckDB's
+    ``md5_number_lower(cat)``), counted per (entity, hash bucket).
+    Unbounded vocabularies become fixed-width count features with
+    collisions summed, the standard trick when one-hot width is
+    unbounded. Per-block combiner partials (hash computed ONCE per
+    distinct category per block, merged into the counts before the
+    exchange) → one partial-row hash exchange; facts never move.
+
+    Output: (id, fh_bucket, n) — long form; pivot downstream if a wide
+    matrix is needed.
+    """
+    from .dedup import _md5_lower64
+
+    def partial(t: pa.Table) -> pa.Table:
+        counts = t.group_by([id_col, cat_col]).aggregate([(cat_col, "count")])
+        cats = counts.column(cat_col).to_pylist()
+        hb = (_md5_lower64([str(c) for c in cats]) % np.uint64(num_hash_buckets)).astype(np.int64)
+        return pa.table({
+            id_col: counts.column(id_col),
+            "fh_bucket": pa.array(hb),
+            "n": counts.column(f"{cat_col}_count"),
+        })
+
+    parts = ds.select_columns([id_col, cat_col]).map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    )
+    return hash_groupby_aggregate(
+        parts, [id_col, "fh_bucket"], {"n": ("n", "sum")}, num_buckets=num_buckets
+    )

@@ -1719,3 +1719,171 @@ def chi2_independence(
     dof = (pivot.shape[0] - 1) * (pivot.shape[1] - 1)
     return pd.DataFrame({"chi2": [chi2], "dof": pd.array([dof], dtype="int64"),
                          "n": pd.array([int(n)], dtype="int64")})
+
+
+def cusum_changepoint_by_entity(
+    ds: ray.data.Dataset,
+    id_col: str,
+    time_col: str,
+    value_col: str,
+    *,
+    tiebreak: Sequence[str] = (),
+    min_rows: int = 8,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Single-changepoint localization per entity via the CUSUM argmax:
+    with S_k = Σ_{i≤k}(v_i − v̄), the k maximizing |S_k| is the classic
+    estimate of where the mean shifts (drift localization — WHERE a
+    feed broke, not just that it drifted). One entity-bucket exchange;
+    inside a bucket every entity is scanned in one vectorized pass
+    (segment cumsum − k·mean, no per-entity Python loop). Ties on |S|
+    resolve to the earliest (ts, tiebreak). Entities with fewer than
+    ``min_rows`` rows or any null value are skipped (a changepoint of a
+    5-row series is noise; nulls make S_k undefined).
+
+    Output: one row per kept entity — (id, cp_ts, cp_index [1-based
+    rank of the argmax row], s_max = |S_k*| rounded 6dp, n).
+    """
+    from . import grouped
+
+    order = [time_col, *tiebreak]
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy()
+        v = g[value_col].to_numpy(dtype=np.float64)
+        segs = grouped.entity_segments(ids)
+        out = []
+        for a, b in zip(segs[:-1], segs[1:]):
+            n = b - a
+            vs = v[a:b]
+            if n < min_rows or np.isnan(vs).any():
+                continue
+            vmil = np.floor(vs * 1000.0 + 0.5).astype(np.int64)
+            cs = np.cumsum(vmil)
+            total = cs[-1]
+            ks = np.arange(1, n + 1, dtype=np.int64)
+            key = np.abs(n * cs - ks * total)  # exact int64, no float path
+            k = int(np.argmax(key))  # first max = earliest (ts, tiebreak)
+            out.append({
+                id_col: ids[a], "cp_ts": g[time_col].iloc[a + k],
+                "cp_index": k + 1,
+                "s_max": float(key[k]) / (n * 1000.0), "n": n,
+            })
+        cols = [id_col, "cp_ts", "cp_index", "s_max", "n"]
+        return pd.DataFrame(out, columns=cols) if out else pd.DataFrame(columns=cols)
+
+    return grouped.grouped_ordered_map(ds, id_col, order, per_bucket, num_buckets=num_buckets)
+
+
+def mase_by_entity(
+    ds: ray.data.Dataset,
+    id_col: str,
+    time_col: str,
+    value_col: str,
+    *,
+    period: int = 24,
+    tiebreak: Sequence[str] = (),
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Per-entity forecastability via the MASE ratio of naive errors:
+    mean|v_t − v_{t−period}| / mean|v_t − v_{t−1}| (row lags in the
+    entity's (ts, tiebreak) order). < 1 means the seasonal-naive beats
+    the last-value-naive — "is a seasonal model worth fitting for THIS
+    entity", the per-series triage before any model spend. One bucket
+    exchange; both lag arrays come from the shared segment-shift kernel
+    over the whole bucket (no per-entity loop). Entities without a full
+    period of history, or with a zero/undefined denominator, are
+    dropped (the ratio is meaningless there).
+
+    Values are quantized to milli-units so every sum is exact integer
+    arithmetic; the ratio and the two MAEs surface UNROUNDED as shared
+    float expressions of those ints — bit-identical across engines at
+    any row count or summation order (rounding would reintroduce
+    half-even vs half-away flips).
+
+    Output: (id, mase [6dp], seasonal_mae [6dp], naive_mae [6dp], n).
+    """
+    from . import grouped
+    from .window_features import _seg_shift, _segment_ids
+
+    order = [time_col, *tiebreak]
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy()
+        v = g[value_col].to_numpy(dtype=np.float64)
+        # milli-unit quantization: diffs/sums below are exact integers
+        # carried in float64 (exact to 2^53), engine-order-independent
+        vmil = np.floor(v * 1000.0 + 0.5)
+        segs = grouped.entity_segments(ids)
+        seg_id = _segment_ids(segs)
+        e1 = np.abs(vmil - _seg_shift(vmil, seg_id, 1))
+        ep = np.abs(vmil - _seg_shift(vmil, seg_id, period))
+        out = []
+        for a, b in zip(segs[:-1], segs[1:]):
+            n = b - a
+            if n <= period:
+                continue
+            den_v = e1[a:b]
+            num_v = ep[a:b]
+            cd, cn = int(np.isfinite(den_v).sum()), int(np.isfinite(num_v).sum())
+            if cd == 0 or cn == 0:
+                continue
+            sd, sn = float(np.nansum(den_v)), float(np.nansum(num_v))
+            if sd == 0.0:
+                continue
+            out.append({
+                id_col: ids[a], "mase": (sn * cd) / (sd * cn),
+                "seasonal_mae": sn / cn / 1000.0,
+                "naive_mae": sd / cd / 1000.0, "n": n,
+            })
+        cols = [id_col, "mase", "seasonal_mae", "naive_mae", "n"]
+        return pd.DataFrame(out, columns=cols) if out else pd.DataFrame(columns=cols)
+
+    return grouped.grouped_ordered_map(ds, id_col, order, per_bucket, num_buckets=num_buckets)
+
+
+def residual_quantile_by_entity(
+    ds: ray.data.Dataset,
+    id_col: str,
+    time_col: str,
+    value_col: str,
+    *,
+    window: int = 4,
+    q: float = 0.9,
+    tiebreak: Sequence[str] = (),
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Per-entity conformal-style residual band: the q-quantile
+    (linear interpolation, SQL ``quantile_cont``) of |v_t −
+    rolling_mean_window(v)_t| — the width of a distribution-free
+    prediction interval around the trailing-mean forecast, per series.
+    Residuals come from the shared segment rolling kernel inside ONE
+    bucket exchange; the quantile closes per entity on the residual
+    vector (entities are bucket-complete). Output: (id, resid_qXX
+    [6dp], n_resid).
+    """
+    from . import grouped
+    from .window_features import _seg_rolling, _segment_ids
+
+    order = [time_col, *tiebreak]
+    qlab = f"resid_q{int(round(q * 100)):02d}"
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy()
+        v = g[value_col].to_numpy(dtype=np.float64)
+        segs = grouped.entity_segments(ids)
+        seg_start = np.repeat(segs[:-1], np.diff(segs))
+        s, cnt = _seg_rolling(v, seg_start, window)
+        resid = np.abs(v - np.where(cnt > 0, s / np.maximum(cnt, 1), np.nan))
+        out = []
+        for a, b in zip(segs[:-1], segs[1:]):
+            r = resid[a:b]
+            r = r[np.isfinite(r)]
+            if not len(r):
+                continue
+            out.append({id_col: ids[a],
+                        qlab: round(float(np.quantile(r, q)), 6), "n_resid": len(r)})
+        cols = [id_col, qlab, "n_resid"]
+        return pd.DataFrame(out, columns=cols) if out else pd.DataFrame(columns=cols)
+
+    return grouped.grouped_ordered_map(ds, id_col, order, per_bucket, num_buckets=num_buckets)

@@ -1190,3 +1190,42 @@ def test_chi2_independence_matches_scipy_formula(ray_session):
     assert out["dof"].iloc[0] == 4 and out["n"].iloc[0] == 600
     # strong dependence must register
     assert out["chi2"].iloc[0] > 100
+
+
+def test_cusum_changepoint_localizes_shift():
+    """A clean level shift is localized at the last pre-shift row (the
+    |S_k| argmax); an entity with nulls or too few rows is skipped."""
+    from temporalscope_ray.stages.stats import cusum_changepoint_by_entity
+
+    ts = pd.date_range("2024-01-01", periods=40, freq="1h")
+    v = np.concatenate([np.zeros(20), np.full(20, 10.0)])
+    df = pd.DataFrame({"user_id": 1, "event_id": np.arange(40), "ts": ts, "value": v})
+    skip = pd.DataFrame({"user_id": 2, "event_id": [0, 1], "ts": ts[:2], "value": [1.0, None]})
+    ds = ray.data.from_pandas(pd.concat([df, skip], ignore_index=True))
+    out = cusum_changepoint_by_entity(ds, "user_id", "ts", "value",
+                                      tiebreak=["event_id"], num_buckets=2).to_pandas()
+    assert list(out["user_id"]) == [1]
+    assert int(out["cp_index"].iloc[0]) == 20  # last pre-shift row (1-based)
+    assert float(out["s_max"].iloc[0]) == 100.0  # |20*(0-5)| = 100
+
+
+def test_volume_bars_fixed_information():
+    """Bars close every `threshold` units of |value|: a burst of large
+    values produces more bars than the same row count of small ones;
+    per-bar OHLC matches a hand computation."""
+    from temporalscope_ray.stages.agg import volume_bars
+
+    ts = pd.date_range("2024-01-01", periods=6, freq="1min")
+    df = pd.DataFrame({"user_id": 1, "event_id": np.arange(6), "ts": ts,
+                       "value": [5.0, 5.0, 5.0, -5.0, 30.0, 30.0]})
+    ds = ray.data.from_pandas(df)
+    out = volume_bars(ds, "user_id", "ts", "value", threshold=10.0,
+                      tiebreak=["event_id"], num_buckets=2).to_pandas()
+    out = out.sort_values("bar_id").reset_index(drop=True)
+    # exclusive prefix: 0,5,10,15,20,50 → bars 0,0,1,1,2,5
+    assert list(out["bar_id"]) == [0, 1, 2, 5]
+    b0 = out.iloc[0]
+    assert (b0["open_v"], b0["close_v"], b0["n"]) == (5.0, 5.0, 2)
+    b1 = out.iloc[1]  # rows 2,3: values 5, -5 → low −5, volume 10
+    assert (b1["low_v"], b1["volume"], b1["n"]) == (-5.0, 10.0, 2)
+    assert (out.iloc[2]["volume"], out.iloc[2]["n"]) == (30.0, 1)

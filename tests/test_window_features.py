@@ -969,3 +969,33 @@ def test_incremental_temporal_features_refresh(ray_session):
             x = out[out["id"] == e][c].to_numpy(dtype=float)
             y = ref[ref["id"] == e][c].to_numpy(dtype=float)
             assert np.allclose(x, y, equal_nan=True), (e, c)
+
+
+def test_regularize_grid_ffill_and_bound():
+    """Grid points are epoch-aligned multiples of step inside
+    [first, last]; the carried value is the LAST row at-or-before the
+    grid point with duplicate timestamps resolving by tiebreak; an
+    entity whose grid would blow past the bound fails loudly."""
+    from temporalscope_ray.stages.window_features import regularize_grid
+
+    ts = pd.to_datetime(["2024-01-01 00:05", "2024-01-01 00:05",
+                         "2024-01-01 02:30", "2024-01-01 05:59"])
+    df = pd.DataFrame({"user_id": [1, 1, 1, 1], "event_id": [10, 11, 12, 13],
+                       "ts": ts, "value": [1.0, 2.0, 3.0, 4.0]})
+    ds = ray.data.from_pandas(df)
+    out = regularize_grid(ds, id_col="user_id", time_col="ts", value_col="value",
+                          step=pd.Timedelta("1h"), tiebreak=["event_id"],
+                          num_buckets=2).to_pandas().sort_values("ts_grid")
+    # grid: 01:00 .. 05:00 (ceil(00:05)=01:00, floor(05:59)=05:00)
+    assert list(out["ts_grid"].dt.hour) == [1, 2, 3, 4, 5]
+    # 01:00/02:00 carry the duplicate-ts row with the LARGER event_id
+    assert list(out["value_ffill"]) == [2.0, 2.0, 3.0, 3.0, 3.0]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="grid rows"):
+        regularize_grid(ds, id_col="user_id", time_col="ts", value_col="value",
+                        step=pd.Timedelta("1min"), tiebreak=["event_id"],
+                        max_grid_rows_per_entity=10, num_buckets=2).to_pandas()
+
+
