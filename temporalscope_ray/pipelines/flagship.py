@@ -47,32 +47,54 @@ def temporal_feature_pipeline(
         columns=["o_custkey", "o_orderdate", "o_totalprice"],
     )
     # point-in-time order state per user: latest order strictly known
-    # at ts, one row per (custkey, date). Compacted DISTRIBUTED (orders
-    # is a fact table that grows with scale — never .to_pandas() it):
-    # combiner → one partial-row hash exchange, then the key-renamed
-    # dimension flows into asof_join's size adaptivity, which picks
-    # broadcast only while the compacted side fits the bound.
-    dim = hash_groupby_aggregate(
-        orders, ["o_custkey", "o_orderdate"],
-        {"o_totalprice": ("o_totalprice", "max")},
-        num_buckets=num_buckets,
-    )
-
-    def to_asof_keys(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "user_id": t.column("o_custkey"),
-            "ts": pc.cast(t.column("o_orderdate"), pa.timestamp("us")),
-            "o_totalprice": t.column("o_totalprice"),
+    # at ts, one row per (custkey, date). The compaction itself is
+    # SIZE-GATED the same way asof_join/semi_join self-switch, keyed on
+    # the metadata-only parquet row count (orders is untransformed, so
+    # count() reads footers, not data):
+    #  - orders fits the broadcast bound → compact in pandas on the
+    #    driver and hand asof_join the frame directly (broadcast=True).
+    #    A dimension that will be ray.put anyway gains nothing from a
+    #    distributed groupby first — measured 3.2 s of pure exchange/
+    #    materialize overhead at sf0.1.
+    #  - orders exceeds the bound (the 100 TB case) → combiner → one
+    #    partial-row hash exchange, then the key-renamed dimension
+    #    flows into asof_join's size adaptivity, which re-probes the
+    #    COMPACTED side against the same bound.
+    # Both paths are pinned row-identical by
+    # tests/test_pipelines.py::test_flagship_size_adaptive_asof_path.
+    if orders.count() <= asof_broadcast_limit_rows:
+        odf = orders.to_pandas()
+        odf = odf.groupby(["o_custkey", "o_orderdate"], as_index=False)["o_totalprice"].max()
+        dim = pd.DataFrame({
+            "user_id": odf["o_custkey"],
+            "ts": odf["o_orderdate"].astype("datetime64[us]"),
+            "o_totalprice": odf["o_totalprice"],
         })
+        broadcast = True
+    else:
+        dim_ds = hash_groupby_aggregate(
+            orders, ["o_custkey", "o_orderdate"],
+            {"o_totalprice": ("o_totalprice", "max")},
+            num_buckets=num_buckets,
+        )
 
-    # materialize the COMPACTED side only (post-aggregation, bounded by
-    # distinct (custkey, date) — the small side by construction): the
-    # size probe inside asof_join would otherwise re-run the compaction
-    dim = dim.map_batches(
-        to_asof_keys, batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()
+        def to_asof_keys(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "user_id": t.column("o_custkey"),
+                "ts": pc.cast(t.column("o_orderdate"), pa.timestamp("us")),
+                "o_totalprice": t.column("o_totalprice"),
+            })
+
+        # materialize the COMPACTED side only (post-aggregation, bounded
+        # by distinct (custkey, date) — the small side by construction):
+        # the size probe inside asof_join would otherwise re-run the
+        # compaction
+        dim = dim_ds.map_batches(
+            to_asof_keys, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+        broadcast = None
     enriched = asof_join(
-        events, dim, on="ts", by="user_id", broadcast=None,
+        events, dim, on="ts", by="user_id", broadcast=broadcast,
         broadcast_limit_rows=asof_broadcast_limit_rows,
         concurrency=concurrency, right_cols=["o_totalprice"],
         num_buckets=num_buckets,
