@@ -99,7 +99,11 @@ def temporal_feature_pipeline(
         concurrency=concurrency, right_cols=["o_totalprice"],
         num_buckets=num_buckets,
     )
-    # features AND the zero-leakage label shift in ONE bucket shuffle
+    # features AND the zero-leakage label shift in ONE bucket shuffle.
+    # total_rows: the as-of join preserves the left row count, so the
+    # metadata-only events count is exact — it lets the bucket pass take
+    # the single-task path at small scale (the hint is perf-only; a
+    # stale hint would just mis-size the task, never change rows)
     return add_temporal_features(
         enriched,
         id_col="user_id",
@@ -113,6 +117,7 @@ def temporal_feature_pipeline(
         label_shift={"value_col": "value", "n": 1, "out_col": "value_shift_1"},
         num_buckets=num_buckets,
         tiebreak=["event_id"],
+        total_rows=events.count(),
     )
 
 
@@ -155,9 +160,11 @@ def image_pipeline_over(
     partitioned. A hardcoded broadcast here was round-2 verdict finding
     #3 (driver-materialized scale-growing table)."""
     ds = ray.data.read_parquet(path)
+    # count() on an untransformed parquet read is metadata-only; it
+    # drives BOTH size gates below (attach strategy + feature exchange)
+    nrows = ds.count()
     if attach == "auto":
-        # count() on an untransformed parquet read is metadata-only
-        attach = "broadcast" if ds.count() <= broadcast_limit_rows else "partitioned"
+        attach = "broadcast" if nrows <= broadcast_limit_rows else "partitioned"
 
     def features(narrow: ray.data.Dataset) -> ray.data.Dataset:
         return add_temporal_features(
@@ -170,6 +177,7 @@ def image_pipeline_over(
             rolling_fns=("mean",),
             session_gap=pd.Timedelta("10min"),
             num_buckets=num_buckets,
+            total_rows=nrows,
         )
 
     from ..stages.payload import attach_features_broadcast, attach_features_partitioned
@@ -182,6 +190,11 @@ def image_pipeline_over(
     decode_pool = max(2, budget - attach_pool - 2)
     kw = dict(keys=["image_id", "ts"], narrow_cols=["image_id", "ts", "target", "feature_1"],
               concurrency=attach_pool)
+    if nrows <= 2_000_000:
+        # the feature pass takes grouped_ordered_map's single-task path
+        # (coalesces itself) — the narrow pre-repartition would be a
+        # wasted extra all-to-all
+        kw["narrow_blocks"] = None
     if attach == "partitioned":
         if feature_dir is None:
             import hashlib

@@ -110,6 +110,8 @@ def grouped_ordered_map(
     drop_bucket: bool = True,
     cpus_per_task: int = 2,
     ray_remote_args: Optional[dict] = None,
+    total_rows: Optional[int] = None,
+    single_task_threshold: int = 2_000_000,
 ) -> ray.data.Dataset:
     """Apply ``fn`` to each entity-complete, ``(key, *order_by)``-sorted
     bucket. ``fn`` sees a pandas DataFrame (whole bucket) and returns one.
@@ -118,6 +120,16 @@ def grouped_ordered_map(
     tasks: the per-bucket work is memcpy-heavy (arrow<->pandas, sort,
     filter), and a full-width task wave saturates memory bandwidth —
     measured 2.4x slower end-to-end at 32 CPUs with 1 CPU/task.
+
+    Adaptive execution (the ``shift.py`` pattern): when the caller KNOWS
+    the input row count (``total_rows`` — a hint, never probed here, so
+    a transformed dataset is never executed twice) and it is at or
+    under ``single_task_threshold``, the bucket exchange is skipped and
+    the SAME kernel runs once over the whole coalesced, sorted frame —
+    one bucket holding every entity. The sort-based groupby barrier has
+    a ~2-3 s fixed floor that dominates small inputs; the 2M default
+    keeps the single task around ~100 MB of pandas. Both paths are
+    pinned row-identical by tests/test_window_features.py.
     """
     sort_cols = [key, *order_by]
 
@@ -127,6 +139,11 @@ def grouped_ordered_map(
         if drop_bucket and BUCKET_COL in out.columns:
             out = out.drop(columns=[BUCKET_COL])
         return out
+
+    if total_rows is not None and 0 <= total_rows <= single_task_threshold:
+        return ds.repartition(1).map_batches(
+            per_bucket, batch_size=None, batch_format="pandas"
+        )
 
     bucketed = with_bucket(ds, key, num_buckets)
     kwargs = dict(ray_remote_args or {})

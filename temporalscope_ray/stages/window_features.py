@@ -601,6 +601,8 @@ def add_temporal_features(
     label_shift: Optional[dict] = None,
     num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
     tiebreak: Optional[Sequence[str]] = None,
+    total_rows: Optional[int] = None,
+    single_task_threshold: int = 2_000_000,
 ) -> ray.data.Dataset:
     """The flagship composite: lag/lead + rolling + sessionization (+
     optionally the zero-leakage label shift) in ONE entity-bucket pass
@@ -611,7 +613,12 @@ def add_temporal_features(
     ``label_shift={"value_col": ..., "n": 1, "out_col": ...}`` appends
     the shifter's lead label and drops the tail rows per entity (the
     reference shifter contract, single_step.py:265-301) without a
-    second shuffle."""
+    second shuffle.
+
+    ``total_rows`` (a caller-supplied hint — e.g. the metadata-only
+    parquet count of an untransformed read) lets the bucket pass take
+    ``grouped_ordered_map``'s single-task path for small inputs,
+    skipping the exchange entirely; see that docstring."""
     bad = set(rolling_fns) - _ROLL_FNS
     if bad:
         raise ValueError(f"Unsupported rolling fns: {sorted(bad)}. Supported: {sorted(_ROLL_FNS)}")
@@ -621,7 +628,10 @@ def add_temporal_features(
         rolling_windows=rolling_windows, rolling_fns=rolling_fns, session_gap=session_gap,
         session_col=session_col, label_shift=label_shift,
     )
-    return grouped.grouped_ordered_map(ds, id_col, order, fn, num_buckets=num_buckets)
+    return grouped.grouped_ordered_map(
+        ds, id_col, order, fn, num_buckets=num_buckets,
+        total_rows=total_rows, single_task_threshold=single_task_threshold,
+    )
 
 
 def _flagship_kernel(

@@ -999,3 +999,38 @@ def test_regularize_grid_ffill_and_bound():
                         max_grid_rows_per_entity=10, num_buckets=2).to_pandas()
 
 
+
+
+def test_single_task_path_matches_bucketed(ray_session):
+    # grouped_ordered_map's size-gated single-task path (total_rows hint
+    # <= threshold -> coalesce + one kernel call over the whole sorted
+    # frame) must be row-identical to the bucket-exchange path on the
+    # full flagship composite, including the label-shift row drops
+    from temporalscope_ray.stages.window_features import add_temporal_features
+
+    df = events_df(n_per=40, entities=tuple(range(1, 12)), seed=9)
+    df["event_id"] = np.arange(len(df))
+    kw = dict(
+        id_col="user_id", time_col="ts", value_cols=["value"],
+        lags=[1, 2], rolling_windows=[4], rolling_fns=("mean", "sum"),
+        session_gap=pd.Timedelta("30min"),
+        label_shift={"value_col": "value", "n": 1, "out_col": "value_shift_1"},
+        num_buckets=8, tiebreak=["event_id"],
+    )
+    ds = ray.data.from_pandas(df).repartition(5)
+    single = add_temporal_features(ds, total_rows=len(df), **kw)
+    # the single-task plan must NOT contain the sort-groupby exchange
+    single = single.materialize()
+    assert "Sort" not in single.stats()
+    bucketed = add_temporal_features(
+        ray.data.from_pandas(df).repartition(5), total_rows=len(df),
+        single_task_threshold=0, **kw,
+    ).materialize()
+    assert "Sort" in bucketed.stats()
+
+    key = ["user_id", "ts", "event_id"]
+    a = single.to_pandas().sort_values(key).reset_index(drop=True)
+    b = bucketed.to_pandas().sort_values(key).reset_index(drop=True)
+    a = a[sorted(a.columns)]
+    b = b[sorted(b.columns)]
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
