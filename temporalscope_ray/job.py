@@ -1,98 +1,89 @@
-"""End-to-end resumable job — the ``ray job submit`` entry point.
+"""``ray job submit`` entrypoint (north rule: "run via ray job submit
+on a fixed-size multi-node Ray cluster").
 
-Runs the north-star pipeline (temporal features + decoded image
-features over the image+caption table) into a RESUMABLE partitioned
-parquet output via `state.lineage.run_partitioned`: one output
-partition per entity-hash bucket, each with a lineage record (rows,
-bytes, watermark, checksum, wall time, input fragments when the read
-is fragment-aware). Re-running after a failure skips completed
-partitions before the shuffle.
+On a real cluster::
 
-Usage (driver-less):
+    ray job submit --address http://<head>:8265 \
+        --working-dir . \
+        -- python -m temporalscope_ray.job \
+           --pipeline flagship --sf-dir s3://bucket/sfN \
+           --output s3://bucket/features_run1 --num-buckets 512
 
-    python -m temporalscope_ray.job --input /tmp/imgs --out /tmp/features \
-        --num-buckets 64 [--resume-demo]
+The job driver connects to the CLUSTER Ray (``RAY_ADDRESS`` is set by
+the job supervisor; locally it falls back to ``address="local"``), runs
+the named pipeline, and sinks the result through the resumable
+partitioned writer (`state.lineage.run_partitioned`) — one parquet
+partition + lineage record per key bucket, so re-submitting the SAME
+command after a mid-run failure skips completed partitions and the
+re-run's shuffle moves only unfinished data.
 
-Owns its Ray session (guarded init, as a CLI must); the library itself
-never calls ``ray.init``.
+Prints one JSON metrics line (rows, partitions written/skipped, wall
+seconds) to stdout — the line ``ray job logs`` surfaces.
+
+This module is the ONLY library-adjacent code that may call
+``ray.init`` (guarded): it is a script entrypoint, not part of the
+importable engine surface (the driver contract in ``__ray_entry__``
+never routes here).
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
 
-def run_job(input_path: str, out_dir: str, *, num_buckets: int = 32, with_decode: bool = True) -> dict:
-    import numpy as np
-    import pandas as pd
-    import ray.data
+PIPELINES = ("flagship", "image")
 
-    from .stages import grouped
-    from .stages.multimodal import DecodeImageFeatures
-    from .stages.window_features import _seg_rolling, _seg_session_ids, _seg_shift, _segment_ids
-    from .state import lineage
 
-    ds = ray.data.read_parquet(input_path)
-    decoder = DecodeImageFeatures(strict=True)
+def build_pipeline(name: str, sf_dir: str, num_buckets: int, concurrency: int):
+    from .pipelines.flagship import image_pipeline_over, image_table_for, temporal_feature_pipeline
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["image_id", "ts"], kind="mergesort")
-        segs = grouped.entity_segments(g["image_id"].to_numpy())
-        seg_id = _segment_ids(segs)
-        seg_start = np.repeat(segs[:-1], np.diff(segs))
-        out = g.copy()
-        for col in ("target", "feature_1"):
-            v = g[col].to_numpy(dtype=np.float64)
-            out[f"{col}_lag_1"] = _seg_shift(v, seg_id, 1)
-            s, cnt = _seg_rolling(v, seg_start, 4)
-            out[f"{col}_roll_mean_4"] = s / cnt
-        out["session_id"] = _seg_session_ids(g["ts"].to_numpy(), segs, pd.Timedelta("10min"))
-        if with_decode:
-            out = decoder(out)
-        return out
-
-    t0 = time.perf_counter()
-    summary = lineage.run_partitioned(
-        ds, key="image_id", out_dir=out_dir, num_buckets=num_buckets,
-        transform=per_bucket, time_col="ts",
-    )
-    summary["wall_secs"] = round(time.perf_counter() - t0, 3)
-    if summary["wall_secs"] > 0 and summary["rows_written"]:
-        summary["rows_per_sec"] = round(summary["rows_written"] / summary["wall_secs"], 1)
-    return summary
+    if name == "flagship":
+        return temporal_feature_pipeline(sf_dir, num_buckets=num_buckets, concurrency=concurrency), "user_id"
+    if name == "image":
+        return (
+            image_pipeline_over(
+                image_table_for(sf_dir), num_buckets=num_buckets, concurrency=concurrency
+            ),
+            "image_id",
+        )
+    raise SystemExit(f"unknown --pipeline {name!r}; choose from {PIPELINES}")
 
 
 def main(argv=None) -> int:
-    parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("--input", required=True, help="image+caption parquet path")
-    parser.add_argument("--out", required=True, help="resumable partitioned output dir")
-    parser.add_argument("--num-buckets", type=int, default=32)
-    parser.add_argument("--num-cpus", type=int, default=None)
-    parser.add_argument("--no-decode", action="store_true")
-    args = parser.parse_args(argv)
+    ap = argparse.ArgumentParser(prog="python -m temporalscope_ray.job")
+    ap.add_argument("--pipeline", choices=PIPELINES, default="flagship")
+    ap.add_argument("--sf-dir", required=True, help="input table directory (parquet)")
+    ap.add_argument("--output", required=True, help="partitioned output directory")
+    ap.add_argument("--num-buckets", type=int, default=64)
+    ap.add_argument("--concurrency", type=int, default=8)
+    args = ap.parse_args(argv)
 
     import ray
 
-    if not ray.is_initialized():
-        kwargs = dict(address="local", include_dashboard=False, logging_level="ERROR")
-        if args.num_cpus:
-            kwargs["num_cpus"] = args.num_cpus
-        ray.init(**kwargs)
-        from ray.data import DataContext
+    owns_session = not ray.is_initialized()
+    if owns_session:
+        # under `ray job submit` the supervisor exports RAY_ADDRESS and
+        # this attaches to the cluster; standalone it stays local
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
 
-        DataContext.get_current().enable_progress_bars = False
-        owns = True
-    else:
-        owns = False
-    try:
-        summary = run_job(args.input, args.out, num_buckets=args.num_buckets, with_decode=not args.no_decode)
-        print(json.dumps(summary))
-    finally:
-        if owns:
-            ray.shutdown()
+    DataContext.get_current().enable_progress_bars = False
+
+    from .state.lineage import run_partitioned
+
+    t0 = time.perf_counter()
+    ds, key = build_pipeline(args.pipeline, args.sf_dir, args.num_buckets, args.concurrency)
+    summary = run_partitioned(ds, key=key, out_dir=args.output, num_buckets=args.num_buckets)
+    summary["pipeline"] = args.pipeline
+    summary["wall_secs"] = round(time.perf_counter() - t0, 3)
+    print(json.dumps(summary))
+    if owns_session:  # never tear down a caller-owned session (tests)
+        ray.shutdown()
     return 0
 
 

@@ -277,3 +277,28 @@ def test_attach_auto_size_gates_to_partitioned(tmp_path):
     a2 = a[cols].sort_values(["image_id", "ts"]).reset_index(drop=True)
     b2 = b[cols].sort_values(["image_id", "ts"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a2, b2)
+
+
+def test_job_entrypoint_writes_and_resumes(ray_session, tmp_path):
+    """`python -m temporalscope_ray.job` contract, driven in-process
+    (the Ray session is already owned by the test fixture — main()
+    guards its ray.init): a fresh run writes one lineage-tracked
+    partition per non-empty bucket; an identical re-submit skips every
+    completed partition and writes nothing."""
+    import json
+
+    from temporalscope_ray.job import main
+    from temporalscope_ray.state.lineage import completed_buckets, read_partitioned
+
+    out = str(tmp_path / "job_out")
+    args = ["--pipeline", "flagship", "--sf-dir", SF, "--output", out, "--num-buckets", "8"]
+    assert main(args) == 0
+    recs = completed_buckets(out)
+    assert recs and all("checksum" in r and "row_count" in r for r in recs.values())
+    rows_written = sum(r["row_count"] for r in recs.values())
+    assert rows_written == len(temporal_feature_pipeline(SF, num_buckets=8).to_pandas())
+
+    # resume: nothing re-written, manifest unchanged
+    assert main(args) == 0
+    assert completed_buckets(out).keys() == recs.keys()
+    assert read_partitioned(out).count() == rows_written
