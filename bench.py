@@ -99,6 +99,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "unit": "sec",
         "queries": queries,
         "rows": counts,
+        # the north-rule headline: images/sec end-to-end through the
+        # image feature pipeline (as-of/window features + decode)
+        "images_per_sec": round(counts["image_pipeline"] / queries["image_pipeline"], 1),
         "sf": sf_dir,
         "num_cpus": num_cpus,
     }

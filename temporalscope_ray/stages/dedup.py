@@ -41,7 +41,14 @@ import ray
 import ray.data
 
 from .asof import semi_join
-from .grouped import clamp_concurrency
+from .grouped import cheap_row_count, clamp_concurrency
+
+
+def _exploded_rows_hint(ds: ray.data.Dataset, per_row: int) -> Optional[int]:
+    """Upper bound on an explosion's row count from a FREE input count
+    (None when the count isn't metadata-cheap → distributed path)."""
+    n = cheap_row_count(ds)
+    return None if n is None else n * per_row
 
 _MERSENNE = (1 << 61) - 1
 _POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
@@ -136,6 +143,8 @@ def _dropped_via_buckets(
     id_col: str,
     group_cols: Sequence[str],
     num_buckets: int = 64,
+    total_rows: Optional[int] = None,
+    single_task_threshold: int = 2_000_000,
 ) -> ray.data.Dataset:
     """Unverified bucket-min link: a row is dropped iff a SMALLER id
     shares some fine group with it. Returns the dropped-id Dataset
@@ -146,14 +155,22 @@ def _dropped_via_buckets(
     ONE shuffle total: "global min partner < id" ⟺ "some bucket-local
     min partner < id", so each bucket emits its locally-dropped ids
     directly and no per-id global reduction (a second all-to-all) is
-    needed."""
+    needed. ``total_rows`` (an UPPER BOUND on the exploded row count,
+    e.g. input docs × bands from a metadata-only count) at or under
+    ``single_task_threshold`` skips even that one shuffle — the same
+    kernel over the whole coalesced table (one coarse bucket), the
+    ``grouped_ordered_map`` small-input pattern."""
     group_cols = list(group_cols)
-    bucketed = _coarse_bucketed(exploded, group_cols, num_buckets)
 
     def links(g: pd.DataFrame) -> pd.DataFrame:
         canon = g.groupby(group_cols, sort=False)[id_col].transform("min")
         return g.loc[canon.to_numpy() < g[id_col].to_numpy(), [id_col]].drop_duplicates()
 
+    if total_rows is not None and 0 <= total_rows <= single_task_threshold:
+        return exploded.repartition(1).map_batches(
+            links, batch_size=None, batch_format="pandas"
+        )
+    bucketed = _coarse_bucketed(exploded, group_cols, num_buckets)
     return bucketed.groupby("__gbucket__").map_groups(
         lambda g: links(g.drop(columns=["__gbucket__"])), batch_format="pandas"
     )
@@ -166,15 +183,18 @@ def _candidate_pairs(
     group_cols: Sequence[str],
     num_buckets: int = 64,
     max_group: int = 4096,
+    total_rows: Optional[int] = None,
+    single_task_threshold: int = 2_000_000,
 ) -> ray.data.Dataset:
     """Candidate pairs ``(id_a < id_b)`` from an exploded
     (group_key..., id) table: fine groups of size >= 2 emit all ordered
     pairs. Groups above ``max_group`` members are truncated to the
     ``max_group`` smallest ids (logged via a warning column-free print)
     — an explicit cap, not a silent one; a fine LSH group that large
-    means the banding parameters are too coarse for the corpus."""
+    means the banding parameters are too coarse for the corpus.
+    ``total_rows``: see ``_dropped_via_buckets`` (same small-input
+    single-task gate)."""
     group_cols = list(group_cols)
-    bucketed = _coarse_bucketed(exploded, group_cols, num_buckets)
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         # only fine groups with >= 2 members can produce pairs
@@ -202,6 +222,11 @@ def _candidate_pairs(
         df = pd.DataFrame({"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)})
         return df.drop_duplicates(ignore_index=True)
 
+    if total_rows is not None and 0 <= total_rows <= single_task_threshold:
+        return exploded.repartition(1).map_batches(
+            pairs, batch_size=None, batch_format="pandas"
+        )
+    bucketed = _coarse_bucketed(exploded, group_cols, num_buckets)
     return bucketed.groupby("__gbucket__").map_groups(
         lambda g: pairs(g.drop(columns=["__gbucket__"])), batch_format="pandas"
     )
@@ -398,6 +423,7 @@ def minhash_dropped(
     seed: int = 7,
     concurrency=8,
     portable: bool = False,
+    single_task_threshold: int = 2_000_000,
 ) -> ray.data.Dataset:
     """Dropped-id Dataset: ids sharing some LSH band bucket with a
     smaller id (one hop, unverified — MinHash banding IS the match
@@ -407,7 +433,9 @@ def minhash_dropped(
         ds, text_col=text_col, id_col=id_col, num_perm=num_perm, bands=bands,
         shingle_k=shingle_k, seed=seed, concurrency=concurrency, portable=portable,
     )
-    return _dropped_via_buckets(exploded, id_col=id_col, group_cols=["band_id", "band_hash"])
+    return _dropped_via_buckets(exploded, id_col=id_col, group_cols=["band_id", "band_hash"],
+                                total_rows=_exploded_rows_hint(ds, bands),
+                                single_task_threshold=single_task_threshold)
 
 
 def minhash_dedup(
@@ -421,12 +449,19 @@ def minhash_dedup(
     seed: int = 7,
     concurrency=8,
     portable: bool = False,
+    single_task_threshold: int = 2_000_000,
 ) -> ray.data.Dataset:
     """Keep rows with no smaller-id band-bucket partner. The filter
-    anti-joins the DROPPED set (the small side)."""
+    anti-joins the DROPPED set (the small side).
+
+    ``single_task_threshold`` (compared against the exploded-row upper
+    bound docs × bands, from a METADATA-ONLY count) gates the
+    small-input local path; 0 forces the bucketed exchange — tests pin
+    both paths row-identical."""
     dropped = minhash_dropped(
         ds, text_col=text_col, id_col=id_col, num_perm=num_perm, bands=bands,
         shingle_k=shingle_k, seed=seed, concurrency=clamp_concurrency(concurrency), portable=portable,
+        single_task_threshold=single_task_threshold,
     )
     return _anti_join_dropped(ds, dropped, id_col)
 
@@ -506,6 +541,7 @@ def simhash_dedup(
     concurrency=8,
     portable: bool = False,
     num_buckets: int = 64,
+    single_task_threshold: int = 2_000_000,
 ) -> ray.data.Dataset:
     """Candidates share a 16-bit chunk; verified by vectorized Hamming
     distance on the full 64-bit simhash inside the bucket (byte-table
@@ -516,20 +552,24 @@ def simhash_dedup(
         fn_constructor_args=(text_col, id_col, portable),
     )
     dropped = _dropped_hamming(exploded, id_col=id_col, threshold=hamming_threshold,
-                               num_buckets=num_buckets)
+                               num_buckets=num_buckets,
+                               total_rows=_exploded_rows_hint(ds, 4),
+                               single_task_threshold=single_task_threshold)
     return _anti_join_dropped(ds, dropped, id_col)
 
 
 def _dropped_hamming(
-    exploded: ray.data.Dataset, *, id_col: str, threshold: int, num_buckets: int
+    exploded: ray.data.Dataset, *, id_col: str, threshold: int, num_buckets: int,
+    total_rows: Optional[int] = None, single_task_threshold: int = 2_000_000,
 ) -> ray.data.Dataset:
     """Shared verify for 64-bit-hash chunk banding (simhash / phash):
     within each fine (chunk_id, chunk_val) group, a row drops iff a
     smaller-id row is within ``threshold`` Hamming distance of its full
     64-bit hash. Fine groups ride a hash-coarsened bucket shuffle and
-    are verified vectorized (byte-table popcount, row-blocked)."""
+    are verified vectorized (byte-table popcount, row-blocked).
+    ``total_rows``: small-input single-task gate, see
+    ``_dropped_via_buckets``."""
     group_cols = ["chunk_id", "chunk_val"]
-    bucketed = _coarse_bucketed(exploded, group_cols, num_buckets)
 
     def bucket_dropped(g: pd.DataFrame) -> pd.DataFrame:
         sizes = g.groupby(group_cols, sort=False)[id_col].transform("size")
@@ -547,6 +587,11 @@ def _dropped_hamming(
         vals = np.concatenate(out) if out else g[id_col].to_numpy()[:0]
         return pd.DataFrame({id_col: np.unique(vals)})
 
+    if total_rows is not None and 0 <= total_rows <= single_task_threshold:
+        return exploded.repartition(1).map_batches(
+            bucket_dropped, batch_size=None, batch_format="pandas"
+        )
+    bucketed = _coarse_bucketed(exploded, group_cols, num_buckets)
     return bucketed.groupby("__gbucket__").map_groups(
         lambda g: bucket_dropped(g.drop(columns=["__gbucket__"])), batch_format="pandas"
     )
@@ -576,6 +621,7 @@ def phash_dedup(
     hamming_threshold: int = 3,
     concurrency=8,
     num_buckets: int = 64,
+    single_task_threshold: int = 2_000_000,
 ) -> ray.data.Dataset:
     """Near-duplicate removal on a precomputed 64-bit perceptual-hash
     column (the north-rule image table's ``phash:int64``): 4×16-bit
@@ -591,7 +637,9 @@ def phash_dedup(
         lambda b: _explode_hash_chunks(b, hash_col, id_col), batch_format="pandas",
     )
     dropped = _dropped_hamming(exploded, id_col=id_col, threshold=hamming_threshold,
-                               num_buckets=num_buckets)
+                               num_buckets=num_buckets,
+                               total_rows=_exploded_rows_hint(ds, 4),
+                               single_task_threshold=single_task_threshold)
     return _anti_join_dropped(ds, dropped, id_col)
 
 
@@ -611,6 +659,7 @@ def jaccard_dedup(
     seed: int = 7,
     concurrency=8,
     max_candidates: int = 5_000_000,
+    single_task_threshold: int = 2_000_000,
 ) -> ray.data.Dataset:
     """MinHash-LSH candidate pairs + EXACT n-gram Jaccard verification.
 
@@ -627,7 +676,9 @@ def jaccard_dedup(
     # materialize ONCE: the pair list is consumed twice (driver frame
     # for the payload narrowing + the distributed verify pass); without
     # this the whole signature+LSH-shuffle lineage would execute twice
-    pairs = _candidate_pairs(exploded, id_col=id_col, group_cols=["band_id", "band_hash"]).materialize()
+    pairs = _candidate_pairs(exploded, id_col=id_col, group_cols=["band_id", "band_hash"],
+                             total_rows=_exploded_rows_hint(ds, bands),
+                             single_task_threshold=single_task_threshold).materialize()
     pairs_df = pairs.to_pandas().drop_duplicates(ignore_index=True)  # candidates: small side
     if not len(pairs_df):
         return ds
@@ -704,6 +755,7 @@ def embedding_dedup(
     seed: int = 11,
     concurrency=8,
     max_candidates: int = 5_000_000,
+    single_task_threshold: int = 2_000_000,
 ) -> ray.data.Dataset:
     """Cosine near-dup, two-phase: banded hyperplane candidate pairs
     (vectors never shuffled), exact pairwise cosine verification over a
@@ -718,7 +770,9 @@ def embedding_dedup(
         fn_constructor_args=(emb_col, id_col, dim, nbits, num_tables, seed),
     )
     # materialized once: consumed by the driver frame AND the verify pass
-    pairs = _candidate_pairs(exploded, id_col=id_col, group_cols=["table_id", "bucket"]).materialize()
+    pairs = _candidate_pairs(exploded, id_col=id_col, group_cols=["table_id", "bucket"],
+                             total_rows=_exploded_rows_hint(ds, num_tables),
+                             single_task_threshold=single_task_threshold).materialize()
     pairs_df = pairs.to_pandas().drop_duplicates(ignore_index=True)
     if not len(pairs_df):
         return ds
@@ -984,6 +1038,7 @@ def jaccard_pairs(
     seed: int = 7,
     concurrency=8,
     max_candidates: int = 5_000_000,
+    single_task_threshold: int = 2_000_000,
 ) -> ray.data.Dataset:
     """Verified near-duplicate PAIRS by exact n-gram Jaccard — the
     pair-emitting sibling of ``jaccard_dedup`` (identical LSH candidate
@@ -995,7 +1050,9 @@ def jaccard_pairs(
         shingle_k=shingle_k, seed=seed, concurrency=concurrency,
     )
     pairs = _candidate_pairs(
-        exploded, id_col=id_col, group_cols=["band_id", "band_hash"]
+        exploded, id_col=id_col, group_cols=["band_id", "band_hash"],
+        total_rows=_exploded_rows_hint(ds, bands),
+        single_task_threshold=single_task_threshold,
     ).materialize()
     pairs_df = pairs.to_pandas().drop_duplicates(ignore_index=True)
     if not len(pairs_df):

@@ -100,6 +100,18 @@ def entity_segments(keys: np.ndarray) -> np.ndarray:
     return np.concatenate(([0], change, [n])).astype(np.int64)
 
 
+def cheap_row_count(ds: ray.data.Dataset) -> Optional[int]:
+    """Row count when it is FREE (datasource metadata, e.g. parquet
+    footers on an untransformed read), else None — never triggers
+    execution. The size-adaptive operators use this as their gate
+    hint: None simply means "assume big", taking the distributed path.
+    """
+    try:
+        return ds._meta_count()
+    except Exception:
+        return None
+
+
 def grouped_ordered_map(
     ds: ray.data.Dataset,
     key: str,

@@ -525,3 +525,27 @@ def test_payload_map_candidate_bound_raises(ray_session):
     kept = jaccard_dedup(ds, text_col="text", id_col="doc_id", concurrency=2,
                          max_candidates=1000).to_pandas()
     assert len(kept) == 1
+
+
+def test_dedup_single_task_gate_matches_bucketed(ray_session):
+    # the metadata-count size gate (docs x bands <= threshold -> one
+    # coalesced task, no exchange) must keep every family row-identical
+    # to the bucketed-exchange path (single_task_threshold=0 forces it)
+    from temporalscope_ray.stages.dedup import phash_dedup
+
+    df = docs_df()
+    for fam, kw in [
+        (minhash_dedup, dict(text_col="text", id_col="doc_id", num_perm=64, bands=32, shingle_k=3)),
+        (simhash_dedup, dict(text_col="text", id_col="doc_id", hamming_threshold=3)),
+        (jaccard_dedup, dict(text_col="text", id_col="doc_id", threshold=0.5, shingle_k=3, bands=32)),
+    ]:
+        small = fam(ray.data.from_pandas(df), **kw).to_pandas()
+        forced = fam(ray.data.from_pandas(df), single_task_threshold=0, **kw).to_pandas()
+        assert sorted(small["doc_id"]) == sorted(forced["doc_id"]), fam.__name__
+
+    ph = pd.DataFrame({"img_id": np.arange(6),
+                       "phash": np.array([5, 5, 5 ^ 3, 9999, -42, -42], dtype=np.int64)})
+    a = phash_dedup(ray.data.from_pandas(ph), hash_col="phash", id_col="img_id").to_pandas()
+    b = phash_dedup(ray.data.from_pandas(ph), hash_col="phash", id_col="img_id",
+                    single_task_threshold=0).to_pandas()
+    assert sorted(a["img_id"]) == sorted(b["img_id"]) == [0, 3, 4]
