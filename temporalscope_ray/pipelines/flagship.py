@@ -213,7 +213,7 @@ def image_pipeline_over(
 
 def image_feature_pipeline(
     sf_dir: str, *, num_buckets: int = 32, concurrency=8, with_decode: bool = True,
-    attach: str = "broadcast",
+    attach: str = "auto",
 ) -> ray.data.Dataset:
     """`image_pipeline_over` on the cached sf-sized synthetic table."""
     return image_pipeline_over(
