@@ -45,12 +45,18 @@ def run_job(input_path: str, out_dir: str, *, num_buckets: int = 32, with_decode
     import pandas as pd
     import ray.data
 
+    from .sources.fragments import read_parquet_fragments
     from .stages import grouped
     from .stages.multimodal import DecodeImageFeatures
     from .stages.window_features import _seg_rolling, _seg_session_ids, _seg_shift, _segment_ids
     from .state import lineage
 
-    ds = ray.data.read_parquet(input_path)
+    # fragment-aware read: every row carries (fragment id, row offset),
+    # so each partition's lineage record names exactly which input
+    # fragments + row ranges produced it (the north rule's lineage
+    # fields); run_partitioned strips the provenance columns before the
+    # transform and the written output
+    ds = read_parquet_fragments(input_path)
     decoder = DecodeImageFeatures(strict=True)
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:

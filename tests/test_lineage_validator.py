@@ -160,6 +160,16 @@ def test_job_cli_end_to_end(tmp_path):
     assert len(back) == 80
     assert {"target_lag_1", "target_roll_mean_4", "session_id", "brightness"} <= set(back.columns)
     assert lin.validate_manifest(out)
+    # fragment-aware read end-to-end: every lineage record names its
+    # input fragments + row ranges (the north rule's lineage fields),
+    # and the provenance columns never reach the written output
+    recs = lin.completed_buckets(out)
+    assert all(r.get("input_fragments") for r in recs.values())
+    frags = {f["fragment_id"] for r in recs.values() for f in r["input_fragments"]}
+    assert frags == {0, 1}  # both source fragments accounted for
+    assert all(f["rows_used"] >= 1 and f["row_max"] >= f["row_min"]
+               for r in recs.values() for f in r["input_fragments"])
+    assert "__fragment_id__" not in back.columns and "__row_start__" not in back.columns
 
 
 def test_read_table_auto_csv_jsonl_roundtrip(tmp_path):
