@@ -135,6 +135,18 @@ def image_table_for(sf_dir: str, rows_per_sf: int = 20_000) -> str:
                                          num_blocks=32)
 
 
+@ray.remote
+def _narrow_features_task(path: str, columns, sort_cols, kernel) -> pd.DataFrame:
+    """One-task narrow feature compute for the attach-overlap path:
+    column-pruned parquet read (only the key/value columns leave
+    storage) + the same sorted per-bucket kernel. Dispatched BEFORE the
+    payload plan so it runs concurrently with the payload read."""
+    import pyarrow.parquet as pq
+
+    g = pq.read_table(path, columns=list(columns)).to_pandas()
+    return kernel(g.sort_values(list(sort_cols), kind="mergesort"))
+
+
 def image_pipeline_over(
     path: str, *, num_buckets: int = 32, concurrency=8, with_decode: bool = True,
     attach: str = "auto", feature_dir: str | None = None,
@@ -181,6 +193,7 @@ def image_pipeline_over(
         )
 
     from ..stages.payload import attach_features_broadcast, attach_features_partitioned
+    from ..stages.window_features import _flagship_kernel
 
     # split the CPU budget: the attach merge moves every payload byte
     # (cheap per byte), the decode pool burns CPU per image; both must
@@ -204,6 +217,27 @@ def image_pipeline_over(
         feats = attach_features_partitioned(
             ds, features, feature_dir=feature_dir, num_buckets=num_buckets, **kw
         )
+    elif nrows <= 2_000_000:
+        # small-path OVERLAP: the narrow feature table would otherwise
+        # compute SERIALLY before the payload plan even starts (2-3 s
+        # of a ~9 s 100k-image run). Dispatch it as ONE plain Ray task
+        # (direct column-pruned parquet read + the SAME sorted flagship
+        # kernel the single-task Dataset path runs) and hand the
+        # promise to the attach stage — the payload read streams
+        # concurrently and the Attach actors block in __init__ only
+        # until the promise resolves. Row-identical to the Dataset
+        # path by construction (same kernel over the same sorted
+        # frame); pinned by test_attach_async_features_matches_sync.
+        kernel = _flagship_kernel(
+            id_col="image_id", time_col="ts", value_cols=["target", "feature_1"],
+            lags=[1], leads=[], rolling_windows=[4], rolling_fns=("mean",),
+            session_gap=pd.Timedelta("10min"), session_col="session_id", label_shift=None,
+        )
+        fref = _narrow_features_task.remote(
+            path, ["image_id", "ts", "target", "feature_1"], ["image_id", "ts"], kernel
+        )
+        kw.pop("narrow_blocks", None)
+        feats = attach_features_broadcast(ds, None, features_ref=fref, **kw)
     else:
         feats = attach_features_broadcast(ds, features, **kw)
     if with_decode:

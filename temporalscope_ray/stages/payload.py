@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import os
 from collections import OrderedDict
-from typing import Callable, Sequence
+from typing import Callable, Optional, Sequence
 
 import pandas as pd
 import ray
@@ -30,12 +30,13 @@ from .grouped import clamp_concurrency
 
 def attach_features_broadcast(
     payload_ds: ray.data.Dataset,
-    feature_fn: Callable[[ray.data.Dataset], ray.data.Dataset],
+    feature_fn: Optional[Callable[[ray.data.Dataset], ray.data.Dataset]],
     *,
     keys: Sequence[str],
     narrow_cols: Sequence[str],
     concurrency=8,
     narrow_blocks: int | None = 16,
+    features_ref: Optional["ray.ObjectRef"] = None,
 ) -> ray.data.Dataset:
     """Run ``feature_fn`` over the narrow projection of ``payload_ds``
     and broadcast-merge the new columns back by ``keys``.
@@ -43,16 +44,30 @@ def attach_features_broadcast(
     ``narrow_cols`` must include ``keys``. Feature rows that drop out
     (e.g. a label shift) drop the matching payload rows too (inner
     merge), so row semantics match running the pipeline directly.
+
+    ``features_ref`` (mutually exclusive with ``feature_fn``): an
+    ObjectRef resolving to the feature DataFrame — typically a plain
+    Ray task dispatched BEFORE this call, so the feature compute runs
+    concurrently with the payload read instead of ahead of it (see
+    ``pipelines.flagship.image_pipeline_over``'s small path).
     """
     keys = list(keys)
-    narrow = payload_ds.select_columns(list(dict.fromkeys([*keys, *narrow_cols])))
-    if narrow_blocks is not None:
-        # the narrow projection inherits the payload read's block count;
-        # coalescing it first cuts the bucket shuffle's per-block fixed
-        # cost (measured 4x on small tables)
-        narrow = narrow.repartition(narrow_blocks)
-    features = feature_fn(narrow).to_pandas()
-    feat_ref = ray.put(features)
+    if features_ref is not None:
+        # pre-dispatched feature promise (e.g. a detached task reading
+        # the narrow columns straight from parquet): the payload plan
+        # below starts its read IMMEDIATELY and the Attach actors block
+        # in __init__ until the promise resolves — the feature compute
+        # overlaps the payload read instead of serializing ahead of it
+        feat_ref = features_ref
+    else:
+        narrow = payload_ds.select_columns(list(dict.fromkeys([*keys, *narrow_cols])))
+        if narrow_blocks is not None:
+            # the narrow projection inherits the payload read's block
+            # count; coalescing it first cuts the bucket shuffle's
+            # per-block fixed cost (measured 4x on small tables)
+            narrow = narrow.repartition(narrow_blocks)
+        features = feature_fn(narrow).to_pandas()
+        feat_ref = ray.put(features)
 
     class Attach:
         def __init__(self):

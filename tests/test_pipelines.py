@@ -302,3 +302,25 @@ def test_job_entrypoint_writes_and_resumes(ray_session, tmp_path):
     assert main(args) == 0
     assert completed_buckets(out).keys() == recs.keys()
     assert read_partitioned(out).count() == rows_written
+
+
+def test_attach_async_features_matches_sync(ray_session, tmp_path):
+    """The attach-overlap path (features via one detached parquet-read
+    task) must be row-identical to the Dataset-computed feature path —
+    same kernel, same sort, different transport."""
+    path = str(tmp_path / "imgs")
+    synth.materialize_image_table(path, 300, num_entities=12, seed=3, num_blocks=3)
+
+    fast = image_pipeline_over(path, num_buckets=4, concurrency=2,
+                               with_decode=False).to_pandas()
+    # broadcast_limit_rows below nrows pushes attach to "partitioned",
+    # whose features go through the full Dataset path — the sync oracle
+    slow = image_pipeline_over(path, num_buckets=4, concurrency=2, with_decode=False,
+                               attach="partitioned",
+                               feature_dir=str(tmp_path / "fd")).to_pandas()
+    key = ["image_id", "ts"]
+    cols = sorted(fast.columns)
+    assert cols == sorted(slow.columns)
+    a = fast[cols].sort_values(key).reset_index(drop=True)
+    b = slow[cols].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
