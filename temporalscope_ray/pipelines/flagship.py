@@ -171,6 +171,13 @@ def image_pipeline_over(
     input decides — broadcast while ``<= broadcast_limit_rows``, else
     partitioned. A hardcoded broadcast here was round-2 verdict finding
     #3 (driver-materialized scale-growing table)."""
+    # NOTE on block sizing: Ray's default split gives this table ~256
+    # sub-MB blocks and each downstream map stage pays per-block task
+    # overhead — but coalescing the read (sized_read_parquet) was
+    # MEASURED WORSE here (9→30 s on the 100k probe): with few blocks
+    # Ray fuses the read into the small attach actor pool, serializing
+    # the payload read to attach_pool slots. Keep the default split;
+    # the read stays a wide task pool that feeds both actor pools.
     ds = ray.data.read_parquet(path)
     # count() on an untransformed parquet read is metadata-only; it
     # drives BOTH size gates below (attach strategy + feature exchange)
