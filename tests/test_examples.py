@@ -31,6 +31,7 @@ def _run(name: str) -> None:
     "07_behavioral_analytics.py",
     "08_warehouse_analytics.py",
     "09_behavioral_feature_store.py",
+    "10_resumable_job.py",
 ])
 def test_example_runs(name, capsys):
     _run(name)
