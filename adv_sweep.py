@@ -1,0 +1,79 @@
+"""Adversarial-data parity sweep.
+
+The sf corpora happen to satisfy invariants the oracles could silently
+assume — most dangerously, UNIQUE (user_id, ts) pairs in events. This
+script injects ~1% duplicate-(user_id, ts) rows (fresh event_ids,
+perturbed values) into a copy of sf0.001 and replays EVERY
+queries()/oracle_sql() pair on the mutated tables: any operator or
+oracle whose result depends on row order among timestamp ties diverges
+here long before real data finds it. (Round-3 catch: time-rolling
+peer semantics — pandas is positional among equal timestamps, SQL
+RANGE frames are not.)
+
+Usage: python adv_sweep.py   (exit 1 on any mismatch/error)
+"""
+import os, shutil, sys, traceback
+import duckdb, numpy as np, pandas as pd
+import pyarrow.parquet as pq, pyarrow as pa
+
+SRC = "/root/testdata/sf0.001"
+DST = "/tmp/sf_adv"
+if os.path.exists(DST):
+    shutil.rmtree(DST)
+os.makedirs(DST)
+for f in os.listdir(SRC):
+    if f == "events.parquet":
+        t = pq.read_table(os.path.join(SRC, f)).to_pandas()
+        rng = np.random.default_rng(99)
+        pick = t.sample(n=max(20, len(t)//100), random_state=7).copy()
+        pick["event_id"] = np.arange(len(pick)) + int(t["event_id"].max()) + 1
+        # duplicates share (user_id, ts) but differ in event_id AND value
+        pick["value"] = pick["value"].to_numpy() + rng.normal(size=len(pick))
+        out = pd.concat([t, pick], ignore_index=True)
+        pq.write_table(pa.Table.from_pandas(out, preserve_index=False), os.path.join(DST, f))
+        print(f"events: {len(t)} -> {len(out)} rows ({len(pick)} dup-(user,ts) injected)")
+    else:
+        shutil.copy(os.path.join(SRC, f), os.path.join(DST, f))
+
+import ray
+ray.init(address="local", num_cpus=16, include_dashboard=False, logging_level="ERROR")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+sys.path.insert(0, "/root/repo")
+import __ray_entry__ as e
+
+con = duckdb.connect()
+for tname in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {tname} AS SELECT * FROM read_parquet('{DST}/{tname}.parquet')")
+
+qs, oracles = e.queries(), e.oracle_sql()
+bad, errs, ok = [], [], 0
+for name, fn in sorted(qs.items()):
+    osql = oracles.get(name)
+    if osql is None:
+        continue
+    try:
+        r = fn(DST)
+        rdf = r.to_pandas() if hasattr(r, "to_pandas") else (r.to_pandas() if isinstance(r, pa.Table) else r)
+        if isinstance(rdf, pa.Table): rdf = rdf.to_pandas()
+        odf = con.execute(osql).df()
+        key = sorted(rdf.columns)
+        if sorted(odf.columns) != key:
+            bad.append((name, f"schema {sorted(odf.columns)} vs {key}")); continue
+        if len(rdf) != len(odf):
+            bad.append((name, f"rows {len(rdf)} vs {len(odf)}")); continue
+        a = rdf[key].sort_values(key).reset_index(drop=True)
+        b = odf[key].sort_values(key).reset_index(drop=True)
+        try:
+            pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=False, rtol=1e-7, atol=1e-9)
+            ok += 1
+        except AssertionError as ex:
+            bad.append((name, str(ex).splitlines()[-1][:120]))
+    except Exception as ex:
+        errs.append((name, f"{type(ex).__name__}: {str(ex)[:110]}"))
+print(f"\nOK {ok}; VALUE/ROW MISMATCH {len(bad)}; ERRORS {len(errs)}")
+for n, m in bad: print(f"  MISMATCH {n}: {m}")
+for n, m in errs: print(f"  ERROR {n}: {m}")
+ray.shutdown()
+import sys as _s
+_s.exit(1 if (bad or errs) else 0)

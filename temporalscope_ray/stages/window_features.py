@@ -450,7 +450,16 @@ def add_time_rolling_features(
     """Trailing TIME-based rolling aggregates per entity:
     ``{col}_troll_{fn}``. Default ``closed="both"`` = SQL
     ``RANGE BETWEEN window PRECEDING AND CURRENT ROW`` (both endpoints
-    included); pandas' native default would be ``closed="right"``."""
+    included); pandas' native default would be ``closed="right"``.
+
+    Duplicate-timestamp semantics match SQL RANGE frames exactly: all
+    rows sharing an (entity, ts) are PEERS and see the same window —
+    including each other. pandas' time rolling is positional among
+    equal timestamps (the first peer would not see the second), an
+    order-dependent divergence the adversarial dup-(entity, ts) parity
+    sweep caught; the fix broadcasts each peer run's LAST result (whose
+    positional window is precisely the RANGE window) to the whole run.
+    """
     bad = set(fns) - _ROLL_FNS
     if bad:
         raise ValueError(f"Unsupported rolling fns: {sorted(bad)}. Supported: {sorted(_ROLL_FNS)}")
@@ -459,10 +468,25 @@ def add_time_rolling_features(
         out = g.copy()
         idx = g.set_index(time_col)
         roll = idx.groupby(id_col, sort=False)[list(value_cols)].rolling(window, closed=closed)
+        ids = g[id_col].to_numpy()
+        ts = g[time_col].to_numpy()
+        n = len(g)
+        # index of the LAST row of each (entity, ts) peer run (g is
+        # (entity, ts)-sorted); rows map to their run-end row
+        new_run = np.empty(n, dtype=bool)
+        if n:
+            new_run[0] = True
+            new_run[1:] = (ids[1:] != ids[:-1]) | (ts[1:] != ts[:-1])
+        run_id = np.cumsum(new_run) - 1 if n else np.array([], dtype=np.int64)
+        is_last = np.empty(n, dtype=bool)
+        if n:
+            is_last[:-1] = new_run[1:]
+            is_last[-1] = True
+        last_pos = np.flatnonzero(is_last)[run_id] if n else run_id
         for f in fns:
             res = getattr(roll, f)().reset_index(drop=True)
             for col in value_cols:
-                out[f"{col}_troll_{f}"] = res[col].to_numpy()
+                out[f"{col}_troll_{f}"] = res[col].to_numpy()[last_pos]
         return out
 
     return grouped.grouped_ordered_map(ds, id_col, [time_col, *(tiebreak or [])], fn, num_buckets=num_buckets)

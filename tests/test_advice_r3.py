@@ -131,3 +131,34 @@ def test_throttle_duplicate_timestamps_vs_sql(ray_session):
     want_s["ts"] = want_s["ts"].astype("datetime64[us]")
     got_s["ts"] = got_s["ts"].astype("datetime64[us]")
     pd.testing.assert_frame_equal(got_s, want_s, check_dtype=False)
+
+
+def test_time_rolling_duplicate_ts_peers_match_sql_range(ray_session):
+    # SQL RANGE ... CURRENT ROW makes duplicate-(entity, ts) rows PEERS
+    # (each includes the other); pandas time rolling is positional among
+    # equal timestamps — the engine must follow the SQL frame
+    from temporalscope_ray.stages.window_features import add_time_rolling_features
+
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 1, 2, 2],
+        "ts": pd.to_datetime(["2024-01-01 00:00", "2024-01-01 00:10",
+                              "2024-01-01 00:10", "2024-01-01 00:50",
+                              "2024-01-01 00:00", "2024-01-01 00:00"]),
+        "value": [1.0, 2.0, 4.0, 8.0, 3.0, 5.0],
+        "event_id": [0, 1, 2, 3, 4, 5],
+    })
+    out = add_time_rolling_features(
+        ray.data.from_pandas(df).repartition(3), id_col="user_id", time_col="ts",
+        value_cols=["value"], window=pd.Timedelta("30min"), num_buckets=2,
+        tiebreak=["event_id"],
+    ).to_pandas().sort_values("event_id").reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.register("ev", df)
+    want = con.execute("""
+        SELECT event_id,
+               AVG(value) OVER (PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING AND CURRENT ROW) AS m
+        FROM ev ORDER BY event_id
+    """).df()
+    np.testing.assert_allclose(out["value_troll_mean"].to_numpy(), want["m"].to_numpy())
