@@ -725,7 +725,11 @@ def q_line_dedup_docs(sf_dir: str):
     from temporalscope_ray.stages.dedup import line_dedup
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    tok_re = _re.compile(r"\S+")
+    # explicit RE2-parity class: Python's \S would treat \v / U+3000 as
+    # whitespace, RE2's \S (= [^\t\n\f\r ]) does not
+    from temporalscope_ray.stages.text import ASCII_NONSPACE_RE
+
+    tok_re = _re.compile(ASCII_NONSPACE_RE)
 
     def to_lines(b: pd.DataFrame) -> pd.DataFrame:
         out = []
@@ -3973,10 +3977,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY text)
         """,
         "text_stats_docs": r"""
+            -- COALESCE: the engine's documented null-text contract is
+            -- "null = empty string" (fillna('') before every str kernel)
             SELECT doc_id,
-                   LENGTH(text) AS n_chars_calc,
-                   LENGTH(regexp_extract_all(text, '\S+')) AS n_tokens,
-                   LENGTH(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS n_words
+                   LENGTH(COALESCE(text, '')) AS n_chars_calc,
+                   LENGTH(regexp_extract_all(COALESCE(text, ''), '\S+')) AS n_tokens,
+                   LENGTH(regexp_extract_all(COALESCE(text, ''), '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS n_words
             FROM documents
         """,
         "token_sum_by_lang": r"""

@@ -30,8 +30,34 @@ for f in os.listdir(SRC):
         # duplicates share (user_id, ts) but differ in event_id AND value
         pick["value"] = pick["value"].to_numpy() + rng.normal(size=len(pick))
         out = pd.concat([t, pick], ignore_index=True)
+        # NULL values + NULL props on a disjoint 1% sample (the clean
+        # corpora contain ZERO nulls, so SQL-vs-engine null semantics —
+        # AVG/SUM ignoring NULLs, json_extract of NULL, null ranks —
+        # are otherwise never exercised)
+        nullpick = out.sample(n=max(20, len(out) // 100), random_state=11).index
+        out.loc[nullpick, "value"] = np.nan
+        out.loc[out.sample(n=max(10, len(out) // 200), random_state=13).index, "props"] = None
         pq.write_table(pa.Table.from_pandas(out, preserve_index=False), os.path.join(DST, f))
-        print(f"events: {len(t)} -> {len(out)} rows ({len(pick)} dup-(user,ts) injected)")
+        print(f"events: {len(t)} -> {len(out)} rows ({len(pick)} dup-(user,ts), "
+              f"{len(nullpick)} null values injected)")
+    elif f == "documents.parquet":
+        d = pq.read_table(os.path.join(SRC, f)).to_pandas()
+        extra = pd.DataFrame({
+            "doc_id": np.arange(8) + int(d["doc_id"].max()) + 1,
+            # \v and U+3000 pin the ASCII-whitespace-class parity: RE2's
+            # \s is exactly [\t\n\f\r ], so both are NON-space there while
+            # Python's unicode \s would treat them as spaces — the engine
+            # must use the explicit ASCII classes to agree with the SQL
+            "text": [None, "", "\n\t  \r\n", "word " * 3 + "\nword",
+                     d["text"].iloc[0], "émojis 🎉 und ß-Umlaute, 日本語テキスト",
+                     "a\vb c", "x　y end"],
+            "lang": ["en"] * 8,
+            "source": ["adv"] * 8,
+            "n_chars": [0, 0, 5, 21, int(d["n_chars"].iloc[0]), 33, 5, 7],
+        })
+        dd = pd.concat([d, extra], ignore_index=True)
+        pq.write_table(pa.Table.from_pandas(dd, preserve_index=False), os.path.join(DST, f))
+        print(f"documents: {len(d)} -> {len(dd)} rows (null/empty/whitespace/dup/unicode texts)")
     else:
         shutil.copy(os.path.join(SRC, f), os.path.join(DST, f))
 
@@ -47,10 +73,32 @@ for tname in ["region","nation","customer","supplier","part","orders","lineitem"
     con.execute(f"CREATE VIEW {tname} AS SELECT * FROM read_parquet('{DST}/{tname}.parquet')")
 
 qs, oracles = e.queries(), e.oracle_sql()
+
+# Operators whose REFERENCE contract is to REJECT null feature/target
+# values (TemporalScope's TimeFrame/padding validation raises, verbatim
+# messages) — on the null-injected corpus the correct behavior is the
+# raise itself, asserted by message
+EXPECT_RAISE = {
+    "mean_pad_value": "Cannot process data containing null values",
+    "validator_report": "Null values found in columns",
+}
+
 bad, errs, ok = [], [], 0
 for name, fn in sorted(qs.items()):
     osql = oracles.get(name)
     if osql is None:
+        continue
+    if name in EXPECT_RAISE:
+        try:
+            fn(DST)
+            bad.append((name, "expected null-validation raise, got a result"))
+        except ValueError as ex:
+            if EXPECT_RAISE[name] in str(ex):
+                ok += 1
+            else:
+                errs.append((name, f"wrong raise: {str(ex)[:100]}"))
+        except Exception as ex:
+            errs.append((name, f"{type(ex).__name__}: {str(ex)[:110]}"))
         continue
     try:
         r = fn(DST)

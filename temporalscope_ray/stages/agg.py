@@ -1111,12 +1111,18 @@ def trailing_global_aggregate(
         out = own.append_column(count_col, pa.array((hi - lo).astype(np.int64)))
         if has_val:
             v = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
-            sv = np.concatenate(([0.0], np.cumsum(np.nan_to_num(v[order]))))
+            vs = v[order]
+            sv = np.concatenate(([0.0], np.cumsum(np.nan_to_num(vs))))
             ws = sv[hi] - sv[lo]
             if round_to is not None:
                 sc = 10.0 ** round_to
                 ws = np.sign(ws) * np.floor(np.abs(ws) * sc + 0.5) / sc
-            out = out.append_column(sum_col, pa.array(ws))
+            # SQL SUM ignores NULLs but returns NULL (not 0.0) when the
+            # window holds no non-null value — track the non-null prefix
+            # count and mask those windows
+            nz = np.concatenate(([0], np.cumsum((~np.isnan(vs)).astype(np.int64))))
+            out = out.append_column(
+                sum_col, pa.array(ws, mask=(nz[hi] - nz[lo]) == 0))
         return out
 
     return bucketed.groupby(BUCKET_COL).map_groups(
@@ -1620,23 +1626,40 @@ def volume_bars(
         base = np.repeat(cs[segs[:-1]] - vol[segs[:-1]], np.diff(segs))
         prefix = cs - vol - base  # exclusive, per-entity
         bar = prefix // thr_mil
-        out = g[[id_col]].copy()
-        out["bar_id"] = bar
-        out["__ts"] = g[time_col].to_numpy()
-        out["__v"] = v
-        grp = out.groupby([id_col, "bar_id"], sort=False)
-        res = grp.agg(
-            bar_start_ts=("__ts", "first"), open_v=("__v", "first"),
-            close_v=("__v", "last"), n=("__v", "size"),
-        )
-        res["high_v"] = grp["__v"].max()
-        res["low_v"] = grp["__v"].min()
-        vols = pd.Series(vol, index=out.index).groupby(
-            [out[id_col], out["bar_id"]], sort=False).sum()
-        res["volume"] = vols.astype(np.float64) / 1000.0
-        res = res.reset_index()
-        return res[[id_col, "bar_id", "bar_start_ts", "open_v", "high_v",
-                    "low_v", "close_v", "volume", "n"]]
+        if len(g) == 0:
+            return pd.DataFrame({
+                id_col: ids, "bar_id": np.array([], dtype=np.int64),
+                "bar_start_ts": g[time_col].to_numpy(), "open_v": v,
+                "high_v": v, "low_v": v, "close_v": v,
+                "volume": np.array([], dtype=np.float64),
+                "n": np.array([], dtype=np.int64),
+            })
+        ts = g[time_col].to_numpy()
+        # (entity, bar) runs are contiguous in the (ts, tiebreak)-sorted
+        # frame (bar ids are nondecreasing within an entity), so every
+        # per-bar reduction is a reduceat over run boundaries — no pandas
+        # groupby, and open/close are POSITIONAL row values (SQL
+        # row_number() ORDER BY ts picks the first/last ROW's raw value,
+        # which may be NULL — pandas' groupby 'first'/'last' skip NaN and
+        # silently substituted the first non-null, caught by adv_sweep's
+        # injected null values). high/low skip NaN like SQL MAX/MIN
+        # (np.fmax/fmin; an all-null bar stays NaN = SQL NULL).
+        change = np.empty(len(g), dtype=bool)
+        change[0] = True
+        change[1:] = (ids[1:] != ids[:-1]) | (bar[1:] != bar[:-1])
+        starts = np.flatnonzero(change)
+        ends = np.r_[starts[1:], len(g)] - 1
+        return pd.DataFrame({
+            id_col: ids[starts],
+            "bar_id": bar[starts],
+            "bar_start_ts": ts[starts],
+            "open_v": v[starts],
+            "high_v": np.fmax.reduceat(v, starts),
+            "low_v": np.fmin.reduceat(v, starts),
+            "close_v": v[ends],
+            "volume": np.add.reduceat(vol, starts).astype(np.float64) / 1000.0,
+            "n": (np.r_[starts[1:], len(g)] - starts).astype(np.int64),
+        })
 
     return grouped_ordered_map(ds, id_col, order, per_bucket, num_buckets=num_buckets)
 

@@ -34,6 +34,13 @@ from __future__ import annotations
 import re
 from typing import Optional, Sequence
 
+# Portable ASCII word class (== RE2 \w+) — keep in sync with
+# stages.text.ASCII_WORD_RE (defined here too to avoid an import cycle:
+# text lazily imports dedup's md5 helper). Python's bare \w is
+# unicode-aware; RE2's is not, and the minhash/jaccard oracles replay
+# tokenization in SQL, so the classes must match byte-for-byte.
+ASCII_WORD_RE = r"[A-Za-z0-9_]+"
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -357,7 +364,7 @@ class MinHasher:
         self.num_perm, self.bands = num_perm, bands
         self.text_col, self.id_col, self.k = text_col, id_col, shingle_k
         self.portable = portable
-        self.token_re = re.compile(r"\w+")
+        self.token_re = re.compile(ASCII_WORD_RE)
 
     def signature(self, text: str) -> Optional[np.ndarray]:
         sh = shingle_hashes(text, self.k, self.token_re, self.portable)
@@ -479,7 +486,7 @@ class SimHasher:
     def __init__(self, text_col: str, id_col: str, portable: bool = False):
         self.text_col, self.id_col = text_col, id_col
         self.portable = portable
-        self.token_re = re.compile(r"\w+")
+        self.token_re = re.compile(ASCII_WORD_RE)
 
     def simhash_from_hashes(self, hashes: np.ndarray) -> int:
         bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
@@ -683,7 +690,7 @@ def jaccard_dedup(
     if not len(pairs_df):
         return ds
 
-    token_re_src = r"\w+"
+    token_re_src = ASCII_WORD_RE
 
     def sig_map(b: pd.DataFrame) -> dict:
         token_re = re.compile(token_re_src)
@@ -824,7 +831,7 @@ def contaminated_ids(
     md5-lower-64, replayable in SQL via
     ``md5_number_lower(array_to_string(tokens[i:i+k-1], ' '))``.
     """
-    token_re = re.compile(r"\w+")
+    token_re = re.compile(ASCII_WORD_RE)
     from ..core import _schema
 
     id_type = _schema(corpus).field(id_col).type
@@ -1058,7 +1065,7 @@ def jaccard_pairs(
     if not len(pairs_df):
         return pairs.limit(0)
 
-    token_re_src = r"\w+"
+    token_re_src = ASCII_WORD_RE
 
     def sig_map(b: pd.DataFrame) -> dict:
         token_re = re.compile(token_re_src)
@@ -1242,7 +1249,7 @@ def contamination_rate(
     across buckets and the rate is an exact integer ratio quantized to
     ``round_to``. Docs with no shingles emit nothing. Text never moves.
     """
-    token_re = re.compile(r"\w+")
+    token_re = re.compile(ASCII_WORD_RE)
     from ..core import _schema
 
     id_type = _schema(corpus).field(id_col).type
@@ -1358,7 +1365,7 @@ def source_overlap(
     sources²-sized combiner aggregate finishes. Exchange bytes are
     bounded by distinct (shingle, source) pairs, never corpus bytes.
     """
-    token_re = re.compile(r"\w+")
+    token_re = re.compile(ASCII_WORD_RE)
     _TOT = "\x00__total__"
 
     def block_pairs(batch: pa.Table) -> pa.Table:

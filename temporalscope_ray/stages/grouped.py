@@ -338,6 +338,12 @@ def hash_groupby_aggregate(
                 pieces[f"{out_col}__c"] = g[src].count()
             elif fn == "count":
                 pieces[f"{out_col}__c"] = g.size() if src is None else g[src].count()
+            elif fn == "sum":
+                # min_count=1: an all-null group yields NaN, not 0.0 —
+                # SQL SUM semantics (NULLs ignored, empty → NULL). A
+                # plain .sum() partial of 0.0 would be indistinguishable
+                # from a real zero and resurrect as 0.0 in the final.
+                pieces[out_col] = g[src].sum(min_count=1)
             else:
                 pieces[out_col] = g[src].agg(fn)
         out = pd.DataFrame(pieces).reset_index()
@@ -353,6 +359,10 @@ def hash_groupby_aggregate(
                 cols[out_col] = s / c.where(c > 0)
             elif fn == "count":
                 cols[out_col] = gb[f"{out_col}__c"].sum()
+            elif fn == "sum":
+                # skip NaN partials (all-null block-groups); all partials
+                # NaN → NaN, matching SQL SUM of an all-NULL column
+                cols[out_col] = gb[out_col].sum(min_count=1)
             else:
                 cols[out_col] = gb[out_col].agg(fn)
         return pd.DataFrame(cols).reset_index()

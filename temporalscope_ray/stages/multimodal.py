@@ -356,7 +356,8 @@ def caption_image_gate(
         w = b[w_col].to_numpy(dtype=np.int64)
         h = b[h_col].to_numpy(dtype=np.int64)
         cap = b[caption_col].fillna("")
-        ntok = cap.str.count(r"\S+").to_numpy(dtype=np.int64)
+        # explicit RE2 \S class for SQL-replay parity on exotic whitespace
+        ntok = cap.str.count(r"[^\t\n\f\r ]+").to_numpy(dtype=np.int64)
         nalnum = cap.str.count(r"[a-zA-Z0-9]").to_numpy(dtype=np.int64)
         clen = cap.str.len().to_numpy(dtype=np.int64)
         bad_size = (w < min_side) | (h < min_side)

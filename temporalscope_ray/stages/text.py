@@ -27,8 +27,18 @@ _STOPWORDS = {
     "es": {"el", "la", "los", "de", "y", "un", "una", "es", "en", "que", "por", "con", "para"},
 }
 
-TOKEN_RE = r"\S+"           # whitespace tokenization (oracle: regexp_extract_all(text,'\S+'))
-WORD_RE = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"  # BPE-ish: words + single punctuation marks
+# Engine-wide PORTABLE tokenization classes — explicit ASCII sets that
+# Python ``re`` and DuckDB's RE2 interpret IDENTICALLY. Python's
+# \w / \s / \S are unicode-aware while RE2's are ASCII-only
+# (\w = [0-9A-Za-z_], \s = [\t\n\f\r ]), so a bare ``\w+`` silently
+# diverges from the SQL oracle on the first non-ASCII document
+# (caught by adv_sweep.py's unicode doc: 'émojis' → ['émojis'] in
+# Python vs ['mojis'] in RE2).
+ASCII_WORD_RE = r"[A-Za-z0-9_]+"       # == RE2 \w+
+ASCII_NONSPACE_RE = r"[^\t\n\f\r ]+"   # == RE2 \S+
+
+TOKEN_RE = ASCII_NONSPACE_RE  # whitespace tokenization (oracle: regexp_extract_all(text,'\S+'))
+WORD_RE = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\t\n\f\r ]"  # BPE-ish: words + single punctuation marks (oracle: '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')
 
 
 class TextStats:
@@ -132,8 +142,14 @@ class Fingerprint:
         self.portable = portable
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        # lower → collapse ASCII whitespace runs → trim spaces: the exact
+        # sequence of the SQL replay (trim(regexp_replace(lower(x),
+        # '\s+', ' ', 'g'))). The whitespace class is the explicit RE2
+        # set — Python's \s would also collapse unicode spaces (U+3000,
+        # NBSP) that RE2 leaves alone, forking the fingerprint.
         norm = (
-            batch[self.text_col].fillna("").str.strip().str.lower().str.replace(r"\s+", " ", regex=True)
+            batch[self.text_col].fillna("").str.lower()
+            .str.replace(r"[\t\n\f\r ]+", " ", regex=True).str.strip(" ")
         )
         if self.portable:
             from .dedup import _md5_lower64
@@ -151,8 +167,8 @@ class RepetitionStats:
     "Scaling Language Models", Table A1): documents dominated by a few
     repeated words/phrases are boilerplate or spam.
 
-    Tokenization is the engine-wide portable convention (``\\w+`` over
-    lowered text). Adds:
+    Tokenization is the engine-wide portable convention (ASCII ``[A-Za-z0-9_]+``
+    == RE2 ``\\w+`` over lowered text). Adds:
 
     - ``n_words``            token count
     - ``distinct_word_frac`` distinct words / words
@@ -186,7 +202,7 @@ class RepetitionStats:
         self.max_top_word_frac = max_top_word_frac
         self.max_dup_word_frac = max_dup_word_frac
         self.max_top_bigram_frac = max_top_bigram_frac
-        self.token_re = re.compile(r"\w+")
+        self.token_re = re.compile(ASCII_WORD_RE)
 
     @staticmethod
     def _per_doc_counts(doc: np.ndarray, codes: np.ndarray, n_rows: int):
@@ -287,8 +303,8 @@ def top_terms(
     probe of a web-scale text pipeline (stopword discovery, TF-IDF
     document frequency, contamination spot-checks).
 
-    Tokenization is the engine-wide portable convention (``\\w+`` over
-    lowered text — DuckDB ``regexp_extract_all(lower(text), '\\w+')``).
+    Tokenization is the engine-wide portable convention (ASCII ``[A-Za-z0-9_]+``
+    == RE2 ``\\w+`` over lowered text — DuckDB ``regexp_extract_all(lower(text), '\\w+')``).
     Shape: per-block ``value_counts`` partials (a block never emits more
     rows than its distinct terms) → combiner-style
     ``hash_groupby_aggregate`` over the term key → sort/limit on the
@@ -300,7 +316,7 @@ def top_terms(
 
     def partial(batch: pa.Table) -> pa.Table:
         s = batch.column(text_col).to_pandas().fillna("").astype(str)
-        toks = s.str.lower().str.findall(r"\w+").explode().dropna()
+        toks = s.str.lower().str.findall(ASCII_WORD_RE).explode().dropna()
         counts = toks.value_counts(sort=False)
         return pa.table({"term": pa.array(counts.index.astype(str)),
                          "cnt": pa.array(counts.to_numpy(dtype=np.int64))})
@@ -324,7 +340,7 @@ def document_frequency(
 
     def partial(batch: pa.Table) -> pa.Table:
         s = batch.column(text_col).to_pandas().fillna("").astype(str)
-        toks = s.str.lower().str.findall(r"\w+")
+        toks = s.str.lower().str.findall(ASCII_WORD_RE)
         uniq = toks.map(lambda ts: list(set(ts))).explode().dropna()
         counts = uniq.value_counts(sort=False)
         return pa.table({"term": pa.array(counts.index.astype(str)),
@@ -367,7 +383,7 @@ def tfidf_score(
     def score(batch: pa.Table) -> pa.Table:
         idf_s: pd.Series = _ray.get(ref)
         s = batch.column(text_col).to_pandas().fillna("").astype(str)
-        toks = s.str.lower().str.findall(r"\w+")
+        toks = s.str.lower().str.findall(ASCII_WORD_RE)
         flat = toks.explode().dropna()
         w = flat.map(idf_s).to_numpy(dtype=np.float64)
         sums = np.zeros(len(s), dtype=np.float64)
@@ -443,7 +459,7 @@ def top_ngrams(
     k: int = 50,
     num_buckets: int = 32,
 ) -> ray.data.Dataset:
-    """Corpus top-k token n-grams (same portable ``\\w+``-on-lowered
+    """Corpus top-k token n-grams (same portable ASCII-word-on-lowered
     tokenization as ``top_terms``; gram = tokens joined by one space).
     The phrase-level vocabulary probe — boilerplate detection, common
     collocations, contamination fingerprints.
@@ -463,7 +479,7 @@ def top_ngrams(
 
     def partial(batch: pa.Table) -> pa.Table:
         s = batch.column(text_col).to_pandas().fillna("").astype(str)
-        toks = s.str.lower().str.findall(r"\w+").explode().dropna()
+        toks = s.str.lower().str.findall(ASCII_WORD_RE).explode().dropna()
         vals = toks.to_numpy(dtype=object)
         doc = toks.index.to_numpy()
         m = len(vals) - (n - 1)
@@ -541,8 +557,8 @@ def add_pii_redaction(
 def _explode_bigrams(b: pd.DataFrame, text_col: str, id_col: str) -> pd.DataFrame:
     """(doc_id, w1, bigram) rows from adjacent token pairs — shifted-array
     concat masked at document boundaries, no per-document loop. Tokens
-    are ``\\w+`` over lowered text (ASCII parity with DuckDB's RE2)."""
-    toks = b[text_col].fillna("").str.lower().str.findall(r"\w+")
+    are the portable ASCII word class over lowered text (exact RE2 parity)."""
+    toks = b[text_col].fillna("").str.lower().str.findall(ASCII_WORD_RE)
     n = toks.str.len().to_numpy()
     tot = int(n.sum())
     if tot == 0:
@@ -586,7 +602,7 @@ def ngram_lm_scores(
     from .join import equi_join
 
     def _unigrams(b: pd.DataFrame) -> pd.DataFrame:
-        toks = b[text_col].fillna("").str.lower().str.findall(r"\w+")
+        toks = b[text_col].fillna("").str.lower().str.findall(ASCII_WORD_RE)
         tot = int(toks.str.len().sum())
         flat = (np.concatenate([np.asarray(t, dtype=object) for t in toks])
                 if tot else np.array([], dtype=object))
@@ -750,7 +766,7 @@ def chunk_documents(
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
         s = batch[text_col].fillna("")
-        toks = s.str.findall(r"\S+")
+        toks = s.str.findall(ASCII_NONSPACE_RE)
         n = toks.str.len().to_numpy(dtype=np.int64)
         n_chunks = np.where(
             n == 0, 0,
@@ -804,7 +820,7 @@ def top_keyword(
     def kw(batch: pa.Table) -> pa.Table:
         idf_s: pd.Series = _ray.get(ref)
         s = batch.column(text_col).to_pandas().fillna("").astype(str)
-        toks = s.str.lower().str.findall(r"\w+")
+        toks = s.str.lower().str.findall(ASCII_WORD_RE)
         flat = toks.explode().dropna()
         out = batch.select([id_col]).to_pandas()
         if len(flat):
@@ -860,8 +876,8 @@ def bm25_score(
     ``query_terms`` order, every factor is float64, so the score is
     bit-stable at any parallelism.
 
-    Tokenization is the engine-wide portable convention (``\\w+`` over
-    lowered text), so the DuckDB oracle replays it exactly. Docs with
+    Tokenization is the engine-wide portable convention (ASCII ``[A-Za-z0-9_]+``
+    == RE2 ``\\w+`` over lowered text), so the DuckDB oracle replays it exactly. Docs with
     no query terms score 0.0. avgdl counts ALL docs (tokenless ones
     contribute dl=0); an empty corpus raises.
     """
@@ -873,7 +889,7 @@ def bm25_score(
 
     def partial(batch: pa.Table) -> pa.Table:
         s = batch.column(text_col).to_pandas().fillna("").astype(str)
-        toks = s.str.lower().str.findall(r"\w+")
+        toks = s.str.lower().str.findall(ASCII_WORD_RE)
         flat = toks.explode().dropna()
         dfs = []
         for t in terms:
@@ -901,7 +917,7 @@ def bm25_score(
 
     def score(batch: pa.Table) -> pa.Table:
         s = batch.column(text_col).to_pandas().fillna("").astype(str)
-        toks = s.str.lower().str.findall(r"\w+")
+        toks = s.str.lower().str.findall(ASCII_WORD_RE)
         flat = toks.explode().dropna()
         dl = np.zeros(len(s), dtype=np.float64)
         if len(flat):
@@ -973,8 +989,8 @@ def heavy_hitter_terms(
     positives — the output is bit-identical to the full GROUP BY
     (SQL ``HAVING COUNT(*) >= t``), at a fraction of the exchange.
 
-    Tokenization is the engine-wide portable convention (``\\w+`` over
-    lowered text). Output: ``(term, n)``, exact int64 counts.
+    Tokenization is the engine-wide portable convention (ASCII ``[A-Za-z0-9_]+``
+    == RE2 ``\\w+`` over lowered text). Output: ``(term, n)``, exact int64 counts.
     """
     import ray as _ray
     from ray.data.aggregate import AggregateFnV2
@@ -983,7 +999,7 @@ def heavy_hitter_terms(
 
     def block_counts(batch: pa.Table) -> "pd.Series":
         s = batch.column(text_col).to_pandas().fillna("").astype(str)
-        toks = s.str.lower().str.findall(r"\w+").explode().dropna()
+        toks = s.str.lower().str.findall(ASCII_WORD_RE).explode().dropna()
         return toks.value_counts(sort=False)
 
     class CmsAgg(AggregateFnV2):
@@ -1061,7 +1077,7 @@ def pmi_pairs(
 
     def doc_terms(batch: pa.Table) -> pd.DataFrame:
         s = batch.column(text_col).to_pandas().fillna("").astype(str)
-        toks = s.str.lower().str.findall(r"\w+")
+        toks = s.str.lower().str.findall(ASCII_WORD_RE)
         long = toks.explode().dropna()
         return pd.DataFrame({"__d__": long.index.to_numpy(), "term": long.to_numpy()}) \
             .drop_duplicates()
@@ -1123,7 +1139,7 @@ def source_token_share(
 
     def partial(batch: pa.Table) -> pa.Table:
         s = batch.column(text_col).to_pandas().fillna("").astype(str)
-        n = s.str.lower().str.count(r"\w+").to_numpy(np.int64)
+        n = s.str.lower().str.count(ASCII_WORD_RE).to_numpy(np.int64)
         g = batch.column(group_col).to_pandas()
         c = pd.DataFrame({group_col: g, "__n__": n}) \
             .groupby(group_col, sort=False, dropna=False).sum().reset_index()
@@ -1151,7 +1167,7 @@ class Readability:
     complexity gate of a curation pipeline (too-low = dense legalese /
     OCR noise, too-high = fragmentary listicles). Deterministic,
     SQL-replayable surrogates: sentences = maximal ``[.!?]+`` runs,
-    words = the engine-wide ``\\w+`` convention, syllables = vowel
+    words = the engine-wide portable ASCII word class, syllables = vowel
     groups ``[aeiouy]+`` over the lowered text. Adds ``n_sentences,
     n_words, n_syllables, flesch`` (6dp; null when a count is zero).
     Zero shuffle — one vectorized pass; regexes compile once per actor.
@@ -1162,7 +1178,7 @@ class Readability:
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         s = batch[self.text_col].fillna("").astype(str).str.lower()
-        words = s.str.count(r"\w+").to_numpy(np.int64)
+        words = s.str.count(ASCII_WORD_RE).to_numpy(np.int64)
         sents = s.str.count(r"[.!?]+").to_numpy(np.int64)
         syll = s.str.count(r"[aeiouy]+").to_numpy(np.int64)
         with np.errstate(invalid="ignore", divide="ignore"):

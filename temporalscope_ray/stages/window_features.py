@@ -1104,9 +1104,12 @@ def session_stats(
         aggs = {"n_events": (time_col, "size"), "session_start": (time_col, "min"), "session_end": (time_col, "max")}
         if value_col is not None:
             tmp[value_col] = g[value_col].to_numpy()
-            aggs["value_sum"] = (value_col, "sum")
-        out = tmp.groupby([id_col, "session_id"], sort=False).agg(**aggs).reset_index()
-        return out
+        gb = tmp.groupby([id_col, "session_id"], sort=False)
+        out = gb.agg(**aggs)
+        if value_col is not None:
+            # min_count=1: SQL SUM of an all-NULL session is NULL, not 0.0
+            out["value_sum"] = gb[value_col].sum(min_count=1)
+        return out.reset_index()
 
     return grouped.grouped_ordered_map(ds, id_col, [time_col, *(tiebreak or [])], fn, num_buckets=num_buckets)
 
