@@ -3649,7 +3649,8 @@ def _lsh_oracle_sql() -> str:
     masks = [0] + [1 << b for b in range(nbits)]
     return f"""
         WITH v AS (
-          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+          WHERE list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0),
         vb AS (SELECT vec_id, e, {bucket_expr} AS bucket FROM v),
         q AS (SELECT e AS qe, bucket AS qb FROM vb WHERE vec_id = 0),
         probes AS (
@@ -3999,6 +4000,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_idx, vec_id,
                    ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 6) AS cos_sim
             FROM embeddings e CROSS JOIN q
+            -- engine ANN contract: zero-norm vectors (failed encodes)
+            -- are never neighbor candidates
+            WHERE list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), x -> x * x)) > 0
             QUALIFY ROW_NUMBER() OVER (PARTITION BY query_idx
                      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) DESC, vec_id) <= 10
         """,
@@ -4110,6 +4114,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT 0 AS query_idx, vec_id,
                    ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 6) AS cos_sim
             FROM embeddings e CROSS JOIN q
+            WHERE list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), x -> x * x)) > 0
             QUALIFY ROW_NUMBER() OVER (
                      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) DESC, vec_id) <= 10
         """,

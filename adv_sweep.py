@@ -58,6 +58,48 @@ for f in os.listdir(SRC):
         dd = pd.concat([d, extra], ignore_index=True)
         pq.write_table(pa.Table.from_pandas(dd, preserve_index=False), os.path.join(DST, f))
         print(f"documents: {len(d)} -> {len(dd)} rows (null/empty/whitespace/dup/unicode texts)")
+    elif f == "embeddings.parquet":
+        t = pq.read_table(os.path.join(SRC, f)).to_pandas()
+        dim = len(t["embedding"].iloc[0])
+        base = int(t["vec_id"].max()) + 1
+        # zero vector (failed encode — engine ANN contract: never a
+        # neighbor), exact duplicates (cosine ties at 1.0 — tie-safe
+        # top-k), tiny magnitude (float32 underflow probe: norm must be
+        # computed in float64), negation (cos -1 boundary)
+        extra = pd.DataFrame({
+            "vec_id": np.arange(5) + base,
+            "embedding": [np.zeros(dim, dtype=np.float32),
+                          np.asarray(t["embedding"].iloc[0], dtype=np.float32),
+                          np.asarray(t["embedding"].iloc[0], dtype=np.float32),
+                          (np.asarray(t["embedding"].iloc[1], dtype=np.float32) * np.float32(1e-30)),
+                          -np.asarray(t["embedding"].iloc[2], dtype=np.float32)],
+            "label": np.array([0, 0, 0, 0, 0], dtype=np.int32),
+        })
+        tt = pd.concat([t, extra], ignore_index=True)
+        sch = pa.schema([("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32())), ("label", pa.int32())])
+        pq.write_table(pa.Table.from_pandas(tt, schema=sch, preserve_index=False), os.path.join(DST, f))
+        print(f"embeddings: {len(t)} -> {len(tt)} rows (zero/dup/tiny/negated vectors)")
+    elif f == "orders.parquet":
+        t = pq.read_table(os.path.join(SRC, f)).to_pandas()
+        rng = np.random.default_rng(23)
+        pick = t.sample(n=max(10, len(t) // 100), random_state=29).copy()
+        pick["o_orderkey"] = np.arange(len(pick)) + int(t["o_orderkey"].max()) + 1
+        # duplicates share (o_custkey, o_orderdate) but differ in price —
+        # the point-in-time dimension compaction must pick MAX, not
+        # first-seen
+        pick["o_totalprice"] = pick["o_totalprice"].to_numpy() + rng.uniform(-50, 50, len(pick))
+        out = pd.concat([t, pick], ignore_index=True)
+        out.loc[out.sample(n=max(5, len(out) // 200), random_state=31).index, "o_totalprice"] = np.nan
+        pq.write_table(pa.Table.from_pandas(out, preserve_index=False), os.path.join(DST, f))
+        print(f"orders: {len(t)} -> {len(out)} rows (dup-(custkey,date) + null totalprice)")
+    elif f == "lineitem.parquet":
+        t = pq.read_table(os.path.join(SRC, f)).to_pandas()
+        for col, frac, seed in [("l_quantity", 100, 37), ("l_discount", 200, 41),
+                                ("l_extendedprice", 200, 43)]:
+            idx = t.sample(n=max(5, len(t) // frac), random_state=seed).index
+            t.loc[idx, col] = np.nan
+        pq.write_table(pa.Table.from_pandas(t, preserve_index=False), os.path.join(DST, f))
+        print(f"lineitem: null l_quantity/l_discount/l_extendedprice injected ({len(t)} rows)")
     else:
         shutil.copy(os.path.join(SRC, f), os.path.join(DST, f))
 

@@ -111,8 +111,12 @@ class MasvScorer:
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         X = batch[self.feature_cols].to_numpy(dtype=np.float64)
         phi = np.abs((X - self.means) * self.coefs)  # exact Shapley for linear models
-        out = {f"masv_{c}": [float(phi[:, j].sum())] for j, c in enumerate(self.feature_cols)}
-        out["__rows__"] = [len(batch)]
+        # per-feature nansum + non-null count: SQL AVG skips NULL rows
+        # PER FEATURE, so each feature carries its own denominator
+        out = {}
+        for j, c in enumerate(self.feature_cols):
+            out[f"masv_{c}"] = [float(np.nansum(phi[:, j]))]
+            out[f"__n_{c}__"] = [int(np.count_nonzero(~np.isnan(X[:, j])))]
         return pd.DataFrame(out)
 
 
@@ -144,5 +148,7 @@ def calculate_masv(
         concurrency=clamp_concurrency(concurrency),
         fn_constructor_args=(model_ref, feature_cols),
     ).to_pandas()
-    total = parts["__rows__"].sum()
-    return {c: float(parts[f"masv_{c}"].sum() / total) for c in feature_cols}
+    return {
+        c: float(parts[f"masv_{c}"].sum() / max(int(parts[f"__n_{c}__"].sum()), 1))
+        for c in feature_cols
+    }

@@ -219,6 +219,10 @@ def promo_revenue_share(
     def keep_lines(t: pa.Table) -> pa.Table:
         d = t.column("l_shipdate")
         t = t.filter(pc.and_(pc.greater_equal(d, lo), pc.less(d, hi)))
+        # SQL SUM skips rows whose revenue term is NULL (null price or
+        # discount); without this filter NaN would cast to int64 garbage
+        t = t.filter(pc.and_(pc.is_valid(t.column("l_extendedprice")),
+                             pc.is_valid(t.column("l_discount"))))
         p = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
         disc = t.column("l_discount").to_numpy(zero_copy_only=False)
         rev = np.rint(p * 100.0).astype(np.int64) * np.rint(100.0 - disc * 100.0).astype(np.int64)

@@ -53,6 +53,36 @@ def _emb_list_array(mat: np.ndarray) -> pa.FixedSizeListArray:
         pa.array(np.ascontiguousarray(mat, dtype=np.float64).ravel()), mat.shape[1])
 
 
+def _topk_tie_safe(cos: np.ndarray, k: int, ids: np.ndarray) -> np.ndarray:
+    """Indices of the top-``k`` by (cos desc, id asc) — tie-SAFE: the
+    local prune keeps EVERY row tied at the kth value before the
+    deterministic id tiebreak, so a tied true winner can never be
+    discarded by an arbitrary ``argpartition`` boundary (same rule as
+    ``agg.top_k_rows``; SQL replay: ``ORDER BY cos DESC, id``)."""
+    n = len(ids)
+    if n > k:
+        kth = np.partition(cos, n - k)[n - k]
+        cand = np.flatnonzero(cos >= kth)
+    else:
+        cand = np.arange(n)
+    order = np.lexsort((ids[cand], -cos[cand]))
+    return cand[order[:min(k, len(cand))]]
+
+
+def _nonzero_rows(raw: np.ndarray, ids: np.ndarray):
+    """Drop zero-norm vectors (failed encodes) from the candidate set —
+    the engine-wide ANN contract: a zero embedding is never a neighbor.
+    SQL replays filter ``list_sum(list_transform(e, x -> x*x)) > 0``
+    (DuckDB's list_cosine_similarity would otherwise pin them at -1.0,
+    numpy at 0/0 — neither is a meaningful similarity). Returns the
+    unit-normalized kept matrix and the kept ids."""
+    norms = np.linalg.norm(raw, axis=1)
+    keep = norms > 0
+    if not keep.all():
+        raw, norms, ids = raw[keep], norms[keep], ids[keep]
+    return raw / norms[:, None] if len(ids) else raw, ids
+
+
 def _bucket_scorer(probe_ref, id_col: str, k: int):
     """Shared per-bucket scorer for the IVF / LSH probe phase: exact
     cosine of every bucket vector against ONLY the queries probing this
@@ -66,15 +96,19 @@ def _bucket_scorer(probe_ref, id_col: str, k: int):
             return pa.table({"query_idx": pa.array([], type=pa.int64()),
                              id_col: pa.array([], type=id_arr.type),
                              "cos_sim": pa.array([], type=pa.float64())})
-        mat = _normalize(_emb_matrix(g.column("emb"), g.num_rows))
+        mat, ids = _nonzero_rows(
+            _emb_matrix(g.column("emb"), g.num_rows),
+            id_arr.to_numpy(zero_copy_only=False))
+        if len(ids) == 0:
+            return pa.table({"query_idx": pa.array([], type=pa.int64()),
+                             id_col: pa.array([], type=id_arr.type),
+                             "cos_sim": pa.array([], type=pa.float64())})
         cos = mat @ q_unit[q_idx].T
-        ids = id_arr.to_numpy(zero_copy_only=False)
-        kk = min(k, len(ids))
         tops, out_q, out_cos = [], [], []
         for col, qi in enumerate(q_idx):
-            top = np.argpartition(-cos[:, col], kk - 1)[:kk]
+            top = _topk_tie_safe(cos[:, col], k, ids)
             tops.append(top)
-            out_q.append(np.full(kk, qi, dtype=np.int64))
+            out_q.append(np.full(len(top), qi, dtype=np.int64))
             out_cos.append(cos[top, col])
         sel = np.concatenate(tops)
         return pa.table({"query_idx": pa.array(np.concatenate(out_q)),
@@ -93,14 +127,17 @@ class _BruteScorer:
         self.emb_col, self.id_col, self.k = emb_col, id_col, k
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        mat = _normalize(np.stack(batch[self.emb_col].to_numpy()).astype(np.float64))
+        mat, ids = _nonzero_rows(
+            np.stack(batch[self.emb_col].to_numpy()).astype(np.float64),
+            batch[self.id_col].to_numpy())
+        if len(ids) == 0:
+            return pd.DataFrame({"query_idx": np.array([], dtype=np.int64),
+                                 self.id_col: ids, "cos_sim": np.array([], dtype=np.float64)})
         cos = mat @ self.q_unit.T  # (batch, nq)
-        ids = batch[self.id_col].to_numpy()
         out_q, out_id, out_cos = [], [], []
-        k = min(self.k, len(ids))
         for qi in range(cos.shape[1]):
-            top = np.argpartition(-cos[:, qi], k - 1)[:k]
-            out_q.extend([qi] * k)
+            top = _topk_tie_safe(cos[:, qi], self.k, ids)
+            out_q.extend([qi] * len(top))
             out_id.extend(ids[top])
             out_cos.extend(cos[top, qi])
         return pd.DataFrame({"query_idx": out_q, self.id_col: out_id, "cos_sim": out_cos})
@@ -128,7 +165,8 @@ def knn_brute(
         fn_constructor_args=(qref, emb_col, id_col, k),
     ).to_pandas()
     out = (
-        partials.sort_values(["query_idx", "cos_sim"], ascending=[True, False])
+        partials.sort_values(["query_idx", "cos_sim", id_col],
+                             ascending=[True, False, True], kind="mergesort")
         .groupby("query_idx", sort=True)
         .head(k)
         .reset_index(drop=True)
@@ -217,7 +255,8 @@ def knn_ivf(
     if len(partials) == 0:
         return partials
     return (
-        partials.sort_values(["query_idx", "cos_sim"], ascending=[True, False])
+        partials.sort_values(["query_idx", "cos_sim", id_col],
+                             ascending=[True, False, True], kind="mergesort")
         .groupby("query_idx", sort=True)
         .head(k)
         .reset_index(drop=True)
@@ -286,7 +325,8 @@ def knn_lsh(
         return partials
     partials = partials.drop_duplicates(["query_idx", id_col])
     return (
-        partials.sort_values(["query_idx", "cos_sim"], ascending=[True, False])
+        partials.sort_values(["query_idx", "cos_sim", id_col],
+                             ascending=[True, False, True], kind="mergesort")
         .groupby("query_idx", sort=True)
         .head(k)
         .reset_index(drop=True)

@@ -175,3 +175,26 @@ def test_fingerprint_normalization_matches_duckdb_on_exotic_ws(ray_session):
         FROM docs ORDER BY doc_id
     """).df()["fp"].to_numpy()
     np.testing.assert_array_equal(got, ora)
+
+
+def test_knn_tie_safe_and_zero_vector_contract(ray_session):
+    # ten exact copies of the query direction tie at cos=1.0: top-k must
+    # keep the SMALLEST ids among the tied set (SQL ORDER BY cos DESC,
+    # id), regardless of block/argpartition layout; the zero vector
+    # (failed encode) must never appear as a neighbor
+    from temporalscope_ray.stages.similarity import knn_brute
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((40, 8))
+    q = rng.standard_normal(8)
+    dup_ids = [5, 9, 13, 17, 21, 25, 29, 33, 37, 39]
+    for i in dup_ids:
+        base[i] = q  # bit-identical copies → exact cosine ties
+    base[2] = 0.0  # zero vector
+    df = pd.DataFrame({"vec_id": np.arange(40),
+                       "embedding": [r.astype(np.float32) for r in base]})
+    out = knn_brute(ray.data.from_pandas(df).repartition(6), q[None, :],
+                    k=5, batch_size=8, concurrency=2)
+    assert out["vec_id"].tolist() == sorted(dup_ids)[:5]
+    assert 2 not in set(out["vec_id"])
+    assert np.allclose(out["cos_sim"], 1.0)
