@@ -58,3 +58,41 @@ def read_parquet_fragments(
         return pa.concat_tables(tables)
 
     return ray.data.from_items(specs).map_batches(read_frag, batch_format="pyarrow", batch_size=1)
+
+
+def read_lance_or_fragments(
+    uri: str,
+    *,
+    columns: Optional[Sequence[str]] = None,
+) -> ray.data.Dataset:
+    """North-rule input source: a Lance table when the ``lance``
+    package (and Ray's ``read_lance``) is available, else the
+    fragment-aware parquet reader above — SAME downstream contract
+    either way (column pruning at the scan; per-row fragment/offset
+    provenance for the lineage sink).
+
+    Lance is not installed in this sandbox, so the first branch is
+    import-gated and exercised only where the dependency exists; the
+    fallback keeps every pipeline runnable on plain parquet. Lance's
+    native row address is (fragment_id, row_offset) — the fallback
+    reconstructs exactly that pair for parquet files, which is why the
+    lineage records are format-portable."""
+    try:
+        import lance  # noqa: F401  (optional dependency, absent here)
+
+        ds = ray.data.read_lance(uri, columns=list(columns) if columns else None)
+        # Lance >= 0.15 exposes _rowaddr (fragment id in the high bits);
+        # surface the same provenance columns the parquet path emits
+        def addr(batch: pa.Table) -> pa.Table:
+            if "_rowaddr" in batch.column_names:
+                ra = batch.column("_rowaddr").to_numpy(zero_copy_only=False).astype(np.uint64)
+                batch = batch.append_column(
+                    FRAGMENT_COL, pa.array((ra >> 32).astype(np.int32)))
+                batch = batch.append_column(
+                    ROW_START_COL, pa.array((ra & 0xFFFFFFFF).astype(np.int64)))
+                batch = batch.drop_columns(["_rowaddr"])
+            return batch
+
+        return ds.map_batches(addr, batch_format="pyarrow", zero_copy_batch=True)
+    except ImportError:
+        return read_parquet_fragments(uri, columns=columns)

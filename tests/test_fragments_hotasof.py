@@ -77,3 +77,20 @@ def test_asof_hot_entity_salting_matches_oracle():
     assert len(out) == len(exp)
     a, b = out["state"], exp["state"]
     assert ((a.isna() & b.isna()) | (a == b)).all()
+
+
+def test_read_lance_or_fragments_fallback(tmp_path, ray_session):
+    # lance is absent in this container: the gate must fall back to the
+    # fragment-aware parquet reader with identical provenance columns
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from temporalscope_ray.sources.fragments import read_lance_or_fragments
+
+    p = str(tmp_path / "t.parquet")
+    pq.write_table(pa.table({"a": list(range(7))}), p)
+    out = read_lance_or_fragments(p, columns=["a"]).to_pandas()
+    assert sorted(out.columns) == ["__fragment_id__", "__row_start__", "a"]
+    assert out["__row_start__"].tolist() == list(range(7))
+    assert (out["__fragment_id__"] == 0).all()
