@@ -1014,6 +1014,7 @@ def add_temporal_features_auto(
     chunk_target_rows: int = 250_000,
     max_chunks_per_hot: int = 64,
     detect_on: Optional[ray.data.Dataset] = None,
+    detect_sample_rows: Optional[int] = 4_000_000,
     cache_input: str | bool = "auto",
     cache_input_max_bytes: int = 8 << 30,
 ) -> ray.data.Dataset:
@@ -1059,6 +1060,24 @@ def add_temporal_features_auto(
     if cache_input:
         ds = ds.materialize()
     probe = detect_on if detect_on is not None else ds
+    # SAMPLED detection: at 100 TB a full detect scan is an entire extra
+    # read of the key column; a hot key by definition spans many blocks,
+    # so a bounded randomized-block sample estimates its count at
+    # frac × true_count. The threshold gets a 0.5 safety factor (sampling
+    # variance), counts are scaled back up for chunk sizing, and a missed
+    # key costs ONLY a straggler task — the output is row-identical for
+    # ANY hot set (pinned by tests). Documented layout assumption: rows
+    # of a hot entity are spread across blocks (true for time-ordered
+    # logs); for entity-CLUSTERED storage pass detect_sample_rows=None
+    # to keep the exact full scan.
+    min_count_eff, scale = hot_min_rows, 1.0
+    if detect_sample_rows:
+        total = grouped.cheap_row_count(probe)
+        if total is not None and total > 2 * int(detect_sample_rows):
+            frac = float(detect_sample_rows) / total
+            probe = probe.randomize_block_order(seed=17).limit(int(detect_sample_rows))
+            min_count_eff = max(64, int(hot_min_rows * frac * 0.5))
+            scale = 1.0 / frac
     # prune: drop sub-threshold per-block counts before the driver merge —
     # lossless for layouts up to ~2048 blocks (pigeonhole, see
     # detect_hot_keys); beyond that a too-thinly-spread hot key could be
@@ -1066,12 +1085,12 @@ def add_temporal_features_auto(
     # sample_col piggybacks the chunk-boundary ts sample on the SAME
     # scan, so the chunked path needs no second read + materialize.
     hot_df, samp = grouped.detect_hot_keys(
-        probe, id_col, min_count=hot_min_rows, top_k=32,
-        prune=max(2, hot_min_rows // 2048), sample_col=time_col,
+        probe, id_col, min_count=min_count_eff, top_k=32,
+        prune=max(2, min_count_eff // 2048), sample_col=time_col,
     )
     if hot_df.empty:
         return add_temporal_features(ds, **kw)
-    chunks = int(np.ceil(hot_df["cnt"].max() / float(chunk_target_rows)))
+    chunks = int(np.ceil(hot_df["cnt"].max() * scale / float(chunk_target_rows)))
     chunks = max(2, min(chunks, max_chunks_per_hot))
     bounds = _ts_quantile_bounds(samp, id_col, time_col, chunks)
     return add_temporal_features_chunked(

@@ -191,6 +191,17 @@ def test_chunked_hot_entity_matches_unchunked():
     d = cold.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(a[sorted(a.columns)], d[sorted(d.columns)], check_dtype=False)
 
+    # SAMPLED detection (the 100 TB path: a bounded randomized-block
+    # read instead of a full key-column scan) must still find the hot
+    # entity and produce the identical result — from_pandas datasets
+    # expose a free count, so a tiny detect_sample_rows forces the gate
+    sampled = add_temporal_features_auto(
+        ds, num_buckets=8, hot_min_rows=1000, chunk_target_rows=500,
+        detect_sample_rows=1500, **kw
+    ).to_pandas()
+    e = sampled.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[sorted(a.columns)], e[sorted(e.columns)], check_dtype=False)
+
 
 def test_interarrival_matches_pandas_diff():
     from temporalscope_ray.stages.window_features import add_interarrival
