@@ -3263,7 +3263,10 @@ def q_robust_value_by_user(sf_dir: str):
     # ROUND's half boundary where numpy (half-even) and DuckDB
     # (half-away) disagree
     def quant(t: pa.Table) -> pa.Table:
-        r = t.column("value_robust").to_numpy(zero_copy_only=False)
+        # explicit float64 coercion: a block whose groups are all
+        # single-row emits an all-null robust column, which to_numpy
+        # surfaces as object-dtype Nones (TypeError under arithmetic)
+        r = t.column("value_robust").to_pandas().astype("float64").to_numpy()
         micro = np.floor(r * 1e6 + 0.112233445566)
         mask = np.isnan(micro)
         out_i = pa.array(np.where(mask, 0, micro).astype(np.int64), mask=mask)

@@ -17,11 +17,23 @@ import duckdb, numpy as np, pandas as pd
 import pyarrow.parquet as pq, pyarrow as pa
 
 SRC = "/root/testdata/sf0.001"
-DST = "/tmp/sf_adv"
+TINY = len(sys.argv) > 1 and sys.argv[1] == "tiny"
+DST = "/tmp/sf_adv_tiny" if TINY else "/tmp/sf_adv"
 if os.path.exists(DST):
     shutil.rmtree(DST)
 os.makedirs(DST)
-for f in os.listdir(SRC):
+
+if TINY:
+    # Boundary-condition corpus: the FIRST 3 rows of every table (head,
+    # not sample — keeps the low ids the knn/asof queries reference).
+    # Every kernel must survive 3-row inputs — single-element windows,
+    # k > n top-k, empty strata, one-session entities — and still match
+    # the SQL oracle exactly.
+    for f in os.listdir(SRC):
+        t = pq.read_table(os.path.join(SRC, f))
+        pq.write_table(t.slice(0, 3), os.path.join(DST, f))
+        print(f"{f}: {t.num_rows} -> {min(3, t.num_rows)} rows")
+for f in [] if TINY else os.listdir(SRC):
     if f == "events.parquet":
         t = pq.read_table(os.path.join(SRC, f)).to_pandas()
         rng = np.random.default_rng(99)
@@ -116,14 +128,24 @@ for tname in ["region","nation","customer","supplier","part","orders","lineitem"
 
 qs, oracles = e.queries(), e.oracle_sql()
 
-# Operators whose REFERENCE contract is to REJECT null feature/target
-# values (TemporalScope's TimeFrame/padding validation raises, verbatim
-# messages) — on the null-injected corpus the correct behavior is the
-# raise itself, asserted by message
-EXPECT_RAISE = {
-    "mean_pad_value": "Cannot process data containing null values",
-    "validator_report": "Null values found in columns",
-}
+# Operators whose REFERENCE contract is to REJECT certain inputs with a
+# loud verbatim-message raise — on the corpus that triggers the
+# contract, the correct behavior IS the raise, asserted by message
+if TINY:
+    EXPECT_RAISE = {
+        # SlidingWindowPartitioner's reference guard (verbatim message)
+        "window_tags": "Insufficient rows",
+        # SingleStepTargetShifter's reference guard: horizon >= rows
+        "shift_multi_target": "All rows were dropped during transformation",
+        # k-means cannot train k=4 centroids on 3 points — loud by design
+        "kmeans_step_embeddings": "exceeds dataset rows",
+    }
+else:
+    EXPECT_RAISE = {
+        # TimeFrame/padding null validation (verbatim messages)
+        "mean_pad_value": "Cannot process data containing null values",
+        "validator_report": "Null values found in columns",
+    }
 
 bad, errs, ok = [], [], 0
 for name, fn in sorted(qs.items()):
@@ -147,6 +169,13 @@ for name, fn in sorted(qs.items()):
         rdf = r.to_pandas() if hasattr(r, "to_pandas") else (r.to_pandas() if isinstance(r, pa.Table) else r)
         if isinstance(rdf, pa.Table): rdf = rdf.to_pandas()
         odf = con.execute(osql).df()
+        if len(rdf) == 0 and len(odf) == 0:
+            # both sides provably empty: Ray datasets that end empty are
+            # schema-less by design (empty blocks are dropped), so the
+            # column comparison is not meaningful — the row-count
+            # agreement IS the check
+            ok += 1
+            continue
         key = sorted(rdf.columns)
         if sorted(odf.columns) != key:
             bad.append((name, f"schema {sorted(odf.columns)} vs {key}")); continue

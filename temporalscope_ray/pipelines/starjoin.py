@@ -188,6 +188,14 @@ def top_unshipped_orders(
         j, ["o_orderkey", "o_orderdate"], {"rev_e4": ("rev_e4", "sum")},
         num_buckets=num_buckets)
     top = top_k_rows(agg, "rev_e4", k, tiebreak=["o_orderkey"])
+    if len(top) == 0:
+        # empty segment/date selection: schema-less empty frame — emit
+        # the typed empty report (SQL's LIMIT over zero rows)
+        return pd.DataFrame({
+            "o_orderkey": np.array([], dtype=np.int64),
+            "revenue": np.array([], dtype=np.float64),
+            "o_orderdate": pd.DatetimeIndex([]),
+        })
     return pd.DataFrame({
         "o_orderkey": top["o_orderkey"],
         "revenue": top["rev_e4"].to_numpy(dtype=np.int64) / 10000.0,
@@ -243,8 +251,15 @@ def promo_revenue_share(
         return pd.DataFrame({"promo_e4": [int((rev * promo).sum())],
                              "total_e4": [int(rev.sum())]})
 
-    sums = j.map_batches(partial, batch_format="pandas").to_pandas().sum()
-    promo_u, total_u = int(sums["promo_e4"]), int(sums["total_e4"])
+    sums = j.map_batches(partial, batch_format="pandas").to_pandas()
+    if len(sums) == 0:
+        # a fully-empty join (every line filtered): SQL SUM over zero
+        # rows is NULL, so the whole one-row report is NULL — and the
+        # empty Ray result is schema-less, so guard before indexing
+        return pd.DataFrame({
+            "promo_share": [np.nan], "promo_rev": [np.nan], "total_rev": [np.nan],
+        })
+    promo_u, total_u = int(sums["promo_e4"].sum()), int(sums["total_e4"].sum())
     share = 100.0 * promo_u / total_u if total_u else np.nan
     return pd.DataFrame({
         "promo_share": [share],

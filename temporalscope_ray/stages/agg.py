@@ -553,6 +553,10 @@ def top_k_rows(
         return df.sort_values([by, *tb], ascending=asc, kind="mergesort").head(k)
 
     cand = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if len(cand) == 0:
+        # fully-empty input: the frame may be schema-less (Ray drops
+        # empty blocks) — sort_values would KeyError on the sort keys
+        return cand
     return cand.sort_values([by, *tb], ascending=asc, kind="mergesort") \
         .head(k).reset_index(drop=True)
 
@@ -807,15 +811,22 @@ def attach_surprisal(
     tc = transition_counts(ds, id_col=id_col, time_col=time_col,
                            type_col=type_col, tiebreak=tiebreak,
                            num_buckets=num_buckets).to_pandas()
-    tot = tc.groupby("prev_type")["n"].sum()
-    p = tc["n"].to_numpy(np.float64) / tot.reindex(tc["prev_type"]).to_numpy(np.float64)
-    # vocab² surprisal matrix: NaN where the transition was never seen
-    # (only reachable for a type that appears solely as an entity-first)
-    vocab = pd.Index(sorted(set(tc["prev_type"]) | set(tc["cur_type"])))
-    mat = np.full((len(vocab), len(vocab)), np.nan)
-    # half-away-from-zero at 6dp (the SQL ROUND rule); -ln p >= 0 always
-    mat[vocab.get_indexer(tc["prev_type"]), vocab.get_indexer(tc["cur_type"])] = \
-        np.floor(-np.log(p) * 1e6 + 0.5) / 1e6
+    if len(tc) == 0:
+        # no observed transitions anywhere (every entity has one row):
+        # the empty frame may be schema-less; every lookup below maps to
+        # the unseen (-1 → NaN) path
+        vocab = pd.Index([], dtype=object)
+        mat = np.full((0, 0), np.nan)
+    else:
+        tot = tc.groupby("prev_type")["n"].sum()
+        p = tc["n"].to_numpy(np.float64) / tot.reindex(tc["prev_type"]).to_numpy(np.float64)
+        # vocab² surprisal matrix: NaN where the transition was never seen
+        # (only reachable for a type that appears solely as an entity-first)
+        vocab = pd.Index(sorted(set(tc["prev_type"]) | set(tc["cur_type"])))
+        mat = np.full((len(vocab), len(vocab)), np.nan)
+        # half-away-from-zero at 6dp (the SQL ROUND rule); -ln p >= 0 always
+        mat[vocab.get_indexer(tc["prev_type"]), vocab.get_indexer(tc["cur_type"])] = \
+            np.floor(-np.log(p) * 1e6 + 0.5) / 1e6
     ref = _ray.put((vocab, mat))
 
     def fn(g: pd.DataFrame) -> pd.DataFrame:

@@ -370,7 +370,14 @@ def range_join(
     shuffle) and **bucketed** (both sides large: one tagged-union
     entity-hash exchange, per-bucket searchsorted — sides split while
     still Arrow, so no null-padding dtype corruption)."""
-    right_names = right.schema().names
+    _rs, _ls = right.schema(), left.schema()
+    if _rs is None or _ls is None:
+        # a side whose plan produced zero blocks is schema-less (Ray
+        # drops empty blocks); an INNER interval join with an empty side
+        # is empty — return the canonical schema-less empty dataset
+        # rather than crash (filters legitimately empty a side)
+        return ray.data.from_items([])
+    right_names = _rs.names
     if right_cols is None:
         right_cols = [c for c in right_names if c not in (on, by)]
     right_cols = list(right_cols)
@@ -393,7 +400,7 @@ def range_join(
     # ---- bucketed path: one entity-hash exchange moves both sides ----
     from .exchange import SIDE_COL, pad_union
 
-    left_names = list(left.schema().names)
+    left_names = list(_ls.names)
     # rename overlapping right value columns BEFORE the union (`on` is
     # emitted as on+suffix; `by` is the shared key)
     out_right_cols = [c if c not in left_names else f"{c}{suffix}" for c in right_cols]

@@ -94,6 +94,16 @@ def connected_components(
         to_edges, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
 
+    if edges.count() == 0:
+        # no duplicate pairs at all: an empty Ray dataset is schema-less
+        # (e["src"] would KeyError) — return the typed empty vertex table
+        import pandas as pd
+
+        return ray.data.from_pandas(pd.DataFrame({
+            out_id: np.array([], dtype=np.int64),
+            out_label: np.array([], dtype=np.int64),
+        }))
+
     if edges.count() <= driver_edge_limit:
         import pandas as pd
 

@@ -98,8 +98,16 @@ class _BroadcastJoin:
         if isinstance(right_ref, list):
             # strip per-block schema metadata (from_pandas leftovers)
             # and drop schema-less EMPTY blocks (e.g. from empty
-            # groupby buckets) — concat_tables needs identical schemas
-            tabs = [t.replace_schema_metadata(None) for t in ray.get(right_ref)]
+            # groupby buckets) — concat_tables needs identical schemas.
+            # to_arrow_refs can hand back raw PANDAS blocks for
+            # pandas-born datasets (tiny inputs route through pandas
+            # map_groups) — normalize per block before touching Arrow
+            # methods.
+            tabs = [
+                (pa.Table.from_pandas(t, preserve_index=False)
+                 if isinstance(t, pd.DataFrame) else t).replace_schema_metadata(None)
+                for t in ray.get(right_ref)
+            ]
             tabs = [t for t in tabs if t.num_columns > 0]
             rt = pa.concat_tables(tabs) if tabs else pa.schema(right_schema).empty_table()
         else:
@@ -162,6 +170,23 @@ def equi_join(
             "(broadcast tasks cannot track right-side rows unmatched across batches)"
         )
     from ..core import _schema
+
+    # a side whose plan produced zero blocks is schema-less (Ray drops
+    # empty blocks, schema() → None — e.g. a filter kept nothing). An
+    # INNER join with a provably-empty side is empty; for left/full the
+    # missing side's column names are unrecoverable, so fail loud with
+    # an actionable message instead of an AttributeError deep inside.
+    _l_raw = left.schema()
+    _r_raw = right.schema() if not isinstance(right, pd.DataFrame) else True
+    if _l_raw is None or _r_raw is None:
+        if how == "inner":
+            return ray.data.from_items([])
+        raise ValueError(
+            "equi_join: a join side is empty and schema-less (its plan "
+            "produced zero blocks); a left/full join cannot name the "
+            "missing side's columns — materialize a schema-ful side or "
+            "use how='inner'"
+        )
 
     ls = _schema(left)
 

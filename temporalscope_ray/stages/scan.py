@@ -67,11 +67,17 @@ def global_running_sum(
         return first.append_column("__sum__", pa.array([float(np.nansum(v))] * n))
 
     parts = sorted_ds.map_batches(part, batch_size=None, batch_format="pyarrow").to_pandas()
-    # block order = order of the (typed, unique) first keys
-    ordered = parts.sort_values(order_by, kind="mergesort").reset_index(drop=True)
-    sums = ordered["__sum__"].to_numpy()
-    offsets = np.concatenate(([0.0], np.cumsum(sums)[:-1]))
-    offset_by_sig = dict(zip(ordered["__sig__"], offsets))
+    if len(parts) == 0:
+        # fully empty input (e.g. a filter kept nothing): no non-empty
+        # block will ever look up an offset, and the empty frame may be
+        # schema-less — skip the sort that would KeyError on it
+        offset_by_sig: dict = {}
+    else:
+        # block order = order of the (typed, unique) first keys
+        ordered = parts.sort_values(order_by, kind="mergesort").reset_index(drop=True)
+        sums = ordered["__sum__"].to_numpy()
+        offsets = np.concatenate(([0.0], np.cumsum(sums)[:-1]))
+        offset_by_sig = dict(zip(ordered["__sig__"], offsets))
     ref = ray.put(offset_by_sig)
     is_excl = exclusive
 

@@ -1664,6 +1664,10 @@ def hourly_count_acf(
     sc = 10.0 ** round_to
     for lag in range(1, max_lag + 1):
         a, b = dense[:-lag], dense[lag:]
+        if len(a) == 0:
+            # no (x_t, x_{t+lag}) pair exists for this lag: the SQL
+            # replay's inner join emits NO row — skip, don't pad NaN
+            continue
         if len(a) < 2 or a.std() == 0 or b.std() == 0:
             rows.append((lag, np.nan))
             continue

@@ -2142,8 +2142,16 @@ def grouped_autocorr(
         scale = 1e6
         with np.errstate(invalid="ignore"):
             r = np.sign(r) * np.floor(np.abs(r) * scale + 0.5) / scale
-        return pd.DataFrame({id_col: s.index.to_numpy(), "n_pairs": s["n"].astype(np.int64),
-                             out_col: r})
+        got = pd.DataFrame({id_col: s.index.to_numpy(),
+                            "n_pairs": s["n"].to_numpy().astype(np.int64),
+                            out_col: np.asarray(r)})
+        # SQL GROUP BY emits EVERY entity — including those with zero
+        # complete pairs (single-row or all-null histories): n_pairs=0,
+        # autocorr NULL. The ok-filter above silently dropped them.
+        all_ents = pd.DataFrame({id_col: pd.unique(g[id_col])})
+        out = all_ents.merge(got, on=id_col, how="left")
+        out["n_pairs"] = out["n_pairs"].fillna(0).astype(np.int64)
+        return out
 
     return grouped.grouped_ordered_map(ds, id_col, order, fn, num_buckets=num_buckets)
 
