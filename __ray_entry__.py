@@ -4482,7 +4482,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "target_encode_asof_events": """
             WITH d AS (
-              SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+              SELECT event_type, CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day,
                      COALESCE(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)), 0) AS s,
                      COUNT(value) AS c
               FROM events GROUP BY 1, 2),
@@ -4497,7 +4497,7 @@ def oracle_sql() -> dict[str, str]:
                         ELSE CAST(x.cs AS DOUBLE) / x.cc / 100.0
                    END AS value_te_asof
             FROM events e JOIN x ON x.event_type = e.event_type
-                                AND x.day = epoch_us(e.ts) // 86400000000
+                                AND x.day = CAST(floor(epoch_us(e.ts) / 86400000000.0) AS BIGINT)
         """,
         "image_curation_pipeline": """
             WITH img AS (
@@ -4544,7 +4544,7 @@ def oracle_sql() -> dict[str, str]:
             FROM b2 JOIN ix d2 ON d2.idx = b2.neg_idx
         """,
         "trending_daily_types": """
-            WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day,
+            WITH c AS (SELECT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day,
                               event_type, COUNT(*) AS n
                        FROM events GROUP BY 1, 2),
             r AS (SELECT day, event_type, n,
@@ -4621,7 +4621,7 @@ def oracle_sql() -> dict[str, str]:
             FROM r
         """,
         "seasonality_strength_value": """
-            WITH h AS (SELECT CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT)
+            WITH h AS (SELECT CAST((((CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT)) % 24) + 24) % 24 AS BIGINT)
                               AS hod,
                               SUM(value) AS s,
                               SUM(value * value) AS s2,
@@ -4647,14 +4647,14 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN s USING (user_id) LEFT JOIN p USING (user_id)
         """,
         "daily_value_bands": """
-            SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+            SELECT CAST(CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS BIGINT) AS day,
                    ROUND(quantile_cont(value, 0.5), 6) AS value_p50,
                    ROUND(quantile_cont(value, 0.9), 6) AS value_p90
             FROM events GROUP BY 1
         """,
         "dn_retention_events": """
             WITH d AS (SELECT DISTINCT user_id,
-                              CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+                              CAST(CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS BIGINT) AS day
                        FROM events),
             f AS (SELECT user_id, MIN(day) AS fd FROM d GROUP BY 1)
             SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
@@ -4685,7 +4685,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "max_streak_by_user": """
             WITH d AS (SELECT DISTINCT user_id,
-                              CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+                              CAST(CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS BIGINT) AS day
                        FROM events),
             i AS (SELECT user_id, day,
                          day - row_number() OVER (PARTITION BY user_id
@@ -4727,7 +4727,7 @@ def oracle_sql() -> dict[str, str]:
             FROM grid g JOIN rs USING (a) JOIN cs USING (b), tot
         """,
         "acf_hourly_events": """
-            WITH b AS (SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+            WITH b AS (SELECT CAST(CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS BIGINT) AS h,
                               COUNT(*) AS n
                        FROM events GROUP BY 1),
             r AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM b),
@@ -4761,7 +4761,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hourly_rank_users": """
             WITH h AS (
-              SELECT CAST(to_timestamp((epoch_us(ts) // 3600000000)
+              SELECT CAST(to_timestamp((CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT))
                           * 3600000000 / 1e6) AS TIMESTAMP) AS bucket_start,
                      user_id, CAST(COUNT(*) AS BIGINT) AS n
               FROM events GROUP BY 1, 2)
@@ -4828,7 +4828,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "volume_anomalies_daily": """
             WITH d AS (SELECT event_type,
-                              CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                              CAST(CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS BIGINT) AS day,
                               COUNT(*) AS n
                        FROM events GROUP BY 1, 2),
             s AS (SELECT event_type, COUNT(*) AS cnt, AVG(n) AS mu,
@@ -4844,7 +4844,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "burstiness_by_user": """
             WITH d AS (SELECT user_id,
-                              CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                              CAST(CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS BIGINT) AS day,
                               COUNT(*) AS n
                        FROM events GROUP BY 1, 2)
             SELECT user_id,
@@ -4881,7 +4881,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "wau_sketch_daily": """
             WITH p AS (SELECT DISTINCT
-                              CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                              CAST(CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS BIGINT) AS day,
                               md5_number_lower(CAST(user_id AS VARCHAR)) AS hv
                        FROM events),
             days AS (SELECT DISTINCT day FROM p),
@@ -5016,19 +5016,19 @@ def oracle_sql() -> dict[str, str]:
         "seasonal_deviation_events": """
             WITH m AS (
               SELECT event_type,
-                     CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS h,
+                     CAST((((CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT)) % 24) + 24) % 24 AS BIGINT) AS h,
                      ROUND(AVG(value), 6) AS baseline
               FROM events WHERE value IS NOT NULL GROUP BY 1, 2)
             SELECT e.event_id, e.ts, e.event_type, e.value, m.baseline,
                    ROUND(e.value - m.baseline, 6) AS deviation
             FROM events e
             LEFT JOIN m ON m.event_type = e.event_type
-                       AND m.h = CAST((epoch_us(e.ts) // 3600000000) % 24 AS BIGINT)
+                       AND m.h = CAST((((CAST(floor(epoch_us(e.ts) / 3600000000.0) AS BIGINT)) % 24) + 24) % 24 AS BIGINT)
         """,
         "psi_daily_value": """
             WITH ext AS (SELECT MIN(value) AS lo, MAX(value) AS hi
                          FROM events WHERE value IS NOT NULL),
-            f AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+            f AS (SELECT CAST(CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS BIGINT) AS day,
                          CAST(LEAST(FLOOR((value - lo) * 10 / (hi - lo)), 9)
                               AS BIGINT) AS b
                   FROM events, ext WHERE value IS NOT NULL),
@@ -5500,7 +5500,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY s.user_id, s.session_id
         """,
         "new_vs_returning_daily": """
-            WITH p AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
+            WITH p AS (SELECT DISTINCT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day, user_id
                        FROM events WHERE user_id IS NOT NULL),
                  f AS (SELECT user_id, MIN(day) AS first_day FROM p GROUP BY user_id)
             SELECT p.day,
@@ -5509,7 +5509,7 @@ def oracle_sql() -> dict[str, str]:
             FROM p JOIN f USING (user_id) GROUP BY p.day
         """,
         "wau_daily": """
-            WITH p AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
+            WITH p AS (SELECT DISTINCT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day, user_id
                        FROM events WHERE user_id IS NOT NULL),
                  d AS (SELECT DISTINCT day FROM p)
             SELECT d.day, COUNT(DISTINCT p.user_id) AS wau
@@ -5649,7 +5649,7 @@ def oracle_sql() -> dict[str, str]:
             FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
         "ks_drift_value": """
-            WITH m AS (SELECT (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS cut FROM events),
+            WITH m AS (SELECT CAST(floor((epoch_us(MIN(ts)) + epoch_us(MAX(ts))) / 2.0) AS BIGINT) AS cut FROM events),
             s AS (SELECT value v, CASE WHEN epoch_us(ts) > m.cut THEN 1 ELSE 0 END side
                   FROM events, m WHERE value IS NOT NULL),
             c AS (SELECT v, SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) a,
@@ -5737,7 +5737,7 @@ def oracle_sql() -> dict[str, str]:
         # smoothing keeps empty bins finite and the arithmetic mirrored
         "value_drift_psi": """
             WITH m AS (SELECT MIN(value) AS lo, MAX(value) AS hi,
-                              (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS cut
+                              CAST(floor((epoch_us(MIN(ts)) + epoch_us(MAX(ts))) / 2.0) AS BIGINT) AS cut
                        FROM events),
             t AS (SELECT CASE WHEN epoch_us(ts) > m.cut THEN 1 ELSE 0 END AS side,
                          CAST(LEAST(FLOOR((value - m.lo) * 10 / (m.hi - m.lo)), 9) AS BIGINT) AS b
@@ -5765,9 +5765,9 @@ def oracle_sql() -> dict[str, str]:
         "cohort_retention_weekly": """
             WITH f AS (SELECT user_id, MIN(ts) AS fts FROM events GROUP BY user_id),
                  t AS (SELECT e.user_id,
-                              epoch_us(f.fts) // 604800000000 AS cohort,
-                              epoch_us(e.ts) // 604800000000
-                                - epoch_us(f.fts) // 604800000000 AS period_offset
+                              CAST(floor(epoch_us(f.fts) / 604800000000.0) AS BIGINT) AS cohort,
+                              CAST(floor(epoch_us(e.ts) / 604800000000.0) AS BIGINT)
+                                - CAST(floor(epoch_us(f.fts) / 604800000000.0) AS BIGINT) AS period_offset
                        FROM events e JOIN f USING (user_id))
             SELECT cohort, period_offset,
                    COUNT(DISTINCT user_id) AS n_users
@@ -6087,7 +6087,7 @@ def oracle_sql() -> dict[str, str]:
               ON o.o_custkey = c.c_custkey
         """,
         "hourly_event_stats": """
-            SELECT CAST(to_timestamp((epoch_us(ts) // 3600000000) * 3600000000 / 1e6)
+            SELECT CAST(to_timestamp((CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT)) * 3600000000 / 1e6)
                         AS TIMESTAMP) AS bucket_start,
                    COUNT(*) AS n,
                    ROUND(SUM(value), 6) AS sum_v,
@@ -6097,7 +6097,7 @@ def oracle_sql() -> dict[str, str]:
         "ohlc_hourly_by_user": """
             WITH b AS (
               SELECT user_id,
-                     CAST(to_timestamp((epoch_us(ts) // 3600000000) * 3600000000 / 1e6)
+                     CAST(to_timestamp((CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT)) * 3600000000 / 1e6)
                           AS TIMESTAMP) AS bucket_start,
                      ts, event_id, value
               FROM events),
@@ -6294,7 +6294,7 @@ def oracle_sql() -> dict[str, str]:
         "hopping_hourly_15min": """
             WITH r AS (
                 SELECT value,
-                       CAST(to_timestamp(((epoch_us(ts) // 900000000) * 900000000
+                       CAST(to_timestamp(((CAST(floor(epoch_us(ts) / 900000000.0) AS BIGINT)) * 900000000
                                           - o.j * 900000000) / 1e6) AS TIMESTAMP)
                            AS window_start
                 FROM events
@@ -6487,7 +6487,7 @@ def oracle_sql() -> dict[str, str]:
             g AS (
               SELECT user_id, gs * 3600000000 AS gus
               FROM b, LATERAL unnest(generate_series(
-                     (fmin + 3599999999) // 3600000000, fmax // 3600000000)) AS t(gs)),
+                     CAST(ceil(fmin / 3600000000.0) AS BIGINT), CAST(floor(fmax / 3600000000.0) AS BIGINT))) AS t(gs)),
             u AS (
               SELECT user_id, epoch_us(ts) AS tsu, event_id, value, 0 AS is_grid FROM events
               UNION ALL

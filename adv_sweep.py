@@ -23,6 +23,27 @@ if os.path.exists(DST):
     shutil.rmtree(DST)
 os.makedirs(DST)
 
+OLD = len(sys.argv) > 1 and sys.argv[1] == "old"
+if OLD:
+    DST = "/tmp/sf_adv_old"
+    if os.path.exists(DST):
+        shutil.rmtree(DST)
+    os.makedirs(DST)
+    # Pre-1970 axis: shift every timestamp so the corpus STRADDLES the
+    # epoch (negative microsecond values). Floor-division bucketing on
+    # negative int64 is where engines silently fork: numpy // floors
+    # (bucket starts are correct calendar boundaries), DuckDB's //
+    # truncates toward zero — the oracles must use epoch-safe forms.
+    import pandas as _pd
+    SHIFT = _pd.Timestamp("2024-06-01") - _pd.Timestamp("1969-12-28")
+    for f in os.listdir(SRC):
+        t = pq.read_table(os.path.join(SRC, f)).to_pandas()
+        for c in t.columns:
+            if t[c].dtype.kind == "M":
+                t[c] = t[c] - SHIFT
+        pq.write_table(pa.Table.from_pandas(t, preserve_index=False), os.path.join(DST, f))
+    print(f"old-mode corpus written (all timestamps shifted by -{SHIFT})")
+
 if TINY:
     # Boundary-condition corpus: the FIRST 3 rows of every table (head,
     # not sample — keeps the low ids the knn/asof queries reference).
@@ -33,7 +54,7 @@ if TINY:
         t = pq.read_table(os.path.join(SRC, f))
         pq.write_table(t.slice(0, 3), os.path.join(DST, f))
         print(f"{f}: {t.num_rows} -> {min(3, t.num_rows)} rows")
-for f in [] if TINY else os.listdir(SRC):
+for f in [] if (TINY or OLD) else os.listdir(SRC):
     if f == "events.parquet":
         t = pq.read_table(os.path.join(SRC, f)).to_pandas()
         rng = np.random.default_rng(99)
@@ -140,6 +161,8 @@ if TINY:
         # k-means cannot train k=4 centroids on 3 points — loud by design
         "kmeans_step_embeddings": "exceeds dataset rows",
     }
+elif OLD:
+    EXPECT_RAISE = {}
 else:
     EXPECT_RAISE = {
         # TimeFrame/padding null validation (verbatim messages)
