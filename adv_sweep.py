@@ -23,6 +23,31 @@ if os.path.exists(DST):
     shutil.rmtree(DST)
 os.makedirs(DST)
 
+SKEW = len(sys.argv) > 1 and sys.argv[1] == "skew"
+if SKEW:
+    DST = "/tmp/sf_adv_skew"
+    if os.path.exists(DST):
+        shutil.rmtree(DST)
+    os.makedirs(DST)
+    # Hot-entity axis (the north rule's phash-skewed regime): ONE user
+    # owns 70% of all events (ids stay unique; timestamps untouched, so
+    # the hot entity also gains duplicate-(user, ts) pairs). Every
+    # per-entity window/session/shift kernel and its oracle must agree
+    # when one group dwarfs the rest — the regime the chunked overflow
+    # path and salting exist for.
+    for f in os.listdir(SRC):
+        if f == "events.parquet":
+            t = pq.read_table(os.path.join(SRC, f)).to_pandas()
+            hot = int(t["user_id"].mode().iloc[0])
+            rng = np.random.default_rng(77)
+            take = rng.random(len(t)) < 0.7
+            t.loc[take, "user_id"] = hot
+            pq.write_table(pa.Table.from_pandas(t, preserve_index=False),
+                           os.path.join(DST, f))
+            print(f"events: user {hot} now owns {int(take.sum())}/{len(t)} rows")
+        else:
+            shutil.copy(os.path.join(SRC, f), os.path.join(DST, f))
+
 OLD = len(sys.argv) > 1 and sys.argv[1] == "old"
 if OLD:
     DST = "/tmp/sf_adv_old"
@@ -54,7 +79,7 @@ if TINY:
         t = pq.read_table(os.path.join(SRC, f))
         pq.write_table(t.slice(0, 3), os.path.join(DST, f))
         print(f"{f}: {t.num_rows} -> {min(3, t.num_rows)} rows")
-for f in [] if (TINY or OLD) else os.listdir(SRC):
+for f in [] if (TINY or OLD or SKEW) else os.listdir(SRC):
     if f == "events.parquet":
         t = pq.read_table(os.path.join(SRC, f)).to_pandas()
         rng = np.random.default_rng(99)
@@ -161,7 +186,7 @@ if TINY:
         # k-means cannot train k=4 centroids on 3 points — loud by design
         "kmeans_step_embeddings": "exceeds dataset rows",
     }
-elif OLD:
+elif OLD or SKEW:
     EXPECT_RAISE = {}
 else:
     EXPECT_RAISE = {
