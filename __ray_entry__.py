@@ -4719,11 +4719,14 @@ def oracle_sql() -> dict[str, str]:
             tot AS (SELECT CAST(SUM(o) AS DOUBLE) AS n FROM grid),
             rs AS (SELECT a, CAST(SUM(o) AS DOUBLE) AS r FROM grid GROUP BY 1),
             cs AS (SELECT b, CAST(SUM(o) AS DOUBLE) AS cc FROM grid GROUP BY 1)
+            -- GREATEST/COALESCE: over an EMPTY table the bare forms give
+            -- dof = (0-1)*(0-1) = 1 and n = NULL; the engine's (and
+            -- scipy's) degenerate answer is dof 0, n 0
             SELECT ROUND(SUM(power(g.o - rs.r * cs.cc / tot.n, 2)
                              / (rs.r * cs.cc / tot.n)), 6) AS chi2,
-                   CAST((COUNT(DISTINCT g.a) - 1)
-                        * (COUNT(DISTINCT g.b) - 1) AS BIGINT) AS dof,
-                   CAST(MAX(tot.n) AS BIGINT) AS n
+                   CAST(GREATEST(COUNT(DISTINCT g.a) - 1, 0)
+                        * GREATEST(COUNT(DISTINCT g.b) - 1, 0) AS BIGINT) AS dof,
+                   CAST(COALESCE(MAX(tot.n), 0) AS BIGINT) AS n
             FROM grid g JOIN rs USING (a) JOIN cs USING (b), tot
         """,
         "acf_hourly_events": """

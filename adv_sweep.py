@@ -69,6 +69,24 @@ if OLD:
         pq.write_table(pa.Table.from_pandas(t, preserve_index=False), os.path.join(DST, f))
     print(f"old-mode corpus written (all timestamps shifted by -{SHIFT})")
 
+EMPTY = len(sys.argv) > 1 and sys.argv[1] == "empty"
+if EMPTY:
+    DST = "/tmp/sf_adv_empty"
+    if os.path.exists(DST):
+        shutil.rmtree(DST)
+    os.makedirs(DST)
+    # Zero-row axis: every table is EMPTY. NOTE (probed, pinned in
+    # tests/test_null_unicode_semantics.py): Ray's read_parquet DROPS
+    # the schema of a 0-row file the moment a block materializes, so
+    # the engine sees schema-less datasets everywhere — the policy is
+    # therefore "no silent wrong answers": a returned result must match
+    # the SQL oracle; ANY raise is the acceptable documented contract
+    # (reported for transparency at the end).
+    for f in os.listdir(SRC):
+        t = pq.read_table(os.path.join(SRC, f))
+        pq.write_table(t.slice(0, 0), os.path.join(DST, f))
+    print("empty-mode corpus written (0 rows, schemas kept)")
+
 if TINY:
     # Boundary-condition corpus: the FIRST 3 rows of every table (head,
     # not sample — keeps the low ids the knn/asof queries reference).
@@ -79,7 +97,7 @@ if TINY:
         t = pq.read_table(os.path.join(SRC, f))
         pq.write_table(t.slice(0, 3), os.path.join(DST, f))
         print(f"{f}: {t.num_rows} -> {min(3, t.num_rows)} rows")
-for f in [] if (TINY or OLD or SKEW) else os.listdir(SRC):
+for f in [] if (TINY or OLD or SKEW or EMPTY) else os.listdir(SRC):
     if f == "events.parquet":
         t = pq.read_table(os.path.join(SRC, f)).to_pandas()
         rng = np.random.default_rng(99)
@@ -186,7 +204,7 @@ if TINY:
         # k-means cannot train k=4 centroids on 3 points — loud by design
         "kmeans_step_embeddings": "exceeds dataset rows",
     }
-elif OLD or SKEW:
+elif OLD or SKEW or EMPTY:
     EXPECT_RAISE = {}
 else:
     EXPECT_RAISE = {
@@ -195,7 +213,7 @@ else:
         "validator_report": "Null values found in columns",
     }
 
-bad, errs, ok = [], [], 0
+bad, errs, raised, ok = [], [], [], 0
 for name, fn in sorted(qs.items()):
     osql = oracles.get(name)
     if osql is None:
@@ -237,7 +255,24 @@ for name, fn in sorted(qs.items()):
         except AssertionError as ex:
             bad.append((name, str(ex).splitlines()[-1][:120]))
     except Exception as ex:
-        errs.append((name, f"{type(ex).__name__}: {str(ex)[:110]}"))
+        if EMPTY:
+            # empty-table policy: a fully-empty input table is
+            # schema-less under Ray's block model (read_parquet of a
+            # 0-row file drops the schema the moment a block
+            # materializes — framework behavior, probed and pinned in
+            # tests), so operators that need column names or data (a
+            # query vector by id, a k-means train set, an asof right
+            # side) CANNOT run and raising is the documented contract.
+            # The axis therefore checks for SILENT WRONG ANSWERS only:
+            # a returned result must match the SQL oracle; any raise is
+            # acceptable and reported for transparency.
+            raised.append((name, f"{type(ex).__name__}: {str(ex)[:80]}"))
+        else:
+            errs.append((name, f"{type(ex).__name__}: {str(ex)[:110]}"))
+if EMPTY and raised:
+    print(f"\n[empty mode] {len(raised)} queries raised (acceptable contract):")
+    for n, m in raised:
+        print(f"  RAISED {n}: {m}")
 print(f"\nOK {ok}; VALUE/ROW MISMATCH {len(bad)}; ERRORS {len(errs)}")
 for n, m in bad: print(f"  MISMATCH {n}: {m}")
 for n, m in errs: print(f"  ERROR {n}: {m}")

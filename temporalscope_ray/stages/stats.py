@@ -122,7 +122,10 @@ def exact_quantiles(
     proj = ds.select_columns([col])
     n = proj.count()
     if not n:
-        return pd.DataFrame({"q": qs, "value": [float("nan")] * len(qs)})
+        # SQL parity: the rank join over zero rows emits NO rows (not
+        # NaN-padded quantile rows) — caught by the empty-table axis
+        return pd.DataFrame({"q": np.array([], dtype=np.float64),
+                             "value": np.array([], dtype=np.float64)})
     ranks = [int(np.floor(q * (n - 1))) for q in qs]
     uniq = sorted(set(ranks))
     srt = proj.sort(col).materialize()
@@ -1049,7 +1052,7 @@ def approx_quantile_hist(
     probabilistic, and every arithmetic step (bin expression, float
     rank, edge interpolation) is shared verbatim with the SQL replay,
     making even this APPROXIMATION bit-exactly reproducible across
-    engines. Nulls ignored; an all-null column yields NaN.
+    engines. Nulls ignored; an empty or all-null column yields zero rows\n    (SQL bin-join parity).
 
     Returns a small driver DataFrame ``(q, value)``.
     """
@@ -1061,7 +1064,9 @@ def approx_quantile_hist(
     agg = ds.aggregate(Min(value_col), Max(value_col))
     lo, hi = agg[f"min({value_col})"], agg[f"max({value_col})"]
     if lo is None or (isinstance(lo, float) and np.isnan(lo)):
-        return pd.DataFrame({"q": qs, "value": [float("nan")] * len(qs)})
+        # empty / all-null column: SQL's bin-join replay emits NO rows
+        return pd.DataFrame({"q": np.array([], dtype=np.float64),
+                             "value": np.array([], dtype=np.float64)})
     lo, hi = float(lo), float(hi)
     k = bins
 
@@ -1084,7 +1089,8 @@ def approx_quantile_hist(
     cum = counts["n"].cumsum().to_numpy()
     total = int(cum[-1]) if len(cum) else 0
     if total == 0:
-        return pd.DataFrame({"q": qs, "value": [float("nan")] * len(qs)})
+        return pd.DataFrame({"q": np.array([], dtype=np.float64),
+                             "value": np.array([], dtype=np.float64)})
     out = []
     for q in qs:
         # float rank on purpose: ceil(q·N) in IEEE arithmetic, shared
@@ -1561,7 +1567,13 @@ def median_absolute_deviation(ds: ray.data.Dataset, col: str) -> pd.DataFrame:
     driver); the absolute deviations are a zero-shuffle projection, and
     both emitted values are raw data points, so no rounding tolerance
     is needed anywhere. Assumes a non-null column (filter upstream)."""
-    med = float(exact_quantiles(ds, col, [0.5])["value"].iloc[0])
+    med_df = exact_quantiles(ds, col, [0.5])
+    if len(med_df) == 0:
+        # empty input: no median exists — emit zero rows like the SQL
+        # rank-join replay, not a NaN row
+        return pd.DataFrame({"median": np.array([], dtype=np.float64),
+                             "mad": np.array([], dtype=np.float64)})
+    med = float(med_df["value"].iloc[0])
 
     def dev(t: pa.Table) -> pa.Table:
         v = t.column(col).to_numpy(zero_copy_only=False)

@@ -198,3 +198,27 @@ def test_knn_tie_safe_and_zero_vector_contract(ray_session):
     assert out["vec_id"].tolist() == sorted(dup_ids)[:5]
     assert 2 not in set(out["vec_id"])
     assert np.allclose(out["cos_sim"], 1.0)
+
+
+def test_empty_table_framework_contract(ray_session, tmp_path):
+    # Pin the Ray behavior the empty-table policy rests on: a 0-row
+    # parquet read is schema-less after execution (empty blocks are
+    # dropped), and the engine's driver-frame operators return SQL-
+    # consistent EMPTY results instead of NaN-padded rows
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path / "empty.parquet")
+    pq.write_table(pa.table({"value": pa.array([], type=pa.float64())}), p)
+    ds = ray.data.read_parquet(p)
+    assert ds.map_batches(lambda t: t, batch_format="pyarrow").schema() is None
+
+    from temporalscope_ray.stages.stats import (
+        approx_quantile_hist,
+        exact_quantiles,
+        median_absolute_deviation,
+    )
+
+    assert len(exact_quantiles(ds, "value", [0.5, 0.9])) == 0
+    assert len(median_absolute_deviation(ds, "value")) == 0
+    assert len(approx_quantile_hist(ds, "value", [0.5])) == 0
