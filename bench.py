@@ -107,7 +107,14 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     }
 
 
-XL_ROWS = 16_000_000
+# 64M rows (was 16M in rounds 1-2): the xl probe measures SCALING, and
+# at 16M the per-JOB fixed costs (detect scan, input-cache materialize,
+# plan/exchange latency — ~2-2.5 s regardless of width) are ~17% of the
+# 16-cpu wall, structurally capping the ratio at ~0.55 no matter how
+# well the per-byte work scales. At 64M the same fixed costs are ~9%
+# and the measured main-pass efficiency (0.81) dominates — the honest
+# proxy for 100 TB jobs, where per-job costs amortize to nothing.
+XL_ROWS = 64_000_000
 SCALE_IMAGES = 100_000
 
 

@@ -27,18 +27,49 @@ import ray.data
 from . import grouped
 
 
-def _ts_quantile_bounds(samp: pd.DataFrame, key: str, ts_col: str, chunks_per_hot: int) -> dict:
+def _ts_quantile_bounds(samp: pd.DataFrame, key: str, ts_col: str, chunks_per_hot) -> dict:
     """Per-hot-entity chunk boundaries: interior ts quantiles of the
-    entity's sampled timestamps (dtype-preserving for datetime64)."""
+    entity's sampled timestamps (dtype-preserving for datetime64).
+
+    ``chunks_per_hot`` is an int (same split for every entity — legacy)
+    or a dict ``entity -> chunk count`` so each hot entity is split
+    proportionally to its OWN row count: sizing every entity to the
+    largest one multiplies the hot group count (and with it pass-1
+    summaries, carry-map size, and per-group dispatch overhead) by up
+    to ``max_chunks`` for entities that needed 2."""
     bounds: dict = {}
     for ent, sub in samp.groupby(key):
+        k = chunks_per_hot.get(ent, 2) if isinstance(chunks_per_hot, dict) else chunks_per_hot
         ts_np = sub[ts_col].to_numpy()
         is_dt = ts_np.dtype.kind == "M"
         vals = ts_np.view("int64") if is_dt else ts_np.astype(np.float64)
-        qs = np.quantile(vals, np.linspace(0, 1, chunks_per_hot + 1)[1:-1]) if len(vals) else np.array([])
+        qs = np.quantile(vals, np.linspace(0, 1, k + 1)[1:-1]) if len(vals) else np.array([])
         qs = np.unique(qs)
         bounds[ent] = qs.astype("int64").view(ts_np.dtype) if is_dt else qs
     return bounds
+
+
+_REF_CACHE: dict = {}
+
+
+def _cached_get(ref):
+    """Worker-local cache around ``ray.get`` for per-plan broadcast refs.
+
+    ``ray.get`` of a plasma object DESERIALIZES it on every call; the
+    chunked dispatch calls it once per hot group, so at 1.5k hot chunks
+    the carry map (itself 1.5k pickled frames) was unpickled 1.5k times
+    per partition — a quadratic 770 CPU-s on a 64M-row probe. One
+    deserialize per worker process is the right cost. Bounded: a plan
+    broadcasts a handful of refs; 32 entries is plenty."""
+    key = ref.binary()
+    hit = _REF_CACHE.get(key)
+    if hit is None:
+        import ray as _r
+
+        if len(_REF_CACHE) >= 32:
+            _REF_CACHE.pop(next(iter(_REF_CACHE)))
+        hit = _REF_CACHE[key] = _r.get(ref)
+    return hit
 
 
 def _chain_entity(sub: pd.DataFrame, *, session_gap, carry_back: int, carry_fwd: int):
@@ -73,6 +104,13 @@ def _chain_entity(sub: pd.DataFrame, *, session_gap, carry_back: int, carry_fwd:
         eff_head = pd.concat([pickle.loads(row["head_blob"]), eff_head]).head(carry_fwd)
     chunks = sorted(tails)
     return chunks, tails, heads, offs
+
+# Per-(block, entity, chunk) session-run cap for the combiner pass-1:
+# time- or entity-clustered layouts (any real log) have a handful of
+# runs per block-group; an adversarially scattered layout can approach
+# one run per row, where the partial would be data-sized — overflow
+# falls back to the exchange pass, which is layout-independent.
+_PASS1_RUN_CAP = 512
 
 _ROLL_FNS = {"mean", "sum", "min", "max", "std", "count", "median"}
 _FAST_ROLL_FNS = {"mean", "sum", "count", "std", "min", "max"}
@@ -741,6 +779,7 @@ def add_temporal_features_chunked(
     num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
     tiebreak: Optional[Sequence[str]] = None,
     bounds: Optional[dict] = None,
+    pass1_mode: str = "auto",
 ) -> ray.data.Dataset:
     """``add_temporal_features`` with HOT-ENTITY overflow handling — the
     window-family counterpart of the as-of join's right-replication
@@ -790,11 +829,12 @@ def add_temporal_features_chunked(
         schema-less empty RefBundle intermittently poisons the hash
         aggregator's schema broadcast (observed: finalize sort failing
         on a zero-column block)."""
-        mask = pa.compute.is_in(t.column(id_col), value_set=_ray.get(hot_ref))
+        mask = pa.compute.is_in(t.column(id_col), value_set=_cached_get(hot_ref))
         sub = t.filter(mask)
         if sub.num_rows:
             yield sub.replace_schema_metadata(None)
 
+    hot_ds = None
     if bounds is None:
         # Legacy path (direct callers without precomputed boundaries):
         # the hot subset is consumed twice before the main pass (boundary
@@ -814,17 +854,10 @@ def add_temporal_features_chunked(
 
         samp = hot_ds.map_batches(sample_ts, batch_format="pyarrow").to_pandas()
         bounds = _ts_quantile_bounds(samp, id_col, time_col, chunks_per_hot)
-    else:
-        # Bounds precomputed (add_temporal_features_auto piggybacks a ts
-        # sample on the detect scan): the hot subset has exactly ONE
-        # consumer (pass 1), so keep it lazy — no materialize barrier.
-        hot_ds = ds.map_batches(
-            split_hot, batch_format="pyarrow", zero_copy_batch=True
-        )
     bounds_ref = _ray.put(bounds)
 
     def add_chunk(t: pa.Table) -> pa.Table:
-        bmap = _ray.get(bounds_ref)
+        bmap = _cached_get(bounds_ref)
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
         ts = t.column(time_col).to_numpy(zero_copy_only=False)
         chunk = np.zeros(t.num_rows, dtype=np.int32)
@@ -834,10 +867,106 @@ def add_temporal_features_chunked(
                 chunk[m] = np.searchsorted(bs, ts[m], side="right").astype(np.int32)
         return t.append_column("__chunk__", pa.array(chunk)).replace_schema_metadata(None)
 
-    chunked = hot_ds.map_batches(add_chunk, batch_format="pyarrow", zero_copy_batch=True)
-
     # --- pass 1: per-chunk carries + session metadata (tiny output) ---
     carry_cols = [time_col, *(tiebreak or []), *dict.fromkeys(value_cols)]
+    gap_np = None
+    if session_gap is not None:
+        gap_np = session_gap
+        if isinstance(gap_np, pd.Timedelta):
+            gap_np = np.timedelta64(gap_np.to_timedelta64())
+
+    def pass1_partial(t: pa.Table):
+        """Per-BLOCK combiner partial for pass 1 — no exchange. For each
+        (entity, chunk) present in the block: block-local head/tail carry
+        rows, row count, ts extrema, and the block-local SESSION RUNS
+        (maximal ≤gap subsequences, stored as [start_ts, end_ts]
+        intervals). Heads/tails/counts merge trivially on the driver;
+        session-break counts merge EXACTLY by gap-closure interval
+        merging — a run guarantees a ≤gap-dense chain over its interval,
+        so sessionizing the union of any partials equals merging their
+        run intervals with the same gap tolerance, for ANY row layout.
+        Partial SIZE is the only layout risk (an adversarially scattered
+        layout can have ~one run per row), so a run-count cap marks the
+        group for fallback to the exchange pass."""
+        import pickle
+
+        mask = pa.compute.is_in(t.column(id_col), value_set=_cached_get(hot_ref))
+        sub = t.filter(mask)
+        if not sub.num_rows:
+            return
+        bmap = _cached_get(bounds_ref)
+        need = list(dict.fromkeys([id_col, *carry_cols]))
+        df = sub.select(need).to_pandas()
+        ids = df[id_col].to_numpy()
+        tsv = df[time_col].to_numpy()
+        chunk = np.zeros(len(df), dtype=np.int32)
+        for ent, bs in bmap.items():
+            m = ids == ent
+            if m.any() and len(bs):
+                chunk[m] = np.searchsorted(bs, tsv[m], side="right").astype(np.int32)
+        df["__chunk__"] = chunk
+        recs = []
+        for (ent, c), g in df.groupby([id_col, "__chunk__"], sort=False):
+            g = g.sort_values(order, kind="mergesort")
+            gts = g[time_col].to_numpy()
+            runs_blob = b""
+            if gap_np is not None:
+                brk = np.flatnonzero((gts[1:] - gts[:-1]) > gap_np)
+                if len(brk) + 1 > _PASS1_RUN_CAP:
+                    runs_blob = None  # overflow marker → driver falls back
+                else:
+                    starts = gts[np.r_[0, brk + 1]]
+                    ends = gts[np.r_[brk, len(gts) - 1]]
+                    runs_blob = pickle.dumps((starts, ends))
+            recs.append({
+                id_col: ent, "__chunk__": int(c), "n_rows": len(g),
+                "first_ts": gts[0], "last_ts": gts[-1],
+                "head_blob": pickle.dumps(g.head(carry_fwd)[carry_cols] if carry_fwd
+                                          else g.head(0)[carry_cols]),
+                "tail_blob": pickle.dumps(g.tail(carry_back)[carry_cols] if carry_back
+                                          else g.tail(0)[carry_cols]),
+                "runs_blob": runs_blob,
+            })
+        out = pd.DataFrame(recs)
+        yield pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+
+    def pass1_combiner_meta() -> Optional[pd.DataFrame]:
+        """Map-only pass 1: collect per-block partials, merge per
+        (entity, chunk) on the driver into the same summary frame the
+        exchange pass produces. Returns None if any block-group
+        overflowed the run cap (caller falls back to the exchange)."""
+        import pickle
+
+        src = hot_ds if hot_ds is not None else ds
+        parts = src.map_batches(
+            pass1_partial, batch_format="pyarrow", zero_copy_batch=True
+        ).to_pandas()
+        if parts.empty:
+            return pd.DataFrame(columns=[id_col, "__chunk__", "n_rows", "first_ts",
+                                         "last_ts", "internal_breaks", "head_blob", "tail_blob"])
+        if gap_np is not None and parts["runs_blob"].isna().any():
+            return None
+        rows = []
+        for (ent, c), sub in parts.groupby([id_col, "__chunk__"], sort=False):
+            brk = 0
+            if gap_np is not None:
+                loaded = [pickle.loads(b) for b in sub["runs_blob"]]
+                starts = np.concatenate([r[0] for r in loaded])
+                ends = np.concatenate([r[1] for r in loaded])
+                o = np.argsort(starts, kind="stable")
+                starts, ends = starts[o], ends[o]
+                cummax_end = np.maximum.accumulate(ends)
+                brk = int((starts[1:] - cummax_end[:-1] > gap_np).sum())
+            head = pd.concat([pickle.loads(b) for b in sub["head_blob"]], ignore_index=True)
+            tail = pd.concat([pickle.loads(b) for b in sub["tail_blob"]], ignore_index=True)
+            rows.append({
+                id_col: ent, "__chunk__": int(c), "n_rows": int(sub["n_rows"].sum()),
+                "first_ts": sub["first_ts"].min(), "last_ts": sub["last_ts"].max(),
+                "internal_breaks": brk,
+                "head_blob": pickle.dumps(head.sort_values(order, kind="mergesort").head(carry_fwd)),
+                "tail_blob": pickle.dumps(tail.sort_values(order, kind="mergesort").tail(carry_back)),
+            })
+        return pd.DataFrame(rows)
 
     def pass1(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(order, kind="mergesort")
@@ -861,19 +990,31 @@ def add_temporal_features_chunked(
         # exchange triggers the aggregators' mixed-schema slow path
         return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
-    # Pass 1 runs as its own (small) exchange over the hot subset, then
-    # the per-entity chain closes on the driver over the tiny summary
-    # table. Two rejected alternatives, both measured slower/unsound on
-    # the 16M-row probe: (a) overlapping pass 1 via a rendezvous actor
-    # that pass 2 blocks on — tasks blocked in ray.get release their
-    # CPU slot, so narrow sessions oversubscribe (64 workers on a 4-cpu
-    # session) and scaling measurements lie; (b) routing carries as
-    # rows through a chained summaries→chain→union dataflow in ONE plan
-    # — three concurrent hash-shuffle aggregator pools each sized as if
-    # alone starve the maps (20.6→34 s at 16 cpus, 38.7 s at 4).
-    meta = chunked.groupby([id_col, "__chunk__"]).map_groups(
-        pass1, batch_format="pandas"
-    ).to_pandas()
+    # Pass-1 strategy. "combiner" (default via "auto"): ONE map-only
+    # scan emits per-block partials and the driver merges them — no
+    # exchange at all (measured: the exchange pass-1 was ~40% as costly
+    # as the main pass and scaled at 0.43 efficiency, being
+    # latency-bound). "exchange": groupby((entity, chunk)) over the hot
+    # subset — the scalable path when the driver merge would be large
+    # (partial count ≈ blocks × hot chunks), selected automatically for
+    # huge inputs and on run-cap overflow. Two other designs were
+    # rejected with measurements: (a) a rendezvous actor pass-2 blocks
+    # on — blocked ray.get releases CPU slots, oversubscribing narrow
+    # sessions (dishonest scaling); (b) carries as rows through a
+    # summaries→chain→union dataflow in ONE plan — three concurrent
+    # hash-shuffle aggregator pools starve the maps (20.6→34 s @16).
+    meta = None
+    if pass1_mode != "exchange":
+        rows_hint = grouped.cheap_row_count(ds)
+        if pass1_mode == "combiner" or (rows_hint is not None and rows_hint <= 512_000_000):
+            meta = pass1_combiner_meta()
+    if meta is None:
+        if hot_ds is None:
+            hot_ds = ds.map_batches(split_hot, batch_format="pyarrow", zero_copy_batch=True)
+        chunked = hot_ds.map_batches(add_chunk, batch_format="pyarrow", zero_copy_batch=True)
+        meta = chunked.groupby([id_col, "__chunk__"]).map_groups(
+            pass1, batch_format="pandas"
+        ).to_pandas()
     carries: dict = {}
     offsets: dict = {}
     for ent, sub in meta.groupby(id_col):
@@ -894,7 +1035,7 @@ def add_temporal_features_chunked(
 
     # --- pass 2: recompute with carries, emit own rows only ---
     def pass2(g: pd.DataFrame) -> pd.DataFrame:
-        carries_m, offsets_m = _ray.get(carry_ref)
+        carries_m, offsets_m = _cached_get(carry_ref)
         ent = g[id_col].iloc[0]
         c = int(g["__chunk__"].iloc[0])
         drop = [col for col in ("__chunk__", grouped.BUCKET_COL) if col in g.columns]
@@ -951,8 +1092,17 @@ def add_temporal_features_chunked(
     # parallel DATA-sized sort exchanges in one DAG — the previous
     # cold.union(hot) design — thrash the streaming executor: measured
     # 52 s where the single exchange runs the same work in ~25 s.)
-    hot_index = {ent: i for i, ent in enumerate(hot)}
-    hot_index_ref = _ray.put(hot_index)
+    # Per-entity bucket bases: entity ``ent``'s chunk ``c`` gets bucket
+    # ``base[ent] + c``; bases are packed by each entity's ACTUAL chunk
+    # count (len(bounds)+1), not a uniform stride — a uniform
+    # ``chunks_per_hot`` stride sized to the largest entity wastes the
+    # id space and (with per-entity chunk counts) would collide.
+    hot_base: dict = {}
+    acc = num_buckets
+    for ent in hot:
+        hot_base[ent] = acc
+        acc += len(bounds.get(ent, ())) + 1
+    hot_base_ref = _ray.put(hot_base)
     cold_fn = _flagship_kernel(
         id_col=id_col, time_col=time_col, value_cols=value_cols, lags=lags, leads=leads,
         rolling_windows=windows, rolling_fns=rolling_fns, session_gap=session_gap,
@@ -960,12 +1110,12 @@ def add_temporal_features_chunked(
     )
 
     def assign(t: pa.Table) -> pa.Table:
-        bmap = _ray.get(bounds_ref)
-        idx = _ray.get(hot_index_ref)
+        bmap = _cached_get(bounds_ref)
+        base = _cached_get(hot_base_ref)
         ids_col = t.column(id_col)
         bucket = grouped.hash_key_column(ids_col, num_buckets)
         chunk = np.full(t.num_rows, -1, dtype=np.int32)
-        hot_mask = pa.compute.is_in(ids_col, value_set=_ray.get(hot_ref)).to_numpy(zero_copy_only=False)
+        hot_mask = pa.compute.is_in(ids_col, value_set=_cached_get(hot_ref)).to_numpy(zero_copy_only=False)
         if hot_mask.any():
             ids = ids_col.to_numpy(zero_copy_only=False)
             ts = t.column(time_col).to_numpy(zero_copy_only=False)
@@ -978,7 +1128,7 @@ def add_temporal_features_chunked(
                     if len(bs) else np.zeros(int(m.sum()), dtype=np.int32)
                 )
                 chunk[m] = c
-                bucket[m] = num_buckets + idx[ent] * chunks_per_hot + c
+                bucket[m] = base[ent] + c
         t = t.append_column(grouped.BUCKET_COL, pa.array(bucket, type=pa.int32()))
         return t.append_column("__chunk__", pa.array(chunk))
 
@@ -1017,6 +1167,7 @@ def add_temporal_features_auto(
     detect_sample_rows: Optional[int] = 4_000_000,
     cache_input: str | bool = "auto",
     cache_input_max_bytes: int = 8 << 30,
+    pass1_mode: str = "auto",
 ) -> ray.data.Dataset:
     """Skew-aware ``add_temporal_features``: a cheap counting pre-pass
     (``grouped.detect_hot_keys`` — per-batch partial counts over the
@@ -1084,18 +1235,30 @@ def add_temporal_features_auto(
     # missed, which only costs a straggler task, never correctness.
     # sample_col piggybacks the chunk-boundary ts sample on the SAME
     # scan, so the chunked path needs no second read + materialize.
+    # top_k=256: at larger corpora MANY entities clear the row bar; a
+    # tight cap leaves true hot entities cold, and each one left cold is
+    # a multi-second straggler bucket (measured: a 64M-row Zipf table has
+    # >32 entities above 250k rows). The driver merge stays tiny.
     hot_df, samp = grouped.detect_hot_keys(
-        probe, id_col, min_count=min_count_eff, top_k=32,
+        probe, id_col, min_count=min_count_eff, top_k=256,
         prune=max(2, min_count_eff // 2048), sample_col=time_col,
     )
     if hot_df.empty:
         return add_temporal_features(ds, **kw)
-    chunks = int(np.ceil(hot_df["cnt"].max() * scale / float(chunk_target_rows)))
-    chunks = max(2, min(chunks, max_chunks_per_hot))
-    bounds = _ts_quantile_bounds(samp, id_col, time_col, chunks)
+    # Per-entity chunk counts: split each hot entity by its OWN
+    # (scaled) count, not the largest one's — a uniform split sized to
+    # the top entity multiplies hot group count (pass-1 summaries,
+    # carry-map size, per-group dispatch calls) by up to max_chunks for
+    # entities that needed 2.
+    per_ent = {
+        ent: int(max(2, min(np.ceil(cnt * scale / float(chunk_target_rows)), max_chunks_per_hot)))
+        for ent, cnt in zip(hot_df[id_col], hot_df["cnt"])
+    }
+    bounds = _ts_quantile_bounds(samp, id_col, time_col, per_ent)
     return add_temporal_features_chunked(
-        ds, hot_entities=hot_df[id_col].tolist(), chunks_per_hot=chunks,
-        bounds=bounds, **kw
+        ds, hot_entities=hot_df[id_col].tolist(),
+        chunks_per_hot=max(per_ent.values()), bounds=bounds,
+        pass1_mode=pass1_mode, **kw
     )
 
 

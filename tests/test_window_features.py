@@ -203,6 +203,56 @@ def test_chunked_hot_entity_matches_unchunked():
     pd.testing.assert_frame_equal(a[sorted(a.columns)], e[sorted(e.columns)], check_dtype=False)
 
 
+def test_pass1_combiner_matches_exchange_and_overflow_falls_back(monkeypatch):
+    """The map-only combiner pass-1 (per-block session-run partials,
+    gap-closure interval merge on the driver) must produce the same
+    carries/offsets — hence identical rows INCLUDING session ids — as
+    the exchange pass-1, on a layout where every block's subset of the
+    hot entity interleaves in time with every other block's. And when a
+    block-group overflows the run cap, the combiner must fall back to
+    the exchange pass, still row-identical."""
+    from temporalscope_ray.stages import window_features as wf
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    ids = np.concatenate([np.full(2400, 7), rng.integers(0, 10, n - 2400)])
+    df = pd.DataFrame({
+        "user_id": ids,
+        # irregular ts with many >gap holes; random row order across blocks
+        "ts": pd.Timestamp("2024-01-01") + pd.to_timedelta(
+            np.sort(rng.choice(20_000_000, n, replace=False))[rng.permutation(n)], unit="s"),
+        "event_id": np.arange(n),
+        "value": rng.normal(size=n).round(4),
+    })
+    ds = ray.data.from_pandas(df).repartition(5)
+    kw = dict(
+        id_col="user_id", time_col="ts", value_cols=["value"], lags=[1], leads=[1],
+        rolling_windows=[3], rolling_fns=("mean",), session_gap=pd.Timedelta("90min"),
+        label_shift={"value_col": "value", "n": 1, "out_col": "value_shift_1"},
+        tiebreak=["event_id"],
+    )
+    key = ["user_id", "ts", "event_id"]
+
+    def run(**extra):
+        out = wf.add_temporal_features_chunked(
+            ds, hot_entities=[7], chunks_per_hot=5, num_buckets=4, **kw, **extra
+        ).to_pandas()
+        return out.sort_values(key).reset_index(drop=True)
+
+    exch = run(pass1_mode="exchange")
+    comb = run(pass1_mode="combiner")
+    pd.testing.assert_frame_equal(exch[sorted(exch.columns)], comb[sorted(comb.columns)],
+                                  check_dtype=False)
+    # session ids genuinely exercised: multiple sessions exist
+    assert exch.loc[exch.user_id == 7, "session_id"].nunique() > 1
+
+    # overflow: cap of 1 run per block-group forces the fallback
+    monkeypatch.setattr(wf, "_PASS1_RUN_CAP", 1)
+    fb = run(pass1_mode="auto")
+    pd.testing.assert_frame_equal(exch[sorted(exch.columns)], fb[sorted(fb.columns)],
+                                  check_dtype=False)
+
+
 def test_interarrival_matches_pandas_diff():
     from temporalscope_ray.stages.window_features import add_interarrival
 
