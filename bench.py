@@ -119,11 +119,21 @@ SCALE_IMAGES = 100_000
 
 
 def run_scale_probe(num_cpus: int) -> dict:
-    """One timed pass of the compute-dominated scaling workload:
-    the flagship temporal-feature+label pass over a 4M-row synthetic
-    events table, plus the image pipeline (decode-bound) over the
-    sf0.1-sized image table. Inputs are cached parquet (generated in
-    the untimed warm-up run)."""
+    """Best-of-2 timed passes of the compute-dominated scaling workload:
+    the flagship temporal-feature+label pass over a 64M-row synthetic
+    events table, plus the image pipeline (decode-bound) over a
+    100k-image table. Inputs are cached parquet (generated in the
+    untimed warm-up run).
+
+    Best-of-2 IN-PROCESS (same policy as run_bench's timed()): the
+    first pass pays one-time worker-pool startup — Ray spawns
+    ``num_cpus`` worker processes, each importing ray+pandas+this
+    package via the setup hook — a per-SESSION cost that hits the wide
+    level ~4× harder than the narrow one and is exactly what the
+    scaling criterion must NOT measure (a real cluster's workers are
+    long-lived across a 100 TB job). Measured: 16-cpu xl passes within
+    one session read 66/37/26 s — the first pass is startup+page-cache,
+    the floor is the honest per-pass cost."""
     import ray
 
     # worker_process_setup_hook: the vectorized shuffle partitioner must be
@@ -154,26 +164,30 @@ def run_scale_probe(num_cpus: int) -> dict:
         num_entities=SCALE_IMAGES // 50, seed=42, num_blocks=64,
     )
 
-    queries: dict[str, float] = {}
-    ev = ray.data.read_parquet(xl_path, columns=["event_id", "ts", "user_id", "value"])
-    t0 = time.perf_counter()
-    rows = consume(
-        add_temporal_features_auto(
-            ev, id_col="user_id", time_col="ts", value_cols=["value"], lags=[1, 2],
-            rolling_windows=[4], rolling_fns=("mean", "sum"), session_gap=pd.Timedelta("30min"),
-            label_shift={"value_col": "value", "n": 1, "out_col": "value_shift_1"},
-            num_buckets=128, tiebreak=["event_id"],
-        )
-    )
-    queries["xl_flagship"] = round(time.perf_counter() - t0, 3)
-
     from temporalscope_ray.pipelines.flagship import image_pipeline_over
 
-    t0 = time.perf_counter()
-    images = consume(
-        image_pipeline_over(img_path, num_buckets=64, concurrency=max(4, num_cpus - 4))
-    )
-    queries["image_pipeline"] = round(time.perf_counter() - t0, 3)
+    queries: dict[str, float] = {}
+    rows = images = 0
+    for _rep in range(2):
+        ev = ray.data.read_parquet(xl_path, columns=["event_id", "ts", "user_id", "value"])
+        t0 = time.perf_counter()
+        rows = consume(
+            add_temporal_features_auto(
+                ev, id_col="user_id", time_col="ts", value_cols=["value"], lags=[1, 2],
+                rolling_windows=[4], rolling_fns=("mean", "sum"), session_gap=pd.Timedelta("30min"),
+                label_shift={"value_col": "value", "n": 1, "out_col": "value_shift_1"},
+                num_buckets=128, tiebreak=["event_id"],
+            )
+        )
+        dt = round(time.perf_counter() - t0, 3)
+        queries["xl_flagship"] = min(queries.get("xl_flagship", dt), dt)
+
+        t0 = time.perf_counter()
+        images = consume(
+            image_pipeline_over(img_path, num_buckets=64, concurrency=max(4, num_cpus - 4))
+        )
+        dt = round(time.perf_counter() - t0, 3)
+        queries["image_pipeline"] = min(queries.get("image_pipeline", dt), dt)
 
     ray.shutdown()
     total = round(sum(queries.values()), 3)
