@@ -230,6 +230,67 @@ def q_asof_bucketed(sf_dir: str):
     )
 
 
+def _purchase_state(sf_dir: str) -> ray.data.Dataset:
+    """One row per (user, ts) purchase: the second point-in-time
+    feature table for the multi-as-of queries (max value on ties,
+    mirroring ``_order_state``'s dedupe)."""
+    from temporalscope_ray.stages.grouped import hash_groupby_aggregate
+
+    ev = _events(sf_dir, ("ts", "user_id", "event_type", "value"))
+    pur = ev.filter(expr="event_type == 'purchase'").drop_columns(["event_type"])
+    deduped = hash_groupby_aggregate(
+        pur, ["user_id", "ts"], {"purchase_value": ("value", "max")}, num_buckets=16
+    )
+
+    def fix_ts(t: pa.Table) -> pa.Table:
+        # Ray's groupby can coarsen timestamp resolution; restore us so
+        # merge_asof keys match the left side
+        import pyarrow.compute as pc
+
+        i = t.schema.get_field_index("ts")
+        return t.set_column(i, "ts", pc.cast(t.column(i), pa.timestamp("us")))
+
+    return deduped.map_batches(fix_ts, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_multi_asof_features(sf_dir: str):
+    """Feature-store point-in-time enrichment: K feature tables (order
+    state + last-purchase state) as-of joined onto the event spine by
+    ONE operator — at most one shuffle + one broadcast pool total,
+    instead of K sequential as-of passes (each a spine-sized exchange).
+    Size-adaptive: both tables fit the broadcast bound here, so the
+    whole query is a single zero-shuffle actor-pool pass."""
+    from temporalscope_ray.stages.asof import multi_asof_join
+
+    ev = _events(sf_dir, ("event_id", "ts", "user_id", "value"))
+    out = multi_asof_join(
+        ev, {"ord": _order_state(sf_dir), "pur": _purchase_state(sf_dir)},
+        on="ts", by="user_id",
+    )
+    return out.select_columns(
+        ["event_id", "ts", "user_id", "value", "o_totalprice", "purchase_value"]
+    )
+
+
+def q_multi_asof_bucketed(sf_dir: str):
+    """Same K-table point-in-time join forced down the bucketed path:
+    spine + ALL feature tables tagged and pad-unioned into ONE
+    groupby(hash(entity) % B) exchange whose per-bucket kernel runs the
+    K-way sort-merge — the 100 TB shape when the feature tables are
+    themselves fact-sized (vs K spine-sized shuffles for K sequential
+    as-of joins)."""
+    from temporalscope_ray.stages.asof import multi_asof_join
+
+    ev = _events(sf_dir, ("event_id", "ts", "user_id", "value"))
+    out = multi_asof_join(
+        ev, {"ord": _order_state(sf_dir), "pur": _purchase_state(sf_dir)},
+        on="ts", by="user_id", broadcast=False, num_buckets=16,
+    )
+    return out.select_columns(
+        ["event_id", "ts", "user_id", "value", "o_totalprice", "purchase_value"]
+    )
+
+
 def q_range_join_clicks(sf_dir: str):
     """Every purchase joined to ALL clicks by the same user in the
     trailing 30 minutes (interval join, not just the latest as-of)."""
@@ -1657,6 +1718,11 @@ def q_entropy_rate_events(sf_dir: str):
     tc = transition_counts(ev, id_col="user_id", time_col="ts",
                            type_col="event_type",
                            tiebreak=["event_id"]).to_pandas()
+    if len(tc) == 0:
+        # no transitions anywhere (every entity is a single row): SQL's
+        # aggregate-over-zero-rows result is ONE all-NULL row
+        return pd.DataFrame({"entropy_rate": pd.array([None], dtype="float64"),
+                             "n_transitions": pd.array([None], dtype="Int64")})
     tot = tc.groupby("prev_type")["n"].sum()
     grand = float(tc["n"].sum())
     p_cond = tc["n"].to_numpy(np.float64) / tot.reindex(tc["prev_type"]).to_numpy(np.float64)
@@ -3419,6 +3485,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_next_order": q_asof_next_order,
         "asof_nearest_order": q_asof_nearest_order,
         "asof_bucketed": q_asof_bucketed,
+        "multi_asof_features": q_multi_asof_features,
+        "multi_asof_bucketed": q_multi_asof_bucketed,
         "global_shift_lead1": q_global_shift,
         "global_shift_lead1_dist": q_global_shift_dist,
         "shift_multi_target": q_shift_multi_target,
@@ -3882,6 +3950,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.event_id, e.ts, e.user_id, e.value, os.o_totalprice
             FROM events e ASOF LEFT JOIN ({order_state}) os
               ON e.user_id = os.user_id AND e.ts <= os.ots
+        """,
+        "multi_asof_features": f"""
+            SELECT e.event_id, e.ts, e.user_id, e.value,
+                   os.o_totalprice, ps.purchase_value
+            FROM events e
+            ASOF LEFT JOIN ({order_state}) os
+              ON e.user_id = os.user_id AND e.ts >= os.ots
+            ASOF LEFT JOIN (SELECT user_id, ts AS pts, MAX(value) AS purchase_value
+                            FROM events WHERE event_type = 'purchase'
+                            GROUP BY 1, 2) ps
+              ON e.user_id = ps.user_id AND e.ts >= ps.pts
+        """,
+        "multi_asof_bucketed": f"""
+            SELECT e.event_id, e.ts, e.user_id, e.value,
+                   os.o_totalprice, ps.purchase_value
+            FROM events e
+            ASOF LEFT JOIN ({order_state}) os
+              ON e.user_id = os.user_id AND e.ts >= os.ots
+            ASOF LEFT JOIN (SELECT user_id, ts AS pts, MAX(value) AS purchase_value
+                            FROM events WHERE event_type = 'purchase'
+                            GROUP BY 1, 2) ps
+              ON e.user_id = ps.user_id AND e.ts >= ps.pts
         """,
         "asof_nearest_order": f"""
             SELECT event_id, ts, user_id, value, o_totalprice FROM (

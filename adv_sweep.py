@@ -48,6 +48,30 @@ if SKEW:
         else:
             shutil.copy(os.path.join(SRC, f), os.path.join(DST, f))
 
+WIDE = len(sys.argv) > 1 and sys.argv[1] == "wide"
+if WIDE:
+    DST = "/tmp/sf_adv_wide"
+    if os.path.exists(DST):
+        shutil.rmtree(DST)
+    os.makedirs(DST)
+    # Maximal-cardinality axis (the opposite regime of `skew`): EVERY
+    # event becomes its own entity (user_id := a unique id derived from
+    # event_id). Group count == row count: every per-entity kernel runs
+    # on 1-row groups across the full table, every groupby carries the
+    # maximum number of keys, hot-key detection must find NOTHING, and
+    # sessions/lags/rolling windows all hit their single-element
+    # boundary simultaneously — at scale this is the "user_id is nearly
+    # a primary key" workload (e.g. request ids mistaken for users).
+    for f in os.listdir(SRC):
+        if f == "events.parquet":
+            t = pq.read_table(os.path.join(SRC, f)).to_pandas()
+            t["user_id"] = t["event_id"].to_numpy() + 1_000_000
+            pq.write_table(pa.Table.from_pandas(t, preserve_index=False),
+                           os.path.join(DST, f))
+            print(f"events: {len(t)} rows, {t['user_id'].nunique()} distinct users (1 row/entity)")
+        else:
+            shutil.copy(os.path.join(SRC, f), os.path.join(DST, f))
+
 OLD = len(sys.argv) > 1 and sys.argv[1] == "old"
 if OLD:
     DST = "/tmp/sf_adv_old"
@@ -97,7 +121,7 @@ if TINY:
         t = pq.read_table(os.path.join(SRC, f))
         pq.write_table(t.slice(0, 3), os.path.join(DST, f))
         print(f"{f}: {t.num_rows} -> {min(3, t.num_rows)} rows")
-for f in [] if (TINY or OLD or SKEW or EMPTY) else os.listdir(SRC):
+for f in [] if (TINY or OLD or SKEW or EMPTY or WIDE) else os.listdir(SRC):
     if f == "events.parquet":
         t = pq.read_table(os.path.join(SRC, f)).to_pandas()
         rng = np.random.default_rng(99)
@@ -203,6 +227,13 @@ if TINY:
         "shift_multi_target": "All rows were dropped during transformation",
         # k-means cannot train k=4 centroids on 3 points — loud by design
         "kmeans_step_embeddings": "exceeds dataset rows",
+    }
+elif WIDE:
+    EXPECT_RAISE = {
+        # SingleStepTargetShifter contract: with 1-row entities a
+        # per-entity horizon-3 shift drops EVERY row — the reference's
+        # loud verbatim-message raise (same guard the tiny axis pins)
+        "shift_multi_target": "All rows were dropped during transformation",
     }
 elif OLD or SKEW or EMPTY:
     EXPECT_RAISE = {}

@@ -756,10 +756,16 @@ def attach_transition_prob(
     tc = transition_counts(ds, id_col=id_col, time_col=time_col,
                            type_col=type_col, tiebreak=tiebreak,
                            num_buckets=num_buckets).to_pandas()
-    tot = tc.groupby("prev_type")["n"].sum()
-    hits = tc[tc["cur_type"] == target_type].set_index("prev_type")["n"]
-    prob = (hits.reindex(tot.index, fill_value=0).astype(np.float64)
-            / tot.astype(np.float64)).to_dict()
+    if len(tc) == 0:
+        # no observed transitions anywhere (every entity has a single
+        # row): the empty frame may be schema-less; every type maps to
+        # the no-evidence null, matching SQL's COUNT(next)=0 → NULL
+        prob = {}
+    else:
+        tot = tc.groupby("prev_type")["n"].sum()
+        hits = tc[tc["cur_type"] == target_type].set_index("prev_type")["n"]
+        prob = (hits.reindex(tot.index, fill_value=0).astype(np.float64)
+                / tot.astype(np.float64)).to_dict()
     ref = _ray.put(prob)
 
     def attach(b: pd.DataFrame) -> pd.DataFrame:

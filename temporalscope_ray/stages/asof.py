@@ -443,6 +443,182 @@ def range_join(
 
 
 # ---------------------------------------------------------------------------
+# feature-store point-in-time join: K feature tables, one spine
+# ---------------------------------------------------------------------------
+
+class _MultiBroadcastAsof:
+    """Actor-pool stage: ALL small feature tables fetched and sorted
+    ONCE per actor; each spine batch runs the K as-of merges back to
+    back — one streaming pass regardless of how many dimension tables
+    are attached."""
+
+    def __init__(self, specs, on: str, by: str):
+        # specs: list of (right_ref, tolerance, direction, out_cols)
+        self.specs = []
+        for right_ref, tolerance, direction, out_cols in specs:
+            right: pd.DataFrame = ray.get(right_ref)
+            self.specs.append((right, tolerance, direction, out_cols))
+        self.on, self.by = on, by
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch
+        for right, tolerance, direction, out_cols in self.specs:
+            out = _merge_asof_frames(
+                out, right, on=self.on, by=self.by, tolerance=tolerance,
+                direction=direction, right_cols=out_cols,
+            )
+        return out
+
+
+def multi_asof_join(
+    left: ray.data.Dataset,
+    rights: "dict[str, ray.data.Dataset | pd.DataFrame]",
+    *,
+    on: str,
+    by: str,
+    right_cols: Optional[dict] = None,
+    tolerance=None,
+    direction="backward",
+    broadcast: Optional[bool] = None,
+    broadcast_limit_rows: int = 5_000_000,
+    num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+    concurrency: int | tuple[int, int] = 8,
+) -> ray.data.Dataset:
+    """Feature-store point-in-time enrichment: as-of join K feature
+    tables onto one spine in AT MOST one shuffle + one broadcast stage
+    TOTAL, instead of K sequential ``asof_join`` passes (K exchanges /
+    K actor pools). The per-row semantics are identical to folding
+    ``asof_join`` left-to-right over ``rights`` in dict order — each
+    left row reads, per table, the latest right row with
+    ``right.on <= left.on`` (direction='backward') in the same entity:
+    features as they were KNOWN at event time, zero leakage (the
+    distributed generalization of the reference's ordering contract,
+    `/root/reference/src/temporalscope/target_shifters/single_step.py:290-295`).
+
+    Scale shape: tables whose row count fits ``broadcast_limit_rows``
+    ride ONE ``_MultiBroadcastAsof`` actor pool (each actor fetches and
+    sorts every small table once in ``__init__``); larger tables are
+    tagged ``SIDE=1..K`` and pad-unioned with the spine (``SIDE=0``)
+    into ONE ``groupby(hash(entity) % B)`` exchange whose per-bucket
+    kernel runs the K-way sort-merge. With K feature tables the
+    alternative is K all-to-all shuffles of the (growing) spine — this
+    is the difference between 1 and K spine materializations at 100 TB.
+
+    ``tolerance`` / ``direction`` may be scalars (applied to every
+    table) or dicts keyed like ``rights``. Output columns keep their
+    right-table names; collisions with the spine or an earlier table
+    get ``_{name}`` appended.
+    """
+    if not rights:
+        return left
+    tol = tolerance if isinstance(tolerance, dict) else {k: tolerance for k in rights}
+    dirn = direction if isinstance(direction, dict) else {k: direction for k in rights}
+    for k, d in dirn.items():
+        if d not in ("backward", "forward", "nearest"):
+            raise ValueError("direction must be 'backward', 'forward' or 'nearest'")
+    cols_by_name = right_cols or {}
+    from ..core import _schema
+
+    left_names = list(_schema(left).names)
+    used = set(left_names)
+    plans = []  # (name, ds_or_frame, orig_cols, out_cols, n_rows)
+    for name, r in rights.items():
+        is_frame = isinstance(r, pd.DataFrame)
+        names = list(r.columns) if is_frame else r.schema().names
+        missing = [c for c in (on, by) if c not in names]
+        if missing:
+            raise ValueError(f"Column '{missing[0]}' does not exist in right Dataset '{name}'")
+        orig = list(cols_by_name.get(name) or [c for c in names if c not in (on, by)])
+        outs = []
+        for c in orig:
+            oc = c if c not in used else f"{c}_{name}"
+            if oc in used:
+                raise ValueError(f"multi_asof_join: output column '{oc}' collides twice")
+            used.add(oc)
+            outs.append(oc)
+        n = len(r) if is_frame else r.count()
+        plans.append((name, r, orig, outs, n))
+
+    if broadcast is None:
+        is_small = [p[4] is not None and p[4] <= broadcast_limit_rows for p in plans]
+    elif broadcast:
+        is_small = [True] * len(plans)
+    else:
+        is_small = [False] * len(plans)
+    small = [p for p, s in zip(plans, is_small) if s]
+    large = [p for p, s in zip(plans, is_small) if not s]
+
+    out = left
+    out_names = list(left_names)
+
+    if large:
+        # ---- ONE bucket exchange for all large tables ----
+        from .exchange import SIDE_COL, pad_union_many
+
+        sides = [out]
+        per_side = []  # (out_cols, tolerance, direction) for side i>=1
+        for name, r, orig, outs, _n in large:
+            if isinstance(r, pd.DataFrame):
+                r = ray.data.from_pandas(r)
+            keep = [on, by, *orig]
+            rename = dict(zip(orig, outs))
+
+            def project(t: pa.Table, keep=keep, rename=rename) -> pa.Table:
+                t = t.select(keep)
+                return t.rename_columns([rename.get(c, c) for c in t.column_names])
+
+            sides.append(r.map_batches(project, batch_format="pyarrow", zero_copy_batch=True))
+            per_side.append((outs, tol[name], dirn[name]))
+
+        both, ordered = pad_union_many(sides)
+        spine_cols = list(out_names)
+        all_out_types = {}
+        sch = _schema(both)
+        for _outs, _t, _d in per_side:
+            for c in _outs:
+                all_out_types[c] = sch.field(c).type
+
+        def per_bucket(t: pa.Table) -> pa.Table:
+            side = t.column(SIDE_COL).to_numpy(zero_copy_only=False)
+            l = t.filter(pa.array(side == 0)).select(spine_cols).to_pandas()
+            if len(l) == 0:
+                for _outs, _t, _d in per_side:
+                    for c in _outs:
+                        l[c] = pd.Series([], dtype=all_out_types[c].to_pandas_dtype())
+                return pa.Table.from_pandas(l, preserve_index=False)
+            for i, (_outs, _tol, _dir) in enumerate(per_side, start=1):
+                r = t.filter(pa.array(side == i)).select([on, by, *_outs]).to_pandas()
+                l = _merge_asof_frames(
+                    l, r, on=on, by=by, tolerance=_tol, direction=_dir, right_cols=_outs,
+                )
+            return pa.Table.from_pandas(l, preserve_index=False)
+
+        bucketed = grouped.with_bucket(both, by, num_buckets)
+        out = bucketed.groupby(grouped.BUCKET_COL).map_groups(
+            lambda t: per_bucket(t.drop_columns([grouped.BUCKET_COL])), batch_format="pyarrow"
+        )
+        for _name, _r, _orig, outs, _n in large:
+            out_names.extend(outs)
+
+    if small:
+        # ---- ONE actor pool for all small tables ----
+        specs = []
+        for name, r, orig, outs, _n in small:
+            keep = [on, by, *orig]
+            rdf = r[keep].copy() if isinstance(r, pd.DataFrame) else r.select_columns(keep).to_pandas()
+            rdf.columns = [on, by, *outs]
+            rdf = rdf.sort_values(on, kind="mergesort").reset_index(drop=True)
+            specs.append((ray.put(rdf), tol[name], dirn[name], outs))
+
+        out = out.map_batches(
+            _MultiBroadcastAsof, batch_format="pandas",
+            concurrency=clamp_concurrency(concurrency),
+            fn_constructor_args=(specs, on, by),
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
 # J2 — broadcast semi / anti lookup
 # ---------------------------------------------------------------------------
 

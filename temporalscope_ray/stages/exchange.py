@@ -60,3 +60,51 @@ def pad_union(left: ray.data.Dataset, right: ray.data.Dataset) -> tuple[ray.data
     lt = left.map_batches(pad_l, batch_format="pyarrow", zero_copy_batch=True)
     rt = right.map_batches(pad_r, batch_format="pyarrow", zero_copy_batch=True)
     return lt.union(rt), left_only, right_only
+
+
+def pad_union_many(sides: "list[ray.data.Dataset]") -> tuple[ray.data.Dataset, list[str]]:
+    """K-way generalization of ``pad_union``: union every dataset with
+    typed-null padding and ``SIDE_COL`` = the dataset's index. Column
+    names must be globally unique apart from shared join keys (callers
+    pre-rename value columns); shared names must agree on type. Output
+    column order is first-seen order across ``sides`` + ``SIDE_COL``.
+
+    This is what lets a K-table co-partitioned operator (e.g. a
+    feature-store point-in-time join of K feature tables onto one
+    spine) ride ONE groupby(bucket) exchange instead of K."""
+    from ..core import _schema
+
+    schemas = [_schema(ds) for ds in sides]
+    ordered: list[str] = []
+    types: dict[str, pa.DataType] = {}
+    for s in schemas:
+        for name in s.names:
+            t = s.field(name).type
+            if name in types:
+                if types[name] != t:
+                    raise ValueError(
+                        f"pad_union_many: column '{name}' type mismatch: {types[name]} vs {t}"
+                    )
+            else:
+                types[name] = t
+                ordered.append(name)
+    out_cols = [*ordered, SIDE_COL]
+
+    def make_pad(idx: int, have: set):
+        def pad(t: pa.Table) -> pa.Table:
+            for c in ordered:
+                if c not in have:
+                    t = t.append_column(c, pa.nulls(t.num_rows, type=types[c]))
+            t = t.append_column(SIDE_COL, pa.array(np.full(t.num_rows, idx, dtype=np.int8)))
+            return t.select(out_cols)
+
+        return pad
+
+    padded = [
+        ds.map_batches(make_pad(i, set(s.names)), batch_format="pyarrow", zero_copy_batch=True)
+        for i, (ds, s) in enumerate(zip(sides, schemas))
+    ]
+    out = padded[0]
+    for p in padded[1:]:
+        out = out.union(p)
+    return out, ordered
