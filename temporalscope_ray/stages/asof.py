@@ -483,6 +483,8 @@ def multi_asof_join(
     broadcast_limit_rows: int = 5_000_000,
     num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
     concurrency: int | tuple[int, int] = 8,
+    hot_entities: Optional[Sequence] = None,
+    num_salts: int = 8,
 ) -> ray.data.Dataset:
     """Feature-store point-in-time enrichment: as-of join K feature
     tables onto one spine in AT MOST one shuffle + one broadcast stage
@@ -508,6 +510,13 @@ def multi_asof_join(
     table) or dicts keyed like ``rights``. Output columns keep their
     right-table names; collisions with the spine or an earlier table
     get ``_{name}`` appended.
+
+    ``hot_entities`` (same contract as ``asof_join``) activates skew
+    handling in the bucketed path: a hot entity's SPINE rows are salted
+    across ``num_salts`` buckets (each spine row's K lookups are
+    independent, so any split is valid) and EVERY feature table's hot
+    rows are replicated into each salt bucket, so each salted shard
+    still sees the full point-in-time state of all K tables.
     """
     if not rights:
         return left
@@ -593,7 +602,42 @@ def multi_asof_join(
                 )
             return pa.Table.from_pandas(l, preserve_index=False)
 
-        bucketed = grouped.with_bucket(both, by, num_buckets)
+        if hot_entities:
+            hot_ref = ray.put(pa.array(sorted(set(hot_entities))))
+
+            def salted_bucket(t: pa.Table) -> pa.Table:
+                hot = ray.get(hot_ref)
+                keys = t.column(by)
+                is_hot = pa.compute.is_in(keys, value_set=hot).to_numpy(zero_copy_only=False)
+                base = grouped.hash_key_column(keys, num_buckets).astype(np.int64)
+                side = t.column(SIDE_COL).to_numpy(zero_copy_only=False)
+                n = t.num_rows
+                # cold rows and hot SPINE rows pass once; hot spine rows
+                # are salted by row position (lookups are independent)
+                salt = np.arange(n) % num_salts
+                bucket = base.copy()
+                hot_spine = is_hot & (side == 0)
+                bucket[hot_spine] = (base[hot_spine] * np.int64(num_salts) + salt[hot_spine]) % num_buckets
+                keep_once = ~is_hot | (side == 0)
+                out_tables = [
+                    t.filter(pa.array(keep_once)).append_column(
+                        grouped.BUCKET_COL, pa.array(bucket[keep_once].astype(np.int32))
+                    )
+                ]
+                # hot FEATURE rows (any side >= 1): replicate into every
+                # salt bucket so each shard sees the full state
+                hot_feat = is_hot & (side != 0)
+                if hot_feat.any():
+                    hf = t.filter(pa.array(hot_feat))
+                    hf_base = base[hot_feat]
+                    for s in range(num_salts):
+                        b = ((hf_base * np.int64(num_salts) + s) % num_buckets).astype(np.int32)
+                        out_tables.append(hf.append_column(grouped.BUCKET_COL, pa.array(b)))
+                return pa.concat_tables(out_tables)
+
+            bucketed = both.map_batches(salted_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        else:
+            bucketed = grouped.with_bucket(both, by, num_buckets)
         out = bucketed.groupby(grouped.BUCKET_COL).map_groups(
             lambda t: per_bucket(t.drop_columns([grouped.BUCKET_COL])), batch_format="pyarrow"
         )

@@ -109,3 +109,20 @@ def test_multi_asof_missing_key_raises():
             {"st": ray.data.from_pandas(r1.drop(columns=["user_id"]))},
             on="ts", by="user_id",
         )
+
+
+def test_multi_asof_hot_entity_salting_matches_unsalted():
+    # one entity owns ~70% of the spine; salting must keep results
+    # row-identical (spine rows salt, every feature table replicates)
+    left, r1, r2 = make_tables(seed=19, n_left=200)
+    left.loc[left.index % 10 < 7, "user_id"] = 3
+    left = left.drop_duplicates(["user_id", "ts"]).reset_index(drop=True)
+    out_plain = run(left, r1, r2, broadcast=False, num_buckets=8)
+    out_salted = multi_asof_join(
+        ray.data.from_pandas(left),
+        {"st": ray.data.from_pandas(r1), "pr": ray.data.from_pandas(r2)},
+        on="ts", by="user_id", broadcast=False, num_buckets=8,
+        hot_entities=[3], num_salts=4,
+    ).to_pandas()
+    pd.testing.assert_frame_equal(normalize(out_salted), normalize(out_plain))
+    pd.testing.assert_frame_equal(normalize(out_salted), normalize(fold_oracle(left, r1, r2)))
