@@ -3467,6 +3467,57 @@ def q_grid_ffill_1h_by_user(sf_dir: str):
                            step=pd.Timedelta("1h"), tiebreak=["event_id"], num_buckets=16)
 
 
+def q_max_drawdown_by_user(sf_dir: str):
+    """Per-user maximum drawdown of the cumulative value series
+    (cents-exact: cumsum, running max and every drawdown are int64;
+    the only float op is the final /100) — the risk / regression
+    severity feature beside the CUSUM detector."""
+    from temporalscope_ray.stages.stats import max_drawdown_by_entity
+
+    ev = _events(sf_dir, ("event_id", "ts", "user_id", "value"))
+    return max_drawdown_by_entity(ev, "user_id", "ts", "value",
+                                  tiebreak=["event_id"], num_buckets=16)
+
+
+def q_xcorr_click_purchase(sf_dir: str):
+    """Lead/lag cross-correlation of hourly click vs purchase counts
+    (lags -3..3 over the dense shared hour grid) — does click volume
+    lead purchase volume? Facts reduce once to (hour, type) partials;
+    correlations close on that aggregate."""
+    from temporalscope_ray.stages.stats import hourly_xcorr_pair
+
+    ev = _events(sf_dir, ("ts", "event_type"))
+    return hourly_xcorr_pair(ev, "ts", "event_type", "click", "purchase",
+                             max_lag=3)
+
+
+def q_pagerank_event_types(sf_dir: str):
+    """PageRank over the event-type transition graph (10 fixed power
+    iterations, damping 0.85, dangling mass teleported uniformly) —
+    stationary behavioral importance of each state; facts reduce once
+    through the transition exchange, iteration runs on the
+    vocabulary-sized graph."""
+    from temporalscope_ray.stages.graph import pagerank_types
+
+    ev = _events(sf_dir, ("event_id", "ts", "user_id", "event_type"))
+    out = pagerank_types(ev, id_col="user_id", time_col="ts",
+                         type_col="event_type", tiebreak=["event_id"],
+                         damping=0.85, iters=10)
+    return out.rename(columns={"node": "event_type"})
+
+
+def q_postings_docs(sf_dir: str):
+    """Inverted-index postings (terms with df>=10, first 20 ascending
+    doc ids each, pre-flattened to (term, df, pos, doc_id)) — the
+    retrieval-index build step as one term-bucketed exchange of
+    (term, id) pairs; text never shuffles."""
+    from temporalscope_ray.stages.text import inverted_postings
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return inverted_postings(docs, text_col="text", id_col="doc_id",
+                             min_df=10, cap=20, num_buckets=16)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
     return q_flagship("/root/testdata/sf0.001")
@@ -3489,6 +3540,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multi_asof_bucketed": q_multi_asof_bucketed,
         "global_shift_lead1": q_global_shift,
         "global_shift_lead1_dist": q_global_shift_dist,
+        "max_drawdown_by_user": q_max_drawdown_by_user,
+        "xcorr_click_purchase": q_xcorr_click_purchase,
+        "pagerank_event_types": q_pagerank_event_types,
+        "postings_docs": q_postings_docs,
         "shift_multi_target": q_shift_multi_target,
         "incremental_features_refresh": q_incremental_features,
         "null_counts_events": q_null_counts,
@@ -3858,12 +3913,105 @@ def oracle_sql() -> dict[str, str]:
 
     def _sw(lang: str) -> str:
         return ", ".join(f"'{w}'" for w in sorted(_SW[lang]))
+
+    # PageRank unrolled as chained CTEs (DuckDB forbids aggregates in a
+    # recursive term): p0 = uniform, each p{i} applies ONE power step
+    # with the SAME float-op order as the engine — r*(cnt/tot), then
+    # s + dang/N, then (1-d)/N + d*(...). 0.85 is CAST to DOUBLE so SQL
+    # does IEEE arithmetic, never decimal (DuckDB parses bare 0.85 as
+    # DECIMAL and 1-0.85 would round differently from Python's 1-0.85).
+    _pr_iters, _pr_steps = 10, []
+    for _i in range(1, 11):
+        _pr_steps.append(f"""
+            p{_i} AS MATERIALIZED (
+              SELECT n.node,
+                     (1.0 - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+                     + CAST(0.85 AS DOUBLE) * (COALESCE(s.s, 0)
+                       + (SELECT COALESCE(SUM(p.r), 0) FROM p{_i-1} p
+                          LEFT JOIN outdeg o ON o.node = p.node
+                          WHERE o.node IS NULL) / (SELECT n FROM nn)) AS r
+              FROM nodes n
+              LEFT JOIN (SELECT e.cur AS node, SUM(p.r * (e.cnt / o.tot)) AS s
+                         FROM e JOIN p{_i-1} p ON p.node = e.prev
+                              JOIN outdeg o ON o.node = e.prev
+                         GROUP BY 1) s ON s.node = n.node
+            )""")
+    _pagerank_sql = f"""
+        WITH e AS (
+          SELECT prev, cur, CAST(COUNT(*) AS DOUBLE) AS cnt FROM (
+            SELECT user_id, event_type AS cur,
+                   LAG(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev
+            FROM events)
+          WHERE prev IS NOT NULL AND cur IS NOT NULL GROUP BY 1, 2),
+        outdeg AS (SELECT prev AS node, SUM(cnt) AS tot FROM e GROUP BY 1),
+        nodes AS (SELECT DISTINCT event_type AS node FROM events
+                  WHERE event_type IS NOT NULL),
+        nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+        p0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nodes),
+        {','.join(_pr_steps)}
+        SELECT node AS event_type, ROUND(r, 6) AS pagerank FROM p{_pr_iters}
+    """
     return {
         "shift_lead1_by_user": """
             SELECT * FROM (
               SELECT event_id, ts, user_id, value,
                      LEAD(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS value_shift_1
               FROM events) WHERE value_shift_1 IS NOT NULL
+        """,
+        # cents-exact drawdown: cum, running max and dd are all BIGINT;
+        # the single float op (/100) is shared with the engine
+        "max_drawdown_by_user": """
+            WITH d AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN value IS NULL THEN 0
+                          ELSE CAST(ROUND(value * 100, 0) AS BIGINT) END AS u
+              FROM events),
+            c AS (
+              SELECT user_id, ts, event_id,
+                     SUM(u) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+              FROM d),
+            m AS (
+              SELECT user_id,
+                     MAX(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) - cum AS dd
+              FROM c)
+            SELECT user_id, CAST(MAX(dd) AS DOUBLE) / 100.0 AS max_drawdown,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM m GROUP BY 1
+        """,
+        "xcorr_click_purchase": """
+            WITH b AS (SELECT CAST(CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS BIGINT) AS h,
+                              event_type AS t, COUNT(*) AS n
+                       FROM events WHERE event_type IN ('click', 'purchase')
+                       GROUP BY 1, 2),
+            r AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM b),
+            grid AS (SELECT unnest(generate_series(lo, hi)) AS h FROM r),
+            a AS (SELECT g.h, CAST(COALESCE(x.n, 0) AS DOUBLE) AS n
+                  FROM grid g LEFT JOIN (SELECT h, n FROM b WHERE t = 'click') x USING (h)),
+            f AS (SELECT g.h, CAST(COALESCE(x.n, 0) AS DOUBLE) AS n
+                  FROM grid g LEFT JOIN (SELECT h, n FROM b WHERE t = 'purchase') x USING (h)),
+            lags AS (SELECT unnest(generate_series(-3, 3)) AS lag)
+            SELECT CAST(lags.lag AS BIGINT) AS lag,
+                   ROUND(corr(a.n, f2.n), 6) AS xcorr
+            FROM lags
+            JOIN a ON TRUE
+            JOIN f f2 ON f2.h = a.h + lags.lag
+            GROUP BY 1
+        """,
+        "pagerank_event_types": _pagerank_sql,
+        "postings_docs": """
+            WITH ex AS (SELECT doc_id,
+                               unnest(regexp_extract_all(lower(COALESCE(text, '')), '\\w+')) AS term
+                        FROM documents),
+            pairs AS (SELECT DISTINCT doc_id, term FROM ex),
+            d AS (SELECT term, doc_id,
+                         COUNT(*) OVER (PARTITION BY term) AS df,
+                         row_number() OVER (PARTITION BY term ORDER BY doc_id) AS pos
+                  FROM pairs)
+            SELECT term, CAST(df AS BIGINT) AS df, CAST(pos AS BIGINT) AS pos, doc_id
+            FROM d WHERE df >= 10 AND pos <= 20
         """,
         "lag_lead_features": """
             SELECT event_id, ts, user_id, value,

@@ -200,3 +200,78 @@ def connected_components(
         f"connected_components: no fixpoint after {max_iters} iterations "
         "(component diameter exceeds max_iters; raise it or contract the graph)"
     )
+
+
+def pagerank_types(
+    ds: "ray.data.Dataset",
+    *,
+    id_col: str,
+    time_col: str,
+    type_col: str,
+    tiebreak=None,
+    damping: float = 0.85,
+    iters: int = 10,
+    round_to: int = 6,
+):
+    """PageRank over the categorical transition graph: nodes are the
+    distinct ``type_col`` values, edge weights are the per-entity
+    consecutive transition probabilities ``count(src→dst) /
+    out_total(src)`` (exact int ratios → identical doubles in any
+    engine) — "which state does behavior concentrate in?", the
+    stationary-importance companion to the raw Markov matrix
+    (``agg.transition_counts``) and the entropy-rate scalar.
+
+    Distribution: the fact table reduces ONCE through the existing
+    transition exchange (entity-bucket lag + combiner counts) and once
+    to the distinct-node set; the power iteration itself runs on the
+    driver over the VOCABULARY-sized graph (|types| nodes, ≤|types|²
+    edges — categorical state spaces are bounded; this is a driver
+    closure over an aggregate, not a corpus loop). Dangling nodes
+    (no out-edges) teleport their mass uniformly, the standard
+    PageRank completion:
+
+        r' = (1−d)/N + d·(Σ_src r_src·w(src,dst) + Σ_dangling r / N)
+
+    Fixed ``iters`` rounds (not convergence-tested) so the SQL replay
+    — the same recursion unrolled as chained CTEs — is step-identical.
+    Returns a pandas DataFrame ``(node, pagerank)`` rounded half-away
+    at ``round_to``; empty input → empty frame (SQL over zero nodes).
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from .agg import transition_counts
+
+    edges = transition_counts(
+        ds, id_col=id_col, time_col=time_col, type_col=type_col,
+        tiebreak=tiebreak,
+    ).to_pandas()  # vocabulary²-sized
+
+    def distinct_types(t: pa.Table) -> pa.Table:
+        col = t.column(type_col)
+        return pa.table({"node": pc.unique(col.combine_chunks())})
+
+    nodes_ds = hash_groupby_aggregate(
+        ds.select_columns([type_col]).map_batches(distinct_types, batch_format="pyarrow"),
+        ["node"], {"n": (None, "count")}, num_buckets=4,
+    ).to_pandas()
+    nodes = sorted(n for n in nodes_ds["node"].tolist() if n is not None)
+    n = len(nodes)
+    if n == 0:
+        return pd.DataFrame({"node": pd.array([], dtype="string"),
+                             "pagerank": np.array([], dtype=np.float64)})
+    idx = {t: i for i, t in enumerate(nodes)}
+    src = edges["prev_type"].map(idx).to_numpy(dtype=np.int64) if len(edges) else np.array([], dtype=np.int64)
+    dst = edges["cur_type"].map(idx).to_numpy(dtype=np.int64) if len(edges) else np.array([], dtype=np.int64)
+    cnt = edges["n"].to_numpy(dtype=np.float64) if len(edges) else np.array([], dtype=np.float64)
+    out_tot = np.bincount(src, weights=cnt, minlength=n)
+    w = cnt / out_tot[src] if len(cnt) else cnt  # exact int ratio
+    has_out = out_tot > 0
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        s = np.bincount(dst, weights=r[src] * w, minlength=n) if len(cnt) else np.zeros(n)
+        dang = float(r[~has_out].sum())
+        r = (1.0 - damping) / n + damping * (s + dang / n)
+    sc = 10.0 ** round_to
+    pr = np.sign(r) * np.floor(np.abs(r) * sc + 0.5) / sc
+    return pd.DataFrame({"node": pd.array(nodes, dtype="string"), "pagerank": pr})

@@ -1903,3 +1903,121 @@ def residual_quantile_by_entity(
         return pd.DataFrame(out, columns=cols) if out else pd.DataFrame(columns=cols)
 
     return grouped.grouped_ordered_map(ds, id_col, order, per_bucket, num_buckets=num_buckets)
+
+
+def max_drawdown_by_entity(
+    ds: ray.data.Dataset,
+    id_col: str,
+    time_col: str,
+    value_col: str,
+    *,
+    tiebreak: Sequence[str] = (),
+    scale: float = 100.0,
+    num_buckets: int = 32,
+    total_rows: int | None = None,
+) -> ray.data.Dataset:
+    """Per-entity maximum drawdown of the cumulative value series:
+    ``max_t ( max_{i<=t} C_i  -  C_t )`` with ``C`` the running sum of
+    value in ``(ts, tiebreak)`` order — the classic risk / regression
+    severity feature (how far an entity's cumulative metric fell from
+    its own peak). The reference has no cumulative-risk operators; this
+    joins the sequential family beside ``add_cusum``.
+
+    Exactness: values quantize to integer units (``rint(v*scale)`` —
+    DuckDB ``ROUND(v*scale, 0)``), so the running sum, running max and
+    every drawdown are int64 and bit-exact in any engine; the one float
+    op is the final ``/scale``, identical on both sides. Null values
+    contribute zero change (SQL ``SUM OVER`` ignores nulls). A 1-row
+    (or all-null) entity has drawdown 0.
+
+    One entity-bucket exchange; inside a bucket the recursion is three
+    Cython grouped scans (cumsum, cummax, segment max) — no per-row
+    Python. Output: one row per entity, ``(id, max_drawdown, n)``."""
+    from . import grouped
+
+    order = [time_col, *tiebreak]
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy()
+        segs = grouped.entity_segments(ids)
+        sizes = np.diff(segs)
+        seg_id = np.repeat(np.arange(len(sizes)), sizes)
+        v = g[value_col].to_numpy(dtype=np.float64)
+        units = np.where(np.isnan(v), 0.0, np.rint(v * scale)).astype(np.int64)
+        cum = pd.Series(units).groupby(seg_id, sort=False).cumsum().to_numpy()
+        runmax = pd.Series(cum).groupby(seg_id, sort=False).cummax().to_numpy()
+        dd = runmax - cum  # int64, >= 0 by construction
+        mdd = np.maximum.reduceat(dd, segs[:-1]) if len(g) else np.array([], dtype=np.int64)
+        return pd.DataFrame({
+            id_col: ids[segs[:-1]],
+            "max_drawdown": mdd.astype(np.float64) / scale,
+            "n": sizes.astype(np.int64),
+        })
+
+    return grouped.grouped_ordered_map(
+        ds.select_columns([id_col, *order, value_col]), id_col, order,
+        per_bucket, num_buckets=num_buckets, total_rows=total_rows,
+    )
+
+
+def hourly_xcorr_pair(
+    ds: ray.data.Dataset,
+    time_col: str,
+    type_col: str,
+    type_a: str,
+    type_b: str,
+    *,
+    max_lag: int = 3,
+    round_to: int = 6,
+) -> pd.DataFrame:
+    """Lead/lag cross-correlation between the hourly count series of
+    two categories: Pearson corr of ``a_t`` vs ``b_{t+lag}`` for lag in
+    ``-max_lag..max_lag`` over the dense hour grid spanning BOTH series
+    (missing hours = 0) — the "does A lead B?" diagnostic (a peak at a
+    positive lag means A moves first). Same shape as
+    ``hourly_count_acf``: facts reduce ONCE to hours-sized (h, type)
+    count partials; grid densification + per-lag correlations close on
+    that aggregate on the driver (hours are bounded). A lag with no
+    overlapping pair emits no row (SQL inner join); a constant overlap
+    gives null."""
+    HOUR_US = 3_600_000_000
+
+    def tag(t: pa.Table) -> pa.Table:
+        col = t.column(time_col)
+        if pa.types.is_timestamp(col.type):
+            col = pc.cast(col, pa.timestamp("us"))
+        us = pc.cast(col, pa.int64()).to_numpy(zero_copy_only=False)
+        ty = t.column(type_col).to_pandas().to_numpy(dtype=object)
+        keep = (ty == type_a) | (ty == type_b)
+        return pa.table({"h": pa.array(us[keep] // HOUR_US),
+                         "t": pa.array(ty[keep].astype(str))})
+
+    hourly = hash_groupby_aggregate(
+        ds.select_columns([time_col, type_col]).map_batches(tag, batch_format="pyarrow"),
+        ["h", "t"], {"n": (None, "count")}, num_buckets=8).to_pandas()
+    if not len(hourly):
+        return pd.DataFrame({"lag": pd.array([], dtype="int64"), "xcorr": []})
+    lo, hi = int(hourly["h"].min()), int(hourly["h"].max())
+    n_grid = hi - lo + 1
+    dense_a = np.zeros(n_grid, dtype=np.float64)
+    dense_b = np.zeros(n_grid, dtype=np.float64)
+    ha = hourly[hourly["t"] == type_a]
+    hb = hourly[hourly["t"] == type_b]
+    dense_a[ha["h"].to_numpy(np.int64) - lo] = ha["n"].to_numpy(np.float64)
+    dense_b[hb["h"].to_numpy(np.int64) - lo] = hb["n"].to_numpy(np.float64)
+    rows = []
+    sc = 10.0 ** round_to
+    for lag in range(-max_lag, max_lag + 1):
+        s = max(0, -lag)
+        e = n_grid - max(0, lag)
+        if e - s <= 0:
+            continue  # no (a_t, b_{t+lag}) pair: SQL join emits no row
+        a, b = dense_a[s:e], dense_b[s + lag:e + lag]
+        if len(a) < 2 or a.std() == 0 or b.std() == 0:
+            rows.append((lag, np.nan))
+            continue
+        r = float(np.corrcoef(a, b)[0, 1])
+        rows.append((lag, np.sign(r) * np.floor(abs(r) * sc + 0.5) / sc))
+    out = pd.DataFrame(rows, columns=["lag", "xcorr"])
+    out["lag"] = out["lag"].astype(np.int64)
+    return out

@@ -1192,3 +1192,73 @@ class Readability:
         batch["n_syllables"] = syll
         batch["flesch"] = f
         return batch
+
+
+def inverted_postings(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_df: int = 10,
+    cap: int = 20,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Inverted-index postings: for every term with document frequency
+    ``>= min_df``, the first ``cap`` containing doc ids in ascending
+    order — the retrieval-index build step (BM25 serving, contamination
+    lookups, "which docs say X" debugging) expressed as one
+    term-bucketed exchange.
+
+    Tokenization is the engine-wide portable convention (ASCII
+    ``[A-Za-z0-9_]+`` == RE2 ``\\w+`` over lowered text). Shape: each
+    block explodes docs to DISTINCT (term, doc_id) pairs (a doc
+    contributes a term once — doc ids are row-unique so block-local
+    dedup is global dedup), ONE term-hash exchange moves only those
+    pairs (ids + terms, never text), and each term-complete bucket
+    closes df + the capped ascending posting head with vectorized
+    segment scans. ``cap`` bounds the output (and the driver-visible
+    result) the way real index builders bound posting-list heads;
+    the exchange itself is the honest cost — an inverted index IS a
+    shuffle of the token surface.
+
+    Output rows: ``(term, df, pos, doc_id)`` — postings pre-flattened
+    with ``pos`` = 1-based rank of ``doc_id`` within the term's
+    ascending posting list (SQL: ``row_number() OVER (PARTITION BY term
+    ORDER BY doc_id)``)."""
+    from .grouped import grouped_ordered_map
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col).to_pandas().fillna("").astype(str)
+        toks = s.str.lower().str.findall(ASCII_WORD_RE)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        uniq = toks.map(lambda ts: sorted(set(ts)))
+        counts = uniq.map(len).to_numpy(dtype=np.int64)
+        terms = np.concatenate([np.asarray(t, dtype=object) for t in uniq if t]) \
+            if counts.sum() else np.array([], dtype=object)
+        return pa.table({"term": pa.array(terms.astype(str) if len(terms) else [], type=pa.string()),
+                         id_col: pa.array(np.repeat(ids, counts))})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # sorted by (term, doc_id); terms are bucket-complete
+        t = g["term"].to_numpy(dtype=object)
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame({"term": pd.array([], dtype="string"),
+                                 "df": np.array([], dtype=np.int64),
+                                 "pos": np.array([], dtype=np.int64),
+                                 id_col: np.array([], dtype=np.int64)})
+        bound = np.flatnonzero(t[1:] != t[:-1]) + 1
+        starts = np.concatenate(([0], bound))
+        sizes = np.diff(np.concatenate((starts, [n])))
+        pos = np.arange(n, dtype=np.int64) - np.repeat(starts, sizes) + 1
+        df_rep = np.repeat(sizes, sizes)
+        keep = (df_rep >= min_df) & (pos <= cap)
+        return pd.DataFrame({
+            "term": pd.array(t[keep], dtype="string"),
+            "df": df_rep[keep].astype(np.int64),
+            "pos": pos[keep],
+            id_col: g[id_col].to_numpy()[keep],
+        })
+
+    exploded = ds.select_columns([id_col, text_col]).map_batches(pairs, batch_format="pyarrow")
+    return grouped_ordered_map(exploded, "term", [id_col], per_bucket, num_buckets=num_buckets)
