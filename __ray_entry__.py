@@ -3518,6 +3518,40 @@ def q_postings_docs(sf_dir: str):
                              min_df=10, cap=20, num_buckets=16)
 
 
+def q_pca_loadings_embeddings(sf_dir: str):
+    """Top principal-component loadings by power iteration with
+    per-step quantization — exact SQL replay of distributed PCA: the
+    combiner covariance is rounded once, then 10 pinned steps."""
+    from temporalscope_ray.stages.linalg import pca_power_loadings
+
+    emb = _read(sf_dir, "embeddings", columns=["embedding"])
+    return pca_power_loadings(emb, "embedding", iters=10)
+
+
+def q_attribution_markov_events(sf_dir: str):
+    """Markov removal-effect attribution per channel (first-conversion
+    journeys to 'purchase', 12 fixed power steps): one entity-bucket
+    exchange builds truncated-path transitions, the per-variant
+    absorption closes on the vocabulary-sized chain."""
+    from temporalscope_ray.stages.graph import removal_effect_attribution
+
+    ev = _events(sf_dir, ("event_id", "ts", "user_id", "event_type"))
+    return removal_effect_attribution(
+        ev, id_col="user_id", time_col="ts", type_col="event_type",
+        conv_type="purchase", tiebreak=["event_id"], iters=12)
+
+
+def q_ols_calendar_by_type(sf_dir: str):
+    """Per-type OLS of value on (hour-of-day, ISO dow) with intercept —
+    the distributed Gram reduce: int64 normal-equation partials per
+    block, ONE partials exchange, closed-form Cramer solve with a
+    pinned float-op order (bit-identical to the SQL expansion)."""
+    from temporalscope_ray.stages.stats import ols_calendar_by_group
+
+    ev = _events(sf_dir, ("ts", "event_type", "value"))
+    return ols_calendar_by_group(ev, "event_type", "ts", "value")
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
     return q_flagship("/root/testdata/sf0.001")
@@ -3543,6 +3577,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "max_drawdown_by_user": q_max_drawdown_by_user,
         "xcorr_click_purchase": q_xcorr_click_purchase,
         "pagerank_event_types": q_pagerank_event_types,
+        "ols_calendar_by_type": q_ols_calendar_by_type,
+        "attribution_markov_events": q_attribution_markov_events,
+        "pca_loadings_embeddings": q_pca_loadings_embeddings,
         "postings_docs": q_postings_docs,
         "shift_multi_target": q_shift_multi_target,
         "incremental_features_refresh": q_incremental_features,
@@ -3952,7 +3989,170 @@ def oracle_sql() -> dict[str, str]:
         {','.join(_pr_steps)}
         SELECT node AS event_type, ROUND(r, 6) AS pagerank FROM p{_pr_iters}
     """
+    # OLS Gram oracle: the SQL mirrors stats.ols_calendar_by_group's
+    # first-row cofactor expansion LITERALLY (same helper shape) — the
+    # int64 moment sums are exact on both sides, so identical doubles
+    # enter identical IEEE expressions and the betas match bit-for-bit.
+    def _det3(a, b, c, d, e, f, g, h, i):
+        return (f"({a}*({e}*{i} - {f}*{h}) - {b}*({d}*{i} - {f}*{g})"
+                f" + {c}*({d}*{h} - {e}*{g}))")
+
+    _ols_det = _det3("n", "sh", "sd", "sh", "shh", "shd", "sd", "shd", "sdd")
+    _ols_d0 = _det3("sy", "sh", "sd", "shy", "shh", "shd", "sdy", "shd", "sdd")
+    _ols_d1 = _det3("n", "sy", "sd", "sh", "shy", "shd", "sd", "sdy", "sdd")
+    _ols_d2 = _det3("n", "sh", "sy", "sh", "shh", "shy", "sd", "shd", "sdy")
+    _ols_sql = f"""
+        WITH f AS (
+          SELECT event_type AS g,
+                 CAST(hour(ts) AS BIGINT) AS h,
+                 CAST(isodow(ts) AS BIGINT) AS d,
+                 CAST(ROUND(value * 100, 0) AS BIGINT) AS u
+          FROM events
+          WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+        s AS (
+          SELECT g,
+                 CAST(COUNT(*) AS DOUBLE) AS n,
+                 CAST(CAST(SUM(h) AS BIGINT) AS DOUBLE) AS sh,
+                 CAST(CAST(SUM(d) AS BIGINT) AS DOUBLE) AS sd,
+                 CAST(CAST(SUM(h*h) AS BIGINT) AS DOUBLE) AS shh,
+                 CAST(CAST(SUM(h*d) AS BIGINT) AS DOUBLE) AS shd,
+                 CAST(CAST(SUM(d*d) AS BIGINT) AS DOUBLE) AS sdd,
+                 CAST(CAST(SUM(u) AS BIGINT) AS DOUBLE) AS sy,
+                 CAST(CAST(SUM(h*u) AS BIGINT) AS DOUBLE) AS shy,
+                 CAST(CAST(SUM(d*u) AS BIGINT) AS DOUBLE) AS sdy
+          FROM f GROUP BY 1),
+        k AS (
+          SELECT g, CAST(n AS BIGINT) AS n, {_ols_det} AS det,
+                 {_ols_d0} AS d0, {_ols_d1} AS d1, {_ols_d2} AS d2
+          FROM s)
+        SELECT g AS event_type, n,
+               CASE WHEN det <> 0 THEN d0 / det / 100.0 END AS b0,
+               CASE WHEN det <> 0 THEN d1 / det / 100.0 END AS b_hour,
+               CASE WHEN det <> 0 THEN d2 / det / 100.0 END AS b_dow
+        FROM k
+    """
+    # Markov removal-effect attribution, unrolled like the PageRank
+    # oracle but VARIANT-PARAMETRIC: every per-channel surgery (edges
+    # into c → __NULL__, edges out of c dropped) is one row-set keyed
+    # by variant v, so a single chain of 12 mass-step CTEs iterates ALL
+    # variants at once — channels come from the data, never hardcoded.
+    # Float-op order mirrors graph.removal_effect_attribution:
+    # r*(n/tot) per edge, absorbing states keep prior mass + inflow,
+    # ROUND half-away only at the final effect.
+    _ma_steps = []
+    for _i in range(1, 13):
+        _ma_steps.append(f"""
+            m{_i} AS MATERIALIZED (
+              SELECT s.v, s.st,
+                     CASE WHEN s.st IN ('__CONV__', '__NULL__')
+                          THEN COALESCE(p.r, 0) + COALESCE(i.s, 0)
+                          ELSE COALESCE(i.s, 0) END AS r
+              FROM vstates s
+              LEFT JOIN m{_i-1} p ON p.v = s.v AND p.st = s.st
+              LEFT JOIN (SELECT e.v, e.cur AS st, SUM(p.r * (e.n / o.tot)) AS s
+                         FROM vedges e
+                         JOIN m{_i-1} p ON p.v = e.v AND p.st = e.prev
+                         JOIN outdeg o ON o.v = e.v AND o.node = e.prev
+                         GROUP BY 1, 2) i ON i.v = s.v AND i.st = s.st
+            )""")
+    _markov_sql = f"""
+        WITH pre AS (
+          SELECT user_id, event_type, ts, event_id FROM events
+          WHERE event_type IS NOT NULL),
+        ordx AS (
+          SELECT user_id, event_type,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn
+          FROM pre),
+        fc AS (SELECT user_id, MIN(rn) AS crn FROM ordx
+               WHERE event_type = 'purchase' GROUP BY 1),
+        path AS (
+          SELECT o.user_id, o.rn,
+                 CASE WHEN o.rn = f.crn THEN '__CONV__'
+                      ELSE o.event_type END AS t
+          FROM ordx o LEFT JOIN fc f USING (user_id)
+          WHERE f.crn IS NULL OR o.rn <= f.crn),
+        tr AS (
+          SELECT t AS cur,
+                 COALESCE(LAG(t) OVER (PARTITION BY user_id ORDER BY rn),
+                          '__START__') AS prev
+          FROM path),
+        tail AS (
+          SELECT '__NULL__' AS cur, p.t AS prev
+          FROM (SELECT user_id, t,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY rn DESC) AS rr
+                FROM path) p
+          LEFT JOIN fc ON fc.user_id = p.user_id
+          WHERE p.rr = 1 AND fc.crn IS NULL),
+        edges AS (
+          SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS n
+          FROM (SELECT prev, cur FROM tr UNION ALL SELECT prev, cur FROM tail)
+          GROUP BY 1, 2),
+        chan AS (SELECT DISTINCT event_type AS v FROM pre
+                 WHERE event_type <> 'purchase'),
+        variants AS (SELECT v FROM chan UNION ALL SELECT '__BASE__'),
+        vedges AS (
+          SELECT vv.v, e.prev,
+                 CASE WHEN vv.v <> '__BASE__' AND e.cur = vv.v
+                      THEN '__NULL__' ELSE e.cur END AS cur,
+                 CAST(SUM(e.n) AS DOUBLE) AS n
+          FROM edges e JOIN variants vv ON vv.v = '__BASE__' OR e.prev <> vv.v
+          GROUP BY 1, 2, 3),
+        outdeg AS (SELECT v, prev AS node, SUM(n) AS tot FROM vedges GROUP BY 1, 2),
+        states AS (SELECT DISTINCT st FROM (
+          SELECT prev AS st FROM edges UNION SELECT cur FROM edges
+          UNION SELECT '__START__' UNION SELECT '__CONV__' UNION SELECT '__NULL__')),
+        vstates AS (SELECT vv.v, s.st FROM variants vv CROSS JOIN states s),
+        m0 AS (SELECT v, st, CASE WHEN st = '__START__' THEN 1.0 ELSE 0.0 END AS r
+               FROM vstates),
+        {','.join(_ma_steps)}
+        SELECT c.v AS channel,
+               CASE WHEN b.r > 0 THEN ROUND(1.0 - m.r / b.r, 6) END AS removal_effect
+        FROM chan c
+        JOIN m12 m ON m.v = c.v AND m.st = '__CONV__'
+        JOIN (SELECT r FROM m12 WHERE v = '__BASE__' AND st = '__CONV__') b ON TRUE
+    """
+    # PCA power iteration unrolled: identical rounded covariance both
+    # sides (ROUND 6 half-away), then v <- ROUND(Cv/||Cv||, 9) ten
+    # times — per-step quantization re-locks the engines (intra-step
+    # float drift ~1e-16 << the 5e-10 boundary), so loadings match
+    # bit-for-bit, not approximately. Zero norm -> NULL loadings via
+    # NULLIF, mirroring the engine's NaN propagation.
+    _pca_steps = []
+    for _t in range(1, 11):
+        _pca_steps.append(f"""
+            u{_t} AS MATERIALIZED (
+              SELECT c.i, SUM(c.c * p.x) AS u
+              FROM covm c JOIN v{_t-1} p ON p.i = c.j GROUP BY 1),
+            n{_t} AS (SELECT sqrt(SUM(u*u)) AS nrm FROM u{_t}),
+            v{_t} AS (SELECT i, ROUND(u / NULLIF((SELECT nrm FROM n{_t}), 0), 9) AS x
+                      FROM u{_t})""")
+    _pca_sql = f"""
+        WITH pairs AS (
+          SELECT a.i AS i, b.i AS j
+          FROM range(64) a(i), range(64) b(i) WHERE a.i <= b.i),
+        tri AS (
+          SELECT p.i, p.j,
+                 ROUND(AVG(CAST(embedding[p.i + 1] AS DOUBLE) * CAST(embedding[p.j + 1] AS DOUBLE))
+                       - AVG(CAST(embedding[p.i + 1] AS DOUBLE)) * AVG(CAST(embedding[p.j + 1] AS DOUBLE)),
+                       6) AS c
+          FROM embeddings, pairs p GROUP BY 1, 2),
+        covm AS (SELECT i, j, c FROM tri
+                 UNION ALL SELECT j AS i, i AS j, c FROM tri WHERE i <> j),
+        dims AS (SELECT CAST(MAX(i) + 1 AS DOUBLE) AS d FROM covm),
+        v0 AS (SELECT i, 1.0 / sqrt((SELECT d FROM dims)) AS x
+               FROM (SELECT DISTINCT i FROM covm)),
+        {','.join(_pca_steps)},
+        pick AS (SELECT x FROM v10 ORDER BY abs(x) DESC NULLS LAST, i LIMIT 1)
+        SELECT v.i,
+               CASE WHEN (SELECT x FROM pick) < 0 THEN -v.x ELSE v.x END AS loading
+        FROM v10 v
+    """
     return {
+        "ols_calendar_by_type": _ols_sql,
+        "attribution_markov_events": _markov_sql,
+        "pca_loadings_embeddings": _pca_sql,
         "shift_lead1_by_user": """
             SELECT * FROM (
               SELECT event_id, ts, user_id, value,

@@ -422,3 +422,63 @@ def label_centroid_cosine(
 
     return ds.select_columns([id_col, label_col, emb_col]).map_batches(
         score, batch_format="pyarrow")
+
+
+def _half_away(x: np.ndarray, digits: int) -> np.ndarray:
+    """Round half away from zero (SQL ROUND), not numpy's half-even."""
+    sc = 10.0 ** digits
+    return np.sign(x) * np.floor(np.abs(x) * sc + 0.5) / sc
+
+
+def pca_power_loadings(
+    ds: ray.data.Dataset,
+    col: str = "embedding",
+    *,
+    iters: int = 10,
+    cov_round: int = 6,
+    step_round: int = 9,
+    num_buckets: int = 8,
+) -> pd.DataFrame:
+    """Top principal-component loadings via power iteration with
+    per-step quantization — the SQL-replayable sibling of
+    ``pca_project``: where eigh's output is engine-internal, this
+    pins every float the iteration ever sees, so a SQL replay (same
+    rounded covariance, same unrolled steps, same half-away rounds)
+    reproduces the loadings EXACTLY rather than approximately.
+
+    Protocol: (1) covariance from the combiner reduction, rounded
+    half-away at ``cov_round`` — both sides iterate over the identical
+    matrix, so the tiny order-of-addition float drift in the reduce can
+    never compound; (2) ``iters`` fixed steps of ``v ← quantize(C v /
+    ‖C v‖, step_round)`` from the uniform start ``1/√d`` — per-step
+    quantization re-locks the two sides after each matmul (their
+    intra-step drift is ~1e-16, far below the 5e-10 quantization
+    boundary); (3) sign fix: flip so the largest-|loading| coordinate
+    (ties → smallest index) is positive. A zero norm (zero covariance)
+    yields all-null loadings, never a crash; empty input → empty frame.
+
+    Distribution is the covariance pass (O(d²) per block, one partials
+    exchange); the iteration itself is a driver closure on the d×d
+    aggregate. Output: ``(i, loading)``, one row per dimension."""
+    tri = embedding_covariance(ds, col, num_buckets=num_buckets)
+    if not len(tri):
+        return pd.DataFrame({"i": np.array([], dtype=np.int64),
+                             "loading": np.array([], dtype=np.float64)})
+    d = int(tri["j"].max()) + 1
+    cov = np.zeros((d, d))
+    cq = _half_away(tri["cov"].to_numpy(np.float64), cov_round)
+    cov[tri["i"], tri["j"]] = cq
+    cov[tri["j"], tri["i"]] = cq
+    v = np.full(d, 1.0 / np.sqrt(d))
+    for _ in range(iters):
+        u = cov @ v
+        nrm = np.sqrt(np.sum(u * u))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            v = _half_away(np.where(nrm == 0, np.nan, u / nrm), step_round)
+    finite = np.isfinite(v)
+    if finite.all() and len(v):
+        # ties on |v| → smallest index, matching ORDER BY abs DESC, i
+        m = int(np.argmax(np.abs(v)))
+        if v[m] < 0:
+            v = -v
+    return pd.DataFrame({"i": np.arange(d, dtype=np.int64), "loading": v})

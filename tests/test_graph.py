@@ -100,3 +100,62 @@ def test_driver_cc_matches_distributed(ray_session):
     slow = connected_components(pairs, driver_edge_limit=0) \
         .to_pandas().sort_values("id").reset_index(drop=True)
     assert fast.equals(slow)
+
+
+def test_removal_effect_hand_journey(ray_session):
+    """Two-channel hand case: 'ad' journeys always convert, 'organic'
+    never does — removing ad must kill all conversion (effect 1.0),
+    removing organic must not change it (effect 0.0)."""
+    import pandas as pd
+
+    from temporalscope_ray.stages.graph import removal_effect_attribution
+
+    rows = []
+    t0 = pd.Timestamp("2024-01-01")
+    for u in range(10):  # ad -> purchase
+        rows += [(u, t0, "ad"), (u, t0 + pd.Timedelta("1min"), "purchase")]
+    for u in range(10, 20):  # organic -> organic (never converts)
+        rows += [(u, t0, "organic"), (u, t0 + pd.Timedelta("1min"), "organic")]
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+    df["event_id"] = range(len(df))
+    out = removal_effect_attribution(
+        ray.data.from_pandas(df).repartition(4), id_col="user_id",
+        time_col="ts", type_col="event_type", conv_type="purchase",
+        tiebreak=["event_id"], iters=12).set_index("channel")
+    assert out.loc["ad", "removal_effect"] == 1.0
+    assert out.loc["organic", "removal_effect"] == 0.0
+
+
+def test_removal_effect_no_conversions_is_null(ray_session):
+    import pandas as pd
+
+    from temporalscope_ray.stages.graph import removal_effect_attribution
+
+    df = pd.DataFrame({"user_id": [1, 1, 2], "event_type": ["a", "b", "a"],
+                       "ts": pd.to_datetime(["2024-01-01", "2024-01-02", "2024-01-01"]),
+                       "event_id": [0, 1, 2]})
+    out = removal_effect_attribution(
+        ray.data.from_pandas(df), id_col="user_id", time_col="ts",
+        type_col="event_type", conv_type="purchase", tiebreak=["event_id"])
+    # channels exist, but base conversion is 0 -> null effects
+    assert set(out["channel"]) == {"a", "b"}
+    assert out["removal_effect"].isna().all()
+
+
+def test_pagerank_uniform_on_symmetric_cycle(ray_session):
+    """a->b->a with equal counts: stationary mass must split evenly."""
+    import pandas as pd
+
+    from temporalscope_ray.stages.graph import pagerank_types
+
+    df = pd.DataFrame({
+        "user_id": [1] * 6,
+        "event_type": ["a", "b"] * 3,
+        "ts": pd.date_range("2024-01-01", periods=6, freq="1min"),
+        "event_id": range(6),
+    })
+    out = pagerank_types(ray.data.from_pandas(df), id_col="user_id",
+                         time_col="ts", type_col="event_type",
+                         tiebreak=["event_id"]).set_index("node")
+    assert abs(out.loc["a", "pagerank"] - 0.5) < 1e-6
+    assert abs(out.loc["b", "pagerank"] - 0.5) < 1e-6

@@ -1229,3 +1229,46 @@ def test_volume_bars_fixed_information():
     b1 = out.iloc[1]  # rows 2,3: values 5, -5 → low −5, volume 10
     assert (b1["low_v"], b1["volume"], b1["n"]) == (-5.0, 10.0, 2)
     assert (out.iloc[2]["volume"], out.iloc[2]["n"]) == (30.0, 1)
+
+
+def test_max_drawdown_hand_series(ray_session):
+    """Cumulative 1,2,3,-5,... — peak 6 at t3, trough 1 at t4 -> dd 5."""
+    df = pd.DataFrame({
+        "user_id": [7] * 4, "event_id": range(4),
+        "ts": pd.date_range("2024-01-01", periods=4, freq="1h"),
+        "value": [1.0, 2.0, 3.0, -5.0],
+    })
+    out = stats.max_drawdown_by_entity(
+        ray.data.from_pandas(df), "user_id", "ts", "value",
+        tiebreak=["event_id"]).to_pandas()
+    assert out.loc[0, "max_drawdown"] == 5.0 and out.loc[0, "n"] == 4
+
+
+def test_pca_power_sign_fix_and_dominant_axis(ray_session):
+    """Variance planted on axis 2 with a negative-leaning cloud: the
+    loading must recover axis 2 and come out POSITIVE (sign fix)."""
+    from temporalscope_ray.stages.linalg import pca_power_loadings
+
+    rng = np.random.default_rng(5)
+    x = rng.normal(0, 0.01, size=(400, 4))
+    x[:, 2] -= rng.exponential(3.0, size=400)  # dominant, negative-skewed
+    df = pd.DataFrame({"embedding": list(x.astype(np.float32))})
+    out = pca_power_loadings(ray.data.from_pandas(df).repartition(3), "embedding")
+    lead = out.set_index("i")["loading"]
+    assert abs(lead[2]) > 0.99 and lead[2] > 0  # dominant + flipped positive
+
+
+def test_ols_calendar_recovers_planted_slopes(ray_session):
+    """value = 3 + 0.5*hour + 2*isodow exactly -> betas recovered."""
+    from temporalscope_ray.stages.stats import ols_calendar_by_group
+
+    ts = pd.date_range("2024-01-01", periods=500, freq="7h")
+    h, d = ts.hour.to_numpy(), ts.dayofweek.to_numpy() + 1
+    df = pd.DataFrame({"ts": ts, "event_type": "x",
+                       "value": 3 + 0.5 * h + 2.0 * d})
+    out = ols_calendar_by_group(
+        ray.data.from_pandas(df).repartition(4), "event_type", "ts", "value"
+    ).to_pandas()
+    assert abs(out.loc[0, "b0"] - 3) < 1e-6
+    assert abs(out.loc[0, "b_hour"] - 0.5) < 1e-6
+    assert abs(out.loc[0, "b_dow"] - 2.0) < 1e-6
