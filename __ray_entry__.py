@@ -3518,6 +3518,19 @@ def q_postings_docs(sf_dir: str):
                              min_df=10, cap=20, num_buckets=16)
 
 
+def q_edit_dup_pairs_docs(sf_dir: str):
+    """Character-level near-dup pairs: exact Levenshtein <= 16 under
+    deterministic 12-char prefix blocking (ASCII-normalized so the
+    engine's codepoint DP == DuckDB's byte levenshtein); one block-key
+    exchange, in-block pairs are the small side."""
+    from temporalscope_ray.stages.dedup import edit_distance_pairs
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return edit_distance_pairs(docs, text_col="text", id_col="doc_id",
+                               max_dist=16, prefix_len=12, max_len=1000,
+                               max_block=256, num_buckets=16)
+
+
 def q_pca_loadings_embeddings(sf_dir: str):
     """Top principal-component loadings by power iteration with
     per-step quantization — exact SQL replay of distributed PCA: the
@@ -3580,6 +3593,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ols_calendar_by_type": q_ols_calendar_by_type,
         "attribution_markov_events": q_attribution_markov_events,
         "pca_loadings_embeddings": q_pca_loadings_embeddings,
+        "edit_dup_pairs_docs": q_edit_dup_pairs_docs,
         "postings_docs": q_postings_docs,
         "shift_multi_target": q_shift_multi_target,
         "incremental_features_refresh": q_incremental_features,
@@ -4153,6 +4167,24 @@ def oracle_sql() -> dict[str, str]:
         "ols_calendar_by_type": _ols_sql,
         "attribution_markov_events": _markov_sql,
         "pca_loadings_embeddings": _pca_sql,
+        # byte-based DuckDB levenshtein == the engine's codepoint DP
+        # BECAUSE normalization strips to ASCII first (both sides)
+        "edit_dup_pairs_docs": """
+            WITH norm AS (
+              SELECT doc_id,
+                     trim(regexp_replace(regexp_replace(lower(COALESCE(text, '')),
+                          '[^a-z0-9 \\t\\n\\r\\f\\v]', '', 'g'),
+                          '[ \\t\\n\\r\\f\\v]+', ' ', 'g')) AS t
+              FROM documents),
+            elig AS (SELECT doc_id, t, substr(t, 1, 12) AS k FROM norm
+                     WHERE length(t) BETWEEN 1 AND 1000),
+            blk AS (SELECT * FROM elig
+                    QUALIFY COUNT(*) OVER (PARTITION BY k) <= 256)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
+            FROM blk a JOIN blk b ON a.k = b.k AND a.doc_id < b.doc_id
+            WHERE levenshtein(a.t, b.t) <= 16
+        """,
         "shift_lead1_by_user": """
             SELECT * FROM (
               SELECT event_id, ts, user_id, value,

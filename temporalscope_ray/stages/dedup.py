@@ -1435,3 +1435,104 @@ def source_overlap(
         "jaccard": np.floor(jac * 1e6 + 0.5) / 1e6,
     }).sort_values(["source_a", "source_b"]).reset_index(drop=True)
     return ray.data.from_pandas(out)
+
+
+def _levenshtein(a: str, b: str) -> int:
+    """Unit-cost edit distance, vectorized one DP row at a time —
+    byte-identical to DuckDB ``levenshtein`` on the ASCII-only strings
+    this module feeds it (callers normalize away non-ASCII first, so
+    bytes == codepoints and the two definitions coincide)."""
+    if a == b:
+        return 0
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    bv = np.frombuffer(b.encode(), dtype=np.uint8)
+    prev = np.arange(len(bv) + 1, dtype=np.int64)
+    for i, ca in enumerate(a.encode(), start=1):
+        sub = prev[:-1] + (bv != ca)
+        cur = np.empty_like(prev)
+        cur[0] = i
+        # insertion chains propagate left-to-right: one accumulate pass
+        cur[1:] = np.minimum(prev[1:] + 1, sub)
+        np.minimum.accumulate(cur + np.arange(len(cur), 0, -1), out=cur)
+        cur -= np.arange(len(cur), 0, -1)
+        prev = cur
+    return int(prev[-1])
+
+
+_EDIT_NORM_DROP = re.compile(r"[^a-z0-9 \t\n\r\f\v]")
+_EDIT_NORM_WS = re.compile(r"[ \t\n\r\f\v]+")
+
+
+def edit_distance_pairs(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str,
+    id_col: str,
+    max_dist: int = 2,
+    prefix_len: int = 12,
+    max_len: int = 400,
+    max_block: int = 256,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Typo-level near-duplicate pairs by EXACT edit distance ≤
+    ``max_dist`` under deterministic prefix blocking — the
+    character-level member of the dedup family (exact/MinHash/SimHash/
+    Jaccard/embedding cover token and vector surfaces; OCR noise,
+    mojibake and single-keystroke variants live BELOW the shingle
+    granularity and need character edits).
+
+    Normalization (identical in the SQL replay): lower → drop
+    non-``[a-z0-9 \\s]`` (kills the byte-vs-codepoint ambiguity —
+    DuckDB's levenshtein is byte-based, ours is too once ASCII-only) →
+    collapse whitespace runs to one space → trim. Candidates = docs
+    sharing the first ``prefix_len`` normalized chars, the classic
+    blocking key (an edit inside the prefix escapes the block —
+    documented recall bound, standard for blocking-based ER); docs
+    normalize-ing to empty or longer than ``max_len`` are excluded
+    (cost bound: DP is O(len²)); blocks larger than ``max_block`` are
+    skipped wholesale (deterministic — boilerplate floods would go
+    quadratic; both sides apply the same rule).
+
+    Scale shape: ONE block-key exchange in which the normalized text
+    rides once (same contract as line-level dedup); in-block pairs are
+    the small side by construction. Output ``(id_a, id_b, dist)`` with
+    ``id_a < id_b``."""
+    from .grouped import grouped_ordered_map
+
+    def normalize(b: pd.DataFrame) -> pd.DataFrame:
+        t = (b[text_col].fillna("").astype(str).str.lower()
+             .str.replace(_EDIT_NORM_DROP, "", regex=True)
+             .str.replace(_EDIT_NORM_WS, " ", regex=True)
+             .str.strip())
+        ln = t.str.len()
+        keep = (ln >= 1) & (ln <= max_len)
+        return pd.DataFrame({id_col: b[id_col].to_numpy()[keep],
+                             "t": t.to_numpy()[keep],
+                             "k": t.str.slice(0, prefix_len).to_numpy()[keep]})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_d = [], [], []
+        keys = g["k"].to_numpy(dtype=object)
+        from .grouped import entity_segments
+        segs = entity_segments(keys)
+        ids = g[id_col].to_numpy()
+        texts = g["t"].to_numpy(dtype=object)
+        for s, e in zip(segs[:-1], segs[1:]):
+            if e - s < 2 or e - s > max_block:
+                continue
+            for i in range(s, e):
+                for j in range(i + 1, e):
+                    if abs(len(texts[i]) - len(texts[j])) > max_dist:
+                        continue
+                    d = _levenshtein(texts[i], texts[j])
+                    if d <= max_dist:
+                        out_a.append(ids[i]); out_b.append(ids[j]); out_d.append(d)
+        return pd.DataFrame({"id_a": np.array(out_a, dtype=np.int64),
+                             "id_b": np.array(out_b, dtype=np.int64),
+                             "dist": np.array(out_d, dtype=np.int64)})
+
+    narrowed = ds.select_columns([id_col, text_col]).map_batches(normalize, batch_format="pandas")
+    return grouped_ordered_map(narrowed, "k", [id_col], per_bucket, num_buckets=num_buckets)

@@ -549,3 +549,60 @@ def test_dedup_single_task_gate_matches_bucketed(ray_session):
     b = phash_dedup(ray.data.from_pandas(ph), hash_col="phash", id_col="img_id",
                     single_task_threshold=0).to_pandas()
     assert sorted(a["img_id"]) == sorted(b["img_id"]) == [0, 3, 4]
+
+
+def test_levenshtein_matches_duckdb_on_ascii():
+    """The numpy DP must equal DuckDB's byte-based levenshtein on the
+    ASCII-normalized strings the operator feeds it — fuzz 200 pairs."""
+    import duckdb
+    import numpy as np
+
+    from temporalscope_ray.stages.dedup import _levenshtein
+
+    rng = np.random.default_rng(11)
+    alpha = list("abc 01")
+    con = duckdb.connect()
+    for _ in range(200):
+        a = "".join(rng.choice(alpha, size=rng.integers(0, 12)))
+        b = "".join(rng.choice(alpha, size=rng.integers(0, 12)))
+        want = con.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()[0]
+        assert _levenshtein(a, b) == want, (a, b)
+
+
+def test_edit_distance_pairs_blocking_contract(ray_session):
+    """Dist-0/1 pairs inside a shared prefix are found; an identical
+    pair whose edit falls INSIDE the 12-char prefix is (documented)
+    missed; oversized blocks are skipped wholesale."""
+    import pandas as pd
+    import ray.data
+
+    from temporalscope_ray.stages.dedup import edit_distance_pairs
+
+    base = "the quick brown fox jumps over the lazy dog"
+    docs = pd.DataFrame({
+        "doc_id": range(6),
+        "text": [
+            base,                      # 0
+            base + "!",                # 1: dist 0 after normalization (! dropped)
+            base.replace("lazy", "hazy"),  # 2: dist 1, same prefix
+            "xhe quick brown fox jumps over the lazy dog",  # 3: edit in prefix -> other block
+            "completely different text one",  # 4
+            "completely different text two",  # 5: dist 3 from 4
+        ],
+    })
+    out = edit_distance_pairs(ray.data.from_pandas(docs).repartition(3),
+                              text_col="text", id_col="doc_id",
+                              max_dist=3, prefix_len=12, max_len=400,
+                              max_block=256, num_buckets=4).to_pandas()
+    got = {(a, b): d for a, b, d in zip(out["id_a"], out["id_b"], out["dist"])}
+    assert got[(0, 1)] == 0 and got[(0, 2)] == 1 and got[(1, 2)] == 1
+    assert got[(4, 5)] == 3
+    assert not any(3 in p for p in got)  # prefix edit escapes the block
+
+    # oversized block: every doc identical, max_block=3 -> all skipped
+    flood = pd.DataFrame({"doc_id": range(5), "text": ["same text"] * 5})
+    out2 = edit_distance_pairs(ray.data.from_pandas(flood),
+                               text_col="text", id_col="doc_id",
+                               max_dist=2, prefix_len=12, max_len=400,
+                               max_block=3, num_buckets=2).to_pandas()
+    assert len(out2) == 0
