@@ -3518,6 +3518,44 @@ def q_postings_docs(sf_dir: str):
                              min_df=10, cap=20, num_buckets=16)
 
 
+def q_benford_value_by_type(sf_dir: str):
+    """Benford first-digit audit per event type (chi2 + MAD vs
+    log10(1+1/d)) — digit extraction is exact (integer-string head of
+    the cents-quantized value, never floor(log10)); one (group, digit)
+    combiner exchange, the 9-term closure runs on the driver."""
+    from temporalscope_ray.stages.stats import benford_deviation_by_group
+
+    ev = _events(sf_dir, ("event_type", "value"))
+    out = benford_deviation_by_group(ev, "event_type", "value")
+    return out.rename(columns={"g": "event_type"})
+
+
+def q_holt_by_user(sf_dir: str):
+    """Holt double-exponential smoothing (level + trend per row,
+    alpha=0.3 beta=0.1) — a true per-entity recursion, bit-exact vs a
+    recursive-CTE replay; one entity-bucket exchange, the scan
+    vectorizes across entities (one numpy step per time index)."""
+    from temporalscope_ray.stages.stats import holt_smooth_by_entity
+
+    ev = _events(sf_dir, ("event_id", "ts", "user_id", "value"))
+    return holt_smooth_by_entity(ev, "user_id", "ts", "value",
+                                 alpha=0.3, beta=0.1, tiebreak=["event_id"],
+                                 keep_cols=["event_id"], num_buckets=16)
+
+
+def q_spectral_daily_weekly(sf_dir: str):
+    """Relative DFT amplitude of hourly event counts at the daily and
+    weekly frequencies, per event type — frequency-domain seasonality;
+    facts reduce once to (hour, type) partials, the projection sums
+    close on the aggregate."""
+    from temporalscope_ray.stages.stats import spectral_amplitude_by_group
+
+    ev = _events(sf_dir, ("ts", "event_type"))
+    out = spectral_amplitude_by_group(ev, "ts", "event_type",
+                                      periods_hours=(24, 168))
+    return out.rename(columns={"g": "event_type"})
+
+
 def q_edit_dup_pairs_docs(sf_dir: str):
     """Character-level near-dup pairs: exact Levenshtein <= 16 under
     deterministic 12-char prefix blocking (ASCII-normalized so the
@@ -3594,6 +3632,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "attribution_markov_events": q_attribution_markov_events,
         "pca_loadings_embeddings": q_pca_loadings_embeddings,
         "edit_dup_pairs_docs": q_edit_dup_pairs_docs,
+        "spectral_daily_weekly": q_spectral_daily_weekly,
+        "holt_by_user": q_holt_by_user,
+        "benford_value_by_type": q_benford_value_by_type,
         "postings_docs": q_postings_docs,
         "shift_multi_target": q_shift_multi_target,
         "incremental_features_refresh": q_incremental_features,
@@ -4167,6 +4208,73 @@ def oracle_sql() -> dict[str, str]:
         "ols_calendar_by_type": _ols_sql,
         "attribution_markov_events": _markov_sql,
         "pca_loadings_embeddings": _pca_sql,
+        # phase reduced mod P BEFORE the trig call (DuckDB % follows the
+        # dividend sign -> ((h%P)+P)%P); cos/sin then agree to ~1 ulp and
+        # ROUND 6 absorbs the sum-order drift
+        # exact digit extraction: integer-string head of the quantized
+        # value — floor(log10(v)) would diverge across libms at
+        # representation boundaries
+        "benford_value_by_type": """
+            WITH f AS (
+              SELECT event_type AS g,
+                     CAST(ROUND(abs(value) * 100, 0) AS BIGINT) AS u
+              FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+            d AS (SELECT g, CAST(substr(CAST(u AS VARCHAR), 1, 1) AS BIGINT) AS d,
+                         COUNT(*) AS n
+                  FROM f WHERE u > 0 GROUP BY 1, 2),
+            tot AS (SELECT g, CAST(SUM(n) AS DOUBLE) AS n FROM d GROUP BY 1),
+            dig AS (SELECT unnest(generate_series(1, 9)) AS d),
+            grid AS (SELECT t.g, t.n AS tot, dig.d,
+                            log10(1.0 + 1.0 / CAST(dig.d AS DOUBLE)) AS p
+                     FROM tot t CROSS JOIN dig),
+            j AS (SELECT grid.g, grid.tot, grid.d, grid.p,
+                         CAST(COALESCE(dd.n, 0) AS DOUBLE) AS obs
+                  FROM grid LEFT JOIN d dd ON dd.g = grid.g AND dd.d = grid.d)
+            SELECT g AS event_type, CAST(MAX(tot) AS BIGINT) AS n,
+                   ROUND(SUM((obs - tot * p) * (obs - tot * p) / (tot * p)), 6) AS chi2,
+                   ROUND(SUM(abs(obs / tot - p)) / 9.0, 6) AS mad
+            FROM j GROUP BY 1
+        """,
+        # element-wise recursion, literally mirrored expressions ->
+        # bit-exact per-row output, unrounded (no reductions anywhere);
+        # CAST(0.3 AS DOUBLE) == Python 0.3 (nearest double to 3/10)
+        "holt_by_user": """
+            WITH RECURSIVE ordx AS (
+              SELECT user_id, event_id, CAST(value AS DOUBLE) AS y,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM events WHERE value IS NOT NULL),
+            r AS (
+              SELECT user_id, event_id, rn, y AS l, CAST(0 AS DOUBLE) AS b
+              FROM ordx WHERE rn = 1
+              UNION ALL
+              SELECT o.user_id, o.event_id, o.rn,
+                     CAST(0.3 AS DOUBLE) * o.y
+                       + (1.0 - CAST(0.3 AS DOUBLE)) * (r.l + r.b),
+                     CAST(0.1 AS DOUBLE) * ((CAST(0.3 AS DOUBLE) * o.y
+                       + (1.0 - CAST(0.3 AS DOUBLE)) * (r.l + r.b)) - r.l)
+                       + (1.0 - CAST(0.1 AS DOUBLE)) * r.b
+              FROM r JOIN ordx o ON o.user_id = r.user_id AND o.rn = r.rn + 1)
+            SELECT user_id, event_id, l AS holt_level, b AS holt_trend FROM r
+        """,
+        "spectral_daily_weekly": """
+            WITH b AS (
+              SELECT CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS h,
+                     event_type AS g, CAST(COUNT(*) AS DOUBLE) AS n
+              FROM events
+              WHERE ts IS NOT NULL AND event_type IS NOT NULL
+              GROUP BY 1, 2),
+            p AS (SELECT unnest([24, 168]) AS period_hours),
+            terms AS (
+              SELECT b.g, p.period_hours,
+                     b.n * cos(2.0 * pi() * CAST(((b.h % p.period_hours) + p.period_hours) % p.period_hours AS DOUBLE) / CAST(p.period_hours AS DOUBLE)) AS c,
+                     b.n * sin(2.0 * pi() * CAST(((b.h % p.period_hours) + p.period_hours) % p.period_hours AS DOUBLE) / CAST(p.period_hours AS DOUBLE)) AS s,
+                     b.n AS n
+              FROM b CROSS JOIN p)
+            SELECT g AS event_type, CAST(period_hours AS BIGINT) AS period_hours,
+                   ROUND(2.0 * sqrt(SUM(c) * SUM(c) + SUM(s) * SUM(s)) / SUM(n), 6) AS amplitude
+            FROM terms GROUP BY 1, 2
+        """,
         # byte-based DuckDB levenshtein == the engine's codepoint DP
         # BECAUSE normalization strips to ASCII first (both sides)
         "edit_dup_pairs_docs": """

@@ -2112,3 +2112,201 @@ def ols_calendar_by_group(
                              "b0": b0, "b_hour": b1, "b_dow": b2})
 
     return sums.map_batches(solve, batch_format="pandas")
+
+
+def spectral_amplitude_by_group(
+    ds: ray.data.Dataset,
+    time_col: str,
+    group_col: str,
+    *,
+    periods_hours: Sequence[int] = (24, 168),
+    round_to: int = 6,
+    num_buckets: int = 8,
+) -> pd.DataFrame:
+    """Frequency-domain seasonality per group: the relative DFT
+    amplitude of the hourly event-count series at fixed periods
+    (daily=24h, weekly=168h by default) — ``2·|Σ_t n_t e^{-iωt}| /
+    Σ_t n_t``, i.e. what fraction of a group's event mass oscillates
+    at that frequency (≈1 for a pure daily rhythm, ≈0 for flat/noise).
+    The spectral companion to the time-domain ACF (`hourly_count_acf`)
+    and variance-ratio seasonality strength.
+
+    One exchange total: facts reduce to (hour, group) count partials
+    (zero hours contribute nothing to a DFT sum, so no grid fill is
+    needed); the two projection sums per (group, period) close on that
+    aggregate. Phase is reduced to ``h mod P`` BEFORE the trig call so
+    both engines hand libm small same-sign arguments (DuckDB ``%``
+    follows the dividend sign, so the SQL replay uses
+    ``((h % P) + P) % P``; cos/sin are then equal to ~1 ulp and the
+    half-away ``round_to`` absorbs it). Null time/group rows drop on
+    both sides. Output: ``(group, period_hours, amplitude)``."""
+    HOUR_US = 3_600_000_000
+
+    def tag(t: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.is_valid(t.column(time_col)), pc.is_valid(t.column(group_col)))
+        t = t.filter(mask)
+        col = t.column(time_col)
+        if pa.types.is_timestamp(col.type):
+            col = pc.cast(col, pa.timestamp("us"))
+        us = pc.cast(col, pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"h": pa.array(us // HOUR_US),
+                         "g": t.column(group_col)})
+
+    hourly = hash_groupby_aggregate(
+        ds.select_columns([time_col, group_col]).map_batches(tag, batch_format="pyarrow"),
+        ["g", "h"], {"n": (None, "count")}, num_buckets=num_buckets).to_pandas()
+    if not len(hourly):
+        return pd.DataFrame({"g": pd.array([], dtype="string"),
+                             "period_hours": np.array([], dtype=np.int64),
+                             "amplitude": np.array([], dtype=np.float64)})
+    h = hourly["h"].to_numpy(np.int64)
+    n = hourly["n"].to_numpy(np.float64)
+    sc = 10.0 ** round_to
+    frames = []
+    for p in periods_hours:
+        ph = np.mod(h, p).astype(np.float64)  # non-negative, matches SQL ((h%P)+P)%P
+        ang = 2.0 * np.pi * ph / float(p)
+        d = pd.DataFrame({"g": hourly["g"],
+                          "c": n * np.cos(ang), "s": n * np.sin(ang), "n": n})
+        agg = d.groupby("g", sort=False, dropna=False).sum()
+        amp = 2.0 * np.sqrt(agg["c"] ** 2 + agg["s"] ** 2) / agg["n"]
+        amp = np.sign(amp) * np.floor(np.abs(amp) * sc + 0.5) / sc
+        frames.append(pd.DataFrame({
+            "g": agg.index.to_numpy(),
+            "period_hours": np.full(len(agg), p, dtype=np.int64),
+            "amplitude": amp.to_numpy(np.float64),
+        }))
+    out = pd.concat(frames, ignore_index=True)
+    out["g"] = out["g"].astype("string")
+    return out.sort_values(["g", "period_hours"]).reset_index(drop=True)
+
+
+def holt_smooth_by_entity(
+    ds: ray.data.Dataset,
+    id_col: str,
+    time_col: str,
+    value_col: str,
+    *,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    tiebreak: Sequence[str] = (),
+    keep_cols: Sequence[str] = (),
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Holt double-exponential smoothing per entity — level + trend
+    state for every row:
+
+        l_t = α·y_t + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1},   l_1 = y_1, b_1 = 0
+
+    the classic trend-aware smoother (EWM has no trend term; `ewm_*`
+    covers the memoryless case). Null values are excluded up front
+    (both sides of the oracle); a 1-row entity is its own level with
+    zero trend.
+
+    Exactness: the recursion is ELEMENT-WISE (no reductions), so with
+    literally mirrored expressions both engines walk identical IEEE
+    sequences — the per-row output is bit-exact against a recursive-CTE
+    replay, unrounded. Distribution: one entity-bucket exchange; inside
+    a bucket the scan vectorizes ACROSS entities (one numpy step per
+    time index, all entities' k-th rows updated at once), so cost is
+    O(max series length) vector ops, not O(rows) Python. A single
+    billion-row entity would serialize this chain — that is the
+    recursion's own data dependence; the associative-scan (Blelloch)
+    formulation would parallelize it but reorders the float ops and is
+    deliberately not used here.
+    """
+    from . import grouped
+
+    order = [time_col, *tiebreak]
+    a, bt = float(alpha), float(beta)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g[value_col].notna()]
+        n = len(g)
+        base_cols = [id_col, *keep_cols]
+        if n == 0:
+            return pd.DataFrame({**{c: g[c] for c in base_cols},
+                                 "holt_level": np.array([], dtype=np.float64),
+                                 "holt_trend": np.array([], dtype=np.float64)})
+        ids = g[id_col].to_numpy()
+        y = g[value_col].to_numpy(np.float64)
+        segs = grouped.entity_segments(ids)
+        starts, sizes = segs[:-1], np.diff(segs)
+        l = np.empty(n); b = np.zeros(n)
+        l[starts] = y[starts]
+        for k in range(1, int(sizes.max())):
+            rows = starts[sizes > k] + k
+            prev = rows - 1
+            lp, bp = l[prev], b[prev]
+            ln = a * y[rows] + (1.0 - a) * (lp + bp)
+            b[rows] = bt * (ln - lp) + (1.0 - bt) * bp
+            l[rows] = ln
+        out = {c: g[c].to_numpy() for c in base_cols}
+        out["holt_level"] = l
+        out["holt_trend"] = b
+        return pd.DataFrame(out)
+
+    cols = list(dict.fromkeys([id_col, *order, value_col, *keep_cols]))
+    return grouped.grouped_ordered_map(
+        ds.select_columns(cols), id_col, order, per_bucket,
+        num_buckets=num_buckets)
+
+
+def benford_deviation_by_group(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    *,
+    scale: float = 100.0,
+    round_to: int = 6,
+    num_buckets: int = 8,
+) -> pd.DataFrame:
+    """Benford first-digit audit per group: chi-square and mean absolute
+    deviation of the observed leading-digit distribution vs Benford's
+    law ``p_d = log10(1 + 1/d)`` — the classic fabricated-/synthetic-
+    data tripwire for financial-style value columns.
+
+    Digit extraction is EXACT, not float-log based: values quantize to
+    integer units (``rint(|v|·scale)``, zero/null excluded) and the
+    leading digit is the first character of the INTEGER's decimal
+    string — identical in any engine, where ``floor(log10(v))`` differs
+    across libms at representation boundaries. One combiner exchange of
+    (group, digit) counts; the 9-term chi-square closes on the driver.
+    Output: ``(group, n, chi2, mad)``, rounded half-away."""
+
+    def tag(t: pa.Table) -> pa.Table:
+        df = t.select([group_col, value_col]).to_pandas()
+        df = df[df[group_col].notna() & df[value_col].notna()]
+        u = np.rint(np.abs(df[value_col].to_numpy(np.float64)) * scale).astype(np.int64)
+        keep = u > 0
+        digit = pd.Series(u[keep]).astype(str).str[0].astype(np.int64).to_numpy()
+        return pa.table({"g": pa.array(df[group_col].to_numpy()[keep]),
+                         "d": pa.array(digit)})
+
+    counts = hash_groupby_aggregate(
+        ds.select_columns([group_col, value_col]).map_batches(tag, batch_format="pyarrow"),
+        ["g", "d"], {"n": (None, "count")}, num_buckets=num_buckets).to_pandas()
+    if not len(counts):
+        return pd.DataFrame({"g": pd.array([], dtype="string"),
+                             "n": np.array([], dtype=np.int64),
+                             "chi2": np.array([], dtype=np.float64),
+                             "mad": np.array([], dtype=np.float64)})
+    digits = np.arange(1, 10, dtype=np.int64)
+    p = np.log10(1.0 + 1.0 / digits.astype(np.float64))
+    sc = 10.0 ** round_to
+    rows = []
+    for g, sub in counts.groupby("g", sort=True, dropna=False):
+        obs = np.zeros(9)
+        obs[sub["d"].to_numpy(np.int64) - 1] = sub["n"].to_numpy(np.float64)
+        n = obs.sum()
+        exp = n * p
+        chi2 = float(np.sum((obs - exp) ** 2 / exp))
+        mad = float(np.sum(np.abs(obs / n - p)) / 9.0)
+        rows.append((g, int(n),
+                     np.sign(chi2) * np.floor(abs(chi2) * sc + 0.5) / sc,
+                     np.sign(mad) * np.floor(abs(mad) * sc + 0.5) / sc))
+    out = pd.DataFrame(rows, columns=["g", "n", "chi2", "mad"])
+    out["g"] = out["g"].astype("string")
+    out["n"] = out["n"].astype(np.int64)
+    return out

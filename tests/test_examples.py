@@ -32,6 +32,7 @@ def _run(name: str) -> None:
     "08_warehouse_analytics.py",
     "09_behavioral_feature_store.py",
     "10_resumable_job.py",
+    "11_analytics_closures.py",
 ])
 def test_example_runs(name, capsys):
     _run(name)

@@ -1272,3 +1272,71 @@ def test_ols_calendar_recovers_planted_slopes(ray_session):
     assert abs(out.loc[0, "b0"] - 3) < 1e-6
     assert abs(out.loc[0, "b_hour"] - 0.5) < 1e-6
     assert abs(out.loc[0, "b_dow"] - 2.0) < 1e-6
+
+
+def test_spectral_amplitude_pure_daily_rhythm(ray_session):
+    """Events at a fixed hour each day: daily amplitude ~1 (all mass at
+    the 24h frequency); a flat hourly series gives amplitude ~0."""
+    from temporalscope_ray.stages.stats import spectral_amplitude_by_group
+
+    daily = pd.DataFrame({
+        "ts": pd.date_range("2024-01-01 09:00", periods=60, freq="24h"),
+        "event_type": "rhythmic"})
+    flat = pd.DataFrame({
+        "ts": pd.date_range("2024-01-01", periods=24 * 60, freq="1h"),
+        "event_type": "flat"})
+    out = spectral_amplitude_by_group(
+        ray.data.from_pandas(pd.concat([daily, flat], ignore_index=True)).repartition(3),
+        "ts", "event_type", periods_hours=(24,)).set_index("g")
+    assert out.loc["rhythmic", "amplitude"] > 0.999
+    assert out.loc["flat", "amplitude"] < 0.01
+
+
+def test_holt_matches_sequential_reference(ray_session):
+    """The vectorized across-entity scan must equal a plain per-row
+    Python recursion for every row of a multi-entity frame."""
+    from temporalscope_ray.stages.stats import holt_smooth_by_entity
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({
+        "user_id": np.repeat([1, 2, 3], [50, 1, 17]),
+        "event_id": range(68),
+        "ts": pd.date_range("2024-01-01", periods=68, freq="1h"),
+        "value": rng.normal(size=68),
+    })
+    out = holt_smooth_by_entity(
+        ray.data.from_pandas(df).repartition(4), "user_id", "ts", "value",
+        alpha=0.3, beta=0.1, tiebreak=["event_id"], keep_cols=["event_id"],
+        num_buckets=4).to_pandas().set_index("event_id").sort_index()
+    a, b = 0.3, 0.1
+    for uid, g in df.groupby("user_id"):
+        l_prev = b_prev = None
+        for _, row in g.iterrows():
+            if l_prev is None:
+                l_cur, b_cur = row["value"], 0.0
+            else:
+                l_cur = a * row["value"] + (1.0 - a) * (l_prev + b_prev)
+                b_cur = b * (l_cur - l_prev) + (1.0 - b) * b_prev
+            assert out.loc[row["event_id"], "holt_level"] == l_cur
+            assert out.loc[row["event_id"], "holt_trend"] == b_cur
+            l_prev, b_prev = l_cur, b_cur
+
+
+def test_benford_separates_natural_from_uniform(ray_session):
+    """Log-normal values follow Benford (low MAD); uniform [1,2) values
+    all lead with digit 1 (huge chi2). The audit must separate them."""
+    from temporalscope_ray.stages.stats import benford_deviation_by_group
+
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame({
+        "event_type": ["natural"] * 5000 + ["flat"] * 5000,
+        "value": np.concatenate([
+            np.exp(rng.normal(0, 3, 5000)),      # spans many decades -> Benford
+            rng.uniform(1.0, 2.0, 5000),          # every first digit is 1
+        ]),
+    })
+    out = benford_deviation_by_group(
+        ray.data.from_pandas(df).repartition(4), "event_type", "value"
+    ).set_index("g")
+    assert out.loc["natural", "mad"] < 0.01
+    assert out.loc["flat", "chi2"] > 100 * out.loc["natural", "chi2"]
