@@ -3518,6 +3518,30 @@ def q_postings_docs(sf_dir: str):
                              min_df=10, cap=20, num_buckets=16)
 
 
+def q_km_survival_purchase(sf_dir: str):
+    """Kaplan-Meier time-to-first-purchase curve (days, censored at the
+    last observed event): ONE combiner exchange of per-entity
+    min/max/conditional-min, KM product closes on the driver; the SQL
+    replay multiplies in the same ascending order via product() OVER."""
+    from temporalscope_ray.stages.stats import kaplan_meier_survival
+
+    ev = _events(sf_dir, ("ts", "user_id", "event_type"))
+    return kaplan_meier_survival(ev, "user_id", "ts", "event_type",
+                                 "purchase")
+
+
+def q_trend_break_by_user(sf_dir: str):
+    """Segmented regression at the CUSUM breakpoint per user: the exact
+    int64 argmax locates the shift, a Cramer 2x2 over int moment sums
+    fits each side's slope — bit-exact vs the SQL replay."""
+    from temporalscope_ray.stages.stats import trend_break_by_entity
+
+    ev = _events(sf_dir, ("event_id", "ts", "user_id", "value"))
+    return trend_break_by_entity(ev, "user_id", "ts", "value",
+                                 tiebreak=["event_id"], min_rows=8,
+                                 num_buckets=16)
+
+
 def q_benford_value_by_type(sf_dir: str):
     """Benford first-digit audit per event type (chi2 + MAD vs
     log10(1+1/d)) — digit extraction is exact (integer-string head of
@@ -3635,6 +3659,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spectral_daily_weekly": q_spectral_daily_weekly,
         "holt_by_user": q_holt_by_user,
         "benford_value_by_type": q_benford_value_by_type,
+        "trend_break_by_user": q_trend_break_by_user,
+        "km_survival_purchase": q_km_survival_purchase,
         "postings_docs": q_postings_docs,
         "shift_multi_target": q_shift_multi_target,
         "incremental_features_refresh": q_incremental_features,
@@ -4211,6 +4237,85 @@ def oracle_sql() -> dict[str, str]:
         # phase reduced mod P BEFORE the trig call (DuckDB % follows the
         # dividend sign -> ((h%P)+P)%P); cos/sin then agree to ~1 ulp and
         # ROUND 6 absorbs the sum-order drift
+        # the KM product multiplies in the SAME ascending order on both
+        # sides (numpy cumprod vs a sequential product() window), so the
+        # curve matches to the shared rounding; durations are exact ints
+        "km_survival_purchase": """
+            WITH e AS (SELECT user_id, ts, event_type FROM events
+                       WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                         AND event_type IS NOT NULL),
+            u AS (SELECT user_id, MIN(ts) AS t0, MAX(ts) AS tlast,
+                         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS tev
+                  FROM e GROUP BY 1),
+            dur AS (SELECT CAST(floor(epoch_us(COALESCE(tev, tlast) - t0)
+                                      / 86400000000.0) AS BIGINT) AS d,
+                           CASE WHEN tev IS NOT NULL THEN 1 ELSE 0 END AS ev
+                    FROM u),
+            dd AS (SELECT d AS t, CAST(COUNT(*) AS BIGINT) AS d_events
+                   FROM dur WHERE ev = 1 GROUP BY 1),
+            km AS (SELECT dd.t, dd.d_events,
+                          (SELECT CAST(COUNT(*) AS BIGINT) FROM dur x
+                           WHERE x.d >= dd.t) AS n_risk
+                   FROM dd)
+            SELECT t, n_risk, d_events,
+                   ROUND(product(1.0 - CAST(d_events AS DOUBLE) / CAST(n_risk AS DOUBLE))
+                         OVER (ORDER BY t ROWS UNBOUNDED PRECEDING), 6) AS survival
+            FROM km
+        """,
+        # same exact-int CUSUM key and earliest-tie rule as the
+        # changepoint oracle; per-side Cramer over int sums cast to
+        # DOUBLE at the same points -> bit-exact slopes
+        "trend_break_by_user": """
+            WITH f AS (
+              SELECT user_id, ts, event_id,
+                     CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vmil,
+                     row_number() OVER w AS rn,
+                     COUNT(*) OVER (PARTITION BY user_id) AS n,
+                     CASE WHEN bool_or(value IS NULL)
+                               OVER (PARTITION BY user_id)
+                          THEN 1 ELSE 0 END AS has_null
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            g AS (SELECT * FROM f WHERE n >= 8 AND has_null = 0),
+            c AS (SELECT user_id, ts, rn, n, vmil,
+                         SUM(vmil) OVER (PARTITION BY user_id ORDER BY rn
+                                         ROWS UNBOUNDED PRECEDING) AS cs,
+                         SUM(vmil) OVER (PARTITION BY user_id) AS total
+                  FROM g),
+            star AS (
+              SELECT user_id, ts AS cp_ts, rn AS kstar, n
+              FROM c
+              QUALIFY row_number() OVER (PARTITION BY user_id
+                                         ORDER BY abs(n * cs - rn * total) DESC,
+                                                  rn) = 1),
+            sides AS (
+              SELECT g.user_id, s.kstar, s.n, s.cp_ts,
+                     CASE WHEN g.rn <= s.kstar THEN 0 ELSE 1 END AS side,
+                     CASE WHEN g.rn <= s.kstar THEN g.rn - 1
+                          ELSE g.rn - s.kstar - 1 END AS x,
+                     g.vmil AS y
+              FROM g JOIN star s ON s.user_id = g.user_id),
+            agg AS (
+              SELECT user_id, kstar, n, cp_ts, side,
+                     CAST(COUNT(*) AS DOUBLE) AS m,
+                     CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE) AS sx,
+                     CAST(CAST(SUM(y) AS BIGINT) AS DOUBLE) AS sy,
+                     CAST(CAST(SUM(x*x) AS BIGINT) AS DOUBLE) AS sxx,
+                     CAST(CAST(SUM(x*y) AS BIGINT) AS DOUBLE) AS sxy
+              FROM sides GROUP BY 1, 2, 3, 4, 5),
+            sl AS (
+              SELECT user_id, side,
+                     CASE WHEN (m * sxx - sx * sx) <> 0
+                          THEN ((m * sxy - sx * sy) / (m * sxx - sx * sx)) / 1000.0
+                     END AS slope
+              FROM agg)
+            SELECT s.user_id, s.cp_ts, CAST(s.kstar AS BIGINT) AS cp_index,
+                   CAST(s.n AS BIGINT) AS n,
+                   pre.slope AS slope_pre, post.slope AS slope_post
+            FROM star s
+            LEFT JOIN (SELECT user_id, slope FROM sl WHERE side = 0) pre USING (user_id)
+            LEFT JOIN (SELECT user_id, slope FROM sl WHERE side = 1) post USING (user_id)
+        """,
         # exact digit extraction: integer-string head of the quantized
         # value — floor(log10(v)) would diverge across libms at
         # representation boundaries

@@ -2310,3 +2310,142 @@ def benford_deviation_by_group(
     out["g"] = out["g"].astype("string")
     out["n"] = out["n"].astype(np.int64)
     return out
+
+
+def trend_break_by_entity(
+    ds: ray.data.Dataset,
+    id_col: str,
+    time_col: str,
+    value_col: str,
+    *,
+    tiebreak: Sequence[str] = (),
+    min_rows: int = 8,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Segmented regression at the CUSUM breakpoint: per entity, locate
+    the mean-shift argmax (same exact-integer key and earliest-tie rule
+    as ``cusum_changepoint_by_entity`` — the two operators agree on
+    WHERE by construction) and fit an OLS slope to each side — "did
+    behavior change, and from what trend to what trend". The row index
+    is the regressor (slope per step); both sides use the Cramer 2×2
+    closed form over exact int64 moment sums (x small int, y in
+    milli-units), so the slopes are bit-identical to the SQL replay's
+    identical expression.
+
+    One entity-bucket exchange; per-entity work is three vectorized
+    segment scans + two O(side) integer reductions. Entities with fewer
+    than ``min_rows`` rows or any null value are skipped (same contract
+    as the changepoint op). A side with <2 points or zero variance
+    yields a null slope. Output: ``(id, cp_ts, cp_index, n, slope_pre,
+    slope_post)`` with slopes in value units per row step."""
+    from . import grouped
+
+    order = [time_col, *tiebreak]
+
+    def _slope(x: np.ndarray, y: np.ndarray):
+        m = np.float64(len(x))
+        sx = np.float64(int(x.sum())); sy = np.float64(int(y.sum()))
+        sxx = np.float64(int((x * x).sum())); sxy = np.float64(int((x * y).sum()))
+        det = m * sxx - sx * sx
+        if det == 0:
+            return np.nan
+        return float(((m * sxy - sx * sy) / det) / 1000.0)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy()
+        v = g[value_col].to_numpy(dtype=np.float64)
+        segs = grouped.entity_segments(ids)
+        out = []
+        for a, b in zip(segs[:-1], segs[1:]):
+            n = b - a
+            vs = v[a:b]
+            if n < min_rows or np.isnan(vs).any():
+                continue
+            vmil = np.floor(vs * 1000.0 + 0.5).astype(np.int64)
+            cs = np.cumsum(vmil)
+            total = cs[-1]
+            ks = np.arange(1, n + 1, dtype=np.int64)
+            key = np.abs(n * cs - ks * total)
+            k = int(np.argmax(key))  # first max = earliest (ts, tiebreak)
+            pre_y, post_y = vmil[: k + 1], vmil[k + 1:]
+            out.append({
+                id_col: ids[a], "cp_ts": g[time_col].iloc[a + k],
+                "cp_index": k + 1, "n": n,
+                "slope_pre": _slope(np.arange(len(pre_y), dtype=np.int64), pre_y),
+                "slope_post": _slope(np.arange(len(post_y), dtype=np.int64), post_y),
+            })
+        cols = [id_col, "cp_ts", "cp_index", "n", "slope_pre", "slope_post"]
+        return pd.DataFrame(out, columns=cols) if out else pd.DataFrame(columns=cols)
+
+    return grouped.grouped_ordered_map(ds, id_col, order, per_bucket, num_buckets=num_buckets)
+
+
+def kaplan_meier_survival(
+    ds: ray.data.Dataset,
+    id_col: str,
+    time_col: str,
+    type_col: str,
+    event_type: str,
+    *,
+    unit_us: int = 86_400_000_000,
+    round_to: int = 6,
+    num_buckets: int = 16,
+) -> pd.DataFrame:
+    """Kaplan–Meier survival over time-to-first-``event_type``: each
+    entity contributes one duration from its FIRST event to its first
+    ``event_type`` occurrence (event=1) or to its LAST event (censored,
+    event=0), in integer ``unit_us`` units (days by default) — the
+    right-censored "how long until users convert" curve, the survival-
+    analysis family's entry point (complements the point estimates in
+    ``activation_lag`` / ``time_to_next``).
+
+    Distribution: per-entity (first ts, last ts, first event ts) via
+    ONE combiner exchange (min/max/conditional-min are algebraic —
+    O(entities) partials, the fact table never widens); the KM product
+    closes on the driver over the distinct-event-time table. The SQL
+    replay uses a sequential ``product() OVER (ORDER BY t)`` window —
+    the same ascending multiply order as the numpy cumprod, so the
+    curve matches to the shared rounding.
+
+    Rows with null id/time/type drop. Output one row per distinct
+    event duration: ``(t, n_risk, d_events, survival)``."""
+
+    def prep(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.and_(pc.is_valid(t.column(id_col)), pc.is_valid(t.column(time_col))),
+                    pc.is_valid(t.column(type_col)))
+        t = t.filter(m)
+        col = t.column(time_col)
+        if pa.types.is_timestamp(col.type):
+            col = pc.cast(col, pa.timestamp("us"))
+        us = pc.cast(col, pa.int64())
+        is_ev = pc.equal(t.column(type_col), pa.scalar(event_type))
+        ev_us = pc.if_else(is_ev, us, pa.scalar(None, pa.int64()))
+        return pa.table({id_col: t.column(id_col), "us": us, "ev_us": ev_us})
+
+    per_entity = hash_groupby_aggregate(
+        ds.select_columns([id_col, time_col, type_col]).map_batches(prep, batch_format="pyarrow"),
+        [id_col],
+        {"t0": ("us", "min"), "tlast": ("us", "max"), "tev": ("ev_us", "min")},
+        num_buckets=num_buckets,
+    ).to_pandas()  # O(entities)
+    cols = {"t": np.array([], dtype=np.int64), "n_risk": np.array([], dtype=np.int64),
+            "d_events": np.array([], dtype=np.int64), "survival": np.array([], dtype=np.float64)}
+    if not len(per_entity):
+        return pd.DataFrame(cols)
+    tev = per_entity["tev"]
+    end = tev.fillna(per_entity["tlast"]).to_numpy(np.int64)
+    t0 = per_entity["t0"].to_numpy(np.int64)
+    dur = (end - t0) // unit_us
+    event = tev.notna().to_numpy()
+    ev_times = np.unique(dur[event])
+    if not len(ev_times):
+        return pd.DataFrame(cols)
+    # deaths at each event time; at-risk = durations >= t (ascending t)
+    d = np.array([(dur[event] == t).sum() for t in ev_times], dtype=np.int64)
+    nr = np.array([(dur >= t).sum() for t in ev_times], dtype=np.int64)
+    surv = np.cumprod(1.0 - d.astype(np.float64) / nr.astype(np.float64))
+    sc = 10.0 ** round_to
+    return pd.DataFrame({
+        "t": ev_times.astype(np.int64), "n_risk": nr, "d_events": d,
+        "survival": np.sign(surv) * np.floor(np.abs(surv) * sc + 0.5) / sc,
+    })

@@ -1340,3 +1340,47 @@ def test_benford_separates_natural_from_uniform(ray_session):
     ).set_index("g")
     assert out.loc["natural", "mad"] < 0.01
     assert out.loc["flat", "chi2"] > 100 * out.loc["natural", "chi2"]
+
+
+def test_trend_break_recovers_planted_kink(ray_session):
+    """Flat around 0 for 40 rows, then a +100 level jump with slope +3:
+    the CUSUM argmax must land at the mean shift and the per-side OLS
+    must recover slope 0 and slope 3."""
+    from temporalscope_ray.stages.stats import trend_break_by_entity
+
+    y = np.concatenate([np.zeros(40), 100.0 + 3.0 * np.arange(40)])
+    df = pd.DataFrame({
+        "user_id": [5] * 80, "event_id": range(80),
+        "ts": pd.date_range("2024-01-01", periods=80, freq="1h"),
+        "value": y,
+    })
+    out = trend_break_by_entity(ray.data.from_pandas(df).repartition(3),
+                                "user_id", "ts", "value",
+                                tiebreak=["event_id"]).to_pandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert row["cp_index"] == 40  # CUSUM localizes the mean shift
+    assert abs(row["slope_pre"]) < 0.01
+    assert abs(row["slope_post"] - 3.0) < 0.01
+
+
+def test_kaplan_meier_hand_curve(ray_session):
+    """3 users convert on days 1, 2, 2; one censored at day 3:
+    S(1) = 1 - 1/4 = 0.75; S(2) = 0.75 * (1 - 2/3) = 0.25."""
+    from temporalscope_ray.stages.stats import kaplan_meier_survival
+
+    t0 = pd.Timestamp("2024-01-01")
+    rows = []
+    for uid, (conv_day, converts) in enumerate(
+            [(1, True), (2, True), (2, True), (3, False)]):
+        rows.append((uid, t0, "view"))
+        rows.append((uid, t0 + pd.Timedelta(days=conv_day),
+                     "purchase" if converts else "view"))
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+    out = kaplan_meier_survival(
+        ray.data.from_pandas(df).repartition(2), "user_id", "ts",
+        "event_type", "purchase").set_index("t")
+    assert out.loc[1, "n_risk"] == 4 and out.loc[1, "d_events"] == 1
+    assert out.loc[1, "survival"] == 0.75
+    assert out.loc[2, "n_risk"] == 3 and out.loc[2, "d_events"] == 2
+    assert out.loc[2, "survival"] == 0.25
