@@ -3518,6 +3518,16 @@ def q_postings_docs(sf_dir: str):
                              min_df=10, cap=20, num_buckets=16)
 
 
+def q_value_concentration_deciles(sf_dir: str):
+    """Lorenz whale curve: user deciles by total value with per-decile
+    and cumulative value shares — cents-exact int sums through one
+    combiner exchange, NTILE-mirrored split, 10-row driver closure."""
+    from temporalscope_ray.stages.agg import concentration_deciles
+
+    ev = _events(sf_dir, ("user_id", "value"))
+    return concentration_deciles(ev, "user_id", "value")
+
+
 def q_km_survival_purchase(sf_dir: str):
     """Kaplan-Meier time-to-first-purchase curve (days, censored at the
     last observed event): ONE combiner exchange of per-entity
@@ -3661,6 +3671,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benford_value_by_type": q_benford_value_by_type,
         "trend_break_by_user": q_trend_break_by_user,
         "km_survival_purchase": q_km_survival_purchase,
+        "value_concentration_deciles": q_value_concentration_deciles,
         "postings_docs": q_postings_docs,
         "shift_multi_target": q_shift_multi_target,
         "incremental_features_refresh": q_incremental_features,
@@ -4237,6 +4248,29 @@ def oracle_sql() -> dict[str, str]:
         # phase reduced mod P BEFORE the trig call (DuckDB % follows the
         # dividend sign -> ((h%P)+P)%P); cos/sin then agree to ~1 ulp and
         # ROUND 6 absorbs the sum-order drift
+        # NTILE split + int-sum shares, division points mirrored
+        "value_concentration_deciles": """
+            WITH s AS (
+              SELECT user_id,
+                     CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS v
+              FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+              GROUP BY 1),
+            tot AS (SELECT CAST(SUM(v) AS DOUBLE) AS t FROM s),
+            t AS (SELECT *, NTILE(10) OVER (ORDER BY v DESC, user_id) AS decile FROM s),
+            d AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS users,
+                         CAST(SUM(v) AS BIGINT) AS dv
+                  FROM t GROUP BY 1)
+            SELECT CAST(decile AS BIGINT) AS decile, users,
+                   CASE WHEN (SELECT t FROM tot) > 0
+                        THEN ROUND(CAST(dv AS DOUBLE) / (SELECT t FROM tot), 6)
+                   END AS share,
+                   CASE WHEN (SELECT t FROM tot) > 0
+                        THEN ROUND(CAST(SUM(dv) OVER (ORDER BY decile
+                                         ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                                   / (SELECT t FROM tot), 6)
+                   END AS cum_share
+            FROM d
+        """,
         # the KM product multiplies in the SAME ascending order on both
         # sides (numpy cumprod vs a sequential product() window), so the
         # curve matches to the shared rounding; durations are exact ints

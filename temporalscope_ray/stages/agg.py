@@ -1719,3 +1719,66 @@ def feature_hash_counts(
     return hash_groupby_aggregate(
         parts, [id_col, "fh_bucket"], {"n": ("n", "sum")}, num_buckets=num_buckets
     )
+
+
+def concentration_deciles(
+    ds: ray.data.Dataset,
+    key_col: str,
+    value_col: str,
+    *,
+    scale: float = 100.0,
+    round_to: int = 6,
+    num_buckets: int = 16,
+) -> pd.DataFrame:
+    """Lorenz-style concentration report: entities ranked by their
+    total value (desc, id tiebreak) and split into 10 NTILE groups —
+    what share of total value the top decile of users carries (the
+    whale-curve companion to the Gini scalar in
+    ``q_gini_user_activity``). Per-entity sums are cents-quantized
+    int64 (exact in any engine/order); the decile split mirrors SQL
+    NTILE exactly (first ``n % 10`` groups take one extra row); shares
+    divide int sums cast to double at the same points, rounded
+    half-away. One combiner exchange (O(entities) partials); the
+    10-row closure runs on the driver. A zero/negative total yields
+    null shares (NULLIF semantics). Output:
+    ``(decile, users, share, cum_share)``."""
+    import pyarrow.compute as _pc
+
+    def tag(t: pa.Table) -> pa.Table:
+        m = _pc.and_(_pc.is_valid(t.column(key_col)), _pc.is_valid(t.column(value_col)))
+        t = t.filter(m)
+        v = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({key_col: t.column(key_col),
+                         "u": pa.array(np.rint(v * scale).astype(np.int64))})
+
+    from .grouped import hash_groupby_aggregate as _hga
+
+    per_key = _hga(
+        ds.select_columns([key_col, value_col]).map_batches(tag, batch_format="pyarrow"),
+        [key_col], {"v": ("u", "sum")}, num_buckets=num_buckets,
+    ).to_pandas()  # O(entities)
+    if not len(per_key):
+        return pd.DataFrame({"decile": np.array([], dtype=np.int64),
+                             "users": np.array([], dtype=np.int64),
+                             "share": np.array([], dtype=np.float64),
+                             "cum_share": np.array([], dtype=np.float64)})
+    srt = per_key.sort_values(["v", key_col], ascending=[False, True], kind="mergesort")
+    v = srt["v"].to_numpy(np.int64)
+    n = len(v)
+    k = min(10, n)
+    base, extra = divmod(n, 10)
+    sizes = np.array([base + (1 if i < extra else 0) for i in range(10)], dtype=np.int64)
+    sizes = sizes[sizes > 0]  # NTILE(10) over n<10 rows yields n 1-row groups
+    bounds = np.concatenate(([0], np.cumsum(sizes)))
+    dv = np.add.reduceat(v, bounds[:-1])
+    total = np.float64(int(v.sum()))
+    sc = 10.0 ** round_to
+    with np.errstate(divide="ignore", invalid="ignore"):
+        share = np.where(total > 0, dv.astype(np.float64) / total, np.nan)
+        cum = np.where(total > 0, np.cumsum(dv).astype(np.float64) / total, np.nan)
+    return pd.DataFrame({
+        "decile": np.arange(1, len(sizes) + 1, dtype=np.int64),
+        "users": sizes,
+        "share": np.sign(share) * np.floor(np.abs(share) * sc + 0.5) / sc,
+        "cum_share": np.sign(cum) * np.floor(np.abs(cum) * sc + 0.5) / sc,
+    })

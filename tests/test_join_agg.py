@@ -686,3 +686,23 @@ def test_trailing_global_aggregate_burst_guard(ray_session):
     for i in [0, 100, 400, n - 1]:
         m = (us >= us[i] - w) & (us <= us[i])
         assert base.loc[i, "w_count"] == m.sum()
+
+
+def test_concentration_deciles_whale_dominates(ray_session):
+    """One user holding ~all value: decile 1 must carry ~the whole
+    cumulative share, and shares must sum to 1."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from temporalscope_ray.stages.agg import concentration_deciles
+
+    df = pd.DataFrame({"user_id": np.arange(100).repeat(2),
+                       "value": [0.5] * 200})
+    df.loc[df["user_id"] == 7, "value"] = 5000.0
+    out = concentration_deciles(ray.data.from_pandas(df).repartition(4),
+                                "user_id", "value")
+    assert len(out) == 10 and out["users"].sum() == 100
+    assert out.loc[0, "share"] > 0.9  # the whale decile
+    assert abs(out["share"].sum() - 1.0) < 1e-5
+    assert out["cum_share"].iloc[-1] == 1.0
