@@ -15,7 +15,8 @@ into that pipeline with the scale decisions made explicitly:
   map for the chosen region and applied as a zero-shuffle vectorized
   filter+map. No exchange.
 * Money is exact: revenue is accumulated as the INT64 number of
-  10⁻⁴-dollar units, ``rint(price·100) · rint(100 − discount·100)``
+  10⁻⁴-dollar units, ``floor(price·100 + ½) · floor(100 − discount·100 + ½)`` (half-away,
+  matching SQL ``round`` on the positive domain)
   — TPC-H prices and discounts carry exactly two decimals, so the
   product is exact and every partial sum is an integer. The final
   division by 10⁴ produces a double bit-identical to any engine that
@@ -64,7 +65,7 @@ def revenue_by_nation(
     """Revenue per nation where customer and supplier share the nation,
     restricted to one region and an order-date range (TPC-H Q5
     semantics). Output: ``(n_name, revenue)`` with ``revenue`` a double
-    equal to ``Σ rint(100·price)·rint(100−100·discount) / 10⁴``."""
+    equal to ``Σ floor(100·price+½)·floor(100−100·discount+½) / 10⁴``."""
     lo = pa.scalar(pd.Timestamp(date_lo), type=pa.timestamp("us"))
     hi = pa.scalar(pd.Timestamp(date_hi), type=pa.timestamp("us"))
 
@@ -79,7 +80,7 @@ def revenue_by_nation(
     def to_units(t: pa.Table) -> pa.Table:
         p = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
         d = t.column("l_discount").to_numpy(zero_copy_only=False)
-        rev = np.rint(p * 100.0).astype(np.int64) * np.rint(100.0 - d * 100.0).astype(np.int64)
+        rev = np.floor(p * 100.0 + 0.5).astype(np.int64) * np.floor(100.0 - d * 100.0 + 0.5).astype(np.int64)
         return pa.table({
             "o_orderkey": t.column("l_orderkey"),
             "s_suppkey": t.column("l_suppkey"),
@@ -172,7 +173,7 @@ def top_unshipped_orders(
         t = t.filter(pc.greater(t.column("l_shipdate"), cut))
         p = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
         d = t.column("l_discount").to_numpy(zero_copy_only=False)
-        rev = np.rint(p * 100.0).astype(np.int64) * np.rint(100.0 - d * 100.0).astype(np.int64)
+        rev = np.floor(p * 100.0 + 0.5).astype(np.int64) * np.floor(100.0 - d * 100.0 + 0.5).astype(np.int64)
         return pa.table({"o_orderkey": t.column("l_orderkey"), "rev_e4": pa.array(rev)})
 
     ord_f = orders.map_batches(keep_orders, batch_format="pyarrow", zero_copy_batch=True)
@@ -233,7 +234,7 @@ def promo_revenue_share(
                              pc.is_valid(t.column("l_discount"))))
         p = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
         disc = t.column("l_discount").to_numpy(zero_copy_only=False)
-        rev = np.rint(p * 100.0).astype(np.int64) * np.rint(100.0 - disc * 100.0).astype(np.int64)
+        rev = np.floor(p * 100.0 + 0.5).astype(np.int64) * np.floor(100.0 - disc * 100.0 + 0.5).astype(np.int64)
         return pa.table({"p_partkey": t.column("l_partkey"), "rev_e4": pa.array(rev)})
 
     def keep_parts(t: pa.Table) -> pa.Table:

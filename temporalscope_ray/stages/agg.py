@@ -1749,7 +1749,8 @@ def concentration_deciles(
         t = t.filter(m)
         v = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
         return pa.table({key_col: t.column(key_col),
-                         "u": pa.array(np.rint(v * scale).astype(np.int64))})
+                         "u": pa.array((np.sign(v) * np.floor(np.abs(v) * scale + 0.5))
+                                       .astype(np.int64))})
 
     from .grouped import hash_groupby_aggregate as _hga
 

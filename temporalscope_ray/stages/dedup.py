@@ -1494,7 +1494,10 @@ def edit_distance_pairs(
     normalize-ing to empty or longer than ``max_len`` are excluded
     (cost bound: DP is O(len²)); blocks larger than ``max_block`` are
     skipped wholesale (deterministic — boilerplate floods would go
-    quadratic; both sides apply the same rule).
+    quadratic; both sides apply the same rule). Inside a block, a cheap
+    O(len) char-histogram L1 lower bound (dist ≥ L1/2) gates the
+    O(len²) DP, so same-length template floods cost a bincount, not a
+    DP, per pair.
 
     Scale shape: ONE block-key exchange in which the normalized text
     rides once (same contract as line-level dedup); in-block pairs are
@@ -1523,8 +1526,22 @@ def edit_distance_pairs(
         for s, e in zip(segs[:-1], segs[1:]):
             if e - s < 2 or e - s > max_block:
                 continue
+            # O(len) histogram lower bound before the O(len²) DP: one
+            # edit op changes the char-histogram L1 by ≤2, so
+            # dist ≥ L1/2 — kills same-length template floods that the
+            # |len_a−len_b| prefilter can't (worst case without it:
+            # ~max_block²/2 DPs of ~max_len² cells in ONE bucket task).
+            # The normalized alphabet is [a-z0-9 ] → 256-wide bincount
+            # per doc, computed once per block, pairwise L1 in numpy.
+            hist = np.zeros((e - s, 256), dtype=np.int32)
             for i in range(s, e):
-                for j in range(i + 1, e):
+                hist[i - s] = np.bincount(
+                    np.frombuffer(texts[i].encode(), dtype=np.uint8),
+                    minlength=256)
+            for i in range(s, e):
+                l1 = np.abs(hist[i - s + 1:] - hist[i - s]).sum(axis=1)
+                for jo in np.nonzero(l1 <= 2 * max_dist)[0]:
+                    j = i + 1 + int(jo)
                     if abs(len(texts[i]) - len(texts[j])) > max_dist:
                         continue
                     d = _levenshtein(texts[i], texts[j])

@@ -1374,7 +1374,8 @@ def target_encode_expanding_daily(
     category prefix runs on the driver over that VOCAB-SIZED grid (types
     × days — never row-scale); the encoded values broadcast once into a
     zero-shuffle vectorized merge. Exactness: sums are int64 units
-    (``rint(x·scale)``), prefixes are exact integer arithmetic, and the
+    (``sign·floor(|x|·scale+½)`` — half-away, matching SQL ROUND), prefixes
+    are exact integer arithmetic, and the
     finish ``cs / cc / scale`` is the same two divisions in both
     engines — bit-exact, SQL-replayable.
     """
@@ -1385,7 +1386,7 @@ def target_encode_expanding_daily(
 
     def part(b: pd.DataFrame) -> pd.DataFrame:
         v = b[target_col].to_numpy(dtype=np.float64)
-        units = np.rint(v * scale)
+        units = np.sign(v) * np.floor(np.abs(v) * scale + 0.5)
         df = pd.DataFrame({
             cat_col: b[cat_col].to_numpy(),
             day_col: (b[time_col].astype("int64") // 86_400_000_000).to_numpy(),
@@ -1923,7 +1924,8 @@ def max_drawdown_by_entity(
     its own peak). The reference has no cumulative-risk operators; this
     joins the sequential family beside ``add_cusum``.
 
-    Exactness: values quantize to integer units (``rint(v*scale)`` —
+    Exactness: values quantize to integer units (half-away
+    ``sign·floor(|v|·scale+½)``, matching SQL ROUND —
     DuckDB ``ROUND(v*scale, 0)``), so the running sum, running max and
     every drawdown are int64 and bit-exact in any engine; the one float
     op is the final ``/scale``, identical on both sides. Null values
@@ -1943,7 +1945,8 @@ def max_drawdown_by_entity(
         sizes = np.diff(segs)
         seg_id = np.repeat(np.arange(len(sizes)), sizes)
         v = g[value_col].to_numpy(dtype=np.float64)
-        units = np.where(np.isnan(v), 0.0, np.rint(v * scale)).astype(np.int64)
+        units = np.where(np.isnan(v), 0.0,
+                         np.sign(v) * np.floor(np.abs(v) * scale + 0.5)).astype(np.int64)
         cum = pd.Series(units).groupby(seg_id, sort=False).cumsum().to_numpy()
         runmax = pd.Series(cum).groupby(seg_id, sort=False).cummax().to_numpy()
         dd = runmax - cum  # int64, >= 0 by construction
@@ -1979,10 +1982,15 @@ def hourly_xcorr_pair(
     count partials; grid densification + per-lag correlations close on
     that aggregate on the driver (hours are bounded). A lag with no
     overlapping pair emits no row (SQL inner join); a constant overlap
-    gives null."""
+    gives null. Null-timestamp rows are dropped before the hour cast
+    (mirroring ``spectral_amplitude_by_group``): the SQL replay's
+    epoch_us(NULL) never joins the grid, and an unfiltered null would
+    otherwise float-promote the ``h`` column (schema drift across
+    blocks) and cast NaN to INT64_MIN downstream."""
     HOUR_US = 3_600_000_000
 
     def tag(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column(time_col)))
         col = t.column(time_col)
         if pa.types.is_timestamp(col.type):
             col = pc.cast(col, pa.timestamp("us"))
@@ -2038,7 +2046,8 @@ def ols_calendar_by_group(
     **Gram reduce**. Each block collapses to int64 partial sums of the
     normal-equation moments (n, Σh, Σd, Σh², Σhd, Σd², Σy, Σhy, Σdy)
     per group; ONE partials exchange sums them (all-integer — value is
-    quantized to ``rint(v·scale)`` units, features are small ints, so
+    quantized to half-away ``sign·floor(|v|·scale+½)`` units (matching SQL
+    ROUND), features are small ints, so
     every sum is EXACT in any engine and any addition order); the 3×3
     solve is a closed-form Cramer expansion over the group-count-sized
     aggregate with a pinned float-op order, so the betas are
@@ -2051,10 +2060,15 @@ def ols_calendar_by_group(
     yields null betas, never a crash. Output per group:
     ``(group, n, b0, b_hour, b_dow)`` with betas in value units.
 
-    int64 bound: Σhy ≤ n·23·max|v|·scale — overflows only past ~4e12
-    rows at |v|≤1e4, where per-group sharded partials (int128 via two
-    lanes) would take over; documented, loud by numpy overflow runtime
-    warning rather than silent at test scales."""
+    int64 bound: Σhy ≤ n·23·max|v|·scale — wraps only past ~4e12 rows
+    at |v|≤1e4. NOTE the failure mode past that bound is a SILENT wrap
+    (pandas ``groupby().sum()`` on int64 wraps with no warning) while
+    the DuckDB oracle's SUM promotes to HUGEINT and stays exact, so an
+    engine/oracle comparison would diverge rather than raise; approach
+    the bound with per-group sharded partials (int128 via two int64
+    lanes). The ``moments`` stage raises loudly if a single block's
+    ``max|u|`` already exceeds 2^46 (which would let even modest row
+    counts wrap)."""
 
     def moments(t: pa.Table) -> pa.Table:
         df = t.select([group_col, time_col, value_col]).to_pandas()
@@ -2068,7 +2082,13 @@ def ols_calendar_by_group(
         ts = pd.to_datetime(df[time_col])
         h = ts.dt.hour.to_numpy(np.int64)
         d = (ts.dt.dayofweek.to_numpy(np.int64) + 1)  # ISO: Mon=1..Sun=7
-        u = np.rint(df[value_col].to_numpy(np.float64) * scale).astype(np.int64)
+        vv = df[value_col].to_numpy(np.float64)
+        u = (np.sign(vv) * np.floor(np.abs(vv) * scale + 0.5)).astype(np.int64)
+        if len(u) and int(np.abs(u).max()) > (1 << 46):
+            raise OverflowError(
+                "ols_calendar_by_group: |value|*scale exceeds 2^46 units; "
+                "int64 moment sums could wrap silently — rescale the value "
+                "column or shard partials into two int64 lanes")
         p = pd.DataFrame({
             group_col: df[group_col].to_numpy(),
             "n": np.ones(len(df), dtype=np.int64),
@@ -2268,7 +2288,8 @@ def benford_deviation_by_group(
     data tripwire for financial-style value columns.
 
     Digit extraction is EXACT, not float-log based: values quantize to
-    integer units (``rint(|v|·scale)``, zero/null excluded) and the
+    integer units (half-away ``floor(|v|·scale+½)``, matching SQL ROUND;
+    zero/null excluded) and the
     leading digit is the first character of the INTEGER's decimal
     string — identical in any engine, where ``floor(log10(v))`` differs
     across libms at representation boundaries. One combiner exchange of
@@ -2278,7 +2299,7 @@ def benford_deviation_by_group(
     def tag(t: pa.Table) -> pa.Table:
         df = t.select([group_col, value_col]).to_pandas()
         df = df[df[group_col].notna() & df[value_col].notna()]
-        u = np.rint(np.abs(df[value_col].to_numpy(np.float64)) * scale).astype(np.int64)
+        u = np.floor(np.abs(df[value_col].to_numpy(np.float64)) * scale + 0.5).astype(np.int64)
         keep = u > 0
         digit = pd.Series(u[keep]).astype(str).str[0].astype(np.int64).to_numpy()
         return pa.table({"g": pa.array(df[group_col].to_numpy()[keep]),
@@ -2336,7 +2357,10 @@ def trend_break_by_entity(
     segment scans + two O(side) integer reductions. Entities with fewer
     than ``min_rows`` rows or any null value are skipped (same contract
     as the changepoint op). A side with <2 points or zero variance
-    yields a null slope. Output: ``(id, cp_ts, cp_index, n, slope_pre,
+    yields a null slope. int64 note: the ``n·cs`` CUSUM key wraps
+    SILENTLY past ~2^63 (numpy int64; DuckDB's HUGEINT promotion would
+    stay exact) — out of range below ~1e9 rows·units per entity, but
+    the asymmetry is silent divergence, not a loud error. Output: ``(id, cp_ts, cp_index, n, slope_pre,
     slope_post)`` with slopes in value units per row step."""
     from . import grouped
 

@@ -1933,7 +1933,8 @@ def add_cusum(
     running deviation sum, so the recursion is two Cython grouped scans
     (cumsum + cummin), never a per-row loop.
 
-    Exactness: values are quantized to integer units (``rint(x·scale)``
+    Exactness: values are quantized to integer units (half-away
+    ``sign·floor(|x|·scale+½)``, matching SQL ROUND
     — DuckDB ``ROUND(x*scale, 0)``), so C, the running min, and S are
     all int64 and BIT-exact in any engine; the only float op is the
     final ``S/scale``, one identical division in both. ``target_units``
@@ -1952,7 +1953,7 @@ def add_cusum(
     if target_units is None:
         def partials(b: pd.DataFrame) -> pd.DataFrame:
             v = b[value_col].to_numpy(dtype=np.float64)
-            u = np.rint(v * scale)
+            u = np.sign(v) * np.floor(np.abs(v) * scale + 0.5)
             ok = ~np.isnan(v)
             return pd.DataFrame({"__s__": [int(u[ok].sum())], "__n__": [int(ok.sum())]})
 
@@ -1968,7 +1969,7 @@ def add_cusum(
         out = g.copy()
         seg_id = _segment_ids(grouped.entity_segments(g[id_col].to_numpy()))
         v = g[value_col].to_numpy(dtype=np.float64)
-        units = np.rint(v * scale)
+        units = np.sign(v) * np.floor(np.abs(v) * scale + 0.5)
         dev = np.where(np.isnan(v), 0, units - ref).astype(np.int64)
         c = pd.Series(dev).groupby(seg_id, sort=False).cumsum().to_numpy()
         m = pd.Series(c).groupby(seg_id, sort=False).cummin().to_numpy()
