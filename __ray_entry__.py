@@ -908,7 +908,7 @@ def q_hash_split_docs(sf_dir: str):
     from temporalscope_ray.stages.sampling import with_split_column
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
-    return with_split_column(docs, "doc_id", SPLIT_FRACTIONS)
+    return with_split_column(docs, "doc_id", SPLIT_FRACTIONS, portable=True)
 
 
 def q_stratified_sample_docs(sf_dir: str):
@@ -917,7 +917,7 @@ def q_stratified_sample_docs(sf_dir: str):
     from temporalscope_ray.stages.sampling import stratified_sample
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
-    return stratified_sample(docs, "doc_id", strata_col="lang",
+    return stratified_sample(docs, "doc_id", strata_col="lang", portable=True,
                              rates=SAMPLE_RATES, default_rate=SAMPLE_DEFAULT_RATE)
 
 
@@ -929,7 +929,8 @@ def q_shuffle_docs(sf_dir: str):
     from temporalscope_ray.stages.sampling import deterministic_shuffle
 
     docs = _read(sf_dir, "documents", columns=["doc_id"])
-    return deterministic_shuffle(docs, "doc_id", salt="epoch0", pos_col="shuffle_pos")
+    return deterministic_shuffle(docs, "doc_id", salt="epoch0", pos_col="shuffle_pos",
+                                 portable=True)
 
 
 def q_sample_k_docs(sf_dir: str):
@@ -938,7 +939,7 @@ def q_sample_k_docs(sf_dir: str):
     from temporalscope_ray.stages.sampling import sample_k
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
-    return sample_k(docs, "doc_id", k=100, salt="eval")
+    return sample_k(docs, "doc_id", k=100, salt="eval", portable=True)
 
 
 def q_normalize_text_docs(sf_dir: str):
@@ -957,7 +958,8 @@ def q_temperature_resample_docs(sf_dir: str):
     from temporalscope_ray.stages.sampling import temperature_resample
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
-    return temperature_resample(docs, "doc_id", "lang", alpha=0.3, salt="tmp")
+    return temperature_resample(docs, "doc_id", "lang", alpha=0.3, salt="tmp",
+                                portable=True)
 
 
 def q_interarrival_by_user(sf_dir: str):
@@ -1466,7 +1468,7 @@ def q_image_curation_pipeline(sf_dir: str):
         })
 
     images = docs.map_batches(mk, batch_format="pandas")
-    return curate_image_corpus(images, num_buckets=8, concurrency=2)
+    return curate_image_corpus(images, num_buckets=8, concurrency=2, portable=True)
 
 
 def q_trending_daily_types(sf_dir: str):
@@ -2234,7 +2236,8 @@ def q_split_leakage_images(sf_dir: str):
         return pd.DataFrame({"image_id": b["doc_id"].to_numpy(),
                              "phash": ph.astype(np.uint64).view(np.int64)})
 
-    img = with_split_column(docs.map_batches(mk, batch_format="pandas"), "image_id")
+    img = with_split_column(docs.map_batches(mk, batch_format="pandas"), "image_id",
+                            portable=True)
     train_keys = img.filter(expr="split == 'train'").select_columns(["phash"])
     holdout = img.filter(expr="split != 'train'")
     leaked = semi_join(holdout, train_keys, "phash")
@@ -2404,7 +2407,7 @@ def q_length_weighted_sample_docs(sf_dir: str):
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
     return importance_sample(docs, "doc_id", "n_chars",
-                             target_frac=0.3, salt="lw")
+                             target_frac=0.3, salt="lw", portable=True)
 
 
 def q_contrastive_triplets_docs(sf_dir: str):
@@ -2417,7 +2420,7 @@ def q_contrastive_triplets_docs(sf_dir: str):
     from temporalscope_ray.stages.sampling import negative_pair
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return negative_pair(docs, "doc_id", ["text"], salt="neg")
+    return negative_pair(docs, "doc_id", ["text"], salt="neg", portable=True)
 
 
 def q_history_seq_by_user(sf_dir: str):
@@ -2794,9 +2797,11 @@ def q_training_mix_docs(sf_dir: str):
     from temporalscope_ray.stages.scan import pack_by_budget
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
-    mixed = temperature_resample(docs, "doc_id", "lang", alpha=0.5, salt="mix")
-    train = hash_split(mixed, "doc_id", SPLIT_FRACTIONS)["train"]
-    shuffled = deterministic_shuffle(train, "doc_id", salt="epoch0", pos_col="pos")
+    mixed = temperature_resample(docs, "doc_id", "lang", alpha=0.5, salt="mix",
+                                 portable=True)
+    train = hash_split(mixed, "doc_id", SPLIT_FRACTIONS, portable=True)["train"]
+    shuffled = deterministic_shuffle(train, "doc_id", salt="epoch0", pos_col="pos",
+                                     portable=True)
     return pack_by_budget(shuffled, order_by=["pos"], token_col="n_chars",
                           capacity=4096)
 
@@ -3141,7 +3146,7 @@ def q_sample3_docs_per_lang(sf_dir: str):
     from temporalscope_ray.stages.sampling import sample_per_group
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
-    return sample_per_group(docs, "lang", "doc_id", n=3, salt="s1")
+    return sample_per_group(docs, "lang", "doc_id", n=3, salt="s1", portable=True)
 
 
 def q_json_extract_props(sf_dir: str):

@@ -56,6 +56,7 @@ def curate_image_corpus(
     num_buckets: int = 16,
     concurrency=4,
     gate_kwargs=None,
+    portable: bool = False,
 ) -> ray.data.Dataset:
     """Image-corpus curation + contrastive training-set construction —
     the north-rule composition over the ``(image_id, bytes, w, h, fmt,
@@ -94,4 +95,4 @@ def curate_image_corpus(
     if n < 2:
         return idx
     return negative_pair(idx, "idx", [id_col, caption_col], n=n, salt=salt,
-                         num_buckets=num_buckets)
+                         num_buckets=num_buckets, portable=portable)

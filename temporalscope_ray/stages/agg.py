@@ -360,7 +360,7 @@ def approx_distinct_kmv(
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         d = df[[group_col, key_col]].drop_duplicates()
-        h = _md5_lower64(d[key_col].astype(str).tolist())
+        h = _md5_lower64(d[key_col].astype(str))
         p = pd.DataFrame({group_col: d[group_col].to_numpy(), "__h__": h})
         p = p.drop_duplicates().sort_values([group_col, "__h__"], kind="mergesort")
         return p.groupby(group_col, sort=False).head(k)
@@ -1303,7 +1303,7 @@ def rolling_distinct_sketch(
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         ts_us = df[time_col].to_numpy().astype("datetime64[us]").astype(np.int64)
         d = pd.DataFrame({"day": ts_us // DAY_US,
-                          "__h__": _md5_lower64(df[key_col].astype(str).tolist())})
+                          "__h__": _md5_lower64(df[key_col].astype(str))})
         d = d.drop_duplicates().sort_values(["day", "__h__"], kind="mergesort")
         return d.groupby("day", sort=False).head(k)
 

@@ -313,7 +313,7 @@ def feature_cross(
         key = df[cols[0]].astype(str)
         for c in cols[1:]:
             key = key + sep + df[c].astype(str)
-        h = _md5_lower64(key.tolist()) % np.uint64(num_bins)
+        h = _md5_lower64(key) % np.uint64(num_bins)
         res = pd.array(h.astype(np.int64), dtype="Int64")
         res[bad] = pd.NA
         out[out_col] = res

@@ -154,7 +154,7 @@ class Fingerprint:
         if self.portable:
             from .dedup import _md5_lower64
 
-            h = _md5_lower64(norm.tolist())
+            h = _md5_lower64(norm)
         else:
             h = pd.util.hash_array(norm.to_numpy(dtype=object))
         batch["fingerprint"] = h.astype(np.int64)  # wrap-around view: stable, sign-agnostic

@@ -294,7 +294,8 @@ def test_deterministic_shuffle_matches_oracle_order():
 
     df = _docs(800)
     mine = sampling.deterministic_shuffle(
-        ray.data.from_pandas(df).repartition(5), "doc_id", salt="s", pos_col="pos"
+        ray.data.from_pandas(df).repartition(5), "doc_id", salt="s", pos_col="pos",
+        portable=True,
     ).to_pandas().sort_values("doc_id").reset_index(drop=True)
     oracle = duckdb.sql("""
         SELECT doc_id,
@@ -322,9 +323,9 @@ def test_deterministic_shuffle_ordered_consumption():
 def test_sample_k_exact_size_and_parallelism_independent():
     df = _docs(1500)
     a = sampling.sample_k(ray.data.from_pandas(df).repartition(2), "doc_id",
-                          k=64, salt="e").to_pandas()
+                          k=64, salt="e", portable=True).to_pandas()
     b = sampling.sample_k(ray.data.from_pandas(df).repartition(17), "doc_id",
-                          k=64, salt="e").to_pandas()
+                          k=64, salt="e", portable=True).to_pandas()
     assert len(a) == 64 and set(a["doc_id"]) == set(b["doc_id"])
     # matches the SQL selection rule exactly
     import duckdb
@@ -364,7 +365,7 @@ def test_temperature_resample_rebalances_and_matches_sql():
     df = _docs(4000, seed=7)  # en ~60%, fr/de ~20% each
     out = sampling.temperature_resample(
         ray.data.from_pandas(df).repartition(6), "doc_id", "lang",
-        alpha=0.3, salt="t"
+        alpha=0.3, salt="t", portable=True,
     ).to_pandas()
     oracle = duckdb.sql("""
         WITH cnt AS (SELECT lang, COUNT(*)::DOUBLE AS c FROM df GROUP BY lang),
