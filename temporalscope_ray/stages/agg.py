@@ -417,7 +417,8 @@ def cohort_retention(
     def tag(df: pd.DataFrame) -> pd.DataFrame:
         c = ray.get(ref)
         ts_us = df[time_col].to_numpy().astype("datetime64[us]").astype(np.int64)
-        coh = df[id_col].map(c).to_numpy(dtype=np.int64)
+        from .grouped import probe_f64
+        coh = probe_f64(df[id_col].to_numpy(), pd.Series(c)).astype(np.int64)
         return pd.DataFrame({
             id_col: df[id_col].to_numpy(),
             "cohort": coh,
@@ -769,9 +770,10 @@ def attach_transition_prob(
     ref = _ray.put(prob)
 
     def attach(b: pd.DataFrame) -> pd.DataFrame:
+        from .grouped import probe_f64
         p = _ray.get(ref)
         out = b.copy()
-        out[dst] = b[type_col].map(p)
+        out[dst] = probe_f64(b[type_col].to_numpy(), pd.Series(p))
         return out
 
     return ds.map_batches(attach, batch_format="pandas")

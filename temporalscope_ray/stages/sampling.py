@@ -343,10 +343,10 @@ def temperature_resample(
     def keep(batch: pa.Table) -> pa.Table:
         r = ray.get(ref)
         u = _key_units(batch.column(key_col).to_pandas(), salt=salt, portable=portable)
-        thr = (
-            pd.Series(batch.column(strata_col).to_pandas())
-            .map(r).fillna(0).to_numpy(dtype=np.int64)
-        )
+        from .grouped import probe_f64
+        thr = np.nan_to_num(
+            probe_f64(batch.column(strata_col).to_pandas().to_numpy(),
+                      pd.Series(r))).astype(np.int64)
         return batch.filter(pa.array((u % np.uint64(1_000_000)).astype(np.int64) < thr))
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)

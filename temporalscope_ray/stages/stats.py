@@ -72,6 +72,9 @@ def entity_stats(
     return partials.map_batches(finish, batch_format="pyarrow")
 
 
+from .grouped import probe_f64 as _probe_f64
+
+
 def zscore_per_entity(
     ds: ray.data.Dataset,
     id_col: str,
@@ -95,8 +98,9 @@ def zscore_per_entity(
 
     def apply(batch: pd.DataFrame) -> pd.DataFrame:
         lk: pd.DataFrame = ray.get(ref)
-        m = batch[id_col].map(lk["mean"]).to_numpy(dtype=np.float64)
-        s = batch[id_col].map(lk["std"]).to_numpy(dtype=np.float64)
+        keys = batch[id_col].to_numpy()
+        m = _probe_f64(keys, lk["mean"])
+        s = _probe_f64(keys, lk["std"])
         v = batch[value_col].to_numpy(dtype=np.float64)
         with np.errstate(invalid="ignore", divide="ignore"):
             z = np.where(s > 0, (v - m) / s, np.nan)
@@ -176,10 +180,9 @@ def robust_scale_per_group(
 
     def apply(batch: pd.DataFrame) -> pd.DataFrame:
         lk: pd.DataFrame = ray.get(ref)
-        med = batch[id_col].map(lk[p50]).to_numpy(dtype=np.float64)
-        iqr = (batch[id_col].map(lk[p75]) - batch[id_col].map(lk[p25])).to_numpy(
-            dtype=np.float64
-        )
+        keys = batch[id_col].to_numpy()
+        med = _probe_f64(keys, lk[p50])
+        iqr = _probe_f64(keys, lk[p75]) - _probe_f64(keys, lk[p25])
         v = batch[value_col].to_numpy(dtype=np.float64)
         with np.errstate(invalid="ignore", divide="ignore"):
             r = np.where(iqr > 0, (v - med) / iqr, np.nan)
@@ -232,7 +235,7 @@ def target_encode(
     def apply(df: pd.DataFrame) -> pd.DataFrame:
         t = ray.get(ref)
         out = df.copy()
-        out[dst] = df[cat_col].map(t).astype(np.float64)
+        out[dst] = _probe_f64(df[cat_col].to_numpy(), pd.Series(t))
         return out
 
     return ds.map_batches(apply, batch_format="pandas")
@@ -254,7 +257,8 @@ def frequency_encode(
 
     def apply(df: pd.DataFrame) -> pd.DataFrame:
         out = df.copy()
-        out[dst] = df[cat_col].map(ray.get(ref)).astype("Int64")
+        out[dst] = pd.Series(
+            _probe_f64(df[cat_col].to_numpy(), pd.Series(ray.get(ref)))).astype("Int64")
         return out
 
     return ds.map_batches(apply, batch_format="pandas")
@@ -349,8 +353,9 @@ def minmax_scale_per_group(
 
     def apply(batch: pd.DataFrame) -> pd.DataFrame:
         lk: pd.DataFrame = ray.get(ref)
-        lo = batch[id_col].map(lk["__lo__"]).to_numpy(dtype=np.float64)
-        hi = batch[id_col].map(lk["__hi__"]).to_numpy(dtype=np.float64)
+        keys = batch[id_col].to_numpy()
+        lo = _probe_f64(keys, lk["__lo__"])
+        hi = _probe_f64(keys, lk["__hi__"])
         v = batch[value_col].to_numpy(dtype=np.float64)
         out = batch.copy()
         with np.errstate(invalid="ignore", divide="ignore"):
@@ -479,7 +484,7 @@ def grouped_moments(
     means_ref, const_ref = ray.put(means), ray.put(const)
 
     def centered(df: pd.DataFrame) -> pd.DataFrame:
-        m = df[key_col].map(ray.get(means_ref)).to_numpy(dtype=np.float64)
+        m = _probe_f64(df[key_col].to_numpy(), pd.Series(ray.get(means_ref)))
         c = df[value_col].to_numpy(dtype=np.float64) - m
         c2 = c * c
         return pd.DataFrame({

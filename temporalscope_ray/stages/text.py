@@ -385,7 +385,8 @@ def tfidf_score(
         s = batch.column(text_col).to_pandas().fillna("").astype(str)
         toks = s.str.lower().str.findall(ASCII_WORD_RE)
         flat = toks.explode().dropna()
-        w = flat.map(idf_s).to_numpy(dtype=np.float64)
+        from .grouped import probe_f64
+        w = probe_f64(flat.to_numpy(), idf_s)
         sums = np.zeros(len(s), dtype=np.float64)
         np.add.at(sums, flat.index.to_numpy(dtype=np.int64), np.nan_to_num(w))
         out = batch.select([id_col]).to_pandas()
@@ -828,7 +829,8 @@ def top_keyword(
                 pd.DataFrame({"row": flat.index.to_numpy(), "term": flat.to_numpy()})
                 .groupby(["row", "term"], sort=False).size().reset_index(name="tf")
             )
-            tf["score"] = tf["tf"].to_numpy(dtype=np.float64) * tf["term"].map(idf_s).to_numpy(dtype=np.float64)
+            from .grouped import probe_f64
+            tf["score"] = tf["tf"].to_numpy(dtype=np.float64) * probe_f64(tf["term"].to_numpy(), idf_s)
             best = tf.sort_values(["row", "score", "term"],
                                   ascending=[True, False, True],
                                   kind="mergesort").groupby("row", sort=False).head(1)
@@ -1109,8 +1111,10 @@ def pmi_pairs(
     def score(b: pd.DataFrame) -> pd.DataFrame:
         t = _ray.get(ref)
         b = b[b["nab"] >= min_pair_count]
-        na = b["ta"].map(t).to_numpy(np.float64)
-        nb = b["tb"].map(t).to_numpy(np.float64)
+        from .grouped import probe_f64
+        ts = pd.Series(t)
+        na = probe_f64(b["ta"].to_numpy(), ts)
+        nb = probe_f64(b["tb"].to_numpy(), ts)
         arg = b["nab"].to_numpy(np.float64) * float(n_docs) / (na * nb)
         pmi = np.log(arg)
         pmi = np.sign(pmi) * np.floor(np.abs(pmi) * 1e6 + 0.5) / 1e6

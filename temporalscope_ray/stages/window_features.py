@@ -2291,8 +2291,9 @@ def grouped_autocorr(
         s = d.groupby(id_col, sort=False).agg(
             n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"))
         # centered second pass within the bucket (exact per-group means)
-        mx = d[id_col].map(s["sx"] / s["n"]).to_numpy()
-        my = d[id_col].map(s["sy"] / s["n"]).to_numpy()
+        dk = d[id_col].to_numpy()
+        mx = grouped.probe_f64(dk, s["sx"] / s["n"])
+        my = grouped.probe_f64(dk, s["sy"] / s["n"])
         cx = d["x"].to_numpy() - mx
         cy = d["y"].to_numpy() - my
         d2 = pd.DataFrame({id_col: d[id_col], "xx": cx * cx, "yy": cy * cy,
