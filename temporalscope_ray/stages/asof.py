@@ -97,7 +97,7 @@ def asof_join(
     suffix: str = "_right",
     broadcast: Optional[bool] = None,
     broadcast_limit_rows: int = 5_000_000,
-    num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+    num_buckets: Optional[int] = None,
     concurrency: int | tuple[int, int] = 8,
     hot_entities: Optional[Sequence] = None,
     num_salts: int = 8,
@@ -114,6 +114,9 @@ def asof_join(
     the hot entities' right rows only."""
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError("direction must be 'backward', 'forward' or 'nearest'")
+    # auto-size the exchange from LEFT-side metadata while it is still
+    # metadata-priced (select_columns/map kill _meta_count downstream)
+    num_buckets = grouped.resolve_num_buckets(left, num_buckets)
     # A pandas right side is accepted for the broadcast path: a
     # dimension-sized right is driver-materialized there anyway, so
     # callers that already hold (or can cheaply produce) the frame skip
@@ -357,7 +360,7 @@ def range_join(
     concurrency: int | tuple[int, int] = 8,
     broadcast: Optional[bool] = None,
     broadcast_limit_rows: int = 5_000_000,
-    num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+    num_buckets: Optional[int] = None,
 ) -> ray.data.Dataset:
     """Interval join: every (left, right) pair within the same entity
     with ``left.on + lower <= right.on <= left.on + upper`` (inner —
@@ -481,7 +484,7 @@ def multi_asof_join(
     direction="backward",
     broadcast: Optional[bool] = None,
     broadcast_limit_rows: int = 5_000_000,
-    num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+    num_buckets: Optional[int] = None,
     concurrency: int | tuple[int, int] = 8,
     hot_entities: Optional[Sequence] = None,
     num_salts: int = 8,
@@ -518,6 +521,7 @@ def multi_asof_join(
     rows are replicated into each salt bucket, so each salted shard
     still sees the full point-in-time state of all K tables.
     """
+    num_buckets = grouped.resolve_num_buckets(left, num_buckets)
     if not rights:
         return left
     tol = tolerance if isinstance(tolerance, dict) else {k: tolerance for k in rights}
@@ -669,7 +673,7 @@ def multi_asof_join(
 def semi_join(
     left: ray.data.Dataset, keys: ray.data.Dataset | Sequence, key_col: str, *, anti: bool = False,
     assume_unique: bool = False, broadcast_limit_rows: int = 2_000_000,
-    num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+    num_buckets: Optional[int] = None,
 ) -> ray.data.Dataset:
     """Keep left rows whose ``key_col`` is (semi) / is not (anti) in the
     key set.

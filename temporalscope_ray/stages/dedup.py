@@ -652,13 +652,15 @@ def simhash_dedup(
     hamming_threshold: int = 3,
     concurrency=8,
     portable: bool = False,
-    num_buckets: int = 64,
+    num_buckets: Optional[int] = None,
     single_task_threshold: int = 2_000_000,
 ) -> ray.data.Dataset:
     """Candidates share a 16-bit chunk; verified by vectorized Hamming
     distance on the full 64-bit simhash inside the bucket (byte-table
     popcount — no per-pair Python); a row drops iff a smaller-id row
     within distance ``hamming_threshold`` shares a chunk."""
+    from .grouped import resolve_num_buckets as _rnb
+    num_buckets = _rnb(ds, num_buckets)
     exploded = ds.select_columns([id_col, text_col]).map_batches(
         SimHasher, batch_format="pandas", concurrency=clamp_concurrency(concurrency),
         fn_constructor_args=(text_col, id_col, portable),
@@ -732,7 +734,7 @@ def phash_dedup(
     id_col: str = "image_id",
     hamming_threshold: int = 3,
     concurrency=8,
-    num_buckets: int = 64,
+    num_buckets: Optional[int] = None,
     single_task_threshold: int = 2_000_000,
 ) -> ray.data.Dataset:
     """Near-duplicate removal on a precomputed 64-bit perceptual-hash
@@ -744,6 +746,8 @@ def phash_dedup(
     any payload size. Hot phash clusters (many images sharing a chunk)
     stay within one fine group and are verified by one vectorized
     popcount block scan rather than per-pair Python."""
+    from .grouped import resolve_num_buckets as _rnb
+    num_buckets = _rnb(ds, num_buckets)
     # stateless task-pool explode — the streaming executor sizes it
     exploded = ds.select_columns([id_col, hash_col]).map_batches(
         lambda b: _explode_hash_chunks(b, hash_col, id_col), batch_format="pandas",
@@ -919,7 +923,7 @@ def contaminated_ids(
     id_col: str = "doc_id",
     shingle_k: int = 5,
     portable: bool = False,
-    num_buckets: int = 64,
+    num_buckets: Optional[int] = None,
 ) -> ray.data.Dataset:
     """Decontamination probe: ids of ``corpus`` documents sharing at
     least one ``shingle_k``-token shingle with ANY ``reference``
@@ -936,6 +940,8 @@ def contaminated_ids(
     md5-lower-64, replayable in SQL via
     ``md5_number_lower(array_to_string(tokens[i:i+k-1], ' '))``.
     """
+    from .grouped import resolve_num_buckets as _rnb
+    num_buckets = _rnb(corpus, num_buckets)
     token_re = re.compile(ASCII_WORD_RE)
     from ..core import _schema
 
@@ -1015,7 +1021,7 @@ def line_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     sep: str = "\n",
-    num_buckets: int = 64,
+    num_buckets: Optional[int] = None,
 ) -> ray.data.Dataset:
     """Corpus-level duplicate-line removal (the C4 rule: every line is
     kept only at its FIRST occurrence across the whole corpus, ordered
@@ -1033,6 +1039,8 @@ def line_dedup(
     document back in ``line_idx`` order. No driver-side state at any
     point; a pathological line duplicated across the whole corpus is
     one in-bucket group handled by a single C-speed scan."""
+    from .grouped import resolve_num_buckets as _rnb
+    num_buckets = _rnb(ds, num_buckets)
 
     def explode(b: pd.DataFrame) -> pd.DataFrame:
         s = b[text_col].fillna("")
@@ -1099,7 +1107,7 @@ def hamming_pairs(
     hash_col: str,
     id_col: str,
     threshold: int = 3,
-    num_buckets: int = 64,
+    num_buckets: Optional[int] = None,
 ) -> ray.data.Dataset:
     """Verified near-duplicate PAIRS on a 64-bit hash column (phash /
     simhash): the same 4×16-bit chunk banding + in-bucket vectorized
@@ -1109,6 +1117,8 @@ def hamming_pairs(
     ``threshold`` ≤ 3. A pair sharing several chunks may be emitted by
     several buckets; edges are deduped within a bucket and consumers
     (min-label propagation) are duplicate-edge-tolerant."""
+    from .grouped import resolve_num_buckets as _rnb
+    num_buckets = _rnb(ds, num_buckets)
     group_cols = ["chunk_id", "chunk_val"]
     exploded = ds.select_columns([id_col, hash_col]).map_batches(
         lambda b: _explode_hash_chunks(b, hash_col, id_col), batch_format="pandas",
@@ -1207,7 +1217,7 @@ def keep_best(
     score_col: str,
     cluster_col: str = "cluster_id",
     cluster_id_col: str = "id",
-    num_buckets: int = 16,
+    num_buckets: Optional[int] = None,
 ) -> "ray.data.Dataset":
     """Quality-aware canonical selection — the step after duplicate
     CLUSTERING that the keep-smallest-id dedups skip: inside every
@@ -1224,6 +1234,8 @@ def keep_best(
     unclustered complement comes from the size-adaptive ``semi_join``
     (anti), so nothing corpus-sized is materialized anywhere.
     """
+    from .grouped import resolve_num_buckets as _rnb
+    num_buckets = _rnb(ds, num_buckets)
     import pandas as _pd
 
     from .asof import semi_join
@@ -1273,7 +1285,7 @@ def cap_clusters(
     score_col: Optional[str] = None,
     cluster_col: str = "cluster_id",
     cluster_id_col: str = "id",
-    num_buckets: int = 16,
+    num_buckets: Optional[int] = None,
 ) -> "ray.data.Dataset":
     """Cluster-cap subsampling — the softened form of ``keep_best``
     (its ``k = 1`` special case): inside every duplicate cluster keep
@@ -1290,6 +1302,8 @@ def cap_clusters(
     unclustered complement is the size-adaptive anti ``semi_join`` —
     nothing corpus-sized is materialized anywhere.
     """
+    from .grouped import resolve_num_buckets as _rnb
+    num_buckets = _rnb(ds, num_buckets)
     import pandas as _pd
 
     from .asof import semi_join
@@ -1340,7 +1354,7 @@ def contamination_rate(
     id_col: str = "doc_id",
     shingle_k: int = 5,
     portable: bool = False,
-    num_buckets: int = 64,
+    num_buckets: Optional[int] = None,
     round_to: int = 6,
 ) -> ray.data.Dataset:
     """Graded decontamination: per corpus document, the FRACTION of its
@@ -1354,6 +1368,8 @@ def contamination_rate(
     across buckets and the rate is an exact integer ratio quantized to
     ``round_to``. Docs with no shingles emit nothing. Text never moves.
     """
+    from .grouped import resolve_num_buckets as _rnb
+    num_buckets = _rnb(corpus, num_buckets)
     token_re = re.compile(ASCII_WORD_RE)
     from ..core import _schema
 
@@ -1448,7 +1464,7 @@ def source_overlap(
     id_col: str = "doc_id",
     shingle_k: int = 5,
     portable: bool = True,
-    num_buckets: int = 64,
+    num_buckets: Optional[int] = None,
 ) -> ray.data.Dataset:
     """Corpus-overlap matrix: pairwise shingle-set Jaccard between the
     ``group_col`` partitions of the corpus (which crawls / dumps /
@@ -1470,6 +1486,8 @@ def source_overlap(
     sources²-sized combiner aggregate finishes. Exchange bytes are
     bounded by distinct (shingle, source) pairs, never corpus bytes.
     """
+    from .grouped import resolve_num_buckets as _rnb
+    num_buckets = _rnb(ds, num_buckets)
     token_re = re.compile(ASCII_WORD_RE)
     _TOT = "\x00__total__"
 
@@ -1580,7 +1598,7 @@ def edit_distance_pairs(
     prefix_len: int = 12,
     max_len: int = 400,
     max_block: int = 256,
-    num_buckets: int = 32,
+    num_buckets: Optional[int] = None,
 ) -> ray.data.Dataset:
     """Typo-level near-duplicate pairs by EXACT edit distance ≤
     ``max_dist`` under deterministic prefix blocking — the
@@ -1608,6 +1626,8 @@ def edit_distance_pairs(
     rides once (same contract as line-level dedup); in-block pairs are
     the small side by construction. Output ``(id_a, id_b, dist)`` with
     ``id_a < id_b``."""
+    from .grouped import resolve_num_buckets as _rnb
+    num_buckets = _rnb(ds, num_buckets)
     from .grouped import grouped_ordered_map
 
     def normalize(b: pd.DataFrame) -> pd.DataFrame:

@@ -235,7 +235,7 @@ def add_lag_lead_features(
     value_cols: Sequence[str],
     lags: Sequence[int] = (),
     leads: Sequence[int] = (),
-    num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+    num_buckets: Optional[int] = None,
     tiebreak: Optional[Sequence[str]] = None,
 ) -> ray.data.Dataset:
     """Adds ``{col}_lag_{k}`` / ``{col}_lead_{k}`` per entity (nulls at
@@ -267,7 +267,7 @@ def add_cumulative_features(
     value_cols: Sequence[str] = (),
     ops: Sequence[str] = ("cumsum",),
     row_number: Optional[str] = None,
-    num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+    num_buckets: Optional[int] = None,
     tiebreak: Optional[Sequence[str]] = None,
 ) -> ray.data.Dataset:
     """Per-entity expanding-window features over the ``(id, ts)``
@@ -323,7 +323,7 @@ def add_rank_features(
     methods: Sequence[str] = ("rank",),
     ntile: Optional[int] = None,
     tiebreak: Optional[Sequence[str]] = None,
-    num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+    num_buckets: Optional[int] = None,
 ) -> ray.data.Dataset:
     """Per-entity value ranks: ``{col}_rank`` (SQL ``RANK()`` — ties
     share the min rank, gaps after), ``{col}_dense_rank``,
@@ -381,7 +381,7 @@ def add_ewm_features(
     time_col: str,
     value_cols: Sequence[str],
     alpha: float,
-    num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+    num_buckets: Optional[int] = None,
     tiebreak: Optional[Sequence[str]] = None,
 ) -> ray.data.Dataset:
     """Per-entity exponentially-weighted moving average over the
@@ -420,7 +420,7 @@ def add_rolling_features(
     window: int,
     fns: Sequence[str] = ("mean",),
     min_periods: int = 1,
-    num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+    num_buckets: Optional[int] = None,
     tiebreak: Optional[Sequence[str]] = None,
 ) -> ray.data.Dataset:
     """Trailing row-based rolling aggregates per entity:
@@ -482,7 +482,7 @@ def add_time_rolling_features(
     window: str | pd.Timedelta,
     fns: Sequence[str] = ("mean",),
     closed: str = "both",
-    num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+    num_buckets: Optional[int] = None,
     tiebreak: Optional[Sequence[str]] = None,
 ) -> ray.data.Dataset:
     """Trailing TIME-based rolling aggregates per entity:
@@ -537,7 +537,7 @@ def backfill(
     time_col: str,
     value_cols: Sequence[str],
     method: str = "ffill",
-    num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+    num_buckets: Optional[int] = None,
     tiebreak: Optional[Sequence[str]] = None,
 ) -> ray.data.Dataset:
     """Per-entity fill of missing values along the time order.
@@ -565,7 +565,7 @@ def interpolate_linear(
     id_col: str,
     time_col: str,
     value_cols: Sequence[str],
-    num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+    num_buckets: Optional[int] = None,
     tiebreak: Optional[Sequence[str]] = None,
     suffix: str = "_interp",
 ) -> ray.data.Dataset:
@@ -627,7 +627,7 @@ def sessionize(
     time_col: str,
     gap: pd.Timedelta | float | int,
     session_col: str = "session_id",
-    num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+    num_buckets: Optional[int] = None,
     tiebreak: Optional[Sequence[str]] = None,
 ) -> ray.data.Dataset:
     """Gap-based sessionization: within an entity, a new session starts
@@ -661,7 +661,7 @@ def add_temporal_features(
     session_gap=None,
     session_col: str = "session_id",
     label_shift: Optional[dict] = None,
-    num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+    num_buckets: Optional[int] = None,
     tiebreak: Optional[Sequence[str]] = None,
     total_rows: Optional[int] = None,
     single_task_threshold: int = 2_000_000,
@@ -681,6 +681,7 @@ def add_temporal_features(
     parquet count of an untransformed read) lets the bucket pass take
     ``grouped_ordered_map``'s single-task path for small inputs,
     skipping the exchange entirely; see that docstring."""
+    num_buckets = grouped.resolve_num_buckets(ds, num_buckets)
     bad = set(rolling_fns) - _ROLL_FNS
     if bad:
         raise ValueError(f"Unsupported rolling fns: {sorted(bad)}. Supported: {sorted(_ROLL_FNS)}")
@@ -776,7 +777,7 @@ def add_temporal_features_chunked(
     session_col: str = "session_id",
     label_shift: Optional[dict] = None,
     chunks_per_hot: int = 8,
-    num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+    num_buckets: Optional[int] = None,
     tiebreak: Optional[Sequence[str]] = None,
     bounds: Optional[dict] = None,
     pass1_mode: str = "auto",
@@ -806,6 +807,7 @@ def add_temporal_features_chunked(
 
     Results are row-identical to the unchunked operator (tested with
     one entity ≫ the bucket target)."""
+    num_buckets = grouped.resolve_num_buckets(ds, num_buckets)
     import ray as _ray
 
     hot = sorted(set(hot_entities))
@@ -1158,7 +1160,7 @@ def add_temporal_features_auto(
     session_gap=None,
     session_col: str = "session_id",
     label_shift: Optional[dict] = None,
-    num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+    num_buckets: Optional[int] = None,
     tiebreak: Optional[Sequence[str]] = None,
     hot_min_rows: int = 250_000,
     chunk_target_rows: int = 250_000,
@@ -1269,7 +1271,7 @@ def session_stats(
     time_col: str,
     gap: pd.Timedelta | float | int,
     value_col: Optional[str] = None,
-    num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+    num_buckets: Optional[int] = None,
     tiebreak: Optional[Sequence[str]] = None,
 ) -> ray.data.Dataset:
     """Sessionize then aggregate one row per (entity, session):
@@ -1303,7 +1305,7 @@ def add_interarrival(
     time_col: str,
     out_col: str = "interarrival_us",
     tiebreak: Optional[Sequence[str]] = None,
-    num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+    num_buckets: Optional[int] = None,
 ) -> ray.data.Dataset:
     """Per-entity inter-arrival time: microseconds since the entity's
     previous event (null on each entity's first row) — the canonical
@@ -1345,7 +1347,7 @@ def add_time_to_next(
     time_col: str,
     out_col: str = "time_to_next_us",
     tiebreak: Optional[Sequence[str]] = None,
-    num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+    num_buckets: Optional[int] = None,
 ) -> ray.data.Dataset:
     """Lead-side cadence: microseconds until the entity's NEXT event
     (null on each entity's last row) — the churn / time-to-event label
@@ -1382,7 +1384,7 @@ def add_rolling_corr(
     window: int,
     out_col: Optional[str] = None,
     tiebreak: Optional[Sequence[str]] = None,
-    num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+    num_buckets: Optional[int] = None,
 ) -> ray.data.Dataset:
     """Trailing rolling Pearson correlation of two columns per entity
     (``ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW``) — the
@@ -1434,7 +1436,7 @@ def add_session_features(
     session_col: str = "session_id",
     pos_col: str = "session_pos",
     since_col: str = "since_session_start_us",
-    num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+    num_buckets: Optional[int] = None,
     tiebreak: Optional[Sequence[str]] = None,
 ) -> ray.data.Dataset:
     """Session-RELATIVE features in the same single bucket pass as
@@ -1515,7 +1517,7 @@ def resample_ffill(
     time_col: str,
     value_col: str,
     freq: pd.Timedelta | str,
-    num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+    num_buckets: Optional[int] = None,
 ) -> ray.data.Dataset:
     """Regularize an irregular series: per entity, emit a fixed-``freq``
     time grid from the entity's first to last event (inclusive, like
@@ -1583,7 +1585,7 @@ def add_expanding_features(
     value_cols: Sequence[str],
     fns: Sequence[str] = ("mean",),
     tiebreak: Optional[Sequence[str]] = None,
-    num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+    num_buckets: Optional[int] = None,
 ) -> ray.data.Dataset:
     """Per-entity EXPANDING statistics over the ``(id, ts)`` order —
     ``{col}_exp_mean`` / ``{col}_exp_std`` (sample std, null below 2
@@ -1639,7 +1641,7 @@ def session_conversion(
     from_type: str,
     to_type: str,
     gap: pd.Timedelta | float | int,
-    num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+    num_buckets: Optional[int] = None,
     tiebreak: Optional[Sequence[str]] = None,
 ) -> ray.data.Dataset:
     """Within-session funnel: one row per (entity, session) with
@@ -1696,7 +1698,7 @@ def add_rolling_slope(
     min_time_var: float = 0.01,
     out_col: Optional[str] = None,
     tiebreak: Optional[Sequence[str]] = None,
-    num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+    num_buckets: Optional[int] = None,
 ) -> ray.data.Dataset:
     """Trailing rolling REGRESSION SLOPE of the value against time per
     entity (value units per ``per`` ∈ s|min|h|d) — the local-trend
@@ -1756,7 +1758,7 @@ def add_anomaly_flag(
     k: float = 3.0,
     out_col: str = "is_anomaly",
     tiebreak: Optional[Sequence[str]] = None,
-    num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+    num_buckets: Optional[int] = None,
 ) -> ray.data.Dataset:
     """Rolling z-score anomaly flag: 1 iff ``|x − mean_prior| >
     k·std_prior`` where the statistics come from the PRIOR ``window``
@@ -1824,7 +1826,7 @@ def add_rolling_distinct(
     window: int = 4,
     out_col: Optional[str] = None,
     tiebreak: Optional[Sequence[str]] = None,
-    num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+    num_buckets: Optional[int] = None,
 ) -> ray.data.Dataset:
     """Trailing distinct-category count per entity — "how many different
     event types in the user's last ``window`` rows" (current row
@@ -1868,7 +1870,7 @@ def session_paths(
     sep: str = ">",
     out_col: str = "path",
     tiebreak: Optional[Sequence[str]] = None,
-    num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+    num_buckets: Optional[int] = None,
 ) -> ray.data.Dataset:
     """User-journey signatures: one row per (entity, session) holding
     the session's first ``k`` event types joined by ``sep`` (SQL
@@ -1923,7 +1925,7 @@ def add_cusum(
     scale: float = 100.0,
     out_col: Optional[str] = None,
     tiebreak: Optional[Sequence[str]] = None,
-    num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+    num_buckets: Optional[int] = None,
 ) -> ray.data.Dataset:
     """Per-entity one-sided CUSUM change-point score: ``S_t = max(0,
     S_{t-1} + (x_t − target − slack))`` over the entity's ``(ts,
@@ -1988,7 +1990,7 @@ def add_history_sequence(
     window: int = 5,
     out_col: Optional[str] = None,
     tiebreak: Optional[Sequence[str]] = None,
-    num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+    num_buckets: Optional[int] = None,
 ) -> ray.data.Dataset:
     """Per-row history sequence: the entity's PREVIOUS ≤``window``
     ``cat_col`` values as a list column, ordered oldest→newest — the
@@ -2065,7 +2067,7 @@ def add_decayed_sum(
     window: int = 8,
     out_col: Optional[str] = None,
     tiebreak: Optional[Sequence[str]] = None,
-    num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+    num_buckets: Optional[int] = None,
 ) -> ray.data.Dataset:
     """Time-decayed recency-weighted sum per entity — the fraud/recsys
     "how much has this user done LATELY" feature for irregularly
@@ -2115,7 +2117,7 @@ def add_future_event_flag(
     horizon_s: float,
     out_col: Optional[str] = None,
     tiebreak: Optional[Sequence[str]] = None,
-    num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+    num_buckets: Optional[int] = None,
 ) -> ray.data.Dataset:
     """Future-window event LABEL: for every row, does the SAME entity
     emit a ``target_type`` event strictly after this row's time and
@@ -2187,7 +2189,7 @@ def ordered_funnel(
     steps: Sequence[str],
     gap: "pd.Timedelta | float | int",
     out_col: str = "steps_reached",
-    num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+    num_buckets: Optional[int] = None,
     tiebreak: Optional[Sequence[str]] = None,
 ) -> ray.data.Dataset:
     """N-step strict-order funnel per (entity, session): the greedy
@@ -2265,7 +2267,7 @@ def grouped_autocorr(
     lag: int = 1,
     out_col: str = "autocorr",
     tiebreak: Optional[Sequence[str]] = None,
-    num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+    num_buckets: Optional[int] = None,
 ) -> ray.data.Dataset:
     """Whole-history lag-k autocorrelation per entity — behavioral
     persistence ("does a high value predict the next one") as one
@@ -2328,7 +2330,7 @@ def drop_consecutive_duplicates(
     time_col: str,
     value_cols: Sequence[str],
     tiebreak: Optional[Sequence[str]] = None,
-    num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+    num_buckets: Optional[int] = None,
 ) -> ray.data.Dataset:
     """Stream compaction: drop a row when EVERY ``value_cols`` entry
     equals the entity's previous row (null == null counts as equal —
@@ -2364,7 +2366,7 @@ def throttle(
     *,
     min_gap_us: int,
     tiebreak: "Optional[Sequence[str]]" = None,
-    num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+    num_buckets: Optional[int] = None,
 ) -> ray.data.Dataset:
     """Per-entity greedy debounce / throttle: keep a row only when at
     least ``min_gap_us`` has elapsed since the entity's LAST KEPT row
@@ -2415,7 +2417,7 @@ def time_weighted_average(
     out_col: str = "twa",
     tiebreak: "Optional[Sequence[str]]" = None,
     round_to: int | None = 6,
-    num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+    num_buckets: Optional[int] = None,
 ) -> ray.data.Dataset:
     """Per-entity time-weighted average under step-function (hold-last)
     semantics: ``Σ vᵢ·(tᵢ₊₁−tᵢ) / (t_last − t_first)`` over the
@@ -2476,7 +2478,7 @@ def add_time_since_event(
     target_type: str,
     out_col: Optional[str] = None,
     tiebreak: "Optional[Sequence[str]]" = None,
-    num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+    num_buckets: Optional[int] = None,
 ) -> ray.data.Dataset:
     """Type-conditional recency: microseconds since the entity's last
     STRICTLY PRIOR event of ``target_type`` (null until the entity's
@@ -2527,7 +2529,7 @@ def last_touch_attribution(
     gap_us: int,
     out_col: str = "touch_type",
     tiebreak: "Optional[Sequence[str]]" = None,
-    num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+    num_buckets: Optional[int] = None,
 ) -> ray.data.Dataset:
     """Last-touch conversion attribution: for every ``target_type``
     event (the conversion), the type of the immediately preceding event
@@ -2574,7 +2576,7 @@ def grouped_gap_quantile(
     only_type: "Optional[str]" = None,
     tiebreak: "Optional[Sequence[str]]" = None,
     round_to: int | None = 6,
-    num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+    num_buckets: Optional[int] = None,
 ) -> ray.data.Dataset:
     """Per-entity quantile of consecutive inter-arrival gaps (µs),
     optionally restricted to one event type first — e.g. the median
@@ -2629,7 +2631,7 @@ def add_log_return(
     out_col: str = "log_return",
     tiebreak: "Optional[Sequence[str]]" = None,
     round_to: int | None = 6,
-    num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+    num_buckets: Optional[int] = None,
 ) -> ray.data.Dataset:
     """Per-entity log return ``ln(v_t / v_{t-1})`` — the scale-free
     change feature of financial/telemetry modeling (additive across
@@ -2666,7 +2668,7 @@ def regularize_grid(
     step: pd.Timedelta,
     tiebreak: Optional[Sequence[str]] = None,
     max_grid_rows_per_entity: int = 100_000,
-    num_buckets: int = grouped.DEFAULT_NUM_BUCKETS,
+    num_buckets: Optional[int] = None,
 ) -> ray.data.Dataset:
     """Upsample each entity to a REGULAR **epoch-aligned** grid with
     last-observation-carried-forward. Sibling of ``resample_ffill``

@@ -209,3 +209,38 @@ def test_detect_hot_keys_with_sample_col():
     assert set(samp["k"]) == {7}  # filtered to hot keys only
     # samples span the hot key's range (loose: within 10% of both ends)
     assert s7.min() < 600 and s7.max() > 5400
+
+
+def test_auto_num_buckets_scales_with_input_bytes(ray_session, tmp_path):
+    """VERDICT r3 #3: the exchange width derives from metadata-priced
+    input size (≈1 GiB/bucket), clamps to [lo, hi], falls back to the
+    fixed default on transformed (metadata-dead) plans, and an explicit
+    int always wins."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from temporalscope_ray.stages import grouped
+
+    small = tmp_path / "small.parquet"
+    pd.DataFrame({"k": np.arange(1000), "v": np.arange(1000.0)}).to_parquet(small)
+    ds_small = ray.data.read_parquet(str(small))
+    assert grouped.cheap_size_bytes(ds_small) is not None
+    assert grouped.auto_num_buckets(ds_small) == 8  # lo clamp
+
+    # synthetic "big" input: shrink the per-bucket target instead of
+    # writing gigabytes — the formula is ceil(bytes / target)
+    sz = grouped.cheap_size_bytes(ds_small)
+    target = sz // 10
+    assert grouped.auto_num_buckets(ds_small, target_bytes=target, lo=1) \
+        == -(-sz // target)  # ceil(bytes / target) ≈ 10
+    assert grouped.auto_num_buckets(ds_small, target_bytes=1, hi=64) == 64  # hi clamp
+
+    # transformed plan: metadata dead -> fixed default, never executes
+    t = ds_small.map_batches(lambda b: b)
+    assert grouped.cheap_size_bytes(t) is None
+    assert grouped.auto_num_buckets(t) == grouped.DEFAULT_NUM_BUCKETS
+
+    # explicit override always wins
+    assert grouped.resolve_num_buckets(ds_small, 17) == 17
+    assert grouped.resolve_num_buckets(t, None) == grouped.DEFAULT_NUM_BUCKETS
