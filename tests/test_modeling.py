@@ -69,3 +69,57 @@ def test_partitioner_satisfies_protocol():
         TemporalDataset(ray.data.from_pandas(df), time_col="time", target_col="target"), window_size=10
     )
     assert isinstance(p, TemporalPartitionerProtocol)
+
+
+def test_model_gate_lightgbm_absent_raises_loud():
+    """model='lightgbm' without the package is a loud ImportError;
+    'auto' silently falls back to ridge (documented gate contract)."""
+    import pytest
+
+    from temporalscope_ray.modeling import TemporalModelTrainer, _try_import
+
+    if _try_import("lightgbm") is not None:
+        pytest.skip("lightgbm present: gate takes the reference path")
+    with pytest.raises(ImportError, match="lightgbm"):
+        TemporalModelTrainer("y", ["x"], "t", model="lightgbm")
+    assert TemporalModelTrainer("y", ["x"], "t", model="auto").model == "ridge"
+    with pytest.raises(ValueError, match="model must be"):
+        TemporalModelTrainer("y", ["x"], "t", model="xgboost")
+
+
+def test_masv_gate_shap_absent_raises_loud(ray_session):
+    import pytest
+
+    from temporalscope_ray.modeling import _try_import, calculate_masv
+
+    if _try_import("shap") is not None:
+        pytest.skip("shap present: gate takes the reference path")
+    import pandas as pd
+    import ray.data
+
+    ds = ray.data.from_pandas(pd.DataFrame({"x": [1.0, 2.0, 3.0]}))
+    with pytest.raises(ImportError, match="shap"):
+        calculate_masv(ds, feature_cols=["x"], coefs=[2.0], means=[2.0],
+                       explainer="shap")
+    # auto falls back to the exact linear explainer: |2*(x-2)| -> 4/3
+    out = calculate_masv(ds, feature_cols=["x"], coefs=[2.0], means=[2.0],
+                         explainer="auto")
+    assert abs(out["x"] - 4.0 / 3.0) < 1e-12
+
+
+@pytest.mark.skipif(
+    __import__("importlib").util.find_spec("lightgbm") is None,
+    reason="lightgbm not installed (gated reference path)")
+def test_trainer_lightgbm_reference_path(ray_session):
+    """Runs ONLY where lightgbm exists: same output schema as ridge."""
+    import pandas as pd
+    import ray.data
+
+    from temporalscope_ray.modeling import TemporalModelTrainer
+
+    df = pd.DataFrame({"p": ["a"] * 40, "t": range(40),
+                       "x": [float(i) for i in range(40)],
+                       "y": [2.0 * i for i in range(40)]})
+    out = TemporalModelTrainer("y", ["x"], "t", model="lightgbm") \
+        .fit_predict(ray.data.from_pandas(df), "p").to_pandas()
+    assert set(out.columns) >= {"partition_id", "n_rows", "mse", "coef_x"}
