@@ -320,6 +320,63 @@ def generate_events_table(
     return ray.data.from_items(specs).map_batches(gen, batch_format="pyarrow", batch_size=1)
 
 
+def generate_documents_table(
+    num_rows: int,
+    *,
+    seed: int = 23,
+    num_blocks: int = 64,
+    tokens_per_doc: int = 24,
+    vocab_size: int = 4096,
+    dup_rate: float = 0.1,
+) -> ray.data.Dataset:
+    """Large synthetic documents table for dedup scale probes:
+    ``(doc_id, text)`` — each doc is ``tokens_per_doc`` vocab words
+    drawn by counter-hash (deterministic at any block layout). A
+    ``dup_rate`` fraction of docs REPLAYS the token stream of an
+    earlier doc with one token mutated, planting near-duplicate pairs
+    that MinHash banding must catch — so the probe's shuffle carries a
+    realistic duplicate structure, not an all-unique corpus."""
+    vocab = np.array([f"w{i:04d}" for i in range(vocab_size)], dtype=object)
+
+    def gen(batch: pa.Table) -> pa.Table:
+        tables = []
+        for spec in batch.to_pylist():
+            start, stop = spec["start"], spec["stop"]
+            idx = np.arange(start, stop, dtype=np.int64)
+            # near-dup planting: doc i with hash<dup_rate replays doc
+            # i-1's tokens (same token stream by construction) with
+            # token 0 swapped
+            is_dup = (hash_uniform(seed, 301, idx) < dup_rate) & (idx > 0)
+            base = np.where(is_dup, idx - 1, idx)
+            toks = np.empty((len(idx), tokens_per_doc), dtype=object)
+            for j in range(tokens_per_doc):
+                u = hash_uniform(seed, 310 + j, base)
+                toks[:, j] = vocab[(u * vocab_size).astype(np.int64) % vocab_size]
+            mut = vocab[(hash_uniform(seed, 399, idx) * vocab_size).astype(np.int64) % vocab_size]
+            toks[is_dup, 0] = mut[is_dup]
+            text = np.array([" ".join(row) for row in toks], dtype=object)
+            tables.append(pa.table({"doc_id": pa.array(idx),
+                                    "text": pa.array(text, type=pa.string())}))
+        return pa.concat_tables(tables)
+
+    specs = _block_specs(num_rows, num_blocks)
+    return ray.data.from_items(specs).map_batches(gen, batch_format="pyarrow", batch_size=1)
+
+
+def materialize_documents_table(path: str, num_rows: int, **kwargs) -> str:
+    """Cache the XL documents table as parquet; returns the path."""
+    import os
+
+    done = os.path.join(path, "_SUCCESS")
+    if os.path.exists(done):
+        return path
+    os.makedirs(path, exist_ok=True)
+    generate_documents_table(num_rows, **kwargs).write_parquet(path)
+    with open(done, "w") as f:
+        f.write("ok")
+    return path
+
+
 def materialize_events_table(path: str, num_rows: int, **kwargs) -> str:
     """Cache the XL events table as parquet; returns the path."""
     import os
