@@ -516,9 +516,15 @@ class MinHasher:
 
 
 def _minhash_exploded(ds, *, text_col, id_col, num_perm, bands, shingle_k, seed, concurrency, portable=False):
+    # explicit batch_size: signature compute is ~300 µs/doc, so a
+    # 128 MB parquet block (~1M docs) handed to ONE actor as a single
+    # batch serializes the pool for minutes — bounded batches keep
+    # every actor fed regardless of input block layout (observed: a
+    # 2M-doc probe ran ONE 100%-cpu actor while the rest idled).
     return ds.select_columns([id_col, text_col]).map_batches(
         MinHasher,
         batch_format="pandas",
+        batch_size=4096,
         concurrency=clamp_concurrency(concurrency),
         fn_constructor_args=(text_col, id_col, num_perm, bands, shingle_k, seed, portable),
     )
