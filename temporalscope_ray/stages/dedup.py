@@ -667,8 +667,12 @@ def simhash_dedup(
     within distance ``hamming_threshold`` shares a chunk."""
     from .grouped import resolve_num_buckets as _rnb
     num_buckets = _rnb(ds, num_buckets)
+    # bounded batches: per-doc token hashing is heavy (same hazard as
+    # MinHasher — one fat parquet block handed to one actor as a single
+    # batch serializes the pool; see _minhash_exploded)
     exploded = ds.select_columns([id_col, text_col]).map_batches(
-        SimHasher, batch_format="pandas", concurrency=clamp_concurrency(concurrency),
+        SimHasher, batch_format="pandas", batch_size=4096,
+        concurrency=clamp_concurrency(concurrency),
         fn_constructor_args=(text_col, id_col, portable),
     )
     dropped = _dropped_hamming(exploded, id_col=id_col, threshold=hamming_threshold,
@@ -888,7 +892,8 @@ def embedding_dedup(
         return ds  # empty corpus: nothing to dedup
     dim = len(head[0][emb_col])
     exploded = ds.select_columns([id_col, emb_col]).map_batches(
-        HyperplaneBucketer, batch_format="pandas", concurrency=clamp_concurrency(concurrency),
+        HyperplaneBucketer, batch_format="pandas", batch_size=8192,
+        concurrency=clamp_concurrency(concurrency),
         fn_constructor_args=(emb_col, id_col, dim, nbits, num_tables, seed),
     )
     # materialized once: consumed by the driver frame AND the verify pass
