@@ -50,7 +50,16 @@ def clamp_concurrency(concurrency) -> int | tuple[int, int]:
     second pool in the same pipeline); tuples (autoscaling) pass through.
     Fixed pools beat autoscaling for short stages — the autoscaler's
     ramp-up costs more than the stage (measured 2.4x on the decode
-    stage) — so stages default to a clamped fixed size."""
+    stage) — so stages default to a clamped fixed size.
+
+    CAVEAT at tiny widths (round-4 minhash probe finding): at ≤6
+    cluster CPUs ``avail - 4`` collapses EVERY int to 1 — a heavy
+    stage then runs one actor while the rest idles. Benchmarks probing
+    narrow widths should pass an explicit ``(n, n)`` tuple (tuples
+    bypass the clamp by contract) sized ≈ ``max(2, cpus - 4)``; and
+    any stage whose per-row work is heavy must ALSO bound
+    ``batch_size``, or one fat input block serializes the pool
+    regardless of actor count."""
     if isinstance(concurrency, tuple):
         return concurrency
     import ray
