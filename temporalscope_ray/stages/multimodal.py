@@ -50,6 +50,9 @@ class DecodeImageFeatures:
         contrast = np.full(n, np.nan)
         edge = np.full(n, np.nan)
         ph_ok = np.zeros(n, dtype=bool)
+        # Pass 1 — decode (irreducibly per-row: png/qnt6 are one zlib
+        # stream per image), grouping rows by pixel shape.
+        by_shape: dict = {}
         for i, (buf, w, h, fmt, ph) in enumerate(
             zip(batch["bytes"], batch["w"], batch["h"], batch["fmt"], batch["phash"])
         ):
@@ -61,14 +64,46 @@ class DecodeImageFeatures:
                         f"image format '{fmt}' needs a real decoder (PIL/libvips), not available in this environment"
                     )
                 continue
-            f = px.astype(np.float64)
-            bright[i] = f.mean()
-            contrast[i] = f.std()
-            gray = f.mean(axis=2)
-            gx = np.abs(np.diff(gray, axis=1)).mean()
-            gy = np.abs(np.diff(gray, axis=0)).mean()
-            edge[i] = gx + gy
-            ph_ok[i] = codec.phash64(px) == int(ph) or fmt in codec.LOSSY_FMTS
+            by_shape.setdefault(px.shape, ([], [], [], [])) \
+                [0].append(px)
+            g = by_shape[px.shape]
+            g[1].append(i)
+            g[2].append(int(ph))
+            g[3].append(fmt in codec.LOSSY_FMTS)
+        # Pass 2 — features BATCHED per shape group: per-image numpy
+        # calls on 32×32 arrays cost more in dispatch than in compute
+        # (~64 µs/img features + ~55 µs/img phash, vs ~6+10 µs batched —
+        # measured; decode is ~63 µs and unchanged). Reductions keep the
+        # identical per-image element order (trailing-axis means over
+        # the same contiguous elements), so every value is bit-equal to
+        # the per-image path — pinned by test.
+        for shape, (pxs, idxs, phs, lossy) in by_shape.items():
+            stack = np.stack(pxs)
+            ii = np.array(idxs)
+            F = stack.astype(np.float64)
+            m = F.reshape(len(ii), -1)
+            bright[ii] = m.mean(axis=1)
+            contrast[ii] = m.std(axis=1)
+            gray = F.mean(axis=3)
+            edge[ii] = (np.abs(np.diff(gray, axis=2)).reshape(len(ii), -1).mean(axis=1)
+                        + np.abs(np.diff(gray, axis=1)).reshape(len(ii), -1).mean(axis=1))
+            hh, ww = shape[0], shape[1]
+            if hh % 8 == 0 and ww % 8 == 0:
+                # batched mean-hash: same cell reduction shape as
+                # codec.phash64's divisible fast path
+                cells = gray.reshape(len(ii), 8, hh // 8, 8, ww // 8).mean(axis=(2, 4))
+                flat = cells.reshape(len(ii), 64)
+                bits = flat > np.median(flat, axis=1, keepdims=True)
+                vals = np.packbits(bits, axis=1).astype(np.uint64)
+                hashes = np.zeros(len(ii), dtype=np.uint64)
+                for b in range(8):
+                    hashes = (hashes << np.uint64(8)) | vals[:, b]
+                ph_ok[ii] = (hashes.view(np.int64) == np.array(phs, dtype=np.int64)) \
+                    | np.array(lossy)
+            else:
+                ph_ok[ii] = np.array(
+                    [codec.phash64(px) == p for px, p in zip(pxs, phs)]
+                ) | np.array(lossy)
         out = batch.copy()
         out["brightness"] = bright
         out["contrast"] = contrast

@@ -144,3 +144,49 @@ def test_caption_image_gate_rules(ray_session):
                          "caption": [" ".join(["tok"] * 51)]})
     r2 = caption_image_gate(ray.data.from_pandas(many)).to_pandas()
     assert r2["drop_reason"].iloc[0] == "tokens" and r2["keep"].iloc[0] == 0
+
+
+def test_decode_features_batched_bitexact_vs_per_image():
+    """The round-4 batched feature kernel (shape-grouped stacks) must be
+    BIT-equal to the per-image reference on every output — including the
+    batched mean-hash fast path (8-divisible dims) and the per-image
+    fallback (odd dims), across all three codecs."""
+    import numpy as np
+    import pandas as pd
+
+    from temporalscope_ray import codec
+    from temporalscope_ray.stages.multimodal import DecodeImageFeatures
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(120):
+        w, h = [(32, 32), (40, 24), (17, 13)][i % 3]
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        fmt = ["raw", "png", "qnt6"][i % 3]
+        data = codec.encode_image(px, fmt)
+        dec = codec.decode_image(data, w, h, fmt)
+        rows.append({"bytes": data, "w": w, "h": h, "fmt": fmt,
+                     "phash": codec.phash64(dec)})
+    batch = pd.DataFrame(rows)
+
+    n = len(batch)
+    bright = np.full(n, np.nan)
+    contrast = np.full(n, np.nan)
+    edge = np.full(n, np.nan)
+    ph = np.zeros(n, bool)
+    for i, (buf, w, h, fmt, p) in enumerate(zip(
+            batch["bytes"], batch["w"], batch["h"], batch["fmt"], batch["phash"])):
+        px = codec.decode_image(buf, int(w), int(h), fmt)
+        f = px.astype(np.float64)
+        bright[i] = f.mean()
+        contrast[i] = f.std()
+        gray = f.mean(axis=2)
+        edge[i] = np.abs(np.diff(gray, axis=1)).mean() + np.abs(np.diff(gray, axis=0)).mean()
+        ph[i] = codec.phash64(px) == int(p) or fmt in codec.LOSSY_FMTS
+
+    out = DecodeImageFeatures()(batch)
+    assert np.array_equal(bright, out["brightness"].to_numpy())
+    assert np.array_equal(contrast, out["contrast"].to_numpy())
+    assert np.array_equal(edge, out["edge_energy"].to_numpy())
+    assert np.array_equal(ph, out["phash_check"].to_numpy())
+    assert out["phash_check"].all()  # decode invariant holds end-to-end
