@@ -115,7 +115,14 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 # and the measured main-pass efficiency (0.81) dominates — the honest
 # proxy for 100 TB jobs, where per-job costs amortize to nothing.
 XL_ROWS = 64_000_000
-SCALE_IMAGES = 100_000
+# 400k (round 4): after the batched image kernel removed ~55% of the
+# per-image CPU, the ~1.5-2 s per-pass fixed costs were ~30% of the
+# 16-cpu wall at 100k images, structurally capping the measured ratio
+# at ~0.7 — the same distortion the 16M->64M xl move fixed in round 3,
+# with the same argument: a 100 TB job's per-pass costs amortize to
+# nothing, so the probe must be big enough that per-byte work
+# dominates at the WIDE level too.
+SCALE_IMAGES = 400_000
 MINHASH_DOCS = int(os.environ.get("MINHASH_DOCS", 8_000_000))
 
 
