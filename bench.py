@@ -268,6 +268,81 @@ def run_minhash_probe(num_cpus: int) -> dict:
             "docs_per_sec": round(MINHASH_DOCS / best, 1), "num_cpus": num_cpus}
 
 
+IVF_VECTORS = int(os.environ.get("IVF_VECTORS", 1_000_000))
+
+
+def run_ivf_probe(num_cpus: int) -> dict:
+    """Evidence for the round-4 verdict weak item: on a
+    bucket-partitioned ``IvfIndex`` (1M × 32-dim vectors, nlist=64),
+    per-query-batch cost must scale with PROBED volume (nprobe/nlist),
+    not index size. Times repeated query batches at nprobe = 1 / 8 /
+    64(=full) against the partitioned index, plus the old
+    unpartitioned groupby path at nprobe=1 as the contrast (it
+    re-shuffles ALL vectors per call regardless of nprobe). Reports
+    the median of 3 calls per configuration — the reuse API's steady
+    state; the first call at each config additionally warms the
+    worker-local object cache exactly as a serving deployment would."""
+    import statistics
+
+    import numpy as np
+    import ray
+
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR",
+             runtime_env={"env_vars": {"PYTHONPATH": repo_dir}})
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    sys.path.insert(0, repo_dir)
+    import ray.data
+
+    from temporalscope_ray import synth
+    from temporalscope_ray.stages.similarity import (
+        IvfIndex, build_ivf_index, query_ivf_index)
+
+    nlist = 64
+    path = synth.materialize_embeddings_table(
+        f"/tmp/tsray_emb_xl_{IVF_VECTORS}", IVF_VECTORS, dim=32, num_blocks=64)
+    emb = ray.data.read_parquet(path)
+    queries = np.stack([r["embedding"] for r in emb.take(8)]).astype(np.float64)
+
+    t0 = time.perf_counter()
+    index = build_ivf_index(emb, nlist=nlist, train_sample=4096,
+                            concurrency=max(4, num_cpus - 4))
+    build_sec = round(time.perf_counter() - t0, 3)
+
+    def timed_calls(idx, nprobe: int, calls: int = 3) -> list[float]:
+        out = []
+        for _ in range(calls):
+            t0 = time.perf_counter()
+            res = query_ivf_index(idx, queries, k=10, nprobe=nprobe)
+            out.append(round(time.perf_counter() - t0, 3))
+            assert len(res) > 0
+        return out
+
+    probes = {}
+    for nprobe in (1, 8, nlist):
+        calls = timed_calls(index, nprobe)
+        probes[f"partitioned_nprobe_{nprobe}"] = {
+            "calls": calls, "median": round(statistics.median(calls), 3)}
+    unpart = IvfIndex(index.centroids, index.assignments, index.emb_col, index.id_col)
+    calls = timed_calls(unpart, 1)
+    probes["unpartitioned_nprobe_1"] = {
+        "calls": calls, "median": round(statistics.median(calls), 3)}
+
+    ray.shutdown()
+    full = probes[f"partitioned_nprobe_{nlist}"]["median"]
+    one = probes["partitioned_nprobe_1"]["median"]
+    return {
+        "metric": "ivf reuse query cost vs probed volume",
+        "vectors": IVF_VECTORS, "dim": 32, "nlist": nlist,
+        "build_sec": build_sec, "probes": probes,
+        "nprobe1_over_full": round(one / full, 3) if full else None,
+        "num_cpus": num_cpus,
+    }
+
+
 def run_scaling_minhash() -> dict:
     import subprocess
 
@@ -350,6 +425,9 @@ if __name__ == "__main__":
         print(json.dumps(run_scaling(sf_dir)))
     elif "--scaling-minhash" in sys.argv:
         print(json.dumps(run_scaling_minhash()))
+    elif "--ivf-probe" in sys.argv:
+        num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+        print(json.dumps(run_ivf_probe(num_cpus)))
     elif "--minhash-probe" in sys.argv:
         num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
         print(json.dumps(run_minhash_probe(num_cpus)))

@@ -418,7 +418,15 @@ def cohort_retention(
         c = ray.get(ref)
         ts_us = df[time_col].to_numpy().astype("datetime64[us]").astype(np.int64)
         from .grouped import probe_f64
-        coh = probe_f64(df[id_col].to_numpy(), pd.Series(c)).astype(np.int64)
+        coh_f = probe_f64(df[id_col].to_numpy(), pd.Series(c))
+        # loud-failure guard (ADVICE r4): a batch id missing from the
+        # cohort map probes to NaN, which .astype(int64) would silently
+        # cast to INT64_MIN — keep the old map().to_numpy(int64) raise
+        if np.isnan(coh_f).any():
+            missing = df[id_col].to_numpy()[np.isnan(coh_f)][:5]
+            raise ValueError(
+                f"cohort_retention: ids absent from the cohort map: {list(missing)!r}")
+        coh = coh_f.astype(np.int64)
         return pd.DataFrame({
             id_col: df[id_col].to_numpy(),
             "cohort": coh,

@@ -70,6 +70,14 @@ _MD5_S = np.array([7, 12, 17, 22] * 4 + [5, 9, 14, 20] * 4
 _MD5_G = np.array([i for i in range(16)] + [(5 * i + 1) % 16 for i in range(16, 32)]
                   + [(3 * i + 5) % 16 for i in range(32, 48)]
                   + [(7 * i) % 16 for i in range(48, 64)], dtype=np.intp)
+# Import-time guard (ADVICE r4): _MD5_K derives from libm sin/floor; a
+# 1-ulp platform difference at a floor boundary would SILENTLY break
+# md5 parity (and the DuckDB md5_number_lower oracle contract) for
+# every portable hash. Pin the first/last constants to the RFC 1321
+# table and cross-check the full derivation against hashlib so a bad
+# table fails loudly at import, not as a wrong split downstream.
+assert _MD5_K[0] == 0xD76AA478 and _MD5_K[63] == 0xEB86D391, "MD5 K-table derivation broken"
+assert int(_MD5_K.astype(np.uint64).sum()) == 0x2927F3A0BC, "MD5 K-table checksum mismatch"
 
 
 def _md5_lower64(strings) -> np.ndarray:
@@ -666,6 +674,10 @@ def simhash_dedup(
     popcount — no per-pair Python); a row drops iff a smaller-id row
     within distance ``hamming_threshold`` shares a chunk."""
     from .grouped import resolve_num_buckets as _rnb
+    # no explosion factor despite the 4x chunk banding: the exchange
+    # carries only (id, chunk, hash) rows (~40 B x 4 per doc) while the
+    # input bytes priced by the sizer INCLUDE the text that never moves
+    # — input-byte sizing already overestimates, the safe direction
     num_buckets = _rnb(ds, num_buckets)
     # bounded batches: per-doc token hashing is heavy (same hazard as
     # MinHasher — one fat parquet block handed to one actor as a single
@@ -757,6 +769,8 @@ def phash_dedup(
     stay within one fine group and are verified by one vectorized
     popcount block scan rather than per-pair Python."""
     from .grouped import resolve_num_buckets as _rnb
+    # no explosion factor: only (id, chunk, hash) rows move; the sizer
+    # prices the full input (incl. any payload bytes) — overestimates
     num_buckets = _rnb(ds, num_buckets)
     # stateless task-pool explode — the streaming executor sizes it
     exploded = ds.select_columns([id_col, hash_col]).map_batches(
@@ -952,7 +966,11 @@ def contaminated_ids(
     ``md5_number_lower(array_to_string(tokens[i:i+k-1], ' '))``.
     """
     from .grouped import resolve_num_buckets as _rnb
-    num_buckets = _rnb(corpus, num_buckets)
+    # explosion factor (ADVICE r4): the exchange carries one (hash64,
+    # id) row per token position (~16 B) vs ~6 B/token of input text —
+    # exchanged bytes ≈ 3x input; 4 prices the 1 GiB/bucket target on
+    # the exchanged volume
+    num_buckets = _rnb(corpus, num_buckets, factor=4.0)
     token_re = re.compile(ASCII_WORD_RE)
     from ..core import _schema
 
@@ -1051,7 +1069,9 @@ def line_dedup(
     point; a pathological line duplicated across the whole corpus is
     one in-bucket group handled by a single C-speed scan."""
     from .grouped import resolve_num_buckets as _rnb
-    num_buckets = _rnb(ds, num_buckets)
+    # explosion factor: line text rides once but each line adds
+    # (doc_id, line_idx, hash) overhead — exchanged ≈ 2x input bytes
+    num_buckets = _rnb(ds, num_buckets, factor=2.0)
 
     def explode(b: pd.DataFrame) -> pd.DataFrame:
         s = b[text_col].fillna("")
@@ -1380,7 +1400,11 @@ def contamination_rate(
     ``round_to``. Docs with no shingles emit nothing. Text never moves.
     """
     from .grouped import resolve_num_buckets as _rnb
-    num_buckets = _rnb(corpus, num_buckets)
+    # explosion factor (ADVICE r4): the exchange carries one (hash64,
+    # id) row per token position (~16 B) vs ~6 B/token of input text —
+    # exchanged bytes ≈ 3x input; 4 prices the 1 GiB/bucket target on
+    # the exchanged volume
+    num_buckets = _rnb(corpus, num_buckets, factor=4.0)
     token_re = re.compile(ASCII_WORD_RE)
     from ..core import _schema
 
@@ -1498,7 +1522,9 @@ def source_overlap(
     bounded by distinct (shingle, source) pairs, never corpus bytes.
     """
     from .grouped import resolve_num_buckets as _rnb
-    num_buckets = _rnb(ds, num_buckets)
+    # explosion factor: one (hash64, source) row per distinct shingle
+    # occurrence vs ~6 B/token of input text (see contaminated_ids)
+    num_buckets = _rnb(ds, num_buckets, factor=4.0)
     token_re = re.compile(ASCII_WORD_RE)
     _TOT = "\x00__total__"
 
@@ -1638,7 +1664,9 @@ def edit_distance_pairs(
     the small side by construction. Output ``(id_a, id_b, dist)`` with
     ``id_a < id_b``."""
     from .grouped import resolve_num_buckets as _rnb
-    num_buckets = _rnb(ds, num_buckets)
+    # explosion factor: normalized text rides once plus per-row block
+    # keys — exchanged ≈ 2x input bytes
+    num_buckets = _rnb(ds, num_buckets, factor=2.0)
     from .grouped import grouped_ordered_map
 
     def normalize(b: pd.DataFrame) -> pd.DataFrame:

@@ -363,6 +363,58 @@ def generate_documents_table(
     return ray.data.from_items(specs).map_batches(gen, batch_format="pyarrow", batch_size=1)
 
 
+def generate_embeddings_table(
+    num_rows: int,
+    *,
+    dim: int = 32,
+    seed: int = 29,
+    num_blocks: int = 64,
+    num_clusters: int = 64,
+) -> ray.data.Dataset:
+    """Large synthetic embeddings table for ANN scale probes:
+    ``(vec_id, embedding fixed_size_list<double, dim>)``. Vectors are
+    drawn around ``num_clusters`` counter-hashed cluster centers (so an
+    IVF coarse quantizer has real structure to learn) with per-vector
+    counter-hash noise — deterministic at any block layout, like every
+    generator here."""
+    centers_idx = np.arange(num_clusters, dtype=np.int64)
+    centers = np.stack([
+        hash_uniform(seed, 500 + j, centers_idx) * 4.0 - 2.0 for j in range(dim)
+    ], axis=1)  # (num_clusters, dim)
+
+    def gen(batch: pa.Table) -> pa.Table:
+        tables = []
+        for spec in batch.to_pylist():
+            start, stop = spec["start"], spec["stop"]
+            idx = np.arange(start, stop, dtype=np.int64)
+            c = (hash_u64(seed, 499, idx) % np.uint64(num_clusters)).astype(np.int64)
+            noise = np.stack([
+                hash_uniform(seed, 600 + j, idx) - 0.5 for j in range(dim)
+            ], axis=1)
+            mat = centers[c] + noise
+            emb = pa.FixedSizeListArray.from_arrays(
+                pa.array(np.ascontiguousarray(mat).ravel(), type=pa.float64()), dim)
+            tables.append(pa.table({"vec_id": pa.array(idx), "embedding": emb}))
+        return pa.concat_tables(tables)
+
+    specs = _block_specs(num_rows, num_blocks)
+    return ray.data.from_items(specs).map_batches(gen, batch_format="pyarrow", batch_size=1)
+
+
+def materialize_embeddings_table(path: str, num_rows: int, **kwargs) -> str:
+    """Cache the XL embeddings table as parquet; returns the path."""
+    import os
+
+    done = os.path.join(path, "_SUCCESS")
+    if os.path.exists(done):
+        return path
+    os.makedirs(path, exist_ok=True)
+    generate_embeddings_table(num_rows, **kwargs).write_parquet(path)
+    with open(done, "w") as f:
+        f.write("ok")
+    return path
+
+
 def materialize_documents_table(path: str, num_rows: int, **kwargs) -> str:
     """Cache the XL documents table as parquet; returns the path."""
     import os
