@@ -1385,3 +1385,36 @@ def test_kaplan_meier_hand_curve(ray_session):
     assert out.loc[1, "survival"] == 0.75
     assert out.loc[2, "n_risk"] == 3 and out.loc[2, "d_events"] == 2
     assert out.loc[2, "survival"] == 0.25
+
+
+def test_key_units_arrow_equals_series_paths():
+    """The round-5 Arrow-native key path must produce BIT-IDENTICAL
+    uint64s to the pandas-Series path it bypasses, for every dtype and
+    both portable modes, salted and unsalted — otherwise split/sample
+    membership silently changes with the caller's batch format."""
+    import pyarrow as pa
+
+    from temporalscope_ray.stages.sampling import _key_units
+
+    ints = np.array([0, 1, -7, 123456789, 2**62], dtype=np.int64)
+    floats = np.array([0.0, -1.5, 3.25e10], dtype=np.float64)
+    strs = ["a", "doc-42", "ünïcode", ""]
+    cases = [
+        (pa.chunked_array([ints[:3], ints[3:]]), pd.Series(ints)),
+        (pa.chunked_array([floats]), pd.Series(floats)),
+        (pa.chunked_array([strs]), pd.Series(strs)),
+        # nulls force the hash_pandas_object fallback branch
+        (pa.chunked_array([pa.array([1, None, 3], type=pa.int64())]),
+         pd.Series(pa.array([1, None, 3], type=pa.int64()).to_pandas())),
+    ]
+    for arrow_col, series in cases:
+        for salt in ("", "s1"):
+            fast_a = _key_units(arrow_col, salt=salt, portable=False)
+            fast_s = _key_units(series, salt=salt, portable=False)
+            np.testing.assert_array_equal(fast_a, fast_s)
+    # portable: ints exercise the Arrow cast-kernel stringify branch
+    for arrow_col, series in cases[:1] + cases[2:3]:
+        for salt in ("", "s1"):
+            port_a = _key_units(arrow_col, salt=salt, portable=True)
+            port_s = _key_units(series, salt=salt, portable=True)
+            np.testing.assert_array_equal(port_a, port_s)
