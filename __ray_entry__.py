@@ -1383,9 +1383,12 @@ def q_late_events_5min(sf_dir: str):
                             out_col="watermark", exclusive=True)
 
     def finish(b: pd.DataFrame) -> pd.DataFrame:
-        t = b["ts"].astype("int64").to_numpy()
+        # unit-safe epoch-us (dtype axis: a ms-resolution ts column's
+        # .astype("int64") would yield ms, breaking the us thresholds)
+        t = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
         mask = pd.notna(b["watermark"]).to_numpy()
-        wi = b["watermark"].fillna(pd.Timestamp(0)).astype("int64").to_numpy()
+        wi_us = b["watermark"].to_numpy().astype("datetime64[us]")
+        wi = np.where(mask, wi_us.astype(np.int64), 0)
         late = np.maximum(wi - t, 0).astype(np.float64)
         out = pd.DataFrame({
             "event_id": b["event_id"].to_numpy(),
@@ -1498,7 +1501,8 @@ def q_trending_daily_types(sf_dir: str):
     ev = _events(sf_dir, ("ts", "event_type"))
 
     def day(b: pd.DataFrame) -> pd.DataFrame:
-        d = (b["ts"].astype("int64") // 86_400_000_000).astype("int64")
+        ts_us = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        d = ts_us // 86_400_000_000
         return pd.DataFrame({"day": d, "event_type": b["event_type"]})
 
     daily = ev.map_batches(day, batch_format="pandas")
@@ -5509,7 +5513,7 @@ def oracle_sql() -> dict[str, str]:
               FROM events)
             SELECT event_id, ts, user_id, value,
                    CASE WHEN pv IS NOT NULL AND value / pv > 0
-                        THEN ROUND(ln(value / pv), 6) END AS log_return
+                        THEN ROUND(ln(CAST(value AS DOUBLE) / pv), 6) END AS log_return
             FROM t
         """,
         "hourly_rank_users": """
@@ -6127,7 +6131,7 @@ def oracle_sql() -> dict[str, str]:
                        FROM events GROUP BY event_type HAVING COUNT(value) > 0),
                  b AS (SELECT e.event_type,
                               CAST(CASE WHEN m.hi > m.lo
-                                        THEN LEAST(FLOOR((e.value - m.lo) * 256 / (m.hi - m.lo)), 255)
+                                        THEN LEAST(FLOOR((CAST(e.value AS DOUBLE) - m.lo) * 256 / (CAST(m.hi AS DOUBLE) - m.lo)), 255)
                                         ELSE 0 END AS BIGINT) AS bin
                        FROM events e JOIN m USING (event_type)
                        WHERE e.value IS NOT NULL),
@@ -6141,7 +6145,7 @@ def oracle_sql() -> dict[str, str]:
                        WHERE w.cum >= GREATEST(1.0, CEILING(qs.q * m.total))
                        GROUP BY w.event_type, qs.q)
             SELECT r.event_type, r.q,
-                   CASE WHEN m.hi > m.lo THEN m.lo + (r.bin + 1) * (m.hi - m.lo) / 256
+                   CASE WHEN m.hi > m.lo THEN CAST(m.lo AS DOUBLE) + (r.bin + 1) * (CAST(m.hi AS DOUBLE) - m.lo) / 256
                         ELSE m.lo END AS value
             FROM r JOIN m USING (event_type)
         """,
@@ -6726,7 +6730,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minmax_by_user": """
             SELECT e.event_id, e.user_id, e.value,
-                   ROUND((e.value - s.lo) / NULLIF(s.hi - s.lo, 0), 6) AS value_mm
+                   ROUND((CAST(e.value AS DOUBLE) - s.lo) / NULLIF(CAST(s.hi AS DOUBLE) - s.lo, 0), 6) AS value_mm
             FROM events e JOIN (
               SELECT user_id, MIN(value) AS lo, MAX(value) AS hi
               FROM events GROUP BY user_id) s USING (user_id)
@@ -7033,13 +7037,13 @@ def oracle_sql() -> dict[str, str]:
         "robust_value_by_user": """
             WITH s AS (
                 SELECT user_id,
-                       quantile_cont(value, 0.25) AS q25,
-                       quantile_cont(value, 0.50) AS q50,
-                       quantile_cont(value, 0.75) AS q75
+                       quantile_cont(CAST(value AS DOUBLE), 0.25) AS q25,
+                       quantile_cont(CAST(value AS DOUBLE), 0.50) AS q50,
+                       quantile_cont(CAST(value AS DOUBLE), 0.75) AS q75
                 FROM events GROUP BY 1
             )
             SELECT e.event_id, e.user_id, e.value,
-                   CAST(FLOOR((e.value - s.q50) / NULLIF(s.q75 - s.q25, 0) * 1e6
+                   CAST(FLOOR((CAST(e.value AS DOUBLE) - s.q50) / NULLIF(s.q75 - s.q25, 0) * 1e6
                               + 0.112233445566) AS BIGINT)
                        AS value_robust_micro
             FROM events e LEFT JOIN s USING (user_id)

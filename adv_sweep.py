@@ -93,6 +93,41 @@ if OLD:
         pq.write_table(pa.Table.from_pandas(t, preserve_index=False), os.path.join(DST, f))
     print(f"old-mode corpus written (all timestamps shifted by -{SHIFT})")
 
+DTYPE = len(sys.argv) > 1 and sys.argv[1] == "dtype"
+if DTYPE:
+    DST = "/tmp/sf_adv_dtype"
+    if os.path.exists(DST):
+        shutil.rmtree(DST)
+    os.makedirs(DST)
+    # Numeric-width axis (VERDICT r4 #6): every corpus so far kept its
+    # canonical dtypes, so the cast-boundary class (float32
+    # accumulation, narrow ints, ms-resolution timestamps) was never
+    # exercised. Narrow every column that fits: int64 -> int32 (when
+    # the value range allows), float64 -> float32, timestamp[us] ->
+    # timestamp[ms] (truncating). BOTH sides read the same narrowed
+    # parquet, so parity holds iff the ENGINE widens to float64/us at
+    # the right place — exactly like DuckDB, which promotes on read.
+    import pyarrow.compute as pc
+    for f in os.listdir(SRC):
+        t = pq.read_table(os.path.join(SRC, f))
+        cols, fields = [], []
+        for field in t.schema:
+            col = t.column(field.name)
+            ty = field.type
+            if pa.types.is_int64(ty):
+                mm = pc.min_max(col).as_py()
+                if mm["min"] is not None and -2**31 <= mm["min"] and mm["max"] < 2**31:
+                    col, ty = pc.cast(col, pa.int32()), pa.int32()
+            elif pa.types.is_float64(ty):
+                col, ty = pc.cast(col, pa.float32()), pa.float32()
+            elif pa.types.is_timestamp(ty):
+                col = pc.cast(col, pa.timestamp("ms"), safe=False)
+                ty = pa.timestamp("ms")
+            cols.append(col)
+            fields.append(pa.field(field.name, ty))
+        pq.write_table(pa.table(cols, schema=pa.schema(fields)), os.path.join(DST, f))
+    print("dtype-mode corpus written (int32 ids, float32 values, ms timestamps)")
+
 EMPTY = len(sys.argv) > 1 and sys.argv[1] == "empty"
 if EMPTY:
     DST = "/tmp/sf_adv_empty"
@@ -121,7 +156,7 @@ if TINY:
         t = pq.read_table(os.path.join(SRC, f))
         pq.write_table(t.slice(0, 3), os.path.join(DST, f))
         print(f"{f}: {t.num_rows} -> {min(3, t.num_rows)} rows")
-for f in [] if (TINY or OLD or SKEW or EMPTY or WIDE) else os.listdir(SRC):
+for f in [] if (TINY or OLD or SKEW or EMPTY or WIDE or DTYPE) else os.listdir(SRC):
     if f == "events.parquet":
         t = pq.read_table(os.path.join(SRC, f)).to_pandas()
         rng = np.random.default_rng(99)
@@ -235,7 +270,7 @@ elif WIDE:
         # loud verbatim-message raise (same guard the tiny axis pins)
         "shift_multi_target": "All rows were dropped during transformation",
     }
-elif OLD or SKEW or EMPTY:
+elif OLD or SKEW or EMPTY or DTYPE:
     EXPECT_RAISE = {}
 else:
     EXPECT_RAISE = {
@@ -278,6 +313,12 @@ for name, fn in sorted(qs.items()):
             bad.append((name, f"schema {sorted(odf.columns)} vs {key}")); continue
         if len(rdf) != len(odf):
             bad.append((name, f"rows {len(rdf)} vs {len(odf)}")); continue
+        for c in key:  # unit-insensitive datetime compare (ms vs us
+            # storage of the same instant is not a value divergence;
+            # assert_frame_equal would otherwise diff raw i8)
+            if rdf[c].dtype.kind == "M" and odf[c].dtype.kind == "M":
+                rdf[c] = rdf[c].astype("datetime64[us]")
+                odf[c] = odf[c].astype("datetime64[us]")
         a = rdf[key].sort_values(key).reset_index(drop=True)
         b = odf[key].sort_values(key).reset_index(drop=True)
         try:

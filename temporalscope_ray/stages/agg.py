@@ -68,7 +68,12 @@ def time_bucket_aggregate(
     by = list(by or [])
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        us = pc.cast(t.column(ts_col), pa.int64()).to_numpy(zero_copy_only=False)
+        # normalize to us first (dtype axis): a ms/ns timestamp column
+        # cast straight to int64 would be floor-divided on the wrong scale
+        col = t.column(ts_col)
+        if pa.types.is_timestamp(col.type):
+            col = pc.cast(col, pa.timestamp("us"))
+        us = pc.cast(col, pa.int64()).to_numpy(zero_copy_only=False)
         start = (us // width) * width
         return t.append_column(
             bucket_col, pa.array(start, type=pa.int64()).cast(pa.timestamp("us"))
@@ -299,7 +304,10 @@ def hopping_window_aggregate(
     by = list(by or [])
 
     def replicate(t: pa.Table) -> pa.Table:
-        us = pc.cast(t.column(ts_col), pa.int64()).to_numpy(zero_copy_only=False)
+        col = t.column(ts_col)
+        if pa.types.is_timestamp(col.type):  # normalize unit (dtype axis)
+            col = pc.cast(col, pa.timestamp("us"))
+        us = pc.cast(col, pa.int64()).to_numpy(zero_copy_only=False)
         n = len(us)
         # covering window starts: latest = floor(ts/hop)*hop, then k-1
         # earlier hops (those with start > ts - window)

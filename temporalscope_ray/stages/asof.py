@@ -54,6 +54,16 @@ def _merge_asof_frames(
 ) -> pd.DataFrame:
     left_sorted = left.sort_values(on, kind="mergesort")
     right_sorted = right.sort_values(on, kind="mergesort")
+    # widen mismatched key dtypes to their numpy-promoted common type
+    # (ms vs us timestamps -> us, int32 vs int64 -> int64): merge_asof
+    # refuses mixed-width keys, and the engine contract is DuckDB-like
+    # promotion, never narrowing (round-5 dtype axis)
+    for c in [on, *([by] if by else [])]:
+        lt, rt = left_sorted[c].dtype, right_sorted[c].dtype
+        if lt != rt and lt.kind in "Mmiuf" and rt.kind in "Mmiuf":
+            common = np.promote_types(lt, rt)
+            left_sorted = left_sorted.astype({c: common})
+            right_sorted = right_sorted.astype({c: common})
     kwargs = dict(on=on, direction=direction, suffixes=("", suffix))
     if by is not None:
         kwargs["by"] = by

@@ -21,6 +21,44 @@ import ray.data
 
 SIDE_COL = "__side__"
 
+_TS_RANK = {"s": 0, "ms": 1, "us": 2, "ns": 3}
+
+
+def promote_type(a: pa.DataType, b: pa.DataType) -> "pa.DataType | None":
+    """Common WIDER type for two mismatched-but-compatible column types
+    (int widths, float widths, int+float, timestamp units with equal
+    tz) — the engine's DuckDB-like promotion contract for join keys and
+    shared union columns (round-5 dtype axis). None = not promotable
+    (caller raises its loud type-mismatch error)."""
+    if a == b:
+        return a
+    ints = (pa.types.is_integer(a), pa.types.is_integer(b))
+    floats = (pa.types.is_floating(a), pa.types.is_floating(b))
+    if all(ints) or (any(ints) and any(floats)) or all(floats):
+        try:
+            return pa.from_numpy_dtype(
+                np.promote_types(a.to_pandas_dtype(), b.to_pandas_dtype()))
+        except Exception:
+            return None
+    if pa.types.is_timestamp(a) and pa.types.is_timestamp(b) and a.tz == b.tz:
+        unit = max(a.unit, b.unit, key=lambda u: _TS_RANK.get(u, -1))
+        return pa.timestamp(unit, tz=a.tz)
+    return None
+
+
+def cast_columns(ds: ray.data.Dataset, casts: "dict[str, pa.DataType]") -> ray.data.Dataset:
+    """Streaming per-batch cast of named columns to target types."""
+    if not casts:
+        return ds
+
+    def project(t: pa.Table) -> pa.Table:
+        for name, ty in casts.items():
+            i = t.schema.get_field_index(name)
+            t = t.set_column(i, pa.field(name, ty), t.column(i).cast(ty))
+        return t
+
+    return ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
 
 def pad_union(left: ray.data.Dataset, right: ray.data.Dataset) -> tuple[ray.data.Dataset, list[str], list[str]]:
     """Union ``left`` and ``right`` with typed-null padding + side tag.
@@ -36,11 +74,25 @@ def pad_union(left: ray.data.Dataset, right: ray.data.Dataset) -> tuple[ray.data
     right_names = list(rs.names)
     right_only = [c for c in right_names if c not in left_names]
     left_only = [c for c in left_names if c not in right_names]
+    l_casts: dict[str, pa.DataType] = {}
+    r_casts: dict[str, pa.DataType] = {}
     for c in set(left_names) & set(right_names):
-        if ls.field(c).type != rs.field(c).type:
-            raise ValueError(
-                f"pad_union: column '{c}' type mismatch: {ls.field(c).type} vs {rs.field(c).type}"
-            )
+        lt, rt = ls.field(c).type, rs.field(c).type
+        if lt != rt:
+            common = promote_type(lt, rt)
+            if common is None:
+                raise ValueError(
+                    f"pad_union: column '{c}' type mismatch: {lt} vs {rt}"
+                )
+            if lt != common:
+                l_casts[c] = common
+            if rt != common:
+                r_casts[c] = common
+    if l_casts or r_casts:  # widen BEFORE padding so schemas align
+        left = cast_columns(left, l_casts)
+        right = cast_columns(right, r_casts)
+        ls = pa.schema([pa.field(f.name, l_casts.get(f.name, f.type)) for f in ls])
+        rs = pa.schema([pa.field(f.name, r_casts.get(f.name, f.type)) for f in rs])
     left_t = {c: ls.field(c).type for c in left_only}
     right_t = {c: rs.field(c).type for c in right_only}
     ordered = [*left_names, *right_only, SIDE_COL]
@@ -82,12 +134,20 @@ def pad_union_many(sides: "list[ray.data.Dataset]") -> tuple[ray.data.Dataset, l
             t = s.field(name).type
             if name in types:
                 if types[name] != t:
-                    raise ValueError(
-                        f"pad_union_many: column '{name}' type mismatch: {types[name]} vs {t}"
-                    )
+                    common = promote_type(types[name], t)
+                    if common is None:
+                        raise ValueError(
+                            f"pad_union_many: column '{name}' type mismatch: {types[name]} vs {t}"
+                        )
+                    types[name] = common  # widen shared keys (dtype axis)
             else:
                 types[name] = t
                 ordered.append(name)
+    sides = [
+        cast_columns(ds, {n: types[n] for n in s.names if s.field(n).type != types[n]})
+        for ds, s in zip(sides, schemas)
+    ]
+    schemas = [pa.schema([pa.field(n, types[n]) for n in s.names]) for s in schemas]
     out_cols = [*ordered, SIDE_COL]
 
     def make_pad(idx: int, have: set):

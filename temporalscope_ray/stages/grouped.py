@@ -422,9 +422,19 @@ def hash_groupby_aggregate(
         if src is None and fn != "count":
             raise ValueError(f"src_col=None only valid with 'count' (got '{fn}')")
 
+    # sum/mean accumulate in float64 regardless of storage width —
+    # SQL parity (DuckDB SUM/AVG(FLOAT) promote to DOUBLE) and the only
+    # sane contract at 100 TB; min/max/count keep the input width
+    # (width-invariant values). Caught by the round-5 dtype axis.
+    _wide_srcs = tuple({src for (src, fn) in aggs.values()
+                        if fn in ("sum", "mean") and src is not None})
+
     # partial column layout: one column per (out_col, piece)
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
+        for c in _wide_srcs:
+            if df[c].dtype.kind == "f" and df[c].dtype.itemsize < 8:
+                df[c] = df[c].astype(np.float64)
         g = df.groupby(keys, sort=False, dropna=False)
         pieces = {}
         for out_col, (src, fn) in aggs.items():

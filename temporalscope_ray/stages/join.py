@@ -39,7 +39,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from .exchange import SIDE_COL, pad_union
+from .exchange import SIDE_COL, cast_columns, pad_union, promote_type
 from .grouped import BUCKET_COL, DEFAULT_NUM_BUCKETS, clamp_concurrency, hash_key_column
 
 _BROADCAST_ROW_LIMIT = 5_000_000
@@ -209,11 +209,28 @@ def equi_join(
 
     rs = _schema(right)
     _check_disjoint(ls, rs, on)
+    l_casts: dict = {}
+    r_casts: dict = {}
     for c in on:
-        if ls.field(c).type != rs.field(c).type:
-            raise ValueError(
-                f"equi_join: key '{c}' type mismatch: {ls.field(c).type} vs {rs.field(c).type}"
-            )
+        lt, rt = ls.field(c).type, rs.field(c).type
+        if lt != rt:
+            # widen promotable key widths (int32 vs int64, ms vs us —
+            # round-5 dtype axis); only truly incompatible types raise
+            common = promote_type(lt, rt)
+            if common is None:
+                raise ValueError(
+                    f"equi_join: key '{c}' type mismatch: {lt} vs {rt}"
+                )
+            if lt != common:
+                l_casts[c] = common
+            if rt != common:
+                r_casts[c] = common
+    if l_casts:
+        left = cast_columns(left, l_casts)
+        ls = pa.schema([pa.field(f.name, l_casts.get(f.name, f.type)) for f in ls])
+    if r_casts:
+        right = cast_columns(right, r_casts)
+        rs = pa.schema([pa.field(f.name, r_casts.get(f.name, f.type)) for f in rs])
     if broadcast is None:
         if how == "full":
             broadcast = False
@@ -304,8 +321,13 @@ def interval_overlap_pairs(
     tb = "__tbucket__"
 
     def explode(b: _pd.DataFrame) -> _pd.DataFrame:
-        s = b[start_col].astype("int64").to_numpy()
-        e = b[end_col].astype("int64").to_numpy()
+        def _us(col):  # unit-safe: bucket_width_us is MICROsecond-scaled
+            arr = b[col].to_numpy()
+            if arr.dtype.kind == "M":
+                arr = arr.astype("datetime64[us]")
+            return arr.astype(np.int64)
+        s = _us(start_col)
+        e = _us(end_col)
         if (e < s).any():
             raise ValueError("interval_overlap_pairs: end before start")
         lo = s // W

@@ -1394,7 +1394,8 @@ def target_encode_expanding_daily(
         units = np.sign(v) * np.floor(np.abs(v) * scale + 0.5)
         df = pd.DataFrame({
             cat_col: b[cat_col].to_numpy(),
-            day_col: (b[time_col].astype("int64") // 86_400_000_000).to_numpy(),
+            day_col: (b[time_col].to_numpy().astype("datetime64[us]")
+                      .astype(np.int64) // 86_400_000_000),
             "__s__": np.where(np.isnan(v), 0, units).astype(np.int64),
             "__c__": (~np.isnan(v)).astype(np.int64),
         })
@@ -1420,7 +1421,8 @@ def target_encode_expanding_daily(
     def attach(b: pd.DataFrame) -> pd.DataFrame:
         table: pd.DataFrame = _ray.get(ref)
         out = b.copy()
-        out[day_col] = (b[time_col].astype("int64") // 86_400_000_000).to_numpy()
+        out[day_col] = (b[time_col].to_numpy().astype("datetime64[us]")
+                        .astype(np.int64) // 86_400_000_000)
         out = out.merge(table, on=[cat_col, day_col], how="left")
         return out.drop(columns=[day_col])
 

@@ -105,3 +105,109 @@ def test_worker_death_mid_feature_exchange_is_retried(ray_session, tmp_path):
     got = got.sort_values(key).reset_index(drop=True)[sorted(got.columns)]
     want = want.sort_values(key).reset_index(drop=True)[sorted(want.columns)]
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_driver_kill_mid_flagship_sink_resumes_byte_identical(ray_session, tmp_path):
+    """VERDICT r4 #7: kill the DRIVER mid-run of a multi-stage headline
+    pipeline (flagship temporal features -> lineage-partitioned sink)
+    and prove the resumed run (a) skips every partition the killed run
+    published, (b) never rewrites them, and (c) ends byte-identical to
+    an uninterrupted run — per-bucket order-insensitive row checksums
+    AND exact frame equality.
+
+    The kill is real (SIGKILL to a subprocess driver, its own Ray
+    session) and deterministically mid-run: the sink transform sleeps
+    per bucket, and the test waits for >=2 published partitions before
+    killing."""
+    import json
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    import pyarrow.parquet as pq
+
+    from temporalscope_ray.state.lineage import (
+        completed_buckets, read_partitioned, run_partitioned, validate_manifest)
+
+    sf = "/root/testdata/sf0.001"
+    out_killed = str(tmp_path / "killed_run")
+    out_clean = str(tmp_path / "clean_run")
+    runner = tmp_path / "runner.py"
+    runner.write_text(f"""
+import time
+import pandas as pd
+import ray
+ray.init(address="local", num_cpus=4, include_dashboard=False, logging_level="ERROR")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+from temporalscope_ray.pipelines.flagship import temporal_feature_pipeline
+from temporalscope_ray.state.lineage import run_partitioned
+
+def slow(g: pd.DataFrame) -> pd.DataFrame:
+    time.sleep(1.0)  # pace the sink so the kill lands mid-run
+    return g
+
+feats = temporal_feature_pipeline({sf!r}, num_buckets=8)
+run_partitioned(feats, key="user_id", out_dir={out_killed!r},
+                num_buckets=8, transform=slow, time_col="ts")
+ray.shutdown()
+""")
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    proc = subprocess.Popen([sys.executable, str(runner)], env=env,
+                            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    try:
+        deadline = time.time() + 240
+        while time.time() < deadline:
+            if len(completed_buckets(out_killed)) >= 2:
+                break
+            if proc.poll() is not None:
+                raise AssertionError(
+                    f"runner exited (rc={proc.returncode}) before the kill "
+                    f"({len(completed_buckets(out_killed))} partitions published)")
+            time.sleep(0.05)
+        proc.send_signal(signal.SIGKILL)  # driver death mid-run
+        proc.wait(timeout=30)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+
+    published = completed_buckets(out_killed)
+    assert 1 <= len(published) < 8, f"kill landed outside mid-run: {len(published)}/8"
+    mtimes = {rec["partition_id"]: os.path.getmtime(rec["output"])
+              for rec in published.values()}
+
+    # resume IN-PROCESS (fresh driver, same out_dir) — no sleep needed
+    feats = __import__("temporalscope_ray.pipelines.flagship",
+                       fromlist=["temporal_feature_pipeline"]) \
+        .temporal_feature_pipeline(sf, num_buckets=8)
+    summary = run_partitioned(feats, key="user_id", out_dir=out_killed,
+                              num_buckets=8, time_col="ts")
+    assert summary["buckets_skipped"] == len(published)
+    assert summary["buckets_written"] + summary["buckets_skipped"] >= 8 - 1  # empty buckets write nothing
+    for pid, rec in completed_buckets(out_killed).items():
+        if pid in mtimes:  # survivors untouched by the resume
+            assert os.path.getmtime(rec["output"]) == mtimes[pid]
+    assert validate_manifest(out_killed)
+
+    # uninterrupted reference run into a fresh dir
+    feats2 = __import__("temporalscope_ray.pipelines.flagship",
+                        fromlist=["temporal_feature_pipeline"]) \
+        .temporal_feature_pipeline(sf, num_buckets=8)
+    run_partitioned(feats2, key="user_id", out_dir=out_clean,
+                    num_buckets=8, time_col="ts")
+
+    resumed = completed_buckets(out_killed)
+    clean = completed_buckets(out_clean)
+    assert resumed.keys() == clean.keys()
+    for pid in clean:
+        assert resumed[pid]["checksum"] == clean[pid]["checksum"], pid
+        assert resumed[pid]["row_count"] == clean[pid]["row_count"], pid
+
+    a = read_partitioned(out_killed).to_pandas()
+    b = read_partitioned(out_clean).to_pandas()
+    key = sorted(a.columns)
+    assert key == sorted(b.columns)
+    a = a[key].sort_values(key).reset_index(drop=True)
+    b = b[key].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
