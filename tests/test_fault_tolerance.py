@@ -172,6 +172,18 @@ ray.shutdown()
         if proc.poll() is None:
             proc.kill()
 
+    # in-flight write_bucket tasks of the killed cluster may still
+    # publish for a moment after the driver dies (raylet teardown is
+    # asynchronous) — snapshot only once the manifest is quiescent
+    prev, stable = -1, 0
+    for _ in range(30):
+        cur = len(completed_buckets(out_killed))
+        stable = stable + 1 if cur == prev else 0
+        prev = cur
+        if stable >= 2:
+            break
+        time.sleep(1.0)
+
     published = completed_buckets(out_killed)
     assert 1 <= len(published) < 8, f"kill landed outside mid-run: {len(published)}/8"
     mtimes = {rec["partition_id"]: os.path.getmtime(rec["output"])
@@ -184,7 +196,10 @@ ray.shutdown()
     summary = run_partitioned(feats, key="user_id", out_dir=out_killed,
                               num_buckets=8, time_col="ts")
     assert summary["buckets_skipped"] == len(published)
-    assert summary["buckets_written"] + summary["buckets_skipped"] >= 8 - 1  # empty buckets write nothing
+    assert summary["buckets_written"] >= 1  # the resume really wrote the rest
+    # (completeness vs the uninterrupted run is asserted below — empty
+    # hash buckets write no partition, so 8 is an upper bound, not a
+    # target)
     for pid, rec in completed_buckets(out_killed).items():
         if pid in mtimes:  # survivors untouched by the resume
             assert os.path.getmtime(rec["output"]) == mtimes[pid]
