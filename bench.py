@@ -268,6 +268,112 @@ def run_minhash_probe(num_cpus: int) -> dict:
             "docs_per_sec": round(MINHASH_DOCS / best, 1), "num_cpus": num_cpus}
 
 
+ASOF_LEFT_ROWS = int(os.environ.get("ASOF_LEFT_ROWS", 64_000_000))
+ASOF_RIGHT_ROWS = int(os.environ.get("ASOF_RIGHT_ROWS", 8_000_000))
+
+
+def run_asof_probe(num_cpus: int) -> dict:
+    """Best-of-2 timed passes of the north rule's centerpiece — the
+    bucketed point-in-time as-of join — at scale (VERDICT r4 #2: the
+    scaling table covered image/flagship/minhash, never the asof
+    family). 64M-row Zipf-skewed event spine joined as-of against an
+    8M-row reference stream over the same 640k-user space, FORCED
+    bucketed path (broadcast=False) with the generator's hottest
+    entity salted across 8 buckets — the exact skew machinery the
+    north rule names. Inputs are cached parquet (built untimed);
+    same measurement policy as run_scale_probe (fresh process per
+    level, in-process best-of-2 absorbs worker-pool startup)."""
+    import ray
+
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR",
+             runtime_env={"env_vars": {"PYTHONPATH": repo_dir},
+                          "worker_process_setup_hook":
+                          "temporalscope_ray.tuning.install_fast_hash_partition"})
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    # Winning config from the round-5 block/exchange scan (every run in
+    # BASELINE.md): 32 big blocks + 32 buckets + Ray's default SORT
+    # shuffle — 6.72 s at 16 cpus vs 14.3 s for the first config
+    # (hash exchange, 256 small blocks, 128 buckets). The byte-heavy,
+    # compute-light asof exchange is dominated by per-block scheduling
+    # and object churn, not partitioning CPU: fewer/bigger blocks beat
+    # every hash-exchange variant (aggregators 4/8/12 all slower), the
+    # OPPOSITE of the compute-dominated flagship/minhash exchanges.
+    # ASOF_HASH_EXCHANGE=1 = control mode (the losing strategy).
+    ctx.target_max_block_size = 256 * 1024 * 1024
+    sys.path.insert(0, repo_dir)
+    if os.environ.get("ASOF_HASH_EXCHANGE") == "1":
+        from temporalscope_ray.tuning import configure_exchange
+
+        configure_exchange(num_cpus)
+    import ray.data
+
+    from temporalscope_ray import synth
+    from temporalscope_ray.stages.asof import asof_join
+
+    n_users = max(1, ASOF_LEFT_ROWS // 100)
+    left_path = synth.materialize_events_table(
+        f"/tmp/tsray_events_xl_{ASOF_LEFT_ROWS}", ASOF_LEFT_ROWS, num_blocks=64)
+    right_path = synth.materialize_events_table(
+        f"/tmp/tsray_asof_right_{ASOF_RIGHT_ROWS}", ASOF_RIGHT_ROWS,
+        num_users=n_users, seed=77, num_blocks=64)
+
+    best, rows = None, 0
+    for _rep in range(2):
+        left = ray.data.read_parquet(
+            left_path, columns=["event_id", "ts", "user_id", "value"],
+            override_num_blocks=32)
+        right = ray.data.read_parquet(
+            right_path, columns=["ts", "user_id", "value"],
+            override_num_blocks=8)
+        t0 = time.perf_counter()
+        # user 0 is the Zipf-hottest entity by construction
+        # (synth.zipf_entity_offsets)
+        out = asof_join(
+            left, right, on="ts", by="user_id", right_cols=["value"],
+            suffix="_ref", broadcast=False, num_buckets=32,
+            hot_entities=[0], num_salts=8,
+        )
+        rows = consume(out)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    ray.shutdown()
+    return {"value": round(best, 3), "queries": {"asof_xl": round(best, 3)},
+            "rows": {"asof_xl": rows},
+            "rows_per_sec": round(ASOF_LEFT_ROWS / best, 1), "num_cpus": num_cpus}
+
+
+def run_scaling_asof() -> dict:
+    import subprocess
+
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--asof-probe"], env=env,
+            capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    n_lo, n_hi = 4, 16
+    lo = one(n_lo)
+    hi = one(n_hi)
+    eff = round((lo["value"] / hi["value"]) / (n_hi / n_lo), 3)
+    return {
+        "metric": f"bucketed asof_join scaling efficiency ({n_lo} -> {n_hi} cpus)",
+        "value": eff, "unit": "efficiency",
+        "num_cpus_lo": n_lo, "num_cpus_hi": n_hi,
+        "sec_lo": lo["value"], "sec_hi": hi["value"],
+        "rows_per_sec_lo": lo["rows_per_sec"], "rows_per_sec_hi": hi["rows_per_sec"],
+        "workload": f"asof_join({ASOF_LEFT_ROWS} spine x {ASOF_RIGHT_ROWS} ref, "
+                    "bucketed, hot-entity salted)",
+    }
+
+
 IVF_VECTORS = int(os.environ.get("IVF_VECTORS", 1_000_000))
 
 
@@ -425,6 +531,11 @@ if __name__ == "__main__":
         print(json.dumps(run_scaling(sf_dir)))
     elif "--scaling-minhash" in sys.argv:
         print(json.dumps(run_scaling_minhash()))
+    elif "--scaling-asof" in sys.argv:
+        print(json.dumps(run_scaling_asof()))
+    elif "--asof-probe" in sys.argv:
+        num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+        print(json.dumps(run_asof_probe(num_cpus)))
     elif "--ivf-probe" in sys.argv:
         num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
         print(json.dumps(run_ivf_probe(num_cpus)))
