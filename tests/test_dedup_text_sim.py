@@ -150,7 +150,8 @@ def test_image_features_and_resize():
 
 
 def test_image_unknown_format_raises():
-    df = pd.DataFrame([{"image_id": "x", "bytes": b"123", "w": 1, "h": 1, "fmt": "jpeg", "phash": 0}])
+    # webp: unknown to both the built-in codecs and the PIL gate
+    df = pd.DataFrame([{"image_id": "x", "bytes": b"123", "w": 1, "h": 1, "fmt": "webp", "phash": 0}])
     with pytest.raises(Exception, match="needs a real decoder"):
         multimodal.add_image_features(ray.data.from_pandas(df), concurrency=1).to_pandas()
 

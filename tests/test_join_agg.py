@@ -71,13 +71,21 @@ def test_join_rejects_overlapping_non_key_columns(ray_session):
         equi_join(l, r, "k")
 
 
-def test_join_rejects_key_type_mismatch(ray_session):
+def test_join_key_width_mismatch_widens_incompatible_raises(ray_session):
+    # round-5 dtype axis: promotable widths WIDEN (int32 key joins an
+    # int64 key via the promoted common type)...
     l = ray.data.from_arrow(pa.table({"k": pa.array([1], type=pa.int64())}))
     r = ray.data.from_arrow(
         pa.table({"k": pa.array([1], type=pa.int32()), "v": [1.0]})
     )
+    out = equi_join(l, r, "k", broadcast=False).to_pandas()
+    assert list(out["v"]) == [1.0]
+    # ...while truly incompatible kinds still raise loudly
+    r2 = ray.data.from_arrow(
+        pa.table({"k": pa.array(["1"], type=pa.string()), "v": [1.0]})
+    )
     with pytest.raises(ValueError, match="type mismatch"):
-        equi_join(l, r, "k", broadcast=False)
+        equi_join(l, r2, "k", broadcast=False)
 
 
 def test_join_pandas_right_broadcasts(ray_session):

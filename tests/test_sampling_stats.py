@@ -1021,7 +1021,10 @@ def test_target_encode_expanding_daily(ray_session):
         ray.data.from_pandas(df).repartition(4), cat_col="cat",
         target_col="y", time_col="ts",
     ).to_pandas().set_index("id").sort_index()
-    day = (df["ts"].astype("int64") // 86_400_000_000).to_numpy()
+    # unit-safe calendar days (the engine normalizes to us; a raw
+    # .astype("int64") on this ns-resolution frame would give ns-scale
+    # pseudo-days — the exact bug the round-5 dtype axis removed)
+    day = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64) // 86_400_000_000
     for i in range(n):
         mask = (df["cat"] == df["cat"].iloc[i]).to_numpy() & (day < day[i])
         prior = df.loc[mask, "y"].dropna()
