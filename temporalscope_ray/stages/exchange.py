@@ -36,10 +36,17 @@ def promote_type(a: pa.DataType, b: pa.DataType) -> "pa.DataType | None":
     floats = (pa.types.is_floating(a), pa.types.is_floating(b))
     if all(ints) or (any(ints) and any(floats)) or all(floats):
         try:
-            return pa.from_numpy_dtype(
+            common = pa.from_numpy_dtype(
                 np.promote_types(a.to_pandas_dtype(), b.to_pandas_dtype()))
         except Exception:
             return None
+        # uint64 vs int64 numpy-promotes to float64 — a float64 common
+        # type for two INTEGER columns would silently corrupt values
+        # above 2^53 (snowflake-style ids); no safe common integer
+        # exists, so refuse and let the caller raise loudly
+        if all(ints) and pa.types.is_floating(common):
+            return None
+        return common
     if pa.types.is_timestamp(a) and pa.types.is_timestamp(b) and a.tz == b.tz:
         unit = max(a.unit, b.unit, key=lambda u: _TS_RANK.get(u, -1))
         return pa.timestamp(unit, tz=a.tz)

@@ -50,6 +50,10 @@ def test_promote_type_matrix():
     assert promote_type(pa.timestamp("us"), pa.timestamp("ns")) == pa.timestamp("ns")
     assert promote_type(pa.string(), pa.int64()) is None
     assert promote_type(pa.timestamp("us", tz="UTC"), pa.timestamp("us")) is None
+    # uint64+int64 would numpy-promote to float64, silently corrupting
+    # ids above 2^53 — the engine refuses (loud raise at the caller)
+    assert promote_type(pa.uint64(), pa.int64()) is None
+    assert promote_type(pa.uint32(), pa.int32()) == pa.int64()
 
 
 def test_time_bucket_aggregate_ms_equals_us(ray_session):
