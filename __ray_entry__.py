@@ -343,6 +343,29 @@ def q_knn_ivf_reuse(sf_dir: str):
     return out
 
 
+def q_knn_ivf_saved(sf_dir: str):
+    """The round-5 cross-session persistence path driven end-to-end:
+    build -> save_ivf_index (hive bucket=N parquet, distributed write)
+    -> load_ivf_index (per-bucket refs restored) -> full-probe query —
+    byte-identical to knn_ivf_10, so the SAME brute-force DuckDB
+    oracle gates the save/load machinery."""
+    import tempfile
+
+    from temporalscope_ray.stages.similarity import (
+        build_ivf_index, load_ivf_index, query_ivf_index, save_ivf_index)
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q_rows = emb.filter(expr="vec_id == 0").to_pandas()
+    queries = np.stack(q_rows["embedding"].to_numpy()).astype(np.float64)
+    index = build_ivf_index(emb, nlist=8, concurrency=(1, 2))
+    path = tempfile.mkdtemp(prefix="tsray_ivf_saved_")
+    save_ivf_index(index, path)
+    out = query_ivf_index(load_ivf_index(path), queries, k=10, nprobe=8)
+    out = out.sort_values(["query_idx", "cos_sim", "vec_id"], ascending=[True, False, True]).reset_index(drop=True)
+    out["cos_sim"] = np.round(out["cos_sim"], 6)
+    return out
+
+
 def q_global_shift(sf_dir: str):
     from temporalscope_ray.stages.shift import shift_column_global
 
@@ -3737,6 +3760,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_clicks_30min": q_range_join_clicks,
         "knn_ivf_10": q_knn_ivf,
         "knn_ivf_reuse_10": q_knn_ivf_reuse,
+        "knn_ivf_saved_10": q_knn_ivf_saved,
         "hash_split_docs": q_hash_split_docs,
         "stratified_sample_docs": q_stratified_sample_docs,
         "shuffle_docs": q_shuffle_docs,
@@ -4867,6 +4891,15 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) DESC, vec_id) <= 10
         """,
         "knn_ivf_reuse_10": """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
+            SELECT 0 AS query_idx, vec_id,
+                   ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 6) AS cos_sim
+            FROM embeddings e CROSS JOIN q
+            WHERE list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), x -> x * x)) > 0
+            QUALIFY ROW_NUMBER() OVER (
+                     ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) DESC, vec_id) <= 10
+        """,
+        "knn_ivf_saved_10": """
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
             SELECT 0 AS query_idx, vec_id,
                    ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 6) AS cos_sim

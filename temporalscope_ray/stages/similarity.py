@@ -12,6 +12,7 @@
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import numpy as np
@@ -331,6 +332,71 @@ def build_ivf_index(
             bucket_blocks.setdefault(int(b), []).append(bi)
     return IvfIndex(centroids, parts, emb_col, id_col,
                     block_refs=block_refs, bucket_blocks=bucket_blocks)
+
+
+def save_ivf_index(index: IvfIndex, path: str) -> str:
+    """Persist a bucket-partitioned ``IvfIndex`` to disk: the inverted
+    lists as hive-partitioned parquet (``bucket=N/`` directories,
+    written DISTRIBUTED via ``write_parquet(partition_cols)`` — the
+    index never funnels through the driver) plus a small json+npy
+    manifest (centroids, column names). The on-disk layout preserves
+    the bucket partitioning, so a loaded index serves queries with the
+    same only-probed-buckets cost as a freshly built one."""
+    import json
+
+    if index.bucket_blocks is None:
+        raise ValueError("save_ivf_index: index was built with materialize=False "
+                         "(no partitioned layout); rebuild with materialize=True")
+    os.makedirs(path, exist_ok=True)
+    index.assignments.write_parquet(path, partition_cols=["bucket"])
+    np.save(os.path.join(path, "centroids.npy"), index.centroids)
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump({"emb_col": index.emb_col, "id_col": index.id_col,
+                   "nlist": int(len(index.centroids))}, f)
+    return path
+
+
+def load_ivf_index(path: str) -> IvfIndex:
+    """Load a saved index: one small read task per bucket directory
+    pins each inverted list back in the object store (distributed —
+    the driver sees only refs and the tiny bucket map); queries then
+    run exactly as against the freshly built index."""
+    import json
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    centroids = np.load(os.path.join(path, "centroids.npy"))
+    bucket_dirs = sorted(
+        (int(name.split("=", 1)[1]), os.path.join(path, name))
+        for name in os.listdir(path) if name.startswith("bucket="))
+    futures, bucket_blocks = [], {}
+    for bi, (bucket, d) in enumerate(bucket_dirs):
+        files = [os.path.join(d, f) for f in sorted(os.listdir(d))
+                 if f.endswith(".parquet")]
+        if len(files) != 1:
+            # hive partition dirs may hold several files; concat lazily
+            # by mapping each file to its own block for this bucket
+            for fp in files:
+                futures.append(_restore_bucket_block.remote(fp, bucket))
+                bucket_blocks.setdefault(bucket, []).append(len(futures) - 1)
+            continue
+        futures.append(_restore_bucket_block.remote(files[0], bucket))
+        bucket_blocks.setdefault(bucket, []).append(len(futures) - 1)
+    assignments = ray.data.from_arrow_refs(list(futures))
+    return IvfIndex(centroids, assignments, meta["emb_col"], meta["id_col"],
+                    block_refs=list(futures), bucket_blocks=bucket_blocks)
+
+
+@ray.remote(num_cpus=0.5)
+def _restore_bucket_block(file_path: str, bucket: int) -> pa.Table:
+    """Read one persisted inverted-list file and restore the ``bucket``
+    column (hive partitioning moves it into the directory name)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(file_path)
+    if "bucket" not in t.schema.names:
+        t = t.append_column("bucket", pa.array([bucket] * t.num_rows, type=pa.int64()))
+    return t
 
 
 def query_ivf_index(

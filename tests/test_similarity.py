@@ -83,3 +83,44 @@ def test_ivf_partitioned_layout_and_fallback_equality(ray_session):
         pd.testing.assert_frame_equal(
             a.reset_index(drop=True), b.reset_index(drop=True))
         assert 5 not in set(a["vec_id"])
+
+
+def test_ivf_index_save_load_roundtrip(ray_session, tmp_path):
+    """Cross-session persistence: a saved index reloads with the
+    bucket-partitioned layout intact (per-bucket refs, tiny driver
+    map) and serves queries IDENTICAL to the in-memory index at
+    partial and full probe."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from temporalscope_ray.stages.similarity import (
+        build_ivf_index, load_ivf_index, query_ivf_index, save_ivf_index)
+
+    rng = np.random.default_rng(23)
+    n, dim = 700, 8
+    mat = rng.standard_normal((n, dim))
+    df = pd.DataFrame({"vec_id": np.arange(n), "embedding": list(mat)})
+    ds = ray.data.from_pandas(df).repartition(4)
+
+    index = build_ivf_index(ds, nlist=8, seed=17, concurrency=2)
+    path = str(tmp_path / "ivf_index")
+    save_ivf_index(index, path)
+    loaded = load_ivf_index(path)
+    assert loaded.bucket_blocks is not None
+    assert set(loaded.bucket_blocks) == set(index.bucket_blocks)
+
+    q = mat[[5, 350]] + 0.003
+    for nprobe in (2, 8):
+        a = query_ivf_index(index, q, k=5, nprobe=nprobe)
+        b = query_ivf_index(loaded, q, k=5, nprobe=nprobe)
+        pd.testing.assert_frame_equal(
+            a.reset_index(drop=True), b.reset_index(drop=True))
+
+    # unpartitioned index refuses to save (loud contract)
+    import pytest
+
+    from temporalscope_ray.stages.similarity import IvfIndex
+    bare = IvfIndex(index.centroids, index.assignments, "embedding", "vec_id")
+    with pytest.raises(ValueError, match="materialize"):
+        save_ivf_index(bare, str(tmp_path / "nope"))
