@@ -5,10 +5,17 @@ Default: run the headline pipelines over ``$GRAFT_SF_DIR`` (default
 num_cpus=$RAY_GRAFT_CPUS or 32)`` and print ONE JSON line.
 
 ``--scaling``: run the headline pipeline twice in FRESH processes at
-num_cpus=8 and num_cpus=32 on the same input (page cache warmed by an
-untimed run) and report both throughputs plus scaling efficiency —
-the sandbox substitute for the north rule's N vs 4N cluster-size
-criterion.
+two CPU widths on the same input (page cache warmed by an untimed
+run) and report both throughputs plus scaling efficiency — the
+sandbox substitute for the north rule's N vs 4N cluster-size
+criterion. ``--scaling-minhash`` / ``--scaling-asof``: the same
+4-vs-16 probe over the shuffle-heaviest headliner (minhash_dedup)
+and the north rule's centerpiece (bucketed hot-entity-salted
+asof_join at a 64M+ spine; ASOF_LEFT_ROWS/ASOF_RIGHT_ROWS resize).
+``--ivf-probe``: per-query-batch cost of the bucket-partitioned IVF
+reuse path vs probed volume (IVF_VECTORS resizes). Single-level
+probes: ``--scale-probe`` / ``--minhash-probe`` / ``--asof-probe``
+(RAY_GRAFT_CPUS sets the width).
 """
 
 from __future__ import annotations
